@@ -1,0 +1,11 @@
+"""Query inventory: every operator exposed to the correctness harness.
+
+Importing this package populates the registry from all query modules.
+"""
+
+from iceberg_matrix_spark.queries.registry import ORACLES, QUERIES, register
+
+# Modules self-register on import (order defines report order).
+from iceberg_matrix_spark.queries import relational  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,688 @@
+"""Core relational operator inventory (SURVEY.md §2.2–§2.8).
+
+Each query exercises one operator family from the reference's surface —
+scans with pushdown (§2.4), the MERGE equi-join family (§2.5),
+aggregations incl. conditional aggs from the app's computeComparison
+(/root/reference/src/utils/comparison.ts:4-30) (§2.6), sorts/top-k (§2.7),
+set ops (§2.8) — expressed with the DataFrame API so Catalyst plans them
+(pushdown, pruning, broadcast joins).
+
+Determinism contract with the DuckDB oracle (driver hash-matches values):
+
+- Never ``SUM``/``AVG`` doubles directly — summation order differs between
+  engines. Cast to DECIMAL first (exact), then cast the exact result to
+  DOUBLE (correctly-rounded in both engines → bit-identical).
+- Never ``ROUND`` a double — Spark rounds via BigDecimal string repr,
+  DuckDB via ``round(x*10^k)/10^k``; they disagree on ties. Division of
+  bit-identical doubles by identical counts is exact IEEE → safe for avg.
+- Every LIMIT query carries a total order (unique tiebreaker column).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.sources.testdata import load_table
+
+
+def _dec(col: str) -> F.Column:
+    """Exact-arithmetic staging type for double money/quantity columns.
+
+    Precisions are sized so chained products stay within Spark's 38-digit
+    decimal cap WITHOUT scale reduction: (12,4)×(9,4)→(22,8), ×(9,4)→(32,12).
+    Overflow would trigger engine-specific rounding and break oracle parity.
+    """
+    return F.col(col).cast("decimal(12,4)")
+
+
+def _rate(col: str) -> F.Column:
+    """Small-rate columns (discount/tax)."""
+    return F.col(col).cast("decimal(8,4)")
+
+
+def _one() -> F.Column:
+    """Literal 1 as DECIMAL(5,4) (keeps products inside the 38-digit cap)."""
+    return F.lit(1).cast("decimal(5,4)")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregation — flagship: TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))
+               * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: single-pass hash aggregate over lineitem.
+
+    Scale: partial aggregation (map-side combine) runs before the shuffle;
+    the shuffle carries only |returnflag × linestatus| ≈ 6 groups per
+    partition. The shipdate filter is pushed to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    qty, price, disc, tax = (
+        _dec("l_quantity"),
+        _dec("l_extendedprice"),
+        _rate("l_discount"),
+        _rate("l_tax"),
+    )
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(price).cast("double") / cnt).alias("avg_price"),
+        cnt.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_quantity > 45
+    """,
+)
+def q2_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan: range + comparison predicates and column pruning.
+
+    Mirrors the reference's filtered-count read assertions
+    (/root/reference/tests/iceberg_feature_tests.py:457-459). Both the
+    shipdate range and the quantity predicate reach the parquet scan as
+    PushedFilters; only 4 of 11 columns are read (ReadSchema).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+@register(
+    "q_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = 777
+    """,
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on the key column (the bloom-filter probe shape,
+    /root/reference/tests/iceberg_feature_tests.py:1101). Equality predicate
+    pushed to parquet; row-group stats skip everything else."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 777)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "q_in_list",
+    oracle="""
+    SELECT l_orderkey, l_suppkey, l_extendedprice
+    FROM lineitem WHERE l_suppkey IN (1, 3, 5, 7)
+    """,
+)
+def q_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate (/root/reference/tests/clickhouse_feature_tests.py:365)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isin(1, 3, 5, 7))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey AS orderkey,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      o.o_orderpriority AS order_priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way equi-join → agg → top-k.
+
+    Scale: customer (filtered on segment) is broadcast — no shuffle of the
+    orders/lineitem fact sides for that join; the orders⋈lineitem join
+    shuffles on orderkey. Top-k is TakeOrderedAndProject (no global sort).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    price, disc = _dec("l_extendedprice"), _rate("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(F.sum(price * (_one() - disc)).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "order_date", "order_priority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a co-nation constraint.
+
+    Scale: region/nation/customer/supplier are dimensions → broadcast; the
+    only shuffle is orders⋈lineitem on orderkey. The co-location predicate
+    (s_nationkey = c_nationkey) rides the broadcast join condition.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc = _dec("l_extendedprice"), _rate("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(price * (_one() - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with any large order. The semi
+    join never materializes order columns — payload stays one-sided."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "q_merge_preview",
+    oracle="""
+    SELECT
+      COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+      COALESCE(s.c_name, t.c_name) AS c_name,
+      CASE WHEN s.c_custkey IS NOT NULL
+           THEN CAST(CAST(CAST(s.c_acctbal AS DECIMAL(18,4)) * 2 AS VARCHAR) AS DOUBLE)
+           ELSE t.c_acctbal END AS c_acctbal,
+      CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL THEN 'updated'
+           WHEN s.c_custkey IS NOT NULL THEN 'inserted'
+           ELSE 'unchanged' END AS merge_action
+    FROM customer t
+    FULL OUTER JOIN (
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_acctbal > 5000
+    ) s ON t.c_custkey = s.c_custkey
+    """,
+)
+def q_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics as a pure query: WHEN MATCHED THEN UPDATE /
+    WHEN NOT MATCHED THEN INSERT, planned as the same full-outer equi-join
+    Spark uses for MERGE INTO (reference MERGE:
+    /root/reference/tests/iceberg_feature_tests.py:525-529). The stateful
+    version lives in the IceLite table layer."""
+    target = load_table(spark, sf_dir, "customer")
+    source = target.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t, s = target.alias("t"), source.alias("s")
+    matched = F.col("s.c_custkey").isNotNull()
+    return t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("s.c_name"), F.col("t.c_name")).alias("c_name"),
+        F.when(
+            matched,
+            (F.col("s.c_acctbal").cast("decimal(18,4)") * 2).cast("double"),
+        )
+        .otherwise(F.col("t.c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(matched & F.col("t.c_custkey").isNotNull(), F.lit("updated"))
+        .when(matched, F.lit("inserted"))
+        .otherwise(F.lit("unchanged"))
+        .alias("merge_action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregations: conditional / distinct / hierarchical
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_conditional_agg",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+      COUNT(*) AS n_total
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — the gained/lost/changed counting pattern of
+    the app's computeComparison (/root/reference/src/utils/comparison.ts:16-26)
+    re-expressed as sum(when(...)) over a join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def flag(status: str) -> F.Column:
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            flag("F").alias("n_finished"),
+            flag("O").alias("n_open"),
+            flag("P").alias("n_pending"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi distinct-aggregate (Catalyst expands to a partial-agg expand plan)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP) — subtotals + grand total in one pass."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / top-k / window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top1_latest",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1
+    """,
+)
+def q_top1_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-by-time — the reference's latest-snapshot idiom
+    (/root/reference/tests/iceberg_feature_tests.py:394-398:
+    ORDER BY committed_at DESC LIMIT 1) → TakeOrderedAndProject."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+    )
+
+
+@register(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number window (deterministic
+    tiebreak on the unique key). Spark pushes a per-partition rank limit
+    (WindowGroupLimit) before the shuffle — no full sort of the fact table."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT
+      user_id, event_id,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value,
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per user (decimal accumulation: engines may sum
+    window frames in different association orders; decimals are exact)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(frame).cast("double").alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap → session id via lag +
+    running sum (the batch analog of streaming session windows, §2.10).
+
+    Scale: one shuffle on user_id serves both window functions and the
+    final aggregate (same partitioning reused across stages)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = load_table(spark, sf_dir, "events")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(frame))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+    UNION ALL
+    SELECT o_custkey, 'finished_only' AS bucket FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over distinct key sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = finished.intersect(open_).withColumn("bucket", F.lit("both"))
+    fin_only = finished.exceptAll(open_).withColumn("bucket", F.lit("finished_only"))
+    return both.unionByName(fin_only)
+
+
+# ---------------------------------------------------------------------------
+# §2.17 scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scalar_funcs",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CONCAT('MARK=', CAST(o_orderkey AS VARCHAR)) AS marker,
+      CASE WHEN o_totalprice > 200000 THEN 'large'
+           WHEN o_totalprice > 100000 THEN 'medium'
+           ELSE 'small' END AS size_bucket,
+      UPPER(o_orderpriority) AS priority_uc,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_orderkey <= 100
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar surface: CONCAT/CAST marker idiom
+    (/root/reference/tests/flink_feature_tests.py:538-539) + CASE WHEN."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.concat(F.lit("MARK="), F.col("o_orderkey").cast("string")).alias("marker"),
+            F.when(F.col("o_totalprice") > 200000, "large")
+            .when(F.col("o_totalprice") > 100000, "medium")
+            .otherwise("small")
+            .alias("size_bucket"),
+            F.upper("o_orderpriority").alias("priority_uc"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT
+      CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column — the VARIANT /
+    parse_json surface (/root/reference/tests/iceberg_feature_tests.py:1304-1308)
+    over plain JSON strings (no VARIANT type without the Iceberg runtime);
+    regexp_extract keeps Spark & DuckDB semantics identical."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+            .cast("bigint")
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "q_date_trunc_agg",
+    oracle="""
+    SELECT
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-bucket aggregate (batch analog of streaming windowed
+    aggs, §2.10): date_trunc bucketing by day × event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day_ts"),
+            "event_type",
+            "value",
+        )
+        .groupBy("day_ts", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )

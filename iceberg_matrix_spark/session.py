@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Modeled on the reference harness's session builder
+(/root/reference/tests/iceberg_feature_tests.py:262-384): local master,
+deterministic shuffle partitioning, AQE off for correctness runs (the
+reference disables AQE at :314 for deterministic physical artifacts), UTC
+session timezone, Arrow enabled for pandas interchange.
+
+Scale notes: on a real cluster these settings come from spark-submit; the
+factory only sets semantics-bearing configs (timezone, nanos handling,
+Arrow) plus local-mode conveniences. Everything here is safe at 100 TB —
+no collect-based logic, no hard-coded partition counts in operators (the
+shuffle-partition default is a local-mode testing knob; production uses AQE
+coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "iceberg-matrix-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    adaptive: bool = False,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``adaptive=False`` by default: the correctness harness needs
+    deterministic plans/artifacts (reference disables AQE for the same
+    reason). Benchmarks pass ``adaptive=True``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true" if adaptive else "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver's events table carries INT64 TIMESTAMP(NANOS) parquet
+        # timestamps, which Spark rejects by default; read them as raw
+        # nanosecond longs and convert explicitly (sources/testdata.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    return builder.getOrCreate()

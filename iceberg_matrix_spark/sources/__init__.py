@@ -1,0 +1,3 @@
+from iceberg_matrix_spark.sources.testdata import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,61 @@
+"""Loaders for the driver-provided TPC-H-ish parquet tables.
+
+See /root/repo/TESTDATA.md: tables ``region nation customer supplier part
+orders lineitem events documents embeddings`` at sf0.001/0.01/0.1.
+
+Scale note: these are plain ``spark.read.parquet`` scans — column pruning
+and predicate pushdown reach the parquet reader untouched. The only
+transformation applied at load time is the events-table nanosecond
+timestamp normalization, a pure projection that doesn't block pushdown of
+filters on other columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def sf_dir_from_env() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing types.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, read as a raw long
+    (see session.py). We truncate to microseconds with *integer* division
+    (`div` — float division would lose precision: 2024-epoch nanos exceed
+    the 53-bit double mantissa) and cast to TIMESTAMP_NTZ so values match
+    DuckDB's ``CAST(ts AS TIMESTAMP)`` exactly.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register each table as a temp view (same names DuckDB pre-registers)."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
