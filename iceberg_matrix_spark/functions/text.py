@@ -1,0 +1,60 @@
+"""Text-analysis column functions (all JVM-side, no Python UDFs).
+
+Everything here compiles to Catalyst expressions inside whole-stage
+codegen — the hot path of the 100 TB document pipeline stays off the
+Python worker entirely. Equivalent DuckDB SQL for each helper is noted so
+query oracles stay portable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def norm_text(col: Column | str) -> Column:
+    """Normalized text: lowercase, trimmed, whitespace collapsed.
+
+    DuckDB: ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens. DuckDB: ``regexp_split_to_array(trim(text), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col_name: str, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash/Jaccard unit) from a string
+    column named ``col_name``.
+
+    Pure array expressions — ``transform(sequence(...))`` over the token
+    array, no explode until the caller chooses to (keeps the narrow,
+    pre-shuffle shape). DuckDB equivalent:
+    ``list_distinct(list_transform(generate_series(1, len(toks)-k+1),
+    i -> concat_ws(' ', toks[i], ..., toks[i+k-1])))``.
+
+    Rows with fewer than k tokens yield an empty array (sequence start >
+    stop is invalid in Spark, so the expression guards on token count).
+    """
+    toks = f"split(trim({col_name}), '\\\\s+')"
+    words = ", ".join(f"element_at(__t, __i + {j})" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}), "
+        f"__i -> concat_ws(' ', {words.replace('__t', toks)}))) "
+        f"ELSE array() END"
+    ).cast("array<string>")
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (portable —
+    DuckDB: ``md5(lower(trim(regexp_replace(text,'\\s+',' ','g'))))``)."""
+    return F.md5(norm_text(col))

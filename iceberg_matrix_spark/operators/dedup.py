@@ -1,0 +1,407 @@
+"""Deduplication operators for the document pipeline (north-star surface).
+
+Four families, all shuffle-lean and designed for 100 TB:
+
+- **Exact**: hash-groupBy on a text fingerprint. One shuffle on the
+  fingerprint; map-side combine collapses duplicates before the exchange.
+- **N-gram Jaccard**: inverted-index self-join on distinct k-word
+  shingles (NOT an O(n²) cross join) → common-shingle counts → Jaccard.
+  A document-frequency cap drops stop-shingles before the join — at scale
+  the hottest shingle otherwise dominates one reducer.
+- **MinHash + LSH**: per-doc signatures (K min-hashes over shingle
+  hashes), banded into buckets; candidate pairs come from equi-joins on
+  (band, bucket) — shuffle proportional to candidates, not pairs.
+- **SimHash**: 64-bit weighted-bit signature; near-dup pairs via banded
+  chunk join + Hamming-distance filter.
+
+MinHash/SimHash signatures use Spark's xxhash64 (not reproducible in
+DuckDB), so their queries carry no SQL oracle; tests/test_dedup.py instead
+verifies them against the exact-Jaccard ground truth computed by the
+oracle-checked n-gram operator.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_matrix_spark.functions.text import md5_fingerprint, word_shingles
+from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.sources.testdata import load_table
+
+# Deterministic MinHash permutation parameters (seeded; module constants so
+# every run — and every executor — agrees).
+_MERSENNE = (1 << 61) - 1
+_NUM_HASHES = 32
+_LSH_BANDS = 16  # 2 rows/band → P(candidate | j=0.5) ≈ 0.99
+_rng = random.Random(42)
+_HASH_AB = [(_rng.randrange(1, 1 << 31), _rng.randrange(0, 1 << 31)) for _ in range(_NUM_HASHES)]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) texts: fingerprint → representative id
+    (min) + duplicate count. The representative-selection idiom is the
+    scalable one: min() aggregate, not a window over the full corpus."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), md5_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per identical text (the min-id representative)."""
+    fp = md5_fingerprint(text_col)
+    w_min = (
+        df.select(F.col(id_col).alias("__id"), fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("__id").alias("__keep"))
+    )
+    return df.join(
+        w_min,
+        (md5_fingerprint(text_col) == w_min.__fp) & (F.col(id_col) == w_min.__keep),
+        "left_semi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (inverted-index join; SQL-oracle-able)
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc_id, shingles array, n_sh) for docs with ≥ k tokens."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, k).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("n_sh", F.size("shingles"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (id1 < id2) with shingle-Jaccard ≥ threshold.
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle
+    (inverted index) → count common per pair → join back doc sizes
+    (broadcast at dimension scale, shuffle join beyond). ``max_doc_freq``
+    drops shingles occurring in more than N docs — the skew guard that
+    keeps the hottest posting list off a single reducer at 100 TB.
+    """
+    sets_ = shingle_sets(df, id_col, text_col, k)
+    sizes = sets_.select("doc_id", "n_sh")
+    ex = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        freq_ok = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_doc_freq
+        )
+        ex = ex.join(freq_ok.select("shingle"), "shingle", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, signature array<long>[_NUM_HASHES]).
+
+    Base hash = pmod(xxhash64(shingle), 2^31); permutation i is
+    (a_i·h + b_i) mod (2^61−1). Products stay < 2^62, so the arithmetic
+    can't overflow ANSI bigint. One explode + one groupBy(doc) with K min
+    aggregates — signature cost is linear in corpus shingle count.
+    """
+    ex = shingle_sets(df, id_col, text_col, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    base = F.pmod(F.xxhash64("shingle"), F.lit(1 << 31))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_HASH_AB)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(_NUM_HASHES)]
+    )
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(_NUM_HASHES)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = _LSH_BANDS) -> DataFrame:
+    """Candidate pairs from banded LSH: hash each band slice to a bucket,
+    equi-join on (band, bucket). Never compares all pairs."""
+    rows = _NUM_HASHES // bands
+    band_hash = F.array(
+        *[
+            F.xxhash64(
+                F.lit(i), *[F.col("signature")[i * rows + r] for r in range(rows)]
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        "doc_id", F.posexplode(band_hash).alias("band", "bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with EXACT shingle Jaccard ≥ threshold.
+
+    Output ⊆ the exact n-gram pairs; LSH only prunes the search space
+    (recall at j=0.5 is ≈0.99 with 16 bands × 2 rows). Verification joins
+    the shingle arrays back per candidate — cost ∝ candidates, not pairs.
+    """
+    sets_ = shingle_sets(df, id_col, text_col, k)
+    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, k))
+    s1 = sets_.select(
+        F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"), F.col("n_sh").alias("n1")
+    )
+    s2 = sets_.select(
+        F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"), F.col("n_sh").alias("n2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("common", inter)
+        .withColumn("jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (token multiplicity weights).
+
+    Per-bit majority vote: explode tokens, ±1 per bit from xxhash64(token),
+    one groupBy(doc) with 64 small sum aggregates, reassemble the bits.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    bit_sums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                # shiftleft wraps bit 63 into the long sign bit (1<<63
+                # doesn't fit a positive long literal)
+                F.when(
+                    F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band join.
+
+    Pigeonhole: distance ≤ 8 doesn't guarantee an identical 16-bit chunk
+    in general (it does for ≤ 3); the band join is the standard recall/
+    cost trade — candidates share at least one exact chunk, then the
+    popcount filter is exact.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunk = lambda c, i: F.shiftrightunsigned(F.col(c), i * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[chunk("simhash", i) for i in range(4)])).alias("band", "chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+_DOC_SHINGLES_SQL = """
+  docs AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+    FROM documents
+  ),
+  sets_ AS (
+    SELECT doc_id,
+      list_distinct(list_transform(generate_series(1, len(toks)-2),
+        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) shingles
+    FROM docs WHERE len(toks) >= 3
+  ),
+  sizes AS (SELECT doc_id, len(shingles) n_sh FROM sets_),
+  sh AS (SELECT doc_id, unnest(shingles) shingle FROM sets_),
+  pairs AS (
+    SELECT a.doc_id id1, b.doc_id id2, count(*) common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT id1, id2, common,
+           CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+  )
+"""
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           MIN(doc_id) AS rep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "q_dedup_ngram_topk",
+    oracle=f"""
+    WITH {_DOC_SHINGLES_SQL}
+    SELECT id1, id2, common, jaccard
+    FROM jac
+    ORDER BY jaccard DESC, id1, id2
+    LIMIT 20
+    """,
+)
+def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by 3-shingle Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, "doc_id", "text", k=3)
+        .orderBy(F.desc("jaccard"), F.asc("id1"), F.asc("id2"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_dedup_ngram_threshold",
+    oracle=f"""
+    WITH {_DOC_SHINGLES_SQL}
+    SELECT id1, id2, common, jaccard FROM jac WHERE jaccard >= 0.2
+    """,
+)
+def q_dedup_ngram_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with 3-shingle Jaccard ≥ 0.2 (near-dup clusters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+
+
+@register("q_dedup_minhash_lsh")  # xxhash64-based — no portable SQL oracle
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified at ≥ 0.2.
+    Verified in tests/test_dedup.py against the oracle-checked exact
+    n-gram pairs (subset + recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+
+
+@register("q_dedup_simhash")  # xxhash64-based — no portable SQL oracle
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 12 over 64-bit signatures)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=12)

@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Two paths:
+
+- **Brute-force top-k** (the correctness baseline): broadcast the query
+  vectors, compute cosine JVM-side (functions/vectors.py), rank with a
+  per-query window. At 100 TB the corpus side streams through codegen —
+  the only shuffle is the final per-query top-k (WindowGroupLimit prunes
+  to k rows per partition before the exchange).
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures →
+  multi-probe bucket join → exact re-rank within candidates. Shuffle is
+  proportional to bucket collisions, not |corpus| × |queries|.
+
+Cosine here bit-matches DuckDB's
+``list_cosine_similarity(CAST(x AS DOUBLE[]), ...)`` (sequential double
+fold on both sides), so brute-force queries carry exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iceberg_matrix_spark.functions.vectors import cosine, dot
+from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.sources.testdata import load_table
+
+_DIM = 64
+_N_PLANES = 16
+_rng = random.Random(7)
+# Deterministic random hyperplanes (module constants → identical on every
+# executor and every run).
+_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine.
+
+    ``queries`` is expected to be small (it is broadcast); ties broken by
+    neighbor id for a total order.
+    """
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(vec_col, query_vec_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "score")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs (id1 < id2) with cosine ≥ threshold.
+
+    Correctness baseline is the full pair comparison; at scale swap in
+    :func:`ann_lsh_topk`'s bucketing to prune (same verify step).
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine("v1", "v2").alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def _plane_array_expr() -> F.Column:
+    return F.array(
+        *[F.array(*[F.lit(x) for x in plane]) for plane in _PLANES]
+    )
+
+
+def hyperplane_signature(vec_col: str) -> F.Column:
+    """Random-hyperplane LSH signature: bit i = sign(v · plane_i)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_PLANES):
+        d = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one 4-bit signature
+    band with the query; exact cosine re-rank within candidates.
+
+    Scale: corpus signatures are computed once (cache/materialize in a
+    real pipeline); the join is on (band, chunk) — no full scan per query.
+    """
+    rows = _N_PLANES // bands
+    mask = (1 << rows) - 1
+
+    def banded(df: DataFrame, idc: str, vc: str, out_prefix: str) -> DataFrame:
+        sig = hyperplane_signature(vc)
+        chunks = F.array(
+            *[
+                F.shiftrightunsigned(sig, i * rows).bitwiseAND(F.lit(mask))
+                for i in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(idc), F.col(vc), F.posexplode(chunks).alias("band", "chunk")
+        )
+
+    cb = banded(corpus, id_col, vec_col, "c")
+    qb = banded(queries, query_id_col, query_vec_col, "q")
+    cands = (
+        cb.join(
+            F.broadcast(qb),
+            (cb.band == qb.band) & (cb.chunk == qb.chunk) & (F.col(id_col) != F.col(query_id_col)),
+        )
+        .select(query_id_col, query_vec_col, id_col, vec_col)
+        .distinct()
+    )
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(vec_col, query_vec_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (embeddings table)
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register(
+    "q_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id query_id, CAST(embedding AS DOUBLE[]) query_vec
+      FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.query_vec) score
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 fixed query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vectors(spark, sf_dir), k=10)
+
+
+@register(
+    "q_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id id1, b.vec_id id2,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs at cosine ≥ 0.4."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@register("q_ann_lsh_topk")  # approximate — verified vs brute force in tests
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 for the same 5 queries (scale path).
+    Recall vs q_ann_bruteforce_topk asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=10)

@@ -1,0 +1,170 @@
+"""Text-analysis operators for the document pipeline (north-star surface):
+token statistics, language identification, quality scoring, fingerprinting.
+
+All operators are narrow projections built from JVM-side expressions
+(functions/text.py) — at 100 TB they run entirely inside whole-stage
+codegen with no shuffle and no Python workers; the parquet scan reads only
+(doc_id, text).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from iceberg_matrix_spark.functions.text import md5_fingerprint, token_count, tokens
+from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.sources.testdata import load_table
+
+# Language marker words (tiny n-gram-style heuristic; deliberately simple —
+# the operator shape matters, not lexicon quality).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|a)\b",
+    "es": r"\b(el|la|de|que|y)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|les|et|des|une)\b",
+}
+
+
+def _marker_hits(text_col: str, pattern: str) -> Column:
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(pattern))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + document fingerprint (rolling-hash stand-in: md5
+    over normalized text — portable across engines)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    no_ws = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+            "avg_token_len": no_ws / n_tokens,
+            "fingerprint": md5_fingerprint(text_col),
+        }
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID with deterministic argmax tiebreak (marker
+    declaration order wins ties)."""
+    hits = {lang: _marker_hits(text_col, pat) for lang, pat in LANG_MARKERS.items()}
+    df = df.withColumns({f"{lang}_hits": c for lang, c in hits.items()})
+    langs = list(LANG_MARKERS)
+    expr = F.lit("unknown")
+    for lang in reversed(langs):
+        others = [F.col(f"{o}_hits") for o in langs if o != lang]
+        is_max = F.col(f"{lang}_hits") > 0
+        for o in others:
+            is_max = is_max & (F.col(f"{lang}_hits") >= o)
+        expr = F.when(is_max, F.lit(lang)).otherwise(expr)
+    # reversed loop leaves highest-priority (first-declared) language outermost
+    return df.withColumn("lang_guess", expr)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: lexical diversity + stopword ratio +
+    length band, combined into a [0,1]-ish score and a bucket."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    stop_ratio = _marker_hits(text_col, LANG_MARKERS["en"]) / n_tokens
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = distinct_ratio * 0.5 + stop_ratio * 0.3 + len_ok * 0.2
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+        .withColumn(
+            "quality_bucket",
+            F.when(score >= 0.6, "high").when(score >= 0.4, "medium").otherwise("low"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (documents table)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "q_text_token_stats",
+    oracle=f"""
+    SELECT
+      doc_id,
+      len({_TOKS}) AS n_tokens,
+      len(list_distinct({_TOKS})) AS n_distinct_tokens,
+      CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+        / len({_TOKS}) AS avg_token_len,
+      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len", "fingerprint"
+    )
+
+
+def _hits_sql(pattern: str) -> str:
+    return f"len(regexp_extract_all(lower(text), '{pattern}'))"
+
+
+@register(
+    "q_text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        {_hits_sql(LANG_MARKERS['en'])} AS en_hits,
+        {_hits_sql(LANG_MARKERS['es'])} AS es_hits,
+        {_hits_sql(LANG_MARKERS['de'])} AS de_hits,
+        {_hits_sql(LANG_MARKERS['fr'])} AS fr_hits
+      FROM documents
+    )
+    SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+      CASE
+        WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+        WHEN es_hits > 0 AND es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+        WHEN de_hits > 0 AND de_hits >= fr_hits THEN 'de'
+        WHEN fr_hits > 0 THEN 'fr'
+        ELSE 'unknown'
+      END AS lang_guess
+    FROM scored
+    """,
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_language_id(docs).select(
+        "doc_id", "lang", "en_hits", "es_hits", "de_hits", "fr_hits", "lang_guess"
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+        len({_TOKS}) AS n_tokens,
+        CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS distinct_ratio,
+        CAST({_hits_sql(LANG_MARKERS['en'])} AS DOUBLE) / len({_TOKS}) AS stop_ratio,
+        CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END AS len_ok
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, distinct_ratio, stop_ratio,
+      distinct_ratio * 0.5 + stop_ratio * 0.3 + len_ok * 0.2 AS quality_score,
+      CASE WHEN distinct_ratio * 0.5 + stop_ratio * 0.3 + len_ok * 0.2 >= 0.6 THEN 'high'
+           WHEN distinct_ratio * 0.5 + stop_ratio * 0.3 + len_ok * 0.2 >= 0.4 THEN 'medium'
+           ELSE 'low' END AS quality_bucket
+    FROM feat
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id", "n_tokens", "distinct_ratio", "stop_ratio", "quality_score", "quality_bucket"
+    )

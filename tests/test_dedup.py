@@ -1,0 +1,66 @@
+"""Dedup operators: exact semantics + approximate ops vs exact ground truth."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iceberg_matrix_spark.operators.dedup import (
+    dedup_exact,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from iceberg_matrix_spark.sources.testdata import load_table
+
+
+def _with_dups(spark, sf_dir):
+    """Documents plus injected exact + near duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    near = (
+        docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail token")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_dedup_exact_removes_injected_dups(spark, sf_dir):
+    df = _with_dups(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    kept = dedup_exact(df, "doc_id", "text")
+    # 5 exact duplicates collapse; 5 near-dups survive (text differs)
+    assert kept.count() == n_docs + 5
+    # representative is the min id — originals survive, clones don't
+    assert kept.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_subset_and_recall_of_exact_jaccard(spark, sf_dir):
+    df = _with_dups(spark, sf_dir)
+    exact = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id1, r.id2)
+        for r in minhash_neardup_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert approx <= exact, "minhash output must be exact-verified (no false positives)"
+    assert exact, "injected near-dups must produce high-jaccard pairs"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_finds_injected_neardups(spark, sf_dir):
+    df = _with_dups(spark, sf_dir)
+    pairs = {
+        (r.id1, r.id2) for r in simhash_neardup_pairs(df, "doc_id", "text", 8).collect()
+    }
+    # exact clones have identical token multisets → hamming 0
+    expected_exact = {(i, i + 100000) for i in range(5)}
+    assert expected_exact <= pairs
+    # near clones differ by 3 tokens → low hamming, should mostly appear
+    near_hits = sum(1 for i in range(5, 10) if (i, i + 200000) in pairs)
+    assert near_hits >= 3
