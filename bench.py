@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Unlike the correctness harness, bench runs with AQE ON (runtime
+coalescing/skew handling — the production configuration). Each query is
+forced end-to-end with a noop sink (no driver collect bottleneck, no
+count() short-circuit that would let Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_matrix_spark import get_spark
+from iceberg_matrix_spark.queries import QUERIES
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at 100 TB (scan+agg, star join, window, inverted-index join).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q2_filter_pushdown",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_conditional_agg",
+    "q_window_topk_per_group",
+    "q_sessionize",
+    "q_text_quality",
+    "q_dedup_ngram_topk",
+    "q_dedup_minhash_lsh",
+    "q_ann_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="imx-bench", adaptive=True)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a tiny scale so per-query timings measure the
+    # plan, not first-run JIT.
+    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
