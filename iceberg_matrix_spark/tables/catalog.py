@@ -1,0 +1,147 @@
+"""Directory-based IceLite catalog (the Hadoop-catalog analog).
+
+The reference always keeps a filesystem catalog as the no-services
+fallback (/root/reference/tests/iceberg_feature_tests.py:368-375,
+rationale :143-146). Namespaces are directories under the warehouse;
+tables are directories holding ``metadata/`` + ``data/`` + ``deletes/``.
+
+Surface parity: CREATE/DROP NAMESPACE (:420,434), CREATE TABLE with
+properties incl. format-version (:422-430), DROP TABLE [PURGE] with the
+blast-radius gate (:221-230), DESCRIBE (:431), SHOW NAMESPACES/TABLES
+(:1129-1131), CTAS (duckdb suite :272).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from iceberg_matrix_spark.tables.metadata import (
+    SchemaField,
+    TableSchema,
+    commit_metadata,
+    current_version,
+    new_table_metadata,
+)
+from iceberg_matrix_spark.tables.table import IceLiteTable
+from iceberg_matrix_spark.tables.transforms import parse_transform
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class TableAlreadyExistsError(Exception):
+    pass
+
+
+class IceLiteCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------ namespaces
+
+    def create_namespace(self, name: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, name), exist_ok=True)
+
+    def drop_namespace(self, name: str) -> None:
+        path = os.path.join(self.warehouse, name)
+        if os.path.isdir(path):
+            if any(os.scandir(path)):
+                raise ValueError(f"namespace {name} is not empty")
+            os.rmdir(path)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            e.name for e in os.scandir(self.warehouse) if e.is_dir()
+        )
+
+    def list_tables(self, namespace: str) -> list[str]:
+        path = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            e.name
+            for e in os.scandir(path)
+            if e.is_dir() and current_version(e.path) > 0
+        )
+
+    # ---------------------------------------------------------------- tables
+
+    def _location(self, identifier: str) -> str:
+        ns, _, tbl = identifier.rpartition(".")
+        if not ns:
+            raise ValueError(f"identifier must be namespace.table: {identifier}")
+        return os.path.join(self.warehouse, ns, tbl)
+
+    def table_exists(self, identifier: str) -> bool:
+        return current_version(self._location(identifier)) > 0
+
+    def create_table(
+        self,
+        identifier: str,
+        schema: StructType | str,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> IceLiteTable:
+        location = self._location(identifier)
+        if current_version(location) > 0:
+            raise TableAlreadyExistsError(identifier)
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        fields = [
+            SchemaField(id=i + 1, name=f.name, type=f.dataType.simpleString(), nullable=f.nullable)
+            for i, f in enumerate(schema.fields)
+        ]
+        for spec in partition_by or []:
+            t = parse_transform(spec)
+            if t.source not in {f.name for f in fields}:
+                raise ValueError(f"partition source column {t.source!r} not in schema")
+        meta = new_table_metadata(
+            location=location,
+            schema=TableSchema(schema_id=0, fields=fields),
+            partition_spec=list(partition_by or []),
+            properties=dict(properties or {}),
+        )
+        os.makedirs(location, exist_ok=True)
+        commit_metadata(location, meta, 0)
+        return IceLiteTable(self.spark, location)
+
+    def create_table_as_select(
+        self,
+        identifier: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> IceLiteTable:
+        """CTAS (duckdb suite :272)."""
+        table = self.create_table(identifier, df.schema, partition_by, properties)
+        table.append(df)
+        return table
+
+    def load_table(self, identifier: str) -> IceLiteTable:
+        location = self._location(identifier)
+        if current_version(location) == 0:
+            raise NoSuchTableError(identifier)
+        return IceLiteTable(self.spark, location)
+
+    def drop_table(self, identifier: str, purge: bool = False) -> None:
+        """DROP TABLE [PURGE] — the purge gate mirrors the reference's
+        blast-radius control (iceberg_feature_tests.py:221-230): without
+        PURGE only the metadata chain is removed; data files remain."""
+        location = self._location(identifier)
+        if current_version(location) == 0:
+            raise NoSuchTableError(identifier)
+        if purge:
+            shutil.rmtree(location)
+        else:
+            shutil.rmtree(os.path.join(location, "metadata"))
+
+    def describe(self, identifier: str) -> list[tuple[str, str]]:
+        table = self.load_table(identifier)
+        return [(f.name, f.type) for f in table.meta.current_schema.fields]

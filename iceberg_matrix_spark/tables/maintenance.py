@@ -1,0 +1,142 @@
+"""Table maintenance procedures (SURVEY.md §2.14).
+
+The CALL-procedure surface: ``rewrite_data_files`` (compaction,
+/root/reference/tests/iceberg_feature_tests.py:853), ``expire_snapshots``
+(:854-860), ``remove_orphan_files`` + ``rewrite_manifests``
+(features catalog, /root/reference/src/data/features.json:88-93).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from iceberg_matrix_spark.tables.metadata import TableMetadata
+from iceberg_matrix_spark.tables.table import IceLiteTable, _head
+
+
+def rewrite_data_files(table: IceLiteTable, target_partitions: int | None = None) -> dict:
+    """Compaction: materialize the MoR-resolved live rows and rewrite them
+    as a compact file set (op="replace"); all delete files are applied and
+    dropped. Returns a summary like the Iceberg procedure."""
+
+    def mutate(meta: TableMetadata) -> TableMetadata:
+        parent = _head(meta)
+        if parent is None:
+            raise ValueError("nothing to compact")
+        live = table._read_snapshot(parent, with_meta=False)
+        if target_partitions:
+            live = live.repartition(target_partitions)
+        meta.last_sequence_number += 1
+        entries = table._write_data_files(
+            live, meta.current_schema_id, meta.last_sequence_number
+        )
+        before = len(parent.data_files)
+        return table._snapshot(
+            meta,
+            "replace",
+            entries,
+            [],
+            parent,
+            "main",
+            {"rewritten-data-files": before, "added-data-files-compact": len(entries)},
+        )
+
+    table._commit(mutate)
+    snap = table._current_snapshot()
+    return {
+        "rewritten_data_files_count": int(snap.summary["rewritten-data-files"]),
+        "added_data_files_count": len(snap.data_files),
+    }
+
+
+def expire_snapshots(
+    table: IceLiteTable,
+    older_than_ms: int | None = None,
+    retain_last: int = 1,
+) -> dict:
+    """Expire snapshots older than the cutoff while retaining the last N
+    and every ref target; physically deletes files referenced only by
+    expired snapshots (the reference asserts count-after-expiry,
+    iceberg_feature_tests.py:854-860)."""
+
+    removed_files: list[str] = []
+
+    def mutate(meta: TableMetadata) -> TableMetadata:
+        keep_ids = {r.snapshot_id for r in meta.refs.values()}
+        ordered = sorted(meta.snapshots, key=lambda s: s.snapshot_id)
+        keep_ids.update(s.snapshot_id for s in ordered[-max(1, retain_last):])
+        expired = [
+            s
+            for s in ordered
+            if s.snapshot_id not in keep_ids
+            and (older_than_ms is None or s.timestamp_ms < older_than_ms)
+        ]
+        if not expired:
+            return meta
+        survivors = [s for s in meta.snapshots if s not in expired]
+        live_paths = {
+            f.path for s in survivors for f in s.data_files
+        } | {d.path for s in survivors for d in s.delete_files}
+        for s in expired:
+            for f in s.data_files:
+                if f.path not in live_paths:
+                    removed_files.append(f.path)
+            for d in s.delete_files:
+                if d.path not in live_paths:
+                    removed_files.append(d.path)
+        meta.snapshots = survivors
+        return meta
+
+    table._commit(mutate)
+    deleted = 0
+    for path in set(removed_files):
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+            deleted += 1
+        elif os.path.isfile(path):
+            os.remove(path)
+            deleted += 1
+    return {"deleted_data_files_count": deleted}
+
+
+def remove_orphan_files(table: IceLiteTable, dry_run: bool = False) -> list[str]:
+    """Delete data/delete files not referenced by ANY snapshot (e.g. from
+    failed commits)."""
+    referenced: set[str] = set()
+    for s in table.meta.snapshots:
+        referenced.update(f.path for f in s.data_files)
+        referenced.update(d.path for d in s.delete_files)
+
+    orphans: list[str] = []
+    data_root = os.path.join(table.location, "data")
+    for root in (data_root, os.path.join(table.location, "deletes")):
+        if not os.path.isdir(root):
+            continue
+        for entry in os.scandir(root):
+            # commit dirs under data/, delete dirs under deletes/
+            if entry.is_dir():
+                files_in = []
+                for r, _d, names in os.walk(entry.path):
+                    files_in += [os.path.join(r, n) for n in names if n.endswith(".parquet")]
+                if entry.path in referenced:
+                    continue
+                if not any(p in referenced for p in files_in):
+                    orphans.append(entry.path)
+    if not dry_run:
+        for path in orphans:
+            shutil.rmtree(path, ignore_errors=True)
+    return sorted(orphans)
+
+
+def rewrite_manifests(table: IceLiteTable) -> dict:
+    """Compact the metadata chain: keep only the latest version file (the
+    manifest-rewrite analog; older versions are superseded)."""
+    mdir = os.path.join(table.location, "metadata")
+    latest = f"v{table.version}.metadata.json"
+    removed = 0
+    for name in os.listdir(mdir):
+        if name != latest and name.endswith(".metadata.json"):
+            os.remove(os.path.join(mdir, name))
+            removed += 1
+    return {"rewritten_manifests_count": removed}

@@ -1,0 +1,118 @@
+"""Metadata inspection tables (SURVEY.md §2.15).
+
+DataFrame views over IceLite metadata matching Iceberg's dot-suffix
+tables the reference reads: ``snapshots`` (ordered-by-committed_at idiom,
+/root/reference/tests/iceberg_feature_tests.py:394-398), ``files`` with
+record_count/bounds/null counts (:1056-1068), ``all_delete_files``
+content + file_format (:572,1533-1537), ``partitions`` (flink :1279),
+``refs`` (flink :1183), ``history`` / ``metadata_log_entries``
+(redshift fixtures :144).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from iceberg_matrix_spark.tables.table import IceLiteTable
+
+
+def snapshots(table: IceLiteTable) -> DataFrame:
+    rows = [
+        (
+            s.snapshot_id,
+            s.parent_id,
+            s.sequence_number,
+            s.timestamp_ms,
+            s.operation,
+            {k: str(v) for k, v in s.summary.items()},
+        )
+        for s in table.meta.snapshots
+    ]
+    return table.spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, sequence_number long, "
+        "committed_at long, operation string, summary map<string,string>",
+    )
+
+
+def files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
+    snap = table._resolve_snapshot(snapshot_id=snapshot_id)
+    entries = snap.data_files if snap else []
+    rows = [
+        (
+            f.path,
+            f.record_count,
+            f.file_size_bytes,
+            f.schema_id,
+            f.sequence_number,
+            {k: str(v) for k, v in f.partition.items()},
+            {k: str(v) for k, v in f.lower_bounds.items()},
+            {k: str(v) for k, v in f.upper_bounds.items()},
+            {k: int(v) for k, v in f.null_counts.items()},
+        )
+        for f in entries
+    ]
+    return table.spark.createDataFrame(
+        rows,
+        "file_path string, record_count long, file_size_in_bytes long, "
+        "schema_id int, sequence_number long, partition map<string,string>, "
+        "lower_bounds map<string,string>, upper_bounds map<string,string>, "
+        "null_value_counts map<string,long>",
+    )
+
+
+def all_delete_files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
+    snap = table._resolve_snapshot(snapshot_id=snapshot_id)
+    entries = snap.delete_files if snap else []
+    rows = [
+        (d.path, d.content, d.record_count, d.sequence_number, d.file_format,
+         list(d.equality_columns))
+        for d in entries
+    ]
+    return table.spark.createDataFrame(
+        rows,
+        "file_path string, content int, record_count long, "
+        "sequence_number long, file_format string, equality_columns array<string>",
+    )
+
+
+def partitions(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
+    snap = table._resolve_snapshot(snapshot_id=snapshot_id)
+    agg: dict[str, dict] = {}
+    for f in snap.data_files if snap else []:
+        key = json.dumps(f.partition, sort_keys=True, default=str)
+        slot = agg.setdefault(key, {"record_count": 0, "file_count": 0})
+        slot["record_count"] += f.record_count
+        slot["file_count"] += 1
+    rows = [
+        ({k: str(v) for k, v in json.loads(key).items()}, v["record_count"], v["file_count"])
+        for key, v in sorted(agg.items())
+    ]
+    return table.spark.createDataFrame(
+        rows, "partition map<string,string>, record_count long, file_count long"
+    )
+
+
+def refs(table: IceLiteTable) -> DataFrame:
+    rows = [(name, r.type, r.snapshot_id) for name, r in sorted(table.meta.refs.items())]
+    return table.spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long"
+    )
+
+
+def history(table: IceLiteTable) -> DataFrame:
+    """Snapshot lineage of the main branch (made_current_at semantics)."""
+    rows = [
+        (s.timestamp_ms, s.snapshot_id, s.parent_id)
+        for s in table.meta.snapshots
+    ]
+    return table.spark.createDataFrame(
+        rows, "made_current_at long, snapshot_id long, parent_id long"
+    )
+
+
+def metadata_log_entries(table: IceLiteTable) -> DataFrame:
+    rows = [(e["version"], e["timestamp_ms"]) for e in table.meta.metadata_log]
+    return table.spark.createDataFrame(rows, "version int, timestamp_ms long")
