@@ -44,13 +44,16 @@ def word_shingles(col_name: str, k: int = 3) -> Column:
     Rows with fewer than k tokens yield an empty array (sequence start >
     stop is invalid in Spark, so the expression guards on token count).
     """
+    # Bind the token array ONCE via a single-element transform lambda —
+    # inlining the split into every element_at re-runs the regex split
+    # O(k·len) times per row, which dominated the whole dedup pipeline.
     toks = f"split(trim({col_name}), '\\\\s+')"
-    words = ", ".join(f"element_at(__t, __i + {j})" for j in range(k))
     return F.expr(
-        f"CASE WHEN size({toks}) >= {k} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}), "
-        f"__i -> concat_ws(' ', {words.replace('__t', toks)}))) "
-        f"ELSE array() END"
+        f"element_at(transform(array({toks}), __t -> "
+        f"CASE WHEN size(__t) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, size(__t) - {k - 1}), "
+        f"__i -> array_join(slice(__t, __i, {k}), ' '))) "
+        f"ELSE array() END), 1)"
     ).cast("array<string>")
 
 

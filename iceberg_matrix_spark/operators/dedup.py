@@ -103,28 +103,30 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id1 < id2) with shingle-Jaccard ≥ threshold.
 
-    Plan shape: explode distinct shingles → self-equi-join on shingle
-    (inverted index) → count common per pair → join back doc sizes
-    (broadcast at dimension scale, shuffle join beyond). ``max_doc_freq``
-    drops shingles occurring in more than N docs — the skew guard that
-    keeps the hottest posting list off a single reducer at 100 TB.
+    Plan shape: explode distinct shingles → group postings by shingle
+    (ONE shuffle of the inverted index — a self-equi-join would shuffle
+    it twice and re-evaluate the shingle expressions per branch) →
+    emit in-list pairs with an array comprehension → count common per
+    pair → join back doc sizes. ``max_doc_freq`` drops shingles occurring
+    in more than N docs — the skew guard that keeps the hottest posting
+    list (d² pair blow-up) off a single reducer at 100 TB.
     """
     sets_ = shingle_sets(df, id_col, text_col, k)
     sizes = sets_.select("doc_id", "n_sh")
     ex = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
+    postings = ex.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
     if max_doc_freq is not None:
-        freq_ok = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") <= max_doc_freq
-        )
-        ex = ex.join(freq_ok.select("shingle"), "shingle", "left_semi")
-    a, b = ex.alias("a"), ex.alias("b")
+        postings = postings.filter(F.size("ids") <= max_doc_freq)
+    # all ordered pairs within one posting list: (ids[i], ids[j]) for i<j
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        postings.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
@@ -143,6 +145,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, sh_hashed array<long>, n_sh): shingles xxhash64'd to longs.
+
+    Everything downstream (signatures, LSH, Jaccard verification) works on
+    the 8-byte hashes, never re-shuffling shingle strings. 64-bit
+    collisions perturb a Jaccard count with probability ~n²/2⁶⁴ per pair —
+    noise at any realistic corpus size.
+    """
+    return shingle_sets(df, id_col, text_col, k).select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashed"),
+        "n_sh",
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
@@ -153,10 +172,12 @@ def minhash_signatures(
     can't overflow ANSI bigint. One explode + one groupBy(doc) with K min
     aggregates — signature cost is linear in corpus shingle count.
     """
-    ex = shingle_sets(df, id_col, text_col, k).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    base = F.pmod(F.xxhash64("shingle"), F.lit(1 << 31))
+    return _minhash_from_hashed(hashed_shingle_sets(df, id_col, text_col, k))
+
+
+def _minhash_from_hashed(sets_h: DataFrame) -> DataFrame:
+    ex = sets_h.select("doc_id", F.explode("sh_hashed").alias("h"))
+    base = F.pmod(F.col("h"), F.lit(1 << 31))
     hashed = ex.select(
         "doc_id",
         *[
@@ -211,15 +232,16 @@ def minhash_neardup_pairs(
 
     Output ⊆ the exact n-gram pairs; LSH only prunes the search space
     (recall at j=0.5 is ≈0.99 with 16 bands × 2 rows). Verification joins
-    the shingle arrays back per candidate — cost ∝ candidates, not pairs.
+    the hashed shingle arrays back per candidate — cost ∝ candidates, not
+    pairs, and the shuffled payload is 8-byte hashes, not shingle text.
     """
-    sets_ = shingle_sets(df, id_col, text_col, k)
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, k))
+    sets_ = hashed_shingle_sets(df, id_col, text_col, k)
+    cands = lsh_candidate_pairs(_minhash_from_hashed(sets_))
     s1 = sets_.select(
-        F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"), F.col("n_sh").alias("n1")
+        F.col("doc_id").alias("id1"), F.col("sh_hashed").alias("sh1"), F.col("n_sh").alias("n1")
     )
     s2 = sets_.select(
-        F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"), F.col("n_sh").alias("n2")
+        F.col("doc_id").alias("id2"), F.col("sh_hashed").alias("sh2"), F.col("n_sh").alias("n2")
     )
     inter = F.size(F.array_intersect("sh1", "sh2"))
     return (
