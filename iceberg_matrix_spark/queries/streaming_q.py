@@ -1,0 +1,97 @@
+"""Streaming operators exposed to the correctness harness.
+
+q_stream_window_agg runs a REAL Structured Streaming query (file source →
+watermarked tumbling windows → memory sink, availableNow trigger) and
+returns its final result; the DuckDB oracle is the equivalent batch
+aggregation — epoch-aligned 1-hour windows are exactly date_trunc.
+
+q_session_window_batch exercises the native session_window operator on
+the same engine path streaming uses (identical plan shape, deterministic
+in batch), oracle-checked against the lag/running-sum sessionization SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.sources.testdata import load_table
+from iceberg_matrix_spark.streaming.windows import (
+    session_window_counts,
+    tumbling_window_counts,
+)
+
+
+@register(
+    "q_stream_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming: file source → watermark → 1-hour tumbling
+    windows per event_type → memory sink (complete mode, availableNow)."""
+    # stream only the events file: give the file source its own glob
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks require TIMESTAMP (session-TZ); the session TZ is
+        # pinned to UTC so values equal the batch loader's TIMESTAMP_NTZ
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_window_counts(stream, window="1 hour", watermark="1 hour")
+    sink = f"stream_window_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "max_value",
+    )
+
+
+@register(
+    "q_session_window_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user — the same operator the
+    streaming path uses, verified against lag/running-sum sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_counts(ev, gap="30 minutes")

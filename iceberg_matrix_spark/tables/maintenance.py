@@ -15,34 +15,70 @@ from iceberg_matrix_spark.tables.metadata import TableMetadata
 from iceberg_matrix_spark.tables.table import IceLiteTable, _head
 
 
+class _RewriteRestart(Exception):
+    """Concurrent row-level deletes landed mid-rewrite; restart from the
+    new head (Iceberg's rewrite aborts on conflicting deletes too)."""
+
+
 def rewrite_data_files(table: IceLiteTable, target_partitions: int | None = None) -> dict:
     """Compaction: materialize the MoR-resolved live rows and rewrite them
-    as a compact file set (op="replace"); all delete files are applied and
-    dropped. Returns a summary like the Iceberg procedure."""
+    as a compact file set (op="replace"); the captured files' delete files
+    are applied and dropped. Returns a summary like the Iceberg procedure.
 
-    def mutate(meta: TableMetadata) -> TableMetadata:
-        parent = _head(meta)
+    Concurrency contract (what lets this run inside a live streaming job,
+    flink_feature_tests.py:1100-1172): the expensive rewrite happens ONCE,
+    before the commit loop; the commit then replaces only the captured
+    victim files in whatever head exists at commit time, so concurrent
+    APPENDS merge cleanly instead of forcing a re-write. Concurrent
+    row-level DELETES against the victim set abort and restart the whole
+    rewrite — same as Iceberg's conflicting-delete validation."""
+
+    for _attempt in range(5):
+        table.refresh()
+        parent = table._current_snapshot()
         if parent is None:
             raise ValueError("nothing to compact")
         live = table._read_snapshot(parent, with_meta=False)
         if target_partitions:
             live = live.repartition(target_partitions)
-        meta.last_sequence_number += 1
+        # heavy distributed write, outside the optimistic-commit loop
         entries = table._write_data_files(
-            live, meta.current_schema_id, meta.last_sequence_number
+            live, table.meta.current_schema_id, parent.sequence_number + 1
         )
-        before = len(parent.data_files)
-        return table._snapshot(
-            meta,
-            "replace",
-            entries,
-            [],
-            parent,
-            "main",
-            {"rewritten-data-files": before, "added-data-files-compact": len(entries)},
-        )
+        victims = {f.path for f in parent.data_files}
+        base_seq = parent.sequence_number
 
-    table._commit(mutate)
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            head = _head(meta)
+            if any(d.sequence_number > base_seq for d in head.delete_files):
+                raise _RewriteRestart()
+            meta.last_sequence_number += 1
+            for e in entries:
+                e.sequence_number = meta.last_sequence_number
+            keep = [f for f in head.data_files if f.path not in victims]
+            # the delete-conflict guard above means every surviving delete
+            # file targeted only victim files — all dead after the rewrite
+            return table._snapshot(
+                meta,
+                "replace",
+                keep + entries,
+                [],
+                head,
+                "main",
+                {
+                    "rewritten-data-files": len(victims),
+                    "added-data-files-compact": len(entries),
+                },
+            )
+
+        try:
+            table._commit(mutate)
+            break
+        except _RewriteRestart:
+            continue
+    else:
+        raise _RewriteRestart("gave up after 5 restarts (concurrent deletes)")
+
     snap = table._current_snapshot()
     return {
         "rewritten_data_files_count": int(snap.summary["rewritten-data-files"]),

@@ -257,9 +257,17 @@ class IceLiteTable:
         meta.refs[branch] = Ref(snapshot_id=sid, type="branch")
         return meta
 
-    def append(self, df: DataFrame, branch: str = "main") -> None:
+    def append(
+        self,
+        df: DataFrame,
+        branch: str = "main",
+        extra_summary: dict | None = None,
+    ) -> None:
         """Append-only write → one new snapshot (one commit per write, the
-        invariant the reference's streaming tests count on)."""
+        invariant the reference's streaming tests count on).
+        ``extra_summary`` rides along in the same atomic commit — the
+        streaming sink stores its epoch bookkeeping there so a crash
+        between "write" and "record batch id" is impossible."""
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             meta.last_sequence_number += 1
@@ -269,7 +277,10 @@ class IceLiteTable:
             parent = _head(meta, branch)
             data = (parent.data_files if parent else []) + entries
             deletes = parent.delete_files if parent else []
-            return self._snapshot(meta, "append", data, deletes, parent, branch)
+            return self._snapshot(
+                meta, "append", data, deletes, parent, branch,
+                extra_summary=extra_summary,
+            )
 
         self._commit(mutate)
 
@@ -673,7 +684,13 @@ class IceLiteTable:
 
         self._commit(mutate)
 
-    def upsert(self, source: DataFrame, key_columns: list[str], branch: str = "main") -> None:
+    def upsert(
+        self,
+        source: DataFrame,
+        key_columns: list[str],
+        branch: str = "main",
+        extra_summary: dict | None = None,
+    ) -> None:
         """Streaming-style PK upsert via equality deletes + append in ONE
         snapshot (flink write.upsert.enabled, :764-784): new rows carry
         the same sequence number as the delete, so the equality delete
@@ -697,7 +714,7 @@ class IceLiteTable:
                 (parent.delete_files if parent else []) + [dentry],
                 parent,
                 branch,
-                {"added-equality-deletes": dentry.record_count},
+                {"added-equality-deletes": dentry.record_count, **(extra_summary or {})},
             )
 
         self._commit(mutate)

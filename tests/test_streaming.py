@@ -1,0 +1,288 @@
+"""Structured Streaming parity tests (SURVEY §2.10, Flink-suite semantics).
+
+Covers: checkpoint-per-epoch snapshot commits with mid-flight reads
+(flink :663-697), exactly-once epoch replay, the icelite_stream tail
+source delivering post-start commits (flink :582-628), streaming PK
+upsert (flink :744-784), event-time windows vs batch ground truth, a
+custom stateful operator, and in-job compaction (flink :1100-1172).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_matrix_spark.streaming import (
+    CompactionScheduler,
+    append_stream,
+    last_committed_batch,
+    read_stream,
+    stateful_user_stats,
+    tumbling_window_counts,
+    upsert_stream,
+)
+from iceberg_matrix_spark.streaming.sink import _epoch_writer
+from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+from iceberg_matrix_spark.tables.table import IceLiteTable
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _wait(cond, timeout_s: float = 90.0, poll_s: float = 0.5) -> bool:
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if cond():
+            return True
+        time.sleep(poll_s)
+    return False
+
+
+@pytest.fixture
+def warehouse(spark):
+    cat = IceLiteCatalog(spark, _tmp("icelite-wh-"))
+    cat.create_namespace("stream")
+    return cat
+
+
+def _rate_stream(spark, rows_per_second: int = 20):
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("value").alias("id"),
+            (F.col("value") % 5).alias("k"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+
+
+def test_append_stream_commits_epoch_snapshots_readable_midflight(spark, warehouse):
+    """≥3 append snapshots land while the query runs; rows are readable
+    between commits (flink :663-697)."""
+    t = warehouse.create_table(
+        "stream.epochs", "id bigint, k bigint, ts timestamp"
+    )
+    q = append_stream(
+        _rate_stream(spark),
+        t.location,
+        _tmp("ckpt-"),
+        query_id="epochs",
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        assert _wait(
+            lambda: len(IceLiteTable(spark, t.location).meta.snapshots) >= 3
+        ), "expected >= 3 snapshots while streaming"
+        live = IceLiteTable(spark, t.location)
+        assert live.df().count() > 0  # mid-flight read
+        snaps = live.meta.snapshots
+        assert all(s.operation == "append" for s in snaps)
+        batch_ids = [int(s.summary["streaming.batch-id"]) for s in snaps]
+        assert batch_ids == sorted(batch_ids)
+    finally:
+        q.stop()
+
+
+def test_epoch_replay_is_skipped(spark, warehouse):
+    """Replaying an already-committed batch id is a no-op (exactly-once)."""
+    t = warehouse.create_table("stream.replay", "id bigint")
+    write = _epoch_writer(
+        t.location, "q1", lambda tb, df, s: tb.append(df, extra_summary=s)
+    )
+    one = spark.range(3)
+    write(one, 0)
+    write(one, 1)
+    write(one, 1)  # replay
+    write(one, 0)  # late replay of an older epoch
+    table = IceLiteTable(spark, t.location)
+    assert len(table.meta.snapshots) == 2
+    assert table.df().count() == 6
+    assert last_committed_batch(table, "q1") == 1
+
+
+def test_icelite_tail_source_delivers_post_start_commits(spark, warehouse):
+    """readStream tail sees rows committed BEFORE start and rows appended
+    AFTER the query is running (flink :582-628)."""
+    t = warehouse.create_table("stream.tail", "id bigint, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+
+    sink = f"tail_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_stream(spark, t.location)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", _tmp("ckpt-"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        assert _wait(lambda: spark.table(sink).count() >= 2)
+        # commit after the stream started — must flow through
+        t.append(spark.createDataFrame([(3, "c")], "id bigint, v string"))
+        assert _wait(lambda: spark.table(sink).count() >= 3)
+        got = {(r["id"], r["v"]) for r in spark.table(sink).collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+    finally:
+        q.stop()
+
+
+def test_tail_source_skips_non_append_snapshots(spark, warehouse):
+    """Compaction rewrites don't re-deliver rows through the tail."""
+    t = warehouse.create_table("stream.tailskip", "id bigint")
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 5))
+    from iceberg_matrix_spark.tables.maintenance import rewrite_data_files
+
+    rewrite_data_files(t.refresh())
+    t.refresh().append(spark.range(100, 105))
+
+    sink = f"tailskip_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_stream(spark, t.location)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", _tmp("ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = sorted(r["id"] for r in spark.table(sink).collect())
+    # every appended row exactly once, nothing duplicated by the rewrite
+    assert got == list(range(0, 5)) + list(range(10, 15)) + list(
+        range(20, 25)
+    ) + list(range(30, 35)) + list(range(100, 105))
+
+
+def test_upsert_stream_latest_per_key_wins(spark, warehouse):
+    """Two waves of file-source data upserted by key: final table holds
+    the last value per key (flink write.upsert.enabled, :744-784)."""
+    t = warehouse.create_table("stream.upsert", "id bigint, v bigint")
+    src_dir = _tmp("upsert-src-")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id bigint, v bigint"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(
+        [(2, 21), (3, 31), (4, 41)], "id bigint, v bigint"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("id bigint, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = upsert_stream(
+        stream, t.location, ["id"], _tmp("ckpt-"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    final = {r["id"]: r["v"] for r in IceLiteTable(spark, t.location).df().collect()}
+    assert final == {1: 10, 2: 21, 3: 31, 4: 41}
+    # equality-delete evidence: content=2 delete files exist
+    table = IceLiteTable(spark, t.location)
+    eq = [d for s in table.meta.snapshots for d in s.delete_files if d.content == 2]
+    assert eq
+
+
+def test_tumbling_windows_stream_matches_batch(spark, sf_dir):
+    """Streaming windowed agg (availableNow, complete mode) equals the
+    batch plan of the same operator."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sink = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", _tmp("ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    expect = {
+        (r["window_start"], r["event_type"], r["n_events"], r["max_value"])
+        for r in tumbling_window_counts(batch).collect()
+    }
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["max_value"])
+        for r in spark.table(sink).collect()
+    }
+    assert got == expect
+
+
+def test_stateful_user_stats_accumulates_across_batches(spark):
+    """applyInPandasWithState keeps running per-user totals across
+    micro-batches (update mode: last emission per user = final total)."""
+    src_dir = _tmp("state-src-")
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], "user_id bigint, value double"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(1, 3.0), (2, 5.0)], "user_id bigint, value double"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", _tmp("ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(sink).collect()
+    last = {}
+    for r in rows:  # memory sink appends update emissions in batch order
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert last == {1: (3, 6.0), 2: (2, 10.0)}
+
+
+def test_compaction_scheduler_during_stream(spark, warehouse):
+    """rewrite_data_files lands a replace snapshot among streaming appends
+    without losing rows (flink in-job compaction, :1100-1172)."""
+    t = warehouse.create_table("stream.compact", "id bigint, k bigint, ts timestamp")
+    sched = CompactionScheduler(spark, t.location, interval_s=2.0, min_files=4).start()
+    q = append_stream(
+        _rate_stream(spark, rows_per_second=50),
+        t.location,
+        _tmp("ckpt-"),
+        query_id="compact",
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        assert _wait(lambda: sched.rewrites >= 1, timeout_s=120)
+    finally:
+        q.stop()
+        sched.stop()
+    assert not sched.errors, sched.errors
+    table = IceLiteTable(spark, t.location)
+    ops = {s.operation for s in table.meta.snapshots}
+    assert "replace" in ops and "append" in ops
+    # row count equals the max id + 1 committed (rate source is gapless)
+    vals = sorted(r["id"] for r in table.df().collect())
+    assert vals == list(range(len(vals)))
