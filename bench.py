@@ -37,6 +37,9 @@ HEADLINE = [
     "q_dedup_ngram_topk",
     "q_dedup_minhash_lsh",
     "q_ann_bruteforce_topk",
+    "q_text_fingerprint_winnow",
+    "q_multimodal_decode",
+    "q_stream_window_agg",
 ]
 
 

@@ -1,0 +1,268 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star surface (BASELINE.json): a 100 TB training-data pipeline keeps
+media as ``binary`` columns with a typed metadata struct, and runs
+decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` stages. The image/audio codec libraries are NOT in this
+container, so the codec step is STUBBED — ``_decode_bytes`` falls back to
+a deterministic fake decoder (and ``resize_images(..., require_codec=True)``
+raises NotImplementedError) — while everything Spark-side is real and
+tested: schemas, Arrow batch shapes, partition behavior, explode logic.
+
+Scale notes:
+- media payloads never pass through Python row-at-a-time paths: one
+  ``mapInPandas`` stage per transform, Arrow-batched;
+- frame sampling is a JVM-side ``explode(sequence(...))`` on metadata —
+  the payload column is carried, not copied per frame (Tungsten keeps a
+  reference within the row batch);
+- metadata-only analytics (the common case) never touch the binary
+  column at all — column pruning drops it at the parquet scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.sources.testdata import load_table
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+# ---------------------------------------------------------------------------
+# Synthetic media attachment (testdata has no binary columns; payload and
+# metadata are DETERMINISTIC functions of doc_id so oracles can reproduce
+# everything except the bytes themselves)
+# ---------------------------------------------------------------------------
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents → media rows: (doc_id, media_type, meta struct, payload).
+
+    payload = repeat(md5(doc_id), copies) as binary — deterministic,
+    size-varying, and reproducible in SQL (length checks only).
+    """
+    did = F.col(id_col)
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]), (did % 3 + 1).cast("int")
+    )
+    width = (F.lit(64) + (did % 16) * 32).cast("int")
+    height = (F.lit(64) + (did % 9) * 32).cast("int")
+    duration_ms = ((did % 50) * 700 + 1000).cast("bigint")
+    sample_rate = F.when(media_type == "audio", F.lit(16000)).cast("int")
+    copies = (did % 7 + 1).cast("int")
+    return docs.select(
+        did.alias("doc_id"),
+        media_type.alias("media_type"),
+        F.struct(
+            F.when(media_type != "audio", width).alias("width"),
+            F.when(media_type != "audio", height).alias("height"),
+            F.when(media_type != "image", duration_ms).alias("duration_ms"),
+            sample_rate.alias("sample_rate"),
+            F.lit("stub-codec-v1").alias("codec"),
+        ).alias("media_meta"),
+        F.repeat(F.md5(did.cast("string")), copies).cast("binary").alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Codec stub
+# ---------------------------------------------------------------------------
+
+
+def _codec_available() -> bool:
+    try:  # pragma: no cover - PIL is absent in this container
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_bytes(payload: bytes, width: int, height: int) -> dict:
+    """STUB decoder: a real build calls PIL/ffmpeg here. The fake is
+    deterministic in the payload bytes so tests can assert exact values."""
+    total = sum(payload)
+    return {
+        "n_bytes": len(payload),
+        "checksum": total % (1 << 31),
+        "mean_intensity": (total / len(payload)) if payload else 0.0,
+        "decoded_width": width,
+        "decoded_height": height,
+    }
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stages
+# ---------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, checksum bigint, "
+    "mean_intensity double, decoded_width int, decoded_height int"
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage: binary payload → per-item decode stats.
+
+    The pandas iterator shape is the real contract: each batch arrives as
+    a DataFrame slice, payloads as Python bytes, and the stage may emit a
+    different row count than it received (here 1:1)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["media_meta"]
+            decoded = [
+                _decode_bytes(
+                    payload,
+                    int(m["width"]) if m["width"] is not None else 0,
+                    int(m["height"]) if m["height"] is not None else 0,
+                )
+                for payload, m in zip(pdf["payload"], meta)
+            ]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+_FEATURE_DIM = 16
+_FEATURES_SCHEMA = f"doc_id bigint, features array<float>"
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stage: payload → fixed-dim float vector.
+
+    A real build runs a vision/audio encoder per batch; the stub hashes
+    byte windows. Everything around it — Arrow transfer, fixed-dim
+    array<float> output, downstream ANN compatibility — is the real
+    pipeline shape."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                window = max(1, len(payload) // _FEATURE_DIM)
+                vec = [
+                    float(sum(payload[i * window : (i + 1) * window]) % 256) / 255.0
+                    for i in range(_FEATURE_DIM)
+                ]
+                vecs.append(vec)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": vecs})
+
+    return media.mapInPandas(feats, schema=_FEATURES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, target_width: int, target_height: int, require_codec: bool = False
+) -> DataFrame:
+    """Resize stage. Without a codec library this is a metadata-only
+    transform (new width/height recorded, payload passed through); with
+    ``require_codec=True`` it refuses to pretend."""
+    if require_codec and not _codec_available():
+        raise NotImplementedError(
+            "image resize needs a codec library (PIL/opencv) not present "
+            "in this environment; run with require_codec=False for the "
+            "metadata-only stub"
+        )
+    return media.filter(F.col("media_type") == "image").select(
+        "doc_id",
+        "media_type",
+        F.col("media_meta").withField("width", F.lit(target_width)).withField(
+            "height", F.lit(target_height)
+        ).alias("media_meta"),
+        "payload",
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for videos: one row per sampled timestamp.
+
+    JVM-side explode over ``sequence(0, duration, step)`` — no Python in
+    the hot path; the (stubbed) per-frame decode would be a later
+    mapInPandas stage over the exploded rows."""
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.col("media_meta.duration_ms"),
+                F.lit(every_ms).cast("bigint"),
+            )
+        ).alias("frame_idx", "frame_ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+_MEDIA_SQL = """
+  media AS (
+    SELECT doc_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           CAST(64 + (doc_id % 16) * 32 AS INT) AS width,
+           CAST(64 + (doc_id % 9) * 32 AS INT) AS height,
+           CAST((doc_id % 50) * 700 + 1000 AS BIGINT) AS duration_ms,
+           CAST(doc_id % 7 + 1 AS INT) AS copies
+    FROM documents
+  )
+"""
+
+
+@register(
+    "q_multimodal_meta_stats",
+    oracle=f"""
+    WITH {_MEDIA_SQL}
+    SELECT media_type,
+           COUNT(*) AS n_items,
+           CAST(SUM(copies * 32) AS BIGINT) AS total_bytes,
+           CAST(MAX(CASE WHEN media_type <> 'audio' THEN width END) AS INT) AS max_width,
+           CAST(SUM(CASE WHEN media_type <> 'image' THEN duration_ms ELSE 0 END) AS BIGINT)
+             AS total_duration_ms
+    FROM media GROUP BY media_type
+    """,
+)
+def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only analytics over the media table — the binary column is
+    pruned at the scan (check ReadSchema in .explain)."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max("media_meta.width").alias("max_width"),
+        F.sum(F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))).alias(
+            "total_duration_ms"
+        ),
+    )
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+    WITH {_MEDIA_SQL}
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, CAST(duration_ms // 1000 AS INT))) AS INT)
+             AS frame_idx,
+           CAST(unnest(generate_series(0, CAST(duration_ms // 1000 AS INT))) * 1000 AS BIGINT)
+             AS frame_ts_ms
+    FROM media WHERE media_type = 'video'
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode sampled timestamps per video."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_ms=1000)
+
+
+@register("q_multimodal_decode")  # stub decoder — no portable SQL oracle
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stage over every media item (stub codec)."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return decode_media(media)

@@ -168,3 +168,106 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality_score(docs).select(
         "doc_id", "n_tokens", "distinct_ratio", "stop_ratio", "quality_score", "quality_bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints + BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8  # char k-gram width
+_WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+
+# GPT-2-style coarse token classes: word, number, punctuation run — each
+# optionally preceded by one space — then residual whitespace. Portable
+# between Java regex and DuckDB's RE2.
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    md5 every overlapping 8-char gram of the normalized text, slide a
+    4-hash window, keep each window's minimum, dedupe.
+
+    Pure JVM array expressions — the hash array binds once via the
+    single-element-transform trick, the window mins are O(w) slices.
+    Selected hex digests compare lexicographically identically in any
+    engine, so the whole operator is SQL-oracle-able.
+    """
+    k, w = _WINNOW_K, _WINNOW_W
+    norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    expr = (
+        f"element_at(transform(array({norm}), __t -> "
+        f"CASE WHEN length(__t) < {k} THEN array(md5(__t)) ELSE "
+        f"element_at(transform(array(transform(sequence(1, length(__t) - {k - 1}), "
+        f"__i -> md5(substring(__t, __i, {k})))), __hs -> "
+        f"array_distinct(transform(sequence(1, greatest(size(__hs) - {w - 1}, 1)), "
+        f"__j -> array_min(slice(__hs, __j, {w}))))), 1) "
+        f"END), 1)"
+    )
+    return df.select(
+        F.col("doc_id"), F.expr(expr).alias("fingerprints")
+    ).withColumn("n_fps", F.size("fingerprints"))
+
+
+@register(
+    "q_text_fingerprint_winnow",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+        CASE WHEN length(t) < {_WINNOW_K} THEN [md5(t)]
+             ELSE list_transform(generate_series(1, length(t) - {_WINNOW_K - 1}),
+                                 i -> md5(substring(t, i, {_WINNOW_K})))
+        END AS hashes,
+        length(t) AS n FROM norm
+    ),
+    fps AS (
+      SELECT doc_id,
+        CASE WHEN n < {_WINNOW_K} THEN hashes
+             ELSE list_distinct(list_transform(
+                    generate_series(1, greatest(len(hashes) - {_WINNOW_W - 1}, 1)),
+                    j -> list_min(hashes[j : j + {_WINNOW_W - 1}])))
+        END AS fingerprints
+      FROM hs
+    )
+    SELECT doc_id, CAST(len(fingerprints) AS INT) AS n_fps,
+           list_min(fingerprints) AS min_fp, list_max(fingerprints) AS max_fp
+    FROM fps
+    """,
+)
+def q_text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary (count + extremes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs).select(
+        "doc_id",
+        "n_fps",
+        F.array_min("fingerprints").alias("min_fp"),
+        F.array_max("fingerprints").alias("max_fp"),
+    )
+
+
+@register(
+    "q_text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-less token-count estimate: BPE-style segment count (the
+    ~training-token budget) next to the whitespace count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+    )
