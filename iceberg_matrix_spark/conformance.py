@@ -1,0 +1,620 @@
+"""Feature-conformance harness, reference-style (SURVEY §5).
+
+The reference's most valuable IP is its testing philosophy
+(/root/reference/tests/iceberg_feature_tests.py): one registered test per
+cataloged feature, parameterized by format version, producing four-valued
+verdicts — pass (measured supported), fail (measured UNsupported), skip
+(honestly not measured), error (harness problem) — matched against a
+support matrix where pass must meet full/partial and fail must meet
+none/unknown (compute_match, :1680-1694). Coverage is enforced: every
+feature must have a test (:1660-1677); discrepancies, errors, or coverage
+gaps fail the run (:1915-1918). Each test runs in a unique namespace
+(:202-213) and asserts on PHYSICAL artifacts (delete-file content codes,
+PUFFIN formats, snapshot summaries), not just query results.
+
+This module applies that harness to IceLite. The matrix below is OUR
+support catalog — 'none' cells are proven by executing the probe and
+classifying the rejection, exactly like the reference's negative tests
+(flink_feature_tests.py:708-737).
+
+Run:  python -m iceberg_matrix_spark.conformance  → conformance_report.{json,md}
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+import uuid
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+from iceberg_matrix_spark.tables.maintenance import (
+    expire_snapshots,
+    remove_orphan_files,
+    rewrite_data_files,
+    rewrite_manifests,
+)
+from iceberg_matrix_spark.tables.metadata_tables import (
+    files,
+    history,
+    partitions,
+    refs,
+    snapshots,
+)
+
+VERSIONS = [2, 3]
+
+# (feature_id, name, category) — our catalog, mirroring the reference's
+# feature taxonomy (src/data/features.json categories).
+FEATURES = [
+    ("read-support", "Table scan", "read"),
+    ("insert-into", "Append writes", "write"),
+    ("insert-overwrite", "Overwrite writes", "write"),
+    ("ctas", "CREATE TABLE AS SELECT", "write"),
+    ("row-update", "UPDATE ... WHERE", "dml"),
+    ("row-delete-cow", "Copy-on-write DELETE", "dml"),
+    ("row-delete-mor", "Merge-on-read DELETE", "dml"),
+    ("position-deletes", "Position delete files", "dml"),
+    ("equality-deletes", "Equality delete files", "dml"),
+    ("deletion-vectors", "Deletion vectors (V3)", "dml"),
+    ("merge-into", "MERGE INTO", "dml"),
+    ("streaming-upsert", "PK upsert", "dml"),
+    ("hidden-partitioning", "Hidden partition transforms", "partitioning"),
+    ("partition-evolution", "Partition spec evolution", "partitioning"),
+    ("partition-pruning", "Transform partition pruning", "read"),
+    ("schema-evolution", "Add/rename/drop columns", "schema"),
+    ("type-widening", "Type promotion", "schema"),
+    ("time-travel", "VERSION/TIMESTAMP AS OF", "snapshots"),
+    ("branching-tagging", "Branches and tags", "snapshots"),
+    ("incremental-read", "Snapshot-range reads", "snapshots"),
+    ("streaming-tail", "Continuous streaming read", "streaming"),
+    ("compaction", "rewrite_data_files", "maintenance"),
+    ("snapshot-expiry", "expire_snapshots", "maintenance"),
+    ("orphan-cleanup", "remove_orphan_files", "maintenance"),
+    ("manifest-rewrite", "rewrite_manifests", "maintenance"),
+    ("metadata-tables", "files/snapshots/refs/partitions/history", "metadata"),
+    ("column-stats", "Per-file min/max/null stats", "metadata"),
+    ("table-properties", "Property round-trip", "metadata"),
+    ("multi-arg-transforms", "Multi-source partition transforms (V3)", "partitioning"),
+]
+
+# Support matrix: (feature_id, version) -> level. Everything unlisted is
+# "full". 'none' cells are negative-capability probes.
+SUPPORT_OVERRIDES = {
+    ("deletion-vectors", 2): "none",  # V2 MoR emits plain parquet deletes
+    ("multi-arg-transforms", 2): "none",  # rejected, like Spark/Iceberg
+    ("multi-arg-transforms", 3): "none",  # (iceberg_feature_tests.py:1016-1031)
+}
+
+
+def support_level(feature_id: str, version: int) -> str:
+    return SUPPORT_OVERRIDES.get((feature_id, version), "full")
+
+
+@dataclass
+class Ctx:
+    spark: SparkSession
+    catalog: IceLiteCatalog
+    version: int
+    ns: str
+
+    def table_name(self) -> str:
+        return f"{self.ns}.t_{uuid.uuid4().hex[:8]}"
+
+    def props(self) -> dict[str, str]:
+        return {"format-version": str(self.version)}
+
+    def create(self, schema: str, partition_by=None):
+        return self.catalog.create_table(
+            self.table_name(), schema, partition_by, self.props()
+        )
+
+
+TESTS: dict[str, callable] = {}
+
+
+def conformance_test(feature_id: str):
+    def deco(fn):
+        TESTS[feature_id] = fn
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------- tests
+
+
+@conformance_test("read-support")
+def t_read(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, v string")
+    t.append(ctx.spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    rows = t.df().filter("id > 1").select("v").collect()
+    assert [r["v"] for r in rows] == ["b"]
+    return "pass"
+
+
+@conformance_test("insert-into")
+def t_insert(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(3))
+    t.append(ctx.spark.range(3, 5))
+    assert t.df().count() == 5
+    assert len(t.meta.snapshots) == 2  # one snapshot per write
+    return "pass"
+
+
+@conformance_test("insert-overwrite")
+def t_overwrite(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(10))
+    t.overwrite(ctx.spark.range(100, 103))
+    assert sorted(r["id"] for r in t.df().collect()) == [100, 101, 102]
+    return "pass"
+
+
+@conformance_test("ctas")
+def t_ctas(ctx: Ctx) -> str:
+    t = ctx.catalog.create_table_as_select(
+        ctx.table_name(), ctx.spark.range(4), properties=ctx.props()
+    )
+    assert t.df().count() == 4
+    return "pass"
+
+
+@conformance_test("row-update")
+def t_update(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, v bigint")
+    t.append(ctx.spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint"))
+    t.update({"v": "v + 1"}, where="id = 2")
+    got = {r["id"]: r["v"] for r in t.df().collect()}
+    assert got == {1: 10, 2: 21}
+    return "pass"
+
+
+@conformance_test("row-delete-cow")
+def t_delete_cow(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.set_properties({"write.delete.mode": "copy-on-write"})
+    t.append(ctx.spark.range(10))
+    t.delete("id >= 5")
+    assert t.df().count() == 5
+    head = t._current_snapshot()
+    assert not head.delete_files  # CoW leaves no delete files
+    return "pass"
+
+
+@conformance_test("row-delete-mor")
+def t_delete_mor(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(ctx.spark.range(10))
+    t.delete("id >= 5")
+    assert t.df().count() == 5
+    assert t._current_snapshot().delete_files  # read-time merge evidence
+    return "pass"
+
+
+@conformance_test("position-deletes")
+def t_position_deletes(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(ctx.spark.range(10).coalesce(1))  # single file → partial delete
+    t.delete("id = 3")
+    dfs = t._current_snapshot().delete_files
+    assert any(d.content == 1 for d in dfs)
+    assert t.df().count() == 9
+    return "pass"
+
+
+@conformance_test("equality-deletes")
+def t_equality_deletes(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, v bigint")
+    t.append(ctx.spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint"))
+    t.upsert(
+        ctx.spark.createDataFrame([(2, 21)], "id bigint, v bigint"), ["id"]
+    )
+    dfs = t._current_snapshot().delete_files
+    assert any(d.content == 2 for d in dfs)
+    got = {r["id"]: r["v"] for r in t.refresh().df().collect()}
+    assert got == {1: 10, 2: 21}
+    return "pass"
+
+
+@conformance_test("deletion-vectors")
+def t_deletion_vectors(ctx: Ctx) -> str:
+    """V3 MoR deletes surface as PUFFIN DVs; V2 must NOT
+    (iceberg_feature_tests.py:1517-1555)."""
+    t = ctx.create("id bigint")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(ctx.spark.range(8).coalesce(1))
+    t.delete("id = 2")
+    formats = {d.file_format for d in t._current_snapshot().delete_files}
+    if ctx.version >= 3:
+        assert "PUFFIN" in formats
+        return "pass"
+    return "pass" if "PUFFIN" in formats else "fail"
+
+
+@conformance_test("merge-into")
+def t_merge(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, v bigint")
+    t.append(ctx.spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint"))
+    t.merge(
+        ctx.spark.createDataFrame([(2, 99), (3, 30)], "id bigint, v bigint"),
+        on="t.id = s.id",
+        matched_update={"v": "s.v"},
+    )
+    got = {r["id"]: r["v"] for r in t.df().collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+    return "pass"
+
+
+@conformance_test("streaming-upsert")
+def t_streaming_upsert(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, v bigint")
+    t.upsert(ctx.spark.createDataFrame([(1, 1), (2, 2)], "id bigint, v bigint"), ["id"])
+    t.upsert(ctx.spark.createDataFrame([(1, 5)], "id bigint, v bigint"), ["id"])
+    got = {r["id"]: r["v"] for r in t.df().collect()}
+    assert got == {1: 5, 2: 2}  # cross-commit PK replace (flink :744-784)
+    return "pass"
+
+
+@conformance_test("hidden-partitioning")
+def t_hidden_partitioning(ctx: Ctx) -> str:
+    t = ctx.create(
+        "id bigint, ts timestamp, cat string",
+        partition_by=["days(ts)", "bucket(4, cat)"],
+    )
+    data = ctx.spark.range(6).select(
+        "id",
+        F.expr("timestamp'2026-01-01' + make_interval(0,0,0,CAST(id % 3 AS INT))").alias("ts"),
+        F.expr("concat('c', id % 2)").alias("cat"),
+    )
+    t.append(data)
+    head = t._current_snapshot()
+    assert all(f.partition for f in head.data_files)
+    assert t.df().count() == 6
+    return "pass"
+
+
+@conformance_test("partition-pruning")
+def t_partition_pruning(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, ts timestamp", partition_by=["days(ts)"])
+    data = ctx.spark.range(9).select(
+        "id",
+        F.expr("timestamp'2026-03-01' + make_interval(0,0,0,CAST(id % 3 AS INT))").alias("ts"),
+    )
+    t.append(data)
+    head = t._current_snapshot()
+    pruned = t._prune_files(
+        head.data_files, [("ts", ">=", "2026-03-03 00:00:00")]
+    )
+    assert len(pruned) < len(head.data_files)  # source-column predicate prunes
+    rows = t.df(filters=[("ts", ">=", "2026-03-03 00:00:00")]).count()
+    assert rows == 3
+    return "pass"
+
+
+@conformance_test("partition-evolution")
+def t_partition_evolution(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, cat string")
+    t.append(ctx.spark.createDataFrame([(1, "a")], "id bigint, cat string"))
+    t.add_partition_field("bucket(4, cat)")
+    t.append(ctx.spark.createDataFrame([(2, "b")], "id bigint, cat string"))
+    assert t.df().count() == 2  # old + new spec files coexist
+    t.drop_partition_field("bucket(4, cat)")
+    return "pass"
+
+
+@conformance_test("multi-arg-transforms")
+def t_multi_arg_transforms(ctx: Ctx) -> str:
+    """Genuinely multi-source transform must be REJECTED (Spark/Iceberg
+    reject too — iceberg_feature_tests.py:984-1037)."""
+    try:
+        ctx.create("a bigint, b bigint", partition_by=["bucket(4, a, b)"])
+    except Exception:
+        return "fail"  # measured unsupported — matches 'none'
+    return "pass"
+
+
+@conformance_test("schema-evolution")
+def t_schema_evolution(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, a string")
+    t.append(ctx.spark.createDataFrame([(1, "x")], "id bigint, a string"))
+    t.add_columns({"age": "int"})
+    assert t.df().filter("age IS NULL").count() == 1  # NULL back-fill
+    t.rename_column("a", "b")
+    assert "b" in t.df().columns and "a" not in t.df().columns
+    t.drop_column("b")
+    assert t.df().columns == ["id", "age"]
+    return "pass"
+
+
+@conformance_test("type-widening")
+def t_type_widening(ctx: Ctx) -> str:
+    t = ctx.create("id int, x float")
+    t.append(ctx.spark.createDataFrame([(1, 1.5)], "id int, x float"))
+    t.alter_column_type("id", "bigint")
+    t.alter_column_type("x", "double")
+    t.append(
+        ctx.spark.createDataFrame([(1 << 40, 2.5)], "id bigint, x double")
+    )
+    assert t.df().filter(F.col("id") > (1 << 39)).count() == 1  # out-of-range proof
+    try:
+        t.alter_column_type("id", "int")  # narrowing must fail
+        return "fail"
+    except ValueError:
+        pass
+    return "pass"
+
+
+@conformance_test("time-travel")
+def t_time_travel(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(2))
+    first = t._current_snapshot().snapshot_id
+    t.append(ctx.spark.range(2, 5))
+    assert t.df(snapshot_id=first).count() == 2
+    assert t.df().count() == 5
+    return "pass"
+
+
+@conformance_test("branching-tagging")
+def t_branching(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(3))
+    t.create_tag("v1")
+    t.create_branch("dev")
+    t.append(ctx.spark.range(3, 10), branch="dev")
+    t.refresh()
+    assert t.df(ref="main").count() == 3
+    assert t.df(ref="dev").count() == 10
+    assert t.df(ref="v1").count() == 3
+    try:
+        t.append(ctx.spark.range(1), branch="v1")  # tags are immutable
+        return "fail"
+    except ValueError:
+        pass
+    return "pass"
+
+
+@conformance_test("incremental-read")
+def t_incremental(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(3))
+    s1 = t._current_snapshot().snapshot_id
+    t.append(ctx.spark.range(10, 12))
+    s2 = t._current_snapshot().snapshot_id
+    inc = sorted(r["id"] for r in t.read_incremental(s1, s2).collect())
+    assert inc == [10, 11]
+    return "pass"
+
+
+@conformance_test("streaming-tail")
+def t_streaming_tail(ctx: Ctx) -> str:
+    import tempfile
+    import uuid as _uuid
+
+    from iceberg_matrix_spark.streaming import read_stream
+
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(3))
+    sink = f"conf_tail_{_uuid.uuid4().hex[:8]}"
+    q = (
+        read_stream(ctx.spark, t.location)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert ctx.spark.table(sink).count() == 3
+    return "pass"
+
+
+@conformance_test("compaction")
+def t_compaction(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    for i in range(4):
+        t.append(ctx.spark.range(i * 5, i * 5 + 5).coalesce(1))
+    before = len(t._current_snapshot().data_files)
+    result = rewrite_data_files(t)
+    assert result["rewritten_data_files_count"] == before
+    assert t._current_snapshot().operation == "replace"
+    assert t.df().count() == 20
+    return "pass"
+
+
+@conformance_test("snapshot-expiry")
+def t_expiry(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(3))
+    t.overwrite(ctx.spark.range(5))
+    import time as _time
+
+    expire_snapshots(t, older_than_ms=int(_time.time() * 1000) + 10_000, retain_last=1)
+    assert len(t.refresh().meta.snapshots) == 1
+    assert t.df().count() == 5
+    return "pass"
+
+
+@conformance_test("orphan-cleanup")
+def t_orphans(ctx: Ctx) -> str:
+    import os
+
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(3))
+    orphan_dir = os.path.join(t.location, "data", "c-orphan")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "junk.parquet"), "w") as f:
+        f.write("x")
+    removed = remove_orphan_files(t)
+    assert any("c-orphan" in p for p in removed)
+    assert t.df().count() == 3
+    return "pass"
+
+
+@conformance_test("manifest-rewrite")
+def t_manifest_rewrite(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(2))
+    t.append(ctx.spark.range(2))
+    result = rewrite_manifests(t)
+    assert result["rewritten_manifests_count"] >= 1
+    assert t.refresh().df().count() == 4
+    return "pass"
+
+
+@conformance_test("metadata-tables")
+def t_metadata_tables(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(3))
+    t.create_tag("v1")
+    assert files(t).count() >= 1
+    assert snapshots(t).count() == 1
+    assert {r["name"] for r in refs(t).collect()} == {"main", "v1"}
+    assert partitions(t).count() >= 1
+    assert history(t).count() == 1
+    return "pass"
+
+
+@conformance_test("column-stats")
+def t_column_stats(ctx: Ctx) -> str:
+    t = ctx.create("id bigint, v string")
+    t.append(
+        ctx.spark.createDataFrame(
+            [(1, "a"), (9, None)], "id bigint, v string"
+        ).coalesce(1)
+    )
+    f = t._current_snapshot().data_files[0]
+    assert f.lower_bounds.get("id") == 1 and f.upper_bounds.get("id") == 9
+    assert f.null_counts.get("v") == 1
+    return "pass"
+
+
+@conformance_test("table-properties")
+def t_properties(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.set_properties({"write.delete.mode": "merge-on-read", "owner": "conformance"})
+    t.refresh()
+    assert t.properties["owner"] == "conformance"
+    assert t.format_version == ctx.version
+    return "pass"
+
+
+# --------------------------------------------------------------------- runner
+
+
+@dataclass
+class TestResult:
+    feature_id: str
+    version: int
+    verdict: str  # pass | fail | skip | error
+    expected: str  # full | partial | none | unknown
+    match: bool
+    detail: str = ""
+
+
+def compute_match(verdict: str, expected: str) -> bool:
+    """Reference rule (iceberg_feature_tests.py:1680-1694): pass must meet
+    full/partial, fail must meet none/unknown; skip/error always match."""
+    if verdict == "pass":
+        return expected in ("full", "partial")
+    if verdict == "fail":
+        return expected in ("none", "unknown")
+    return True
+
+
+def run_conformance(spark: SparkSession, warehouse: str | None = None) -> dict:
+    import tempfile
+
+    catalog = IceLiteCatalog(spark, warehouse or tempfile.mkdtemp(prefix="conf-wh-"))
+    results: list[TestResult] = []
+    uncovered = [f[0] for f in FEATURES if f[0] not in TESTS]
+    for feature_id, _name, _cat in FEATURES:
+        fn = TESTS.get(feature_id)
+        for version in VERSIONS:
+            expected = support_level(feature_id, version)
+            if fn is None:
+                results.append(
+                    TestResult(feature_id, version, "skip", expected, True, "no test")
+                )
+                continue
+            ns = f"conf_{uuid.uuid4().hex[:8]}"
+            catalog.create_namespace(ns)
+            ctx = Ctx(spark, catalog, version, ns)
+            try:
+                verdict = fn(ctx)
+                detail = ""
+            except AssertionError as e:
+                verdict, detail = "error", f"assertion: {e}"
+            except Exception as e:  # noqa: BLE001
+                verdict, detail = "error", traceback.format_exception_only(type(e), e)[0].strip()
+            results.append(
+                TestResult(
+                    feature_id, version, verdict, expected,
+                    compute_match(verdict, expected), detail,
+                )
+            )
+    report = {
+        "results": [vars(r) for r in results],
+        "totals": {
+            v: sum(1 for r in results if r.verdict == v)
+            for v in ("pass", "fail", "skip", "error")
+        },
+        "discrepancies": [vars(r) for r in results if not r.match],
+        "uncovered_features": uncovered,
+        "ok": all(r.match for r in results)
+        and not uncovered
+        and not any(r.verdict == "error" for r in results),
+    }
+    return report
+
+
+def render_markdown(report: dict) -> str:
+    lines = [
+        "# IceLite conformance report",
+        "",
+        "| feature | v2 | v3 | expected v2/v3 | match |",
+        "|---|---|---|---|---|",
+    ]
+    by_key = {(r["feature_id"], r["version"]): r for r in report["results"]}
+    for fid, name, _cat in FEATURES:
+        r2, r3 = by_key[(fid, 2)], by_key[(fid, 3)]
+        match = "✅" if r2["match"] and r3["match"] else "❌"
+        lines.append(
+            f"| {name} (`{fid}`) | {r2['verdict']} | {r3['verdict']} "
+            f"| {r2['expected']}/{r3['expected']} | {match} |"
+        )
+    t = report["totals"]
+    lines += [
+        "",
+        f"**{t['pass']} pass / {t['fail']} fail / {t['skip']} skip / "
+        f"{t['error']} error** — "
+        + ("OK" if report["ok"] else "DISCREPANCIES/ERRORS PRESENT"),
+    ]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    from iceberg_matrix_spark import get_spark
+
+    spark = get_spark(app_name="icelite-conformance", shuffle_partitions=8)
+    try:
+        report = run_conformance(spark)
+    finally:
+        spark.stop()
+    with open("conformance_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    with open("conformance_report.md", "w") as f:
+        f.write(render_markdown(report))
+    print(json.dumps(report["totals"]) + (" OK" if report["ok"] else " FAILED"))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
