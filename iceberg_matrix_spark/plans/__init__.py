@@ -1,0 +1,23 @@
+"""Plan inspection utilities (see plans/inspect.py)."""
+
+from iceberg_matrix_spark.plans.inspect import (
+    broadcast_join_count,
+    codegen_stage_count,
+    explain_formatted,
+    pushed_filters,
+    read_schemas,
+    scan_columns,
+    shuffle_count,
+    sort_merge_join_count,
+)
+
+__all__ = [
+    "broadcast_join_count",
+    "codegen_stage_count",
+    "explain_formatted",
+    "pushed_filters",
+    "read_schemas",
+    "scan_columns",
+    "shuffle_count",
+    "sort_merge_join_count",
+]

@@ -1,0 +1,63 @@
+"""Physical-plan inspection: the feedback loop for plan quality.
+
+Every operator in this repo is held to plan-shape invariants — filters
+reach the parquet scan, projections prune the read schema, dimension
+joins broadcast, shuffles are counted — and tests/test_plans.py pins
+them so a refactor that silently de-optimizes a plan fails CI. This is
+the `.explain("formatted")` loop from the build brief, mechanized.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """The formatted physical plan as a string (what
+    df.explain("formatted") prints)."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def pushed_filters(df: DataFrame) -> list[list[str]]:
+    """Per-scan PushedFilters lists, in plan order."""
+    out = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_formatted(df)):
+        body = m.group(1).strip()
+        out.append([] if not body else re.split(r",\s*(?![^()]*\))", body))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """Per-scan ReadSchema struct strings, in plan order."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*>)", explain_formatted(df))
+
+
+def scan_columns(df: DataFrame) -> list[set[str]]:
+    """Per-scan set of column names actually read from parquet."""
+    cols = []
+    for schema in read_schemas(df):
+        cols.append(set(re.findall(r"(\w+):", schema[len("struct<") :])))
+    return cols
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    plan = explain_formatted(df)
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return explain_formatted(df).count("BroadcastHashJoin")
+
+
+def sort_merge_join_count(df: DataFrame) -> int:
+    return explain_formatted(df).count("SortMergeJoin")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages in the plan."""
+    ids = set(re.findall(r"codegen id : (\d+)", explain_formatted(df)))
+    return len(ids)

@@ -1,0 +1,74 @@
+"""Plan-quality invariants: pushdown, pruning, broadcast, shuffle budget.
+
+These pin the physical-plan shapes the 100 TB design depends on — a
+refactor that silently drops a pushed filter, widens a scan, or converts
+a broadcast join into a sort-merge join fails here, not in production.
+"""
+
+from __future__ import annotations
+
+from iceberg_matrix_spark.plans import (
+    broadcast_join_count,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+    sort_merge_join_count,
+)
+from iceberg_matrix_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["q2_filter_pushdown"](spark, sf_dir)
+    [filters] = pushed_filters(df)
+    text = " ".join(filters)
+    assert "l_shipdate" in text and "GreaterThan(l_quantity" in text
+    assert shuffle_count(df) == 0  # pure scan+filter+project
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
+    df = QUERIES["q2_filter_pushdown"](spark, sf_dir)
+    [cols] = scan_columns(df)
+    # lineitem has 16 columns; the query needs exactly these 4
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"}
+
+
+def test_q1_aggregation_is_single_shuffle(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    # partial hash agg map-side, one exchange on the group keys, final agg
+    assert shuffle_count(df) == 1
+    [cols] = scan_columns(df)
+    assert "l_comment" not in cols  # wide columns never leave the scan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 4  # nation/region/customer/supplier
+    assert sort_merge_join_count(df) == 0
+    assert shuffle_count(df) <= 1  # only the final aggregation exchange
+
+
+def test_point_lookup_pushes_equality(spark, sf_dir):
+    df = QUERIES["q_point_lookup"](spark, sf_dir)
+    text = " ".join(f for fs in pushed_filters(df) for f in fs)
+    assert "EqualTo" in text
+
+
+def test_matrix_grid_joins_stay_broadcast(spark, sf_dir):
+    df = QUERIES["q_matrix_filtered_grid"](spark, sf_dir)
+    assert sort_merge_join_count(df) == 0
+
+
+def test_dedup_ngram_shuffle_budget(spark, sf_dir):
+    # postings groupBy + pair count + 2 size joins; the old self-join plan
+    # had an extra exchange and double-computed the shingle expressions
+    df = QUERIES["q_dedup_ngram_threshold"](spark, sf_dir)
+    assert shuffle_count(df) <= 5
+
+
+def test_text_ops_are_shuffle_free(spark, sf_dir):
+    for name in ("q_text_quality", "q_text_token_stats", "q_text_bpe_token_count",
+                 "q_text_fingerprint_winnow"):
+        df = QUERIES[name](spark, sf_dir)
+        assert shuffle_count(df) == 0, name
+        [cols] = scan_columns(df)
+        assert cols <= {"doc_id", "text"}, name
