@@ -163,6 +163,117 @@ def ann_lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _nearest_clusters(vec_col: str, centroids: list[list[float]], n: int) -> F.Column:
+    """Array of the n nearest centroid ids (by dot product — inputs are
+    ~unit-norm embeddings, so dot ≈ cosine) as a JVM-side expression."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec_col, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def ivf_build_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """k centroids: deterministic seeds (k smallest xxhash64(id) rows — a
+    uniform pseudo-random sample that every run agrees on) refined by
+    ``iters`` distributed Lloyd steps.
+
+    Each step is one assignment pass (JVM expression, no Python) and one
+    per-(cluster, dim) average — explode is over dims, so the shuffle is
+    k·dim rows regardless of corpus size. Only the k×dim centroid matrix
+    ever reaches the driver.
+    """
+    seeds = (
+        corpus.select(vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias("cid"),
+            F.col(vec_col),
+        )
+        means = (
+            assigned.select("cid", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        for cid, dims in by_cid.items():
+            new[cid] = [dims[d] for d in sorted(dims)]
+        centroids = new
+    return centroids
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN: assign the corpus to coarse clusters once, search each
+    query only in its ``nprobe`` nearest clusters, exact cosine re-rank.
+
+    Scale: the cluster assignment is a narrow projection (materialize it
+    alongside the embedding column in a real pipeline — it IS the index);
+    the candidate join shuffles |corpus|/k · nprobe · |queries| rows, not
+    |corpus| · |queries|.
+    """
+    centroids = ivf_build_centroids(corpus, k=n_clusters, id_col=id_col, vec_col=vec_col)
+    indexed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias("cid"),
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(_nearest_clusters(query_vec_col, centroids, nprobe)).alias("cid"),
+    )
+    cands = indexed.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(vec_col, query_vec_col).alias("score"),
+    ).distinct()  # a neighbor can surface via several probed clusters
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registered queries (embeddings table)
 # ---------------------------------------------------------------------------
 
@@ -223,3 +334,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs q_ann_bruteforce_topk asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=10)
+
+
+@register("q_ann_ivf_topk")  # approximate — verified vs brute force in tests
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for the same 5 queries (coarse-quantizer scale
+    path). Recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=10)

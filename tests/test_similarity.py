@@ -39,3 +39,31 @@ def test_bruteforce_scores_sorted_and_bounded(spark, sf_dir):
         assert all(-1.0001 <= s <= 1.0001 for s in scores)
         assert scores == sorted(scores, reverse=True)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from iceberg_matrix_spark.operators.similarity import q_ann_ivf_topk
+
+    exact = q_ann_bruteforce_topk(spark, sf_dir).collect()
+    approx = q_ann_ivf_topk(spark, sf_dir).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(exact_sets) == set(approx_sets)
+    # IVF scores are exact cosine — any overlap row must agree with
+    # brute force on membership; recall floor for nprobe=4 of 16 clusters
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.3, f"IVF recall collapsed: {avg_recall} ({recalls})"
+
+
+def test_ivf_deterministic_across_runs(spark, sf_dir):
+    from iceberg_matrix_spark.operators.similarity import q_ann_ivf_topk
+
+    one = sorted(map(tuple, q_ann_ivf_topk(spark, sf_dir).collect()))
+    two = sorted(map(tuple, q_ann_ivf_topk(spark, sf_dir).collect()))
+    assert one == two
