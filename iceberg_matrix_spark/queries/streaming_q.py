@@ -95,3 +95,26 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming path uses, verified against lag/running-sum sessionization."""
     ev = load_table(spark, sf_dir, "events")
     return session_window_counts(ev, gap="30 minutes")
+
+
+@register(
+    "q_variant_parse_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark 4 VARIANT path (the V3 VARIANT surface,
+    /root/reference/tests/iceberg_feature_tests.py:1304-1308): parse_json
+    into a VariantType column, typed variant_get extraction, aggregate.
+    Unlike q_json_extract (string regex), this exercises the binary
+    variant encoding end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.parse_json("props").alias("v"))
+        .select(F.variant_get("v", "$.k", "bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -134,6 +134,17 @@ class IceLiteTable:
         commit_dir = os.path.join(self.location, "data", f"c-{uuid.uuid4().hex[:12]}")
         transforms = self._transforms()
         dtypes = dict(out.dtypes)
+        # bloom-filter write properties (iceberg_feature_tests.py:1087-1094):
+        # write.parquet.bloom-filter-enabled.column.<col>=true → the parquet
+        # writer's per-column bloom option. Like the reference notes
+        # (flink_feature_tests.py:1620-1626), presence isn't observable from
+        # SQL — the option is honored at the file level.
+        bloom_opts = {
+            f"parquet.bloom.filter.enabled#{prop.rsplit('.', 1)[1]}": "true"
+            for prop, val in self.meta.properties.items()
+            if prop.startswith("write.parquet.bloom-filter-enabled.column.")
+            and str(val).lower() == "true"
+        }
         if transforms:
             # identity transforms partition on an aliased copy (__p_<col>):
             # partitionBy strips the partition column from the data files,
@@ -146,11 +157,12 @@ class IceLiteTable:
             }
             (
                 out.withColumns(pcols)
-                .write.partitionBy(*pcols.keys())
+                .write.options(**bloom_opts)
+                .partitionBy(*pcols.keys())
                 .parquet(commit_dir)
             )
         else:
-            out.write.parquet(commit_dir)
+            out.write.options(**bloom_opts).parquet(commit_dir)
 
         paths = []
         for root, _dirs, names in os.walk(commit_dir):
@@ -283,6 +295,16 @@ class IceLiteTable:
             )
 
         self._commit(mutate)
+
+    def append_arrow(self, arrow_table, branch: str = "main") -> None:
+        """Append a pyarrow Table (PyIceberg's ``tbl.append(pa.table)``
+        surface, /root/reference/tests/pyiceberg_feature_tests.py:155-158).
+        Arrow → DataFrame conversion is zero-copy batch transfer."""
+        self.append(self.spark.createDataFrame(arrow_table), branch=branch)
+
+    def to_arrow(self, **read_kwargs):
+        """Scan to a pyarrow Table (``tbl.scan().to_arrow()`` parity)."""
+        return self.df(**read_kwargs).toArrow()
 
     def overwrite(self, df: DataFrame, branch: str = "main") -> None:
         """Full-table INSERT OVERWRITE (flink suite :640,892)."""

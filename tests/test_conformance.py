@@ -37,4 +37,6 @@ def test_conformance_run_is_clean(spark):
         ("deletion-vectors", 2),
         ("multi-arg-transforms", 2),
         ("multi-arg-transforms", 3),
+        ("geospatial-types", 2),
+        ("geospatial-types", 3),
     }
