@@ -50,11 +50,15 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return explain_formatted(df).count("BroadcastHashJoin")
+    return len(
+        re.findall(r"^\(\d+\) BroadcastHashJoin", explain_formatted(df), re.MULTILINE)
+    )
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return explain_formatted(df).count("SortMergeJoin")
+    return len(
+        re.findall(r"^\(\d+\) SortMergeJoin", explain_formatted(df), re.MULTILINE)
+    )
 
 
 def codegen_stage_count(df: DataFrame) -> int:

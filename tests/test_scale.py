@@ -1,0 +1,57 @@
+"""Skew-salting and bucketed co-located joins: result parity + plan shape."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from iceberg_matrix_spark.operators.scale import (
+    bucketed_equijoin,
+    salted_aggregate,
+    write_bucketed,
+)
+from iceberg_matrix_spark.plans import shuffle_count, sort_merge_join_count
+from iceberg_matrix_spark.sources.testdata import load_table
+
+
+def test_salted_aggregate_equals_plain_groupby(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {"n": ("count", "l_returnflag"), "mx": ("max", "l_quantity")},
+        salt_buckets=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.max("l_quantity").alias("mx")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_aggregate_is_two_stage(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = salted_aggregate(li, ["l_returnflag"], {"n": ("count", "l_returnflag")})
+    # heavy salted exchange + tiny combine exchange
+    assert shuffle_count(df) == 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    d1, d2 = tempfile.mkdtemp(prefix="bkt-"), tempfile.mkdtemp(prefix="bkt-")
+    write_bucketed(orders, "bkt_orders", "o_orderkey", buckets=8, path=d1)
+    write_bucketed(li, "bkt_lineitem", "o_orderkey", buckets=8, path=d2)
+    try:
+        joined = bucketed_equijoin(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+        # same bucket spec both sides → no exchange anywhere in the plan
+        assert shuffle_count(joined) == 0
+        assert sort_merge_join_count(joined) == 1
+        # and the join is still correct
+        expect = orders.join(li, "o_orderkey").count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
