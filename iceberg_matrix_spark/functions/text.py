@@ -22,9 +22,18 @@ def norm_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens. DuckDB: ``regexp_split_to_array(trim(text), '\\s+')``."""
+    """Whitespace tokens: collapse runs → trim → split on single space.
+
+    Spark's (and DuckDB's) ``trim`` strips only 0x20 spaces, so splitting
+    ``trim(text)`` on ``\\s+`` yields phantom empty tokens when the text
+    is tab/newline-padded (caught by tests/test_properties.py). Collapsing
+    all whitespace to spaces first makes trim complete.
+
+    DuckDB: ``regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ',
+    'g')), ' ')``.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
 
 
 def token_count(col: Column | str) -> Column:
@@ -47,7 +56,9 @@ def word_shingles(col_name: str, k: int = 3) -> Column:
     # Bind the token array ONCE via a single-element transform lambda —
     # inlining the split into every element_at re-runs the regex split
     # O(k·len) times per row, which dominated the whole dedup pipeline.
-    toks = f"split(trim({col_name}), '\\\\s+')"
+    # Collapse-then-trim for the same phantom-empty-token reason as
+    # tokens() above.
+    toks = f"split(trim(regexp_replace({col_name}, '\\\\s+', ' ')), ' ')"
     return F.expr(
         f"element_at(transform(array({toks}), __t -> "
         f"CASE WHEN size(__t) >= {k} THEN "

@@ -27,7 +27,7 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_matrix_spark.functions.text import md5_fingerprint, word_shingles
+from iceberg_matrix_spark.functions.text import md5_fingerprint, tokens, word_shingles
 from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_table
 
@@ -268,7 +268,7 @@ def simhash_signatures(
     one groupBy(doc) with 64 small sum aggregates, reassemble the bits.
     """
     ex = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     )
     h = F.xxhash64("tok")
     bit_sums = ex.groupBy("doc_id").agg(
@@ -339,7 +339,7 @@ def simhash_neardup_pairs(
 
 _DOC_SHINGLES_SQL = """
   docs AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks
     FROM documents
   ),
   sets_ AS (

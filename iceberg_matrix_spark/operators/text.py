@@ -88,7 +88,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Registered queries (documents table)
 # ---------------------------------------------------------------------------
 
-_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKS = "regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 
 
 @register(
@@ -255,7 +255,7 @@ def q_text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT)
              AS n_bpe_tokens,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+           CAST(len(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS INT)
              AS n_ws_tokens
     FROM documents
     """,

@@ -1,0 +1,127 @@
+"""Property tests (hypothesis) — the reference ships fast-check property
+tests for its pure helpers (src/App.test.tsx, engine-folders.ts docstrings
+advertise purity; SURVEY §5.8). Same idea here: random inputs, a Python
+reference model, and the Spark expression must agree row for row. Each
+example is one batched Spark job over all generated rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from iceberg_matrix_spark.data.matrix import detect_folder_collisions, folder_name_expr
+from iceberg_matrix_spark.functions.text import word_shingles
+from iceberg_matrix_spark.operators.scale import salted_aggregate
+
+_settings = settings(max_examples=8, deadline=None)
+
+_ident = st.text(
+    alphabet=st.sampled_from("abcdefgh-"), min_size=1, max_size=12
+).filter(lambda s: not s.startswith("-"))
+
+
+def _model_folder_name(pid: str, prefix: str | None) -> str:
+    if prefix and pid.startswith(prefix + "-"):
+        return pid[len(prefix) + 1 :]
+    return pid
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(_ident, st.one_of(st.none(), _ident)), min_size=1, max_size=40
+    )
+)
+def test_folder_name_expr_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        [(pid, pre) for pid, pre in rows], "id string, vendor_prefix string"
+    ).coalesce(1)
+    got = [
+        r["fn"]
+        for r in df.select(
+            folder_name_expr(F.col("id"), F.col("vendor_prefix")).alias("fn")
+        ).collect()
+    ]
+    assert got == [_model_folder_name(pid, pre) for pid, pre in rows]
+
+
+@_settings
+@given(
+    ids=st.lists(_ident, min_size=1, max_size=25, unique=True),
+    prefix=st.one_of(st.none(), _ident),
+)
+def test_collision_detection_matches_model(spark, ids, prefix):
+    rows = [("v", prefix, pid, i) for i, pid in enumerate(ids)]
+    df = spark.createDataFrame(
+        rows, "vendor string, vendor_prefix string, id string, ord int"
+    ).coalesce(1)
+    got = {
+        (r["folder_name"], r["platform_ids"])
+        for r in detect_folder_collisions(df).collect()
+    }
+    by_name: dict[str, list[str]] = {}
+    for pid in ids:
+        by_name.setdefault(_model_folder_name(pid, prefix), []).append(pid)
+    expect = {
+        (name, ",".join(pids)) for name, pids in by_name.items() if len(pids) >= 2
+    }
+    assert got == expect
+
+
+def _model_shingles(text: str, k: int) -> list[str]:
+    toks = re.split(r"\s+", text.strip()) if text.strip() else [""]
+    if len(toks) < k:
+        return []
+    out, seen = [], set()
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("ab x\t"), max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_word_shingles_match_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string").coalesce(1)
+    got = [r["sh"] for r in df.select(word_shingles("text", 3).alias("sh")).collect()]
+    assert got == [_model_shingles(t, 3) for t in texts]
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.integers(1, 8),
+)
+def test_salted_aggregate_invariant_under_salt(spark, rows, buckets):
+    df = spark.createDataFrame(rows, "k int, v long")
+    got = {
+        (r["k"], r["n"], r["s"], r["mx"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"n": ("count", "k"), "s": ("sum", "v"), "mx": ("max", "v")},
+            salt_buckets=buckets,
+        ).collect()
+    }
+    plain = {
+        (r["k"], r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == plain
