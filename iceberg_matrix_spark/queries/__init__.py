@@ -14,5 +14,6 @@ from iceberg_matrix_spark.operators import dedup as _dedup  # noqa: E402,F401
 from iceberg_matrix_spark.operators import similarity as _similarity  # noqa: E402,F401
 from iceberg_matrix_spark.operators import multimodal as _multimodal  # noqa: E402,F401
 from iceberg_matrix_spark.operators import scale as _scale  # noqa: E402,F401
+from iceberg_matrix_spark.operators import asof as _asof  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
