@@ -35,8 +35,6 @@ the DuckDB oracle with bit-identical inputs on both sides.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 

@@ -20,7 +20,6 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import Row, StructType
 
 
 def tumbling_window_counts(
