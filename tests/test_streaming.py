@@ -286,3 +286,37 @@ def test_compaction_scheduler_during_stream(spark, warehouse):
     # row count equals the max id + 1 committed (rate source is gapless)
     vals = sorted(r["id"] for r in table.df().collect())
     assert vals == list(range(len(vals)))
+
+
+def test_append_stream_restart_from_checkpoint_no_duplicates(spark, warehouse):
+    """Stop a query, restart from the SAME checkpoint: already-processed
+    files are not re-read, batch ids continue, rows land exactly once."""
+    t = warehouse.create_table("stream.restart", "id bigint")
+    src_dir = _tmp("restart-src-")
+    ckpt = _tmp("ckpt-")
+    spark.range(0, 5).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        q = append_stream(
+            spark.readStream.schema("id bigint").parquet(src_dir),
+            t.location,
+            ckpt,
+            query_id="restart",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(90)
+
+    run_once()
+    assert IceLiteTable(spark, t.location).df().count() == 5
+    time.sleep(1.1)
+    spark.range(100, 103).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()  # same checkpoint → only the new file is processed
+    table = IceLiteTable(spark, t.location)
+    got = sorted(r["id"] for r in table.df().collect())
+    assert got == list(range(0, 5)) + list(range(100, 103))
+    batch_ids = sorted(
+        int(s.summary["streaming.batch-id"])
+        for s in table.meta.snapshots
+        if s.summary.get("streaming.query-id") == "restart"
+    )
+    assert batch_ids == [0, 1]  # ids continue across the restart
