@@ -366,9 +366,9 @@ def q_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name AS nation,
-      SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-      SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-      SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
       COUNT(*) AS n_total
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -539,7 +539,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq, COUNT(*) AS n_events
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, session_seq
     """,
 )

@@ -40,7 +40,10 @@ from iceberg_matrix_spark.streaming.windows import (
 def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming: file source → watermark → 1-hour tumbling
     windows per event_type → memory sink (complete mode, availableNow)."""
-    # stream only the events file: give the file source its own glob
+    # stream only the events file: give the file source its own glob.
+    # events.ts is TIMESTAMP(NANOS) parquet — self-configure nanosAsLong so
+    # this works under the driver's vanilla session (same as load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)

@@ -46,6 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the 53-bit double mantissa) and cast to TIMESTAMP_NTZ so values match
     DuckDB's ``CAST(ts AS TIMESTAMP)`` exactly.
     """
+    if name == "events":
+        # events.parquet is INT64 TIMESTAMP(NANOS); vanilla sessions reject it
+        # with PARQUET_TYPE_ILLEGAL unless nanosAsLong is on. Set it here (a
+        # dynamic SQLConf) so queries work under ANY session, not just ones
+        # built by session.py. Deliberately not restored: the conf must still
+        # hold at execution time, and it only affects nanos-typed columns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn(

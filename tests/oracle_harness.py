@@ -28,6 +28,63 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         con.close()
 
 
+def _type_class(s: pd.Series) -> str:
+    """Coarse type class used to catch driver-hash type mismatches locally.
+
+    The driver value-hashes typed Arrow values, so Spark BIGINT vs DuckDB
+    HUGEINT/DECIMAL hash differently even when numerically equal (this bit
+    q_conditional_agg in round 1). Classify each column and require the
+    classes to match — numeric width within a class is fine, crossing
+    int/float/decimal is not.
+    """
+    import datetime
+    import decimal
+
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "timestamp"
+    non_null = s.dropna()
+    if non_null.empty:
+        return "empty"
+    v = non_null.iloc[0]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "array"
+    return type(v).__name__
+
+
+def assert_type_classes_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> None:
+    for c in sorted(spark_pdf.columns):
+        sc, oc = _type_class(spark_pdf[c]), _type_class(oracle_pdf[c])
+        if "empty" in (sc, oc):
+            continue
+        assert sc == oc, (
+            f"column {c!r}: spark type class {sc!r} != oracle {oc!r} "
+            f"(spark dtype {spark_pdf[c].dtype}, oracle dtype {oracle_pdf[c].dtype}) — "
+            f"the driver's value-hash would mismatch; CAST the oracle column"
+        )
+
+
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
     for c in pdf.columns:
@@ -50,6 +107,7 @@ def assert_query_matches_oracle(
         f"column mismatch: spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    assert_type_classes_match(spark_pdf, oracle_pdf)
     assert_frame_equal(
         normalize(spark_pdf),
         normalize(oracle_pdf),
