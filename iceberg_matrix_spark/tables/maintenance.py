@@ -99,6 +99,10 @@ def expire_snapshots(
     removed_files: list[str] = []
 
     def mutate(meta: TableMetadata) -> TableMetadata:
+        # reset on every attempt: an optimistic-commit retry recomputes
+        # against refreshed metadata, and stale paths from a failed attempt
+        # must not drive physical deletion (they may be live in the new head)
+        removed_files.clear()
         keep_ids = {r.snapshot_id for r in meta.refs.values()}
         ordered = sorted(meta.snapshots, key=lambda s: s.snapshot_id)
         keep_ids.update(s.snapshot_id for s in ordered[-max(1, retain_last):])

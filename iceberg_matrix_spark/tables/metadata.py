@@ -229,11 +229,23 @@ def commit_metadata(
         {"version": new_version, "timestamp_ms": int(time.time() * 1000)}
     )
     path = _version_path(table_location, new_version)
+    # Write-temp-then-link so a crash mid-write can never leave a truncated
+    # v{N}.metadata.json as the table head (Iceberg writes temp + atomic
+    # rename). os.link fails with FileExistsError if a concurrent writer
+    # won — the same exclusive-create semantics open(path, "x") gave us.
+    tmp = os.path.join(
+        metadata_dir(table_location), f".tmp-v{new_version}-{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as fh:
+        fh.write(meta.to_json())
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        with open(path, "x") as fh:
-            fh.write(meta.to_json())
+        os.link(tmp, path)
     except FileExistsError as exc:
         raise CommitConflict(
             f"version {new_version} already committed at {table_location}"
         ) from exc
+    finally:
+        os.unlink(tmp)
     return new_version

@@ -539,8 +539,11 @@ class IceLiteTable:
             keep_files = [
                 f for f in parent.data_files if _file_uri(f.path) not in affected
             ]
+            # keep rows where the predicate is NOT TRUE (null-safe): a plain
+            # `~cond` maps NULL→NULL and filter drops it — silently deleting
+            # rows the predicate didn't match. SQL DELETE removes TRUE only.
             survivors = live.filter(
-                F.col(_META_FILE).isin(list(affected)) & ~cond
+                F.col(_META_FILE).isin(list(affected)) & ~(cond.eqNullSafe(F.lit(True)))
             ).drop(_META_FILE, _META_POS, _META_SEQ)
             new_entries = self._write_data_files(survivors, meta.current_schema_id, seq)
             return self._snapshot(
@@ -646,13 +649,28 @@ class IceLiteTable:
             t_present = F.col(f"t.{_META_FILE}").isNotNull()
             s_marker = F.col("s.__s_present").isNotNull()
 
-            affected = {
-                r[0]
-                for r in joined.filter(t_present & s_marker)
-                .select(F.col(f"t.{_META_FILE}"))
-                .distinct()
+            # Spark/Iceberg MERGE raises on cardinality violation: a target
+            # row matched by >1 source row would otherwise be silently
+            # duplicated by the join. Detect via match-count per target row
+            # identity (file, pos) in the same pass that captures victims.
+            match_stats = (
+                joined.filter(t_present & s_marker)
+                .groupBy(
+                    F.col(f"t.{_META_FILE}").alias("__f"),
+                    F.col(f"t.{_META_POS}").alias("__p"),
+                )
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .groupBy("__f")
+                .agg(F.max("__n").alias("__max_n"))
                 .collect()
-            }
+            )
+            if any(r["__max_n"] > 1 for r in match_stats):
+                raise ValueError(
+                    "MERGE cardinality violation: a target row matches more "
+                    "than one source row (Iceberg raises here; dedupe the "
+                    "source or use upsert() for last-writer-wins)"
+                )
+            affected = {r["__f"] for r in match_stats}
             keep_files = [
                 f for f in (parent.data_files if parent else []) if _file_uri(f.path) not in affected
             ]
@@ -907,9 +925,17 @@ def _cmp_ok(a, op: str, b) -> bool:
 
 
 def _coerce(a, b):
-    if isinstance(a, str) or isinstance(b, str):
-        return str(a), str(b)
-    return a, b
+    # Only compare like with like: coercing a numeric to str made range
+    # pruning lexicographic ('10.5' < '9.0') and wrongly dropped files.
+    # Cross-type pairs are incomparable → TypeError → caller keeps the file.
+    num = (int, float)
+    if isinstance(a, str) and isinstance(b, str):
+        return a, b
+    if isinstance(a, num) and isinstance(b, num) and not isinstance(a, bool) and not isinstance(b, bool):
+        return a, b
+    if type(a) is type(b):
+        return a, b
+    raise TypeError(f"incomparable partition/bound types: {type(a)} vs {type(b)}")
 
 
 def _partition_from_path(rel_path: str) -> dict[str, object]:
@@ -927,7 +953,10 @@ def _partition_from_path(rel_path: str) -> dict[str, object]:
         try:
             out[name] = int(raw)
         except ValueError:
-            out[name] = raw
+            try:
+                out[name] = float(raw)  # identity-partitioned float/double cols
+            except ValueError:
+                out[name] = raw
     return out
 
 

@@ -378,3 +378,97 @@ def test_properties_roundtrip(spark, catalog):
     t.refresh()
     assert t.properties["k"] == "v"
     assert t.properties["write.parquet.bloom-filter-enabled.column.id"] == "true"
+
+
+# ------------------------------------------------- round-2 regression fixes
+
+
+def test_delete_cow_keeps_rows_where_predicate_is_null(spark, catalog):
+    """CoW DELETE must remove only rows where the predicate is TRUE; a row
+    where it evaluates NULL (e.g. NULL > 5) shares a file with a true match
+    and must survive the rewrite."""
+    t = catalog.create_table("ns.nulldel", "id bigint, v bigint")
+    t.append(
+        spark.createDataFrame([(1, 10), (2, None), (3, 1)], "id bigint, v bigint").coalesce(1)
+    )
+    t.delete("v > 5")  # row 1 deleted; row 2 (NULL) and row 3 kept
+    assert sorted(r.id for r in t.df().collect()) == [2, 3]
+
+
+def test_merge_raises_on_cardinality_violation(spark, catalog):
+    t = catalog.create_table("ns.card", "id bigint, val string")
+    t.append(_kv_df(spark, [(1, "a"), (2, "b")]))
+    dup_source = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id bigint, val string"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        t.merge(dup_source, on="t.id = s.id", matched_update={"val": "s.val"})
+
+
+def test_commit_leaves_no_partial_metadata_on_conflict(spark, catalog, tmp_path):
+    import os
+
+    t = catalog.create_table("ns.atomic", "id bigint, val string")
+    t.append(_kv_df(spark, [(1, "a")]))
+    mdir = os.path.join(t.location, "metadata")
+    # no temp files left behind after normal commits
+    assert not [n for n in os.listdir(mdir) if n.startswith(".tmp-")]
+    # every version file on disk parses (no truncated head possible)
+    import json
+
+    for name in os.listdir(mdir):
+        if name.endswith(".metadata.json"):
+            with open(os.path.join(mdir, name)) as fh:
+                json.loads(fh.read())
+
+
+def test_float_partition_values_prune_numerically(spark, catalog):
+    """Identity-partitioned double column: '10.5' vs '9.0' must compare as
+    floats — lexicographic pruning would wrongly drop the 10.5 file on
+    `score > 9.5`."""
+    t = catalog.create_table(
+        "ns.floatpart",
+        "id bigint, score double",
+        partition_by=["score"],
+    )
+    t.append(
+        spark.createDataFrame([(1, 10.5), (2, 9.0)], "id bigint, score double")
+    )
+    got = [r.id for r in t.df().filter("score > 9.5").collect()]
+    assert got == [1]
+
+
+def test_expire_snapshots_retry_does_not_delete_live_files(spark, catalog):
+    """removed_files must be recomputed per commit attempt, not accumulated
+    across optimistic-commit retries."""
+    from iceberg_matrix_spark.tables import metadata as md
+
+    t = catalog.create_table("ns.expret", "id bigint, val string")
+    t.append(_kv_df(spark, [(1, "a")]))
+    t.append(_kv_df(spark, [(2, "b")]))
+    t.append(_kv_df(spark, [(3, "c")]))
+
+    # Force one CommitConflict on the first attempt: concurrently advance the
+    # table version between mutate() and the version write.
+    original_commit = md.commit_metadata
+    fired = {"done": False}
+
+    def racing_commit(location, meta, expected_version):
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent writer lands first → this attempt conflicts
+            t2 = catalog.load_table("ns.expret")
+            t2.append(_kv_df(spark, [(4, "d")]))
+        return original_commit(location, meta, expected_version)
+
+    md.commit_metadata = racing_commit
+    try:
+        maint.expire_snapshots(t, retain_last=1)
+    finally:
+        md.commit_metadata = original_commit
+    # every row referenced by the surviving head is still readable
+    assert t.df().count() >= 1
+    for f in t._current_snapshot().data_files:
+        import os
+
+        assert os.path.exists(f.path.replace("file:", "")) or os.path.exists(f.path)
