@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from iceberg_matrix_spark.queries.registry import register
-from iceberg_matrix_spark.sources.testdata import load_table
+from iceberg_matrix_spark.sources.testdata import load_dim, load_table
 
 
 def _dec(col: str) -> F.Column:
@@ -199,11 +199,12 @@ def q_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way equi-join → agg → top-k.
 
-    Scale: customer (filtered on segment) is broadcast — no shuffle of the
-    orders/lineitem fact sides for that join; the orders⋈lineitem join
-    shuffles on orderkey. Top-k is TakeOrderedAndProject (no global sort).
+    Scale: customer (filtered on segment) gets a size-gated broadcast
+    hint (load_dim) — broadcast at test scale, AQE-planned at 100 TB; the
+    orders⋈lineitem join shuffles on orderkey. Top-k is
+    TakeOrderedAndProject (no global sort).
     """
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cust = load_dim(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
     )
@@ -213,7 +214,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     price, disc = _dec("l_extendedprice"), _rate("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
@@ -246,22 +247,24 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join with a co-nation constraint.
 
-    Scale: region/nation/customer/supplier are dimensions → broadcast; the
-    only shuffle is orders⋈lineitem on orderkey. The co-location predicate
-    (s_nationkey = c_nationkey) rides the broadcast join condition.
+    Scale: region/nation are bounded dims → always broadcast;
+    customer/supplier get size-gated hints (load_dim) — broadcast at test
+    scale, AQE decides at 100 TB where customer is not broadcastable. The
+    co-location predicate (s_nationkey = c_nationkey) rides the join
+    condition either way.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_dim(spark, sf_dir, "customer")
+    supp = load_dim(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     price, disc = _dec("l_extendedprice"), _rate("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -381,14 +384,14 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the app's computeComparison (/root/reference/src/utils/comparison.ts:16-26)
     re-expressed as sum(when(...)) over a join."""
     orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_dim(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
     def flag(status: str) -> F.Column:
         return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
 
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

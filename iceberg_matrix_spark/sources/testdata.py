@@ -62,6 +62,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# On-disk size under which a table gets an explicit broadcast hint.
+# Conservative vs Spark's 10 MB in-memory default (parquet decompresses
+# ~3-5×); above this we add NO hint and let AQE pick the strategy at
+# runtime — a hard-coded broadcast of customer/supplier would OOM the
+# executors at 100 TB.
+BROADCAST_MAX_FILE_BYTES = 32 * 1024 * 1024
+
+
+def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table with a broadcast hint ONLY if its file is small.
+
+    Size is measured from the actual parquet footprint, so the same query
+    code broadcasts at test scale and shuffles (AQE-planned) at 100 TB.
+    """
+    df = load_table(spark, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+            )
+        )
+    except OSError:
+        return df
+    return F.broadcast(df) if size <= BROADCAST_MAX_FILE_BYTES else df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register each table as a temp view (same names DuckDB pre-registers)."""
     for name in tables or TABLES:
