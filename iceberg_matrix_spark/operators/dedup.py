@@ -259,34 +259,42 @@ def minhash_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+# SimHash bit width: 60 bits = 15 hex chars of md5, the widest slice that
+# fits a SIGNED bigint identically in Spark (conv base16→10) and DuckDB
+# (('0x'||hex)::BIGINT) — making the whole operator SQL-oracle-able.
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 15
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (token multiplicity weights).
+    """60-bit SimHash over whitespace tokens (token multiplicity weights).
 
-    Per-bit majority vote: explode tokens, ±1 per bit from xxhash64(token),
-    one groupBy(doc) with 64 small sum aggregates, reassemble the bits.
+    Per-bit majority vote: explode tokens, ±1 per bit from the md5-derived
+    token hash, one groupBy(doc) with 60 small sum aggregates, reassemble
+    the bits. The hash is md5 (not xxhash64) so DuckDB computes the exact
+    same signatures — all JVM-side either way.
     """
     ex = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     bit_sums = ex.groupBy("doc_id").agg(
         *[
             F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
-            for j in range(64)
+            for j in range(_SIMHASH_BITS)
         ]
     )
     sig = bit_sums.select(
         "doc_id",
         sum(
             [
-                # shiftleft wraps bit 63 into the long sign bit (1<<63
-                # doesn't fit a positive long literal)
                 F.when(
                     F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
                 ).otherwise(F.lit(0).cast("long"))
-                for j in range(64)
+                for j in range(_SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -300,19 +308,21 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band join.
+    """Pairs with Hamming(simhash) ≤ max_hamming via 4×15-bit band join.
 
-    Pigeonhole: distance ≤ 8 doesn't guarantee an identical 16-bit chunk
+    Pigeonhole: distance ≤ 8 doesn't guarantee an identical 15-bit chunk
     in general (it does for ≤ 3); the band join is the standard recall/
     cost trade — candidates share at least one exact chunk, then the
-    popcount filter is exact.
+    popcount filter is exact. The oracle mirrors BOTH steps (the band
+    candidacy and the Hamming filter), so the comparison is exact.
     """
     sig = simhash_signatures(df, id_col, text_col)
-    chunk = lambda c, i: F.shiftrightunsigned(F.col(c), i * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    chunk = lambda c, i: F.shiftrightunsigned(F.col(c), i * _SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask))  # noqa: E731
     banded = sig.select(
         "doc_id",
         "simhash",
-        F.posexplode(F.array(*[chunk("simhash", i) for i in range(4)])).alias("band", "chunk"),
+        F.posexplode(F.array(*[chunk("simhash", i) for i in range(_SIMHASH_BANDS)])).alias("band", "chunk"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -477,8 +487,58 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_neardup_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
 
 
-@register("q_dedup_simhash")  # xxhash64-based — no portable SQL oracle
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """DuckDB replica of the full SimHash pipeline — identical md5-derived
+    bit votes, identical 4×15-bit band candidacy, exact Hamming filter."""
+    bits = _SIMHASH_BITS
+    band_bits = _SIMHASH_BAND_BITS
+    bit_sums = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(bits)
+    )
+    chunks = ", ".join(
+        f"((sig >> {i * band_bits}) & {(1 << band_bits) - 1}) AS c{i}"
+        for i in range(_SIMHASH_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, c{i} AS chunk, sig FROM sigs"
+        for i in range(_SIMHASH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id,
+        {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs0 AS (SELECT doc_id, {sig_expr} AS sig FROM votes),
+    sigs AS (SELECT doc_id, sig, {chunks} FROM sigs0),
+    banded AS ({band_union}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.sig AS sig1, b.sig AS sig2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, bit_count(xor(sig1, sig2)) AS hamming
+    FROM cands WHERE bit_count(xor(sig1, sig2)) <= {max_hamming}
+    """
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle_sql(12))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 12 over 64-bit signatures)."""
+    """SimHash near-dup pairs (Hamming ≤ 12 over 60-bit md5-derived
+    signatures). The DuckDB oracle replicates the full pipeline — bit
+    votes, band candidacy, Hamming filter — so the check is exact."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=12)
