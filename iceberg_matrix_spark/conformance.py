@@ -83,6 +83,26 @@ FEATURES = [
     ("bloom-filter-props", "Bloom-filter write properties", "metadata"),
     ("variant-type", "VARIANT parse/extract", "types"),
     ("geospatial-types", "GEOMETRY/GEOGRAPHY types", "types"),
+    ("column-default-values", "Column DEFAULT values (V3)", "schema"),
+    ("row-lineage", "Row lineage _row_id/_last_updated_seq (V3)", "metadata"),
+    ("timestamp-ns", "Nanosecond timestamps (V3)", "types"),
+    ("variant-shredding", "Shredded VARIANT storage (V3)", "types"),
+    ("drop-table-purge", "DROP TABLE PURGE blast-radius gate", "lifecycle"),
+    # Catalog integrations: registered skip rows with honest reasons, the
+    # reference's own pattern for environment-blocked features
+    # (iceberg_feature_tests.py:1222-1290; coverage rule :1660-1677 demands
+    # a verdict row for EVERY cataloged feature, including skips).
+    ("rest-catalog", "REST catalog (Lakekeeper)", "catalog"),
+    ("glue-catalog", "AWS Glue catalog", "catalog"),
+    ("s3tables-catalog", "S3 Tables federation", "catalog"),
+    ("jdbc-catalog", "JDBC catalog (Postgres)", "catalog"),
+    ("sqlite-catalog", "SQLite SqlCatalog", "catalog"),
+    ("hive-catalog", "Hive metastore catalog", "catalog"),
+    ("nessie-catalog", "Nessie catalog", "catalog"),
+    ("polaris-catalog", "Polaris catalog", "catalog"),
+    ("unity-catalog", "Unity catalog", "catalog"),
+    ("horizon-catalog", "Horizon catalog", "catalog"),
+    ("metadata-location-sink", "Metadata-location sink (S3/boto3)", "write"),
 ]
 
 # Support matrix: (feature_id, version) -> level. Everything unlisted is
@@ -95,6 +115,23 @@ SUPPORT_OVERRIDES = {
     # rejection — the reference's honest-negative pattern)
     ("geospatial-types", 2): "none",
     ("geospatial-types", 3): "none",
+    # V3-only features: V2 probes measure the rejection
+    ("column-default-values", 2): "none",
+    ("row-lineage", 2): "none",
+    ("timestamp-ns", 2): "none",
+    ("variant-shredding", 2): "none",
+    # environment-blocked integrations (no network/docker/services in the
+    # sandbox) — registered as skips, expectations unknown
+    **{
+        (fid, v): "unknown"
+        for fid in (
+            "rest-catalog", "glue-catalog", "s3tables-catalog", "jdbc-catalog",
+            "sqlite-catalog", "hive-catalog", "nessie-catalog",
+            "polaris-catalog", "unity-catalog", "horizon-catalog",
+            "metadata-location-sink",
+        )
+        for v in (2, 3)
+    },
 }
 
 
@@ -573,6 +610,155 @@ def t_geospatial(ctx: Ctx) -> str:
     return "pass"
 
 
+@conformance_test("column-default-values")
+def t_column_defaults(ctx: Ctx) -> str:
+    """V3 column DEFAULTs (iceberg_feature_tests.py:771-776): old rows
+    read the initial-default, writers omitting the column get the
+    write-default; V2 must reject."""
+    t = ctx.create("id bigint, v string")
+    t.append(ctx.spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    try:
+        t.add_columns({"greeting": "string"}, defaults={"greeting": "hello"})
+    except ValueError:
+        return "fail" if ctx.version < 3 else "error"
+    if ctx.version < 3:
+        return "error"  # v2 should have rejected
+    # pre-existing row back-fills the initial-default on read
+    assert [r["greeting"] for r in t.df().collect()] == ["hello"]
+    # a writer omitting the column gets the write-default
+    t.append(ctx.spark.createDataFrame([(2, "b")], "id bigint, v string"))
+    got = {r["id"]: r["greeting"] for r in t.df().collect()}
+    assert got == {1: "hello", 2: "hello"}
+    return "pass"
+
+
+@conformance_test("row-lineage")
+def t_row_lineage(ctx: Ctx) -> str:
+    """V3 row lineage (iceberg_feature_tests.py:1483-1487): _row_id is
+    unique and stable per committed row; _last_updated_sequence_number
+    reflects the writing commit."""
+    t = ctx.create("id bigint, v bigint")
+    t.append(ctx.spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint"))
+    if ctx.version < 3:
+        try:
+            t.df(with_lineage=True).collect()
+            return "error"  # v2 should have rejected
+        except ValueError:
+            return "fail"
+    t.append(ctx.spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    rows = t.df(with_lineage=True).collect()
+    row_ids = sorted(r["_row_id"] for r in rows)
+    assert len(set(row_ids)) == 3  # globally unique
+    assert all(r is not None for r in row_ids)
+    seqs = {r["id"]: r["_last_updated_sequence_number"] for r in rows}
+    assert seqs[3] > seqs[1]  # later commit → later sequence number
+    return "pass"
+
+
+@conformance_test("timestamp-ns")
+def t_timestamp_ns(ctx: Ctx) -> str:
+    """V3 nanosecond timestamps (iceberg_feature_tests.py:1443-1445):
+    ns-precision values round-trip exactly (stored as INT64 nanos, the
+    same physical encoding as parquet TIMESTAMP(NANOS)); V2 rejects the
+    type."""
+    ns_values = [1_700_000_000_123_456_789, 1_700_000_000_123_456_790]
+    try:
+        t = ctx.create("id bigint, ts timestamp_ns")
+    except ValueError:
+        return "fail" if ctx.version < 3 else "error"
+    if ctx.version < 3:
+        return "error"  # v2 should have rejected
+    t.append(
+        ctx.spark.createDataFrame(
+            [(i, v) for i, v in enumerate(ns_values)], "id bigint, ts bigint"
+        )
+    )
+    got = sorted(r["ts"] for r in t.df().collect())
+    assert got == ns_values  # exact: adjacent-nanosecond values preserved
+    return "pass"
+
+
+@conformance_test("variant-shredding")
+def t_variant_shredding(ctx: Ctx) -> str:
+    """V3 shredded VARIANT (write.parquet.variant-shredding.enabled,
+    iceberg_feature_tests.py:1342-1348): the physical parquet grows a
+    typed sibling column; normal reads still see the variant source."""
+    import pyarrow.parquet as pq
+
+    try:
+        t = ctx.create("id bigint, data variant")
+    except ValueError:
+        return "fail" if ctx.version < 3 else "error"
+    if ctx.version < 3:
+        return "error"
+    t.set_properties({"write.parquet.variant-shredding.enabled": "true"})
+    t.refresh().append(
+        ctx.spark.createDataFrame(
+            [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2, "b": "y"}')],
+            "id bigint, data string",
+        )
+    )
+    # physical evidence: the data file contains the shredded struct column
+    f = t._current_snapshot().data_files[0]
+    names = {c.split(".")[0] for c in pq.read_schema(f.path).names}
+    assert "data__typed_value" in names
+    # logical reads are unchanged (the sibling column is invisible)
+    assert set(t.df().columns) == {"id", "data"}
+    got = (
+        t.df()
+        .selectExpr("variant_get(parse_json(data), '$.a', 'int') AS a")
+        .agg(F.sum("a").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == 3
+    return "pass"
+
+
+@conformance_test("drop-table-purge")
+def t_drop_purge(ctx: Ctx) -> str:
+    """DROP TABLE vs DROP TABLE PURGE (iceberg_feature_tests.py:221-230):
+    without PURGE data files survive; with PURGE everything goes."""
+    import os
+
+    name1 = ctx.table_name()
+    t1 = ctx.catalog.create_table(name1, "id bigint", properties=ctx.props())
+    t1.append(ctx.spark.range(3))
+    loc1 = t1.location
+    ctx.catalog.drop_table(name1, purge=False)
+    assert os.path.isdir(os.path.join(loc1, "data"))  # data survives
+    assert not ctx.catalog.table_exists(name1)
+
+    name2 = ctx.table_name()
+    t2 = ctx.catalog.create_table(name2, "id bigint", properties=ctx.props())
+    t2.append(ctx.spark.range(3))
+    loc2 = t2.location
+    ctx.catalog.drop_table(name2, purge=True)
+    assert not os.path.isdir(loc2)  # purge removes everything
+    return "pass"
+
+
+def _register_skip(feature_id: str, reason: str) -> None:
+    @conformance_test(feature_id)
+    def t_skip(ctx: Ctx, _reason=reason) -> tuple[str, str]:
+        return ("skip", _reason)
+
+
+for _fid, _reason in [
+    ("rest-catalog", "needs a running Lakekeeper REST service — no network/docker in sandbox"),
+    ("glue-catalog", "needs AWS credentials + Glue endpoint — no network in sandbox"),
+    ("s3tables-catalog", "needs AWS S3 Tables endpoint — no network in sandbox"),
+    ("jdbc-catalog", "needs a Postgres server — no services in sandbox"),
+    ("sqlite-catalog", "needs the pyiceberg SqlCatalog dependency — not installed, no pip in sandbox"),
+    ("hive-catalog", "needs a Hive metastore service — no services in sandbox"),
+    ("nessie-catalog", "needs a Nessie service — no services in sandbox"),
+    ("polaris-catalog", "needs a Polaris service — no services in sandbox"),
+    ("unity-catalog", "needs a Unity catalog service — no services in sandbox"),
+    ("horizon-catalog", "needs a Horizon service — no services in sandbox"),
+    ("metadata-location-sink", "boto3→S3 driver-side plumbing — no network in sandbox"),
+]:
+    _register_skip(_fid, _reason)
+
+
 # --------------------------------------------------------------------- runner
 
 
@@ -617,6 +803,8 @@ def run_conformance(spark: SparkSession, warehouse: str | None = None) -> dict:
             try:
                 verdict = fn(ctx)
                 detail = ""
+                if isinstance(verdict, tuple):
+                    verdict, detail = verdict
             except AssertionError as e:
                 verdict, detail = "error", f"assertion: {e}"
             except Exception as e:  # noqa: BLE001

@@ -26,8 +26,36 @@ from iceberg_matrix_spark.tables.metadata import (
     current_version,
     new_table_metadata,
 )
-from iceberg_matrix_spark.tables.table import IceLiteTable
+from iceberg_matrix_spark.tables.table import IceLiteTable, _physical_type
 from iceberg_matrix_spark.tables.transforms import parse_transform
+
+
+def _parse_schema_ddl(ddl: str) -> list[tuple[str, str]]:
+    """Split a DDL string into (name, logical_type) at top-level commas.
+
+    Unlike StructType.fromDDL this admits the V3 logical types
+    ``timestamp_ns`` and ``variant`` (stored as bigint/string physically).
+    """
+    out: list[tuple[str, str]] = []
+    depth, cur = 0, []
+    for ch in ddl + ",":
+        if ch == "," and depth == 0:
+            part = "".join(cur).strip()
+            cur = []
+            if not part:
+                continue
+            name, _, typ = part.partition(" ")
+            typ = typ.strip()
+            if not typ:
+                raise ValueError(f"bad schema field: {part!r}")
+            out.append((name, typ))
+            continue
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        cur.append(ch)
+    return out
 
 
 class NoSuchTableError(Exception):
@@ -92,12 +120,26 @@ class IceLiteCatalog:
         location = self._location(identifier)
         if current_version(location) > 0:
             raise TableAlreadyExistsError(identifier)
+        version = int((properties or {}).get("format-version", "2"))
         if isinstance(schema, str):
-            schema = StructType.fromDDL(schema)
-        fields = [
-            SchemaField(id=i + 1, name=f.name, type=f.dataType.simpleString(), nullable=f.nullable)
-            for i, f in enumerate(schema.fields)
-        ]
+            fields = [
+                SchemaField(id=i + 1, name=n, type=t)
+                for i, (n, t) in enumerate(_parse_schema_ddl(schema))
+            ]
+        else:
+            fields = [
+                SchemaField(id=i + 1, name=f.name, type=f.dataType.simpleString(), nullable=f.nullable)
+                for i, f in enumerate(schema.fields)
+            ]
+        for f in fields:
+            if f.type in ("timestamp_ns", "variant") and version < 3:
+                raise ValueError(
+                    f"type {f.type!r} requires format-version 3 (column {f.name!r})"
+                )
+        # validate the physical schema parses (catches type typos early)
+        StructType.fromDDL(
+            ", ".join(f"{f.name} {_physical_type(f.type)}" for f in fields)
+        )
         for spec in partition_by or []:
             t = parse_transform(spec)
             if t.source not in {f.name for f in fields}:

@@ -34,6 +34,9 @@ class DataFileEntry:
     schema_id: int = 0
     sequence_number: int = 0
     file_size_bytes: int = 0
+    # V3 row lineage: _row_id of the file's first row; rows get
+    # first_row_id + position (Iceberg's manifest-inherited row ids)
+    first_row_id: int | None = None
     # column stats for manifest-level file skipping (SURVEY §4)
     lower_bounds: dict[str, object] = field(default_factory=dict)
     upper_bounds: dict[str, object] = field(default_factory=dict)
@@ -66,8 +69,12 @@ class Snapshot:
 class SchemaField:
     id: int
     name: str
-    type: str  # Spark simpleString type
+    type: str  # logical type: Spark simpleString, or timestamp_ns/variant (V3)
     nullable: bool = True
+    # V3 column defaults: initial-default back-fills pre-existing rows on
+    # read; write-default fills the column when a writer omits it.
+    initial_default: object = None
+    write_default: object = None
 
 
 @dataclass
@@ -102,6 +109,8 @@ class TableMetadata:
     last_sequence_number: int = 0
     last_snapshot_id: int = 0
     last_field_id: int = 0
+    # V3 row lineage: next _row_id to assign (advanced per committed file)
+    next_row_id: int = 0
     metadata_log: list[dict] = field(default_factory=list)
 
     # ---- accessors --------------------------------------------------------

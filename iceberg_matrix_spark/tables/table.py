@@ -110,16 +110,24 @@ class IceLiteTable:
         return _head(self.meta, ref)
 
     def _spark_schema(self, ts: TableSchema) -> StructType:
-        return StructType.fromDDL(ts.spark_ddl())
+        # logical V3 types map to their physical storage type: timestamp_ns
+        # is an INT64 nanos column (Spark has no ns timestamp), variant is
+        # the JSON source string (shredding adds typed sibling columns).
+        ddl = ", ".join(f"{f.name} {_physical_type(f.type)}" for f in ts.fields)
+        return StructType.fromDDL(ddl)
 
     def _align(self, df: DataFrame, ts: TableSchema) -> DataFrame:
-        """Project/cast an incoming DataFrame to the table schema."""
+        """Project/cast an incoming DataFrame to the table schema; a
+        missing column takes its V3 write-default (falling back to the
+        initial-default, then NULL)."""
         cols = []
         for f in ts.fields:
+            pt = _physical_type(f.type)
             if f.name in df.columns:
-                cols.append(F.col(f.name).cast(f.type).alias(f.name))
+                cols.append(F.col(f.name).cast(pt).alias(f.name))
             else:
-                cols.append(F.lit(None).cast(f.type).alias(f.name))
+                dflt = f.write_default if f.write_default is not None else f.initial_default
+                cols.append(F.lit(dflt).cast(pt).alias(f.name))
         return df.select(*cols)
 
     # ---------------------------------------------------------------- writes
@@ -131,6 +139,32 @@ class IceLiteTable:
         executor-collected footer stats."""
         ts = self.meta.schema_by_id(schema_id)
         out = self._align(df, ts)
+        # V3 shredded VARIANT (write.parquet.variant-shredding.enabled,
+        # iceberg_feature_tests.py:1342-1348): materialize a typed sibling
+        # column per variant field so engines can project/push down typed
+        # paths without re-parsing JSON. Schema inferred from one sampled
+        # value (driver sees one row, the shredding itself runs JVM-side);
+        # readers project by the table field list, so the sibling column
+        # is invisible to normal scans.
+        if (
+            self.format_version >= 3
+            and str(
+                self.meta.properties.get("write.parquet.variant-shredding.enabled", "")
+            ).lower()
+            == "true"
+        ):
+            for f_ in ts.fields:
+                if f_.type != "variant":
+                    continue
+                sample = out.select(f_.name).filter(F.col(f_.name).isNotNull()).limit(1).collect()
+                if not sample or sample[0][0] is None:
+                    continue
+                inferred = self.spark.range(1).select(
+                    F.schema_of_json(F.lit(sample[0][0])).alias("s")
+                ).collect()[0]["s"]
+                out = out.withColumn(
+                    f"{f_.name}__typed_value", F.from_json(F.col(f_.name), inferred)
+                )
         commit_dir = os.path.join(self.location, "data", f"c-{uuid.uuid4().hex[:12]}")
         transforms = self._transforms()
         dtypes = dict(out.dtypes)
@@ -232,6 +266,14 @@ class IceLiteTable:
     ) -> TableMetadata:
         sid = meta.new_snapshot_id()
         meta.last_snapshot_id = sid
+        if meta.format_version >= 3:
+            # V3 row lineage: newly committed files get a first_row_id;
+            # rows read back first_row_id + position. Files carried over
+            # from the parent keep theirs.
+            for f in data_files:
+                if f.first_row_id is None:
+                    f.first_row_id = meta.next_row_id
+                    meta.next_row_id += f.record_count
         total = sum(f.record_count for f in data_files)
         prev_files = {f.path for f in parent.data_files} if parent else set()
         added = [f for f in data_files if f.path not in prev_files]
@@ -349,11 +391,34 @@ class IceLiteTable:
         as_of_timestamp_ms: int | None = None,
         ref: str = "main",
         filters: list[tuple] | None = None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Snapshot read (time travel via snapshot_id / timestamp / ref —
-        the VERSION AS OF / TIMESTAMP AS OF / branch_x surface)."""
+        the VERSION AS OF / TIMESTAMP AS OF / branch_x surface).
+
+        ``with_lineage=True`` (V3 only) appends the hidden row-lineage
+        columns ``_row_id`` and ``_last_updated_sequence_number``
+        (iceberg_feature_tests.py:1483-1487)."""
         snap = self._resolve_snapshot(snapshot_id, as_of_timestamp_ms, ref)
-        return self._read_snapshot(snap, filters=filters)
+        if not with_lineage:
+            return self._read_snapshot(snap, filters=filters)
+        if self.format_version < 3:
+            raise ValueError("row lineage requires format-version 3")
+        out = self._read_snapshot(snap, filters=filters, with_meta=True)
+        fr_map = self.spark.createDataFrame(
+            [
+                (_file_uri(f.path), f.first_row_id)
+                for f in (snap.data_files if snap else [])
+            ]
+            or [("", None)],
+            f"{_META_FILE} string, __first_row_id long",
+        )
+        return (
+            out.join(F.broadcast(fr_map), _META_FILE, "left")
+            .withColumn("_row_id", F.col("__first_row_id") + F.col(_META_POS))
+            .withColumn("_last_updated_sequence_number", F.col(_META_SEQ))
+            .drop(_META_FILE, _META_POS, _META_SEQ, "__first_row_id")
+        )
 
     def read_incremental(self, start_snapshot_id: int, end_snapshot_id: int) -> DataFrame:
         """Append-only incremental read of rows added in (start, end] —
@@ -435,9 +500,13 @@ class IceLiteTable:
             for cf in current.fields:
                 old = by_id.get(cf.id)
                 if old is not None:
-                    cols.append(F.col(old.name).cast(cf.type).alias(cf.name))
+                    cols.append(F.col(old.name).cast(_physical_type(cf.type)).alias(cf.name))
                 else:
-                    cols.append(F.lit(None).cast(cf.type).alias(cf.name))
+                    # field added after this file was written: V3 columns
+                    # with an initial-default read that value, others NULL
+                    cols.append(
+                        F.lit(cf.initial_default).cast(_physical_type(cf.type)).alias(cf.name)
+                    )
             if with_meta:
                 cols += [
                     F.col("_metadata.file_path").alias(_META_FILE),
@@ -774,14 +843,28 @@ class IceLiteTable:
 
         self._commit(mutate)
 
-    def add_columns(self, columns: dict[str, str]) -> None:
-        """ALTER TABLE ADD COLUMNS — old rows read NULL
-        (iceberg_feature_tests.py:708-711)."""
+    def add_columns(
+        self, columns: dict[str, str], defaults: dict[str, object] | None = None
+    ) -> None:
+        """ALTER TABLE ADD COLUMNS — old rows read NULL, or the V3
+        initial-default when one is given (iceberg_feature_tests.py:708-711
+        and :771-776 `val STRING DEFAULT 'hello'`)."""
+        if defaults and self.format_version < 3:
+            raise ValueError("column DEFAULT values require format-version 3")
 
         def build(meta, fields):
             for name, dtype in columns.items():
                 meta.last_field_id += 1
-                fields.append(SchemaField(id=meta.last_field_id, name=name, type=dtype))
+                dflt = (defaults or {}).get(name)
+                fields.append(
+                    SchemaField(
+                        id=meta.last_field_id,
+                        name=name,
+                        type=dtype,
+                        initial_default=dflt,
+                        write_default=dflt,
+                    )
+                )
             return fields
 
         self._evolve_schema(build)
@@ -895,6 +978,14 @@ class IceLiteTable:
 def _head(meta: TableMetadata, ref: str = "main") -> Snapshot | None:
     r = meta.refs.get(ref)
     return meta.snapshot_by_id(r.snapshot_id) if r else None
+
+
+# V3 logical types → physical storage type (Spark simpleString).
+_PHYSICAL_TYPES = {"timestamp_ns": "bigint", "variant": "string"}
+
+
+def _physical_type(logical: str) -> str:
+    return _PHYSICAL_TYPES.get(logical, logical)
 
 
 def _file_uri(path: str) -> str:

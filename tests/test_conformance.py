@@ -39,4 +39,16 @@ def test_conformance_run_is_clean(spark):
         ("multi-arg-transforms", 3),
         ("geospatial-types", 2),
         ("geospatial-types", 3),
+        # V3-only features: the V2 probes measure the rejection
+        ("column-default-values", 2),
+        ("row-lineage", 2),
+        ("timestamp-ns", 2),
+        ("variant-shredding", 2),
     }
+    # environment-blocked integrations are registered SKIP rows with
+    # reasons (the reference's coverage rule: a verdict for every feature)
+    skips = {r["feature_id"] for r in report["results"] if r["verdict"] == "skip"}
+    assert {"rest-catalog", "jdbc-catalog", "metadata-location-sink"} <= skips
+    for r in report["results"]:
+        if r["verdict"] == "skip":
+            assert r["detail"], f"skip row {r['feature_id']} must carry a reason"
