@@ -1,0 +1,214 @@
+"""Corpus-curation pipeline operators: deterministic stratified sampling,
+PII redaction, repetition signals.
+
+These are the steps between "raw crawl" and "training corpus" that a
+100 TB pipeline runs after dedup (operators/dedup.py, graph.py) and
+quality scoring (operators/text.py):
+
+- **Hash-stratified sampling** re-balances the language/source mix with a
+  DETERMINISTIC per-row coin: keep iff ``md5(doc_id) mod 100 < rate(group)``.
+  Unlike ``df.sample``/``sampleBy`` (RNG-seeded per partition, so results
+  change with partitioning and engine), the hash coin is reproducible
+  across engines, runs, and cluster layouts — which is what makes corpus
+  construction auditable. Narrow projection + filter: no shuffle, and the
+  rate table is a literal CASE, not a join.
+- **PII redaction** scrubs emails/phones with RE2-compatible regexes
+  (portable between Java regex and DuckDB) and reports per-doc match
+  counts plus a fingerprint of the redacted text — the fingerprint makes
+  the oracle check exact on the *output* text without shipping it.
+- **Repetition signals** are the Gopher-style (Rae et al., 2021,
+  arXiv:2112.11446 §A1.1) filters: fraction of duplicate tokens and the
+  share of the text taken by the most-frequent 2-gram. Both are pure
+  array expressions over one bound token array — shuffle-free,
+  whole-stage-codegen, 2-column scan, like everything in operators/text.py.
+
+All three are exactly SQL-oracle-able; no Python workers anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-stratified sampling
+# ---------------------------------------------------------------------------
+
+# Per-language keep rates (percent). The shape is what matters: down-sample
+# the over-represented language, keep the tail. Unlisted groups use DEFAULT.
+SAMPLE_RATES: dict[str, int] = {"en": 40, "zh": 80}
+SAMPLE_DEFAULT = 100
+
+# 60-bit md5 prefix as a non-negative bigint — the widest slice that casts
+# identically in Spark (conv base16) and DuckDB ('0x' || hex).
+_COIN = "pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint), 100)"
+_COIN_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+
+
+def _rate_case(col: str = "lang") -> F.Column:
+    expr = F.lit(SAMPLE_DEFAULT)
+    for grp, rate in SAMPLE_RATES.items():
+        expr = F.when(F.col(col) == grp, F.lit(rate)).otherwise(expr)
+    return expr
+
+
+def hash_stratified_sample(
+    df: DataFrame, id_col: str = "doc_id", group_col: str = "lang"
+) -> DataFrame:
+    """Keep a deterministic per-group fraction of rows: the md5-derived
+    coin in [0,100) compared against the group's keep rate."""
+    coin = F.expr(_COIN.replace("doc_id", id_col))
+    return df.withColumn("__coin", coin).filter(
+        F.col("__coin") < _rate_case(group_col)
+    ).drop("__coin")
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, lang FROM documents
+      WHERE {_COIN_SQL} < (CASE WHEN lang = 'en' THEN 40
+                                WHEN lang = 'zh' THEN 80
+                                ELSE 100 END)
+    )
+    SELECT lang, COUNT(*) AS n_kept, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: en kept at 40%, zh at 80%, rest at
+    100% — summarized per language (count + id checksum proves the exact
+    row set, not just cardinality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = hash_stratified_sample(docs, "doc_id", "lang")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no lookarounds/backreferences) so DuckDB computes the exact
+# same matches as the JVM.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails/phones with <EMAIL>/<PHONE> tokens; count matches.
+    One pass of JVM regex per pattern — no shuffle, no Python."""
+    emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    # phones counted on the email-redacted text, mirroring the replace
+    # order (an email's digits can't double-count as a phone).
+    phones = F.regexp_count(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"), F.lit(PHONE_RE)
+    )
+    return df.withColumns(
+        {"n_emails": emails, "n_phones": phones, "redacted": redacted}
+    )
+
+
+@register(
+    "q_pii_redaction",
+    oracle=f"""
+    WITH step1 AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+        regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS INT) AS n_phones,
+      md5(regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM step1
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: per-doc email/phone match counts and the
+    md5 of the redacted text (exact output check without shipping text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs).select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("redacted_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+# One bound token array (the single-element-transform trick keeps the
+# split from re-running per lambda element), then pure array math:
+# dup_token_frac = 1 - distinct/total; top2gram_frac = max 2-gram
+# frequency / 2-gram count. The distinct×n scan per doc is fine for
+# document-sized arrays and stays entirely inside codegen.
+_REPETITION_EXPR = """
+element_at(transform(array(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')), __t ->
+  struct(
+    size(__t) AS n_tokens,
+    CAST(1.0 - size(array_distinct(__t)) / CAST(size(__t) AS double) AS double) AS dup_token_frac,
+    CASE WHEN size(__t) < 2 THEN CAST(0.0 AS double) ELSE
+      element_at(transform(array(transform(sequence(1, size(__t) - 1),
+          __i -> concat(element_at(__t, __i), ' ', element_at(__t, __i + 1)))), __gs ->
+        CAST(array_max(transform(array_distinct(__gs), __g ->
+          size(filter(__gs, __x -> __x = __g)))) / CAST(size(__gs) AS double) AS double)), 1)
+    END AS top2gram_frac
+  )), 1)
+"""
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac, top2gram_frac) — the repetition
+    features a Gopher-style quality filter thresholds on."""
+    rep = F.expr(_REPETITION_EXPR.replace("text", text_col))
+    return df.select("doc_id", rep.alias("__r")).select(
+        "doc_id",
+        F.col("__r.n_tokens").alias("n_tokens"),
+        F.col("__r.dup_token_frac").alias("dup_token_frac"),
+        F.col("__r.top2gram_frac").alias("top2gram_frac"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t,
+        CASE WHEN len(t) < 2 THEN [] ELSE
+          list_transform(generate_series(1, len(t) - 1),
+                         i -> concat(t[i], ' ', t[i + 1]))
+        END AS g
+      FROM toks
+    )
+    SELECT doc_id,
+      CAST(len(t) AS INT) AS n_tokens,
+      CAST(1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS DOUBLE) AS dup_token_frac,
+      CASE WHEN len(g) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+        CAST(list_max(list_transform(list_distinct(g),
+               x -> len(list_filter(g, y -> y = x)))) / CAST(len(g) AS DOUBLE) AS DOUBLE)
+      END AS top2gram_frac
+    FROM grams
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)

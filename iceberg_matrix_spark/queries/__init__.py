@@ -12,6 +12,7 @@ from iceberg_matrix_spark.queries import streaming_q as _streaming  # noqa: E402
 from iceberg_matrix_spark.operators import text as _text  # noqa: E402,F401
 from iceberg_matrix_spark.operators import dedup as _dedup  # noqa: E402,F401
 from iceberg_matrix_spark.operators import graph as _graph  # noqa: E402,F401
+from iceberg_matrix_spark.operators import pipeline as _pipeline  # noqa: E402,F401
 from iceberg_matrix_spark.operators import similarity as _similarity  # noqa: E402,F401
 from iceberg_matrix_spark.operators import multimodal as _multimodal  # noqa: E402,F401
 from iceberg_matrix_spark.operators import scale as _scale  # noqa: E402,F401

@@ -1,0 +1,70 @@
+"""Curation-pipeline operators: sampling determinism, PII redaction on
+synthetic PII, repetition math on known inputs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iceberg_matrix_spark.operators.pipeline import (
+    hash_stratified_sample,
+    redact_pii,
+    repetition_signals,
+)
+from iceberg_matrix_spark.sources.testdata import load_table
+
+
+def test_sample_is_deterministic_and_rate_shaped(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in hash_stratified_sample(docs).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_stratified_sample(docs).select("doc_id").collect()}
+    assert a == b  # same rows every run — no RNG
+    per_lang = dict(
+        hash_stratified_sample(docs)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    totals = dict(docs.groupBy("lang").count().collect())
+    # en down-sampled to ~40%, unlisted languages kept at 100%
+    assert per_lang["en"] < totals["en"]
+    for lang in totals:
+        if lang not in ("en", "zh"):
+            assert per_lang[lang] == totals[lang]
+
+
+def test_redact_pii_scrubs_known_strings(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 555 867-5309 now"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.io c@d.org and line 555-123-4567"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert "<EMAIL>" in rows[1]["redacted"] and "<PHONE>" in rows[1]["redacted"]
+    assert "jane" not in rows[1]["redacted"] and "5309" not in rows[1]["redacted"]
+    assert rows[2]["redacted"] == "no pii here at all"
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 1
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # all dup tokens; "a a" 2-gram = 3/3
+            (2, "w x y z"),          # no repetition
+            (3, "solo"),             # 1 token, no 2-grams
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rows[1]["dup_token_frac"] == 0.75 and rows[1]["top2gram_frac"] == 1.0
+    assert rows[2]["dup_token_frac"] == 0.0 and rows[2]["top2gram_frac"] == 1 / 3
+    assert rows[3]["n_tokens"] == 1 and rows[3]["top2gram_frac"] == 0.0
+
+
+def test_repetition_plan_is_narrow(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # shuffle-free narrow projection
