@@ -7,6 +7,7 @@ from iceberg_matrix_spark.queries.registry import ORACLES, QUERIES, register
 
 # Modules self-register on import (order defines report order).
 from iceberg_matrix_spark.queries import relational  # noqa: E402,F401
+from iceberg_matrix_spark.queries import sqlcov as _sqlcov  # noqa: E402,F401
 from iceberg_matrix_spark.queries import matrix as _matrix  # noqa: E402,F401
 from iceberg_matrix_spark.queries import streaming_q as _streaming  # noqa: E402,F401
 from iceberg_matrix_spark.operators import text as _text  # noqa: E402,F401

@@ -65,6 +65,14 @@ def test_dedup_ngram_shuffle_budget(spark, sf_dir):
     assert shuffle_count(df) <= 5
 
 
+def test_exists_subquery_decorrelates_to_semi_anti_joins(spark, sf_dir):
+    # EXISTS/NOT EXISTS must decorrelate into semi/anti hash joins — a
+    # per-row subquery plan would be quadratic at scale
+    df = QUERIES["q_exists_subquery"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
 def test_text_ops_are_shuffle_free(spark, sf_dir):
     for name in ("q_text_quality", "q_text_token_stats", "q_text_bpe_token_count",
                  "q_text_fingerprint_winnow"):
