@@ -101,6 +101,65 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the event stream unioned with itself (every event
+    delivered twice — the at-least-once delivery model) flows through
+    ``dropDuplicatesWithinWatermark`` on the unique event_id; the deduped
+    append-mode output must equal the original event set exactly.
+
+    Scale: watermark-scoped dedup state is the point — plain
+    dropDuplicates on a stream retains every key forever; the watermark
+    bounds state to the late-data horizon. State is hash-partitioned by
+    event_id across executors.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    deduped = (
+        src()
+        .unionByName(src())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
     "q_variant_parse_extract",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

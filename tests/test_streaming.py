@@ -320,3 +320,56 @@ def test_append_stream_restart_from_checkpoint_no_duplicates(spark, warehouse):
         if s.summary.get("streaming.query-id") == "restart"
     )
     assert batch_ids == [0, 1]  # ids continue across the restart
+
+
+def test_foreachbatch_idempotent_sink_exactly_once_across_crash_replay(spark):
+    """foreachBatch + per-batch overwrite = exactly-once even when a batch
+    is REPLAYED: simulate a crash between the sink write and the commit
+    (delete the checkpoint commit marker), restart, and verify the replay
+    overwrote rather than duplicated. Then verify normal restart progress
+    (new file → new batch id, old batches untouched)."""
+    src_dir = _tmp("feb-src-")
+    out_dir = _tmp("feb-out-")
+    ckpt = _tmp("feb-ckpt-")
+    spark.range(0, 5).coalesce(1).write.mode("append").parquet(src_dir)
+
+    calls: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        calls.append(batch_id)
+        # idempotence contract: output keyed by batch_id, overwrite mode —
+        # a replayed batch rewrites its own output instead of appending
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema("id bigint")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+
+    def result() -> list[int]:
+        return sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+
+    run_once()
+    assert result() == list(range(5)) and calls == [0]
+
+    # crash simulation: sink wrote, commit marker lost → restart replays 0
+    # (the .crc checksum sidecar must go with it, as a real crash-before-
+    # commit would leave neither)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+    run_once()
+    assert calls == [0, 0]  # batch 0 re-ran ...
+    assert result() == list(range(5))  # ... but output is still exactly-once
+
+    # normal progress: new file → batch 1; batch 0 not re-invoked
+    time.sleep(1.1)
+    spark.range(100, 103).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    assert calls == [0, 0, 1]
+    assert result() == list(range(5)) + list(range(100, 103))
