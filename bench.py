@@ -57,11 +57,18 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Two timed passes per query, report the min: at bench SF the data is
+    # tiny and wall-clock is dominated by scheduling overhead + host noise
+    # (observed 1.5x run-to-run spread on identical code); min-of-2 warm
+    # timings measures the plan, not the noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
