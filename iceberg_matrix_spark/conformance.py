@@ -122,11 +122,13 @@ SUPPORT_OVERRIDES = {
     ("variant-shredding", 2): "none",
     # environment-blocked integrations (no network/docker/services in the
     # sandbox) — registered as skips, expectations unknown
+    # (sqlite-catalog is NOT here: implemented natively on stdlib sqlite3,
+    # tables/sql_catalog.py)
     **{
         (fid, v): "unknown"
         for fid in (
             "rest-catalog", "glue-catalog", "s3tables-catalog", "jdbc-catalog",
-            "sqlite-catalog", "hive-catalog", "nessie-catalog",
+            "hive-catalog", "nessie-catalog",
             "polaris-catalog", "unity-catalog", "horizon-catalog",
             "metadata-location-sink",
         )
@@ -737,6 +739,30 @@ def t_drop_purge(ctx: Ctx) -> str:
     return "pass"
 
 
+@conformance_test("sqlite-catalog")
+def t_sqlite_catalog(ctx: Ctx) -> str:
+    """SQL-backed catalog (tables/sql_catalog.py — the reference's PyIceberg
+    SqlCatalog row, implemented natively on stdlib sqlite3): transactional
+    create/rename/drop, metadata pointer tracking, IceLite interop."""
+    import tempfile
+
+    from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
+
+    cat = SqlCatalog(ctx.spark, tempfile.mkdtemp(prefix="conf-sqlcat-"))
+    cat.create_namespace("db")
+    cat.create_namespace("db2")
+    t = cat.create_table("db.t", "id bigint, v string", properties=ctx.props())
+    t.append(ctx.spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    assert cat.load_table("db.t").df().count() == 2
+    assert cat.metadata_location("db.t").endswith("v2.metadata.json")
+    cat.rename_table("db.t", "db2.renamed")  # atomic catalog-only re-point
+    assert cat.list_tables("db") == [] and cat.list_tables("db2") == ["renamed"]
+    assert cat.load_table("db2.renamed").df().count() == 2
+    cat.drop_table("db2.renamed", purge=True)
+    assert not cat.table_exists("db2.renamed")
+    return "pass"
+
+
 def _register_skip(feature_id: str, reason: str) -> None:
     @conformance_test(feature_id)
     def t_skip(ctx: Ctx, _reason=reason) -> tuple[str, str]:
@@ -748,7 +774,6 @@ for _fid, _reason in [
     ("glue-catalog", "needs AWS credentials + Glue endpoint — no network in sandbox"),
     ("s3tables-catalog", "needs AWS S3 Tables endpoint — no network in sandbox"),
     ("jdbc-catalog", "needs a Postgres server — no services in sandbox"),
-    ("sqlite-catalog", "needs the pyiceberg SqlCatalog dependency — not installed, no pip in sandbox"),
     ("hive-catalog", "needs a Hive metastore service — no services in sandbox"),
     ("nessie-catalog", "needs a Nessie service — no services in sandbox"),
     ("polaris-catalog", "needs a Polaris service — no services in sandbox"),

@@ -1,0 +1,116 @@
+"""SQLite-backed catalog: transactional DDL semantics + IceLite interop."""
+
+from __future__ import annotations
+
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from iceberg_matrix_spark.tables.catalog import (
+    IceLiteCatalog,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+)
+from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
+from iceberg_matrix_spark.tables.table import IceLiteTable
+
+
+@pytest.fixture
+def cat(spark):
+    return SqlCatalog(spark, tempfile.mkdtemp(prefix="sqlcat-wh-"))
+
+
+def test_create_load_drop_roundtrip(spark, cat):
+    cat.create_namespace("db", {"owner": "tests"})
+    assert cat.namespace_properties("db") == {"owner": "tests"}
+    t = cat.create_table("db.t", "id bigint, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    assert cat.list_tables("db") == ["t"]
+    assert cat.load_table("db.t").df().count() == 2
+    # the catalog tracks the current metadata pointer
+    assert cat.metadata_location("db.t").endswith("v2.metadata.json")
+    cat.drop_table("db.t")
+    assert not cat.table_exists("db.t")
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("db.t")
+
+
+def test_concurrent_create_exactly_one_winner(spark, cat):
+    cat.create_namespace("db")
+
+    def try_create(i: int) -> bool:
+        try:
+            cat.create_table("db.race", "id bigint")
+            return True
+        except TableAlreadyExistsError:
+            return False
+
+    with ThreadPoolExecutor(8) as ex:
+        wins = list(ex.map(try_create, range(8)))
+    assert sum(wins) == 1  # the PK arbitrates the race
+    assert cat.list_tables("db") == ["race"]
+
+
+def test_rename_is_catalog_only_and_guarded(spark, cat):
+    cat.create_namespace("db")
+    cat.create_namespace("db2")
+    t = cat.create_table("db.src", "id bigint")
+    t.append(spark.range(3))
+    loc = t.location
+    cat.rename_table("db.src", "db2.dst")
+    assert not cat.table_exists("db.src")
+    got = cat.load_table("db2.dst")
+    assert got.location == loc  # rename re-points; data does not move
+    assert got.df().count() == 3
+    # renaming onto an existing identifier is rejected atomically
+    cat.create_table("db.other", "id bigint")
+    with pytest.raises(TableAlreadyExistsError):
+        cat.rename_table("db.other", "db2.dst")
+    with pytest.raises(ValueError):
+        cat.rename_table("db.other", "nope.dst")
+
+
+def test_register_existing_icelite_table(spark, cat):
+    # a table created by the DIRECTORY catalog is adopted by identifier
+    fs = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="fswh-"))
+    fs.create_namespace("x")
+    src = fs.create_table("x.t", "id bigint")
+    src.append(spark.range(4))
+    cat.create_namespace("adopted")
+    t = cat.register_table("adopted.t", src.location)
+    assert t.df().count() == 4
+    assert cat.metadata_location("adopted.t").endswith("v2.metadata.json")
+    with pytest.raises(NoSuchTableError):
+        cat.register_table("adopted.bad", tempfile.mkdtemp())
+
+
+def test_failed_create_releases_identifier(spark, cat):
+    cat.create_namespace("db")
+    with pytest.raises(Exception):
+        cat.create_table("db.bad", "id not_a_type")
+    assert not cat.table_exists("db.bad")  # claim rolled back
+    cat.create_table("db.bad", "id bigint")  # identifier reusable
+
+
+def test_drop_namespace_guard_and_purge(spark, cat):
+    cat.create_namespace("db")
+    t = cat.create_table("db.t", "id bigint")
+    t.append(spark.range(2))
+    with pytest.raises(ValueError):
+        cat.drop_namespace("db")
+    loc = t.location
+    cat.drop_table("db.t", purge=True)
+    import os
+
+    assert not os.path.isdir(loc)
+    cat.drop_namespace("db")
+    assert "db" not in cat.list_namespaces()
+
+
+def test_tables_interop_with_directory_catalog_readers(spark, cat):
+    cat.create_namespace("db")
+    t = cat.create_table("db.t", "id bigint")
+    t.append(spark.range(5))
+    # a plain path-based reader sees the same table
+    assert IceLiteTable(spark, t.location).df().count() == 5
