@@ -125,3 +125,91 @@ def test_salted_aggregate_invariant_under_salt(spark, rows, buckets):
         .collect()
     }
     assert got == plain
+
+
+# ---------------------------------------------------------------------------
+# Partition/stats pruning soundness: a pruned+filtered scan must equal the
+# unpruned model for ANY data + transform + predicate. (ADVICE round 1
+# found one pruning bug by inspection — these search the space.)
+# ---------------------------------------------------------------------------
+
+import tempfile
+
+from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+
+
+def _fresh_table(spark, schema, partition_by):
+    cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="prop-wh-"))
+    cat.create_namespace("p")
+    return cat.create_table("p.t", schema, partition_by)
+
+
+_OPS = ["=", ">", ">=", "<", "<="]
+
+
+def _model(vals, op, lit):
+    return sorted(
+        v for v in vals
+        if v is not None
+        and {"=": v == lit, ">": v > lit, ">=": v >= lit, "<": v < lit, "<=": v <= lit}[op]
+    )
+
+
+@_settings
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=2, max_size=20),
+    part=st.sampled_from([None, "k", "bucket(4, k)", "truncate(5, k)"]),
+    op=st.sampled_from(_OPS),
+    lit=st.integers(-50, 50),
+)
+def test_int_pruned_scan_matches_model(spark, vals, part, op, lit):
+    t = _fresh_table(spark, "k int", [part] if part else None)
+    mid = len(vals) // 2  # two appends → multiple files → real pruning
+    for chunk in (vals[:mid], vals[mid:]):
+        if chunk:
+            t.append(spark.createDataFrame([(v,) for v in chunk], "k int"))
+    got = sorted(r["k"] for r in t.df(filters=[("k", op, lit)]).collect())
+    assert got == _model(vals, op, lit)
+
+
+@_settings
+@given(
+    vals=st.lists(st.integers(-400, 400).map(lambda i: i / 4), min_size=2, max_size=20),
+    part=st.sampled_from([None, "v"]),
+    op=st.sampled_from(_OPS),
+    lit=st.integers(-400, 400).map(lambda i: i / 4),
+)
+def test_float_pruned_scan_matches_model(spark, vals, part, op, lit):
+    # identity-partitioned DOUBLE columns: partition values round-trip
+    # through the directory path as strings — the round-1 ADVICE bug class
+    t = _fresh_table(spark, "v double", [part] if part else None)
+    mid = len(vals) // 2
+    for chunk in (vals[:mid], vals[mid:]):
+        if chunk:
+            t.append(spark.createDataFrame([(v,) for v in chunk], "v double"))
+    got = sorted(r["v"] for r in t.df(filters=[("v", op, lit)]).collect())
+    assert got == _model(vals, op, lit)
+
+
+@_settings
+@given(
+    hours=st.lists(st.integers(0, 24 * 400), min_size=2, max_size=20),
+    part=st.sampled_from([None, "days(ts)", "months(ts)", "hours(ts)"]),
+    op=st.sampled_from(_OPS),
+    lit_hours=st.integers(0, 24 * 400),
+)
+def test_timestamp_pruned_scan_matches_model(spark, hours, part, op, lit_hours):
+    from datetime import datetime, timedelta
+
+    base = datetime(2020, 1, 1)
+    vals = [base + timedelta(hours=h) for h in hours]
+    lit = base + timedelta(hours=lit_hours)
+    t = _fresh_table(spark, "ts timestamp", [part] if part else None)
+    mid = len(vals) // 2
+    for chunk in (vals[:mid], vals[mid:]):
+        if chunk:
+            t.append(spark.createDataFrame([(v,) for v in chunk], "ts timestamp"))
+    got = sorted(
+        r["ts"] for r in t.df(filters=[("ts", op, lit.strftime("%Y-%m-%d %H:%M:%S"))]).collect()
+    )
+    assert got == _model(vals, op, lit)
