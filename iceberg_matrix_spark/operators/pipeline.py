@@ -212,3 +212,137 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition features per document."""
     docs = load_table(spark, sf_dir, "documents")
     return repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget sharding) + document chunking
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 4096  # tokens per training shard
+
+
+def token_shards(
+    docs: DataFrame, budget: int = TOKEN_BUDGET, partitions: int = 32
+) -> DataFrame:
+    """Assign every document to a training shard by token offset:
+    shard = floor(exclusive_prefix_sum(tokens) / budget) in doc_id order.
+    Deterministic (pure function of the corpus), and each shard holds at
+    most budget + max_doc_tokens tokens.
+
+    Scale: a naive ``Window.orderBy(doc_id)`` cumsum collapses the corpus
+    onto ONE task. Instead: range-repartition by doc_id, partition-local
+    cumsum, then close the global sum with a per-partition offset join —
+    the offsets frame has one row per partition, broadcast. The result is
+    invariant to partition boundaries, so sampling-based range bounds
+    don't affect determinism.
+    """
+    d = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("n_tokens")
+    ).repartitionByRange(partitions, "doc_id")
+    d = d.withColumn("__pid", F.spark_partition_id())
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("__pid").orderBy("doc_id")
+    local = d.withColumn(
+        "__excl", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    )
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__psum"))
+        .withColumn("__off", F.coalesce(F.sum("__psum").over(w_prev), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("shard_id", F.floor((F.col("__excl") + F.col("__off")) / budget))
+        .select("doc_id", "n_tokens", "shard_id")
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+        CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / {TOKEN_BUDGET}) AS BIGINT) AS shard_id
+      FROM toks
+    )
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY shard_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing summary: contiguous token-budget shards with
+    doc counts, token totals, and doc-id ranges."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_shards(docs).groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    df: DataFrame, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into overlapping token windows (the training-
+    sample chunker): chunk i covers tokens [i*stride, i*stride + size).
+    Pure explode of array slices — shuffle-free, chunk text never leaves
+    the executor (only its fingerprint + length are emitted)."""
+    expr = (
+        f"element_at(transform(array(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')), __t -> "
+        f"transform(sequence(0, greatest(cast(ceil((size(__t) - {size}) / {stride}) AS int), 0)), "
+        f"__i -> struct(__i AS chunk_id, "
+        f"slice(__t, __i * {stride} + 1, {size}) AS toks))), 1)"
+    )
+    return (
+        df.select("doc_id", F.explode(F.expr(expr)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.toks").alias("n_chunk_tokens"),
+            F.md5(F.array_join("c.toks", " ")).alias("chunk_fp"),
+        )
+    )
+
+
+@register(
+    "q_text_chunk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, greatest(CAST(ceil((len(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT), 0))) AS chunk_id,
+             t
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(t[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(t[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_fp
+    FROM chunks
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document (64-token windows,
+    48-token stride), identified by fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)
