@@ -48,7 +48,10 @@ def test_conformance_run_is_clean(spark):
     # environment-blocked integrations are registered SKIP rows with
     # reasons (the reference's coverage rule: a verdict for every feature)
     skips = {r["feature_id"] for r in report["results"] if r["verdict"] == "skip"}
-    assert {"rest-catalog", "jdbc-catalog", "metadata-location-sink"} <= skips
+    assert {"rest-catalog", "jdbc-catalog"} <= skips
+    # sqlite-catalog and metadata-location-sink graduated from skip to
+    # real probes (tables/sql_catalog.py, sinks/manifest.py)
+    assert {"sqlite-catalog", "metadata-location-sink"}.isdisjoint(skips)
     for r in report["results"]:
         if r["verdict"] == "skip":
             assert r["detail"], f"skip row {r['feature_id']} must carry a reason"
