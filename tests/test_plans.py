@@ -65,6 +65,31 @@ def test_dedup_ngram_shuffle_budget(spark, sf_dir):
     assert shuffle_count(df) <= 5
 
 
+def test_curation_ops_stay_narrow(spark, sf_dir):
+    for name in ("q_pii_redaction", "q_text_repetition", "q_text_chunk"):
+        df = QUERIES[name](spark, sf_dir)
+        assert shuffle_count(df) == 0, name
+        [cols] = scan_columns(df)
+        assert cols <= {"doc_id", "text"}, name
+    df = QUERIES["q_sample_stratified"](spark, sf_dir)
+    assert shuffle_count(df) == 1  # only the summary aggregate
+    [cols] = scan_columns(df)
+    assert cols == {"doc_id", "lang"}  # the coin never reads text
+
+
+def test_pack_sequences_has_no_corpus_wide_window(spark, sf_dir):
+    # the global prefix sum must come from range-repartition + local
+    # windows + a broadcast offsets join — never a corpus-wide
+    # single-partition Window.orderBy
+    df = QUERIES["q_pack_sequences"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan.replace(
+        "Exchange SinglePartition", "", 1
+    )  # at most the tiny offsets frame collapses to one partition
+    assert broadcast_join_count(df) >= 1  # offsets joined by broadcast
+    assert sort_merge_join_count(df) == 0
+
+
 def test_exists_subquery_decorrelates_to_semi_anti_joins(spark, sf_dir):
     # EXISTS/NOT EXISTS must decorrelate into semi/anti hash joins — a
     # per-row subquery plan would be quadratic at scale
