@@ -48,10 +48,11 @@ def test_conformance_run_is_clean(spark):
     # environment-blocked integrations are registered SKIP rows with
     # reasons (the reference's coverage rule: a verdict for every feature)
     skips = {r["feature_id"] for r in report["results"] if r["verdict"] == "skip"}
-    assert {"rest-catalog", "jdbc-catalog"} <= skips
-    # sqlite-catalog and metadata-location-sink graduated from skip to
-    # real probes (tables/sql_catalog.py, sinks/manifest.py)
-    assert {"sqlite-catalog", "metadata-location-sink"}.isdisjoint(skips)
+    assert {"glue-catalog", "jdbc-catalog"} <= skips
+    # sqlite-catalog, rest-catalog, and metadata-location-sink graduated
+    # from skips to real probes (tables/sql_catalog.py,
+    # tables/rest_catalog.py, sinks/manifest.py)
+    assert {"sqlite-catalog", "rest-catalog", "metadata-location-sink"}.isdisjoint(skips)
     for r in report["results"]:
         if r["verdict"] == "skip":
             assert r["detail"], f"skip row {r['feature_id']} must carry a reason"
