@@ -213,3 +213,105 @@ def test_timestamp_pruned_scan_matches_model(spark, hours, part, op, lit_hours):
         r["ts"] for r in t.df(filters=[("ts", op, lit.strftime("%Y-%m-%d %H:%M:%S"))]).collect()
     )
     assert got == _model(vals, op, lit)
+
+
+# ---------------------------------------------------------------------------
+# DML soundness under NULLs: DELETE/UPDATE with arbitrary predicates over
+# data containing NULLs must match three-valued SQL semantics (only rows
+# where the predicate is TRUE are affected) in BOTH write modes. Round 1's
+# CoW DELETE silently dropped NULL-predicate rows — this searches that
+# space mechanically.
+# ---------------------------------------------------------------------------
+
+
+def _pred_strategy():
+    atom = st.one_of(
+        st.tuples(st.just("cmp"), st.sampled_from([">", "<", "=", ">=", "<="]),
+                  st.integers(-10, 10)),
+        st.just(("isnull",)),
+        st.just(("notnull",)),
+    )
+    return st.lists(atom, min_size=1, max_size=2), st.sampled_from(["AND", "OR"])
+
+
+def _pred_sql(atoms, joiner):
+    parts = []
+    for a in atoms:
+        if a[0] == "cmp":
+            parts.append(f"v {a[1]} {a[2]}")
+        elif a[0] == "isnull":
+            parts.append("v IS NULL")
+        else:
+            parts.append("v IS NOT NULL")
+    return f" {joiner} ".join(parts)
+
+
+def _pred_eval(v, atoms, joiner):
+    import operator as op
+
+    ops = {">": op.gt, "<": op.lt, "=": op.eq, ">=": op.ge, "<=": op.le}
+    vals = []
+    for a in atoms:
+        if a[0] == "cmp":
+            vals.append(None if v is None else ops[a[1]](v, a[2]))
+        elif a[0] == "isnull":
+            vals.append(v is None)
+        else:
+            vals.append(v is not None)
+    out = vals[0]
+    for x in vals[1:]:
+        if joiner == "AND":
+            out = (False if (out is False or x is False)
+                   else (None if (out is None or x is None) else True))
+        else:
+            out = (True if (out is True or x is True)
+                   else (None if (out is None or x is None) else False))
+    return out is True  # SQL DML affects only TRUE rows
+
+
+@_settings
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(-10, 10)), min_size=1, max_size=16),
+    pred=_pred_strategy()[0],
+    joiner=_pred_strategy()[1],
+    mode=st.sampled_from(["copy-on-write", "merge-on-read"]),
+)
+def test_delete_matches_sql_semantics(spark, vals, pred, joiner, mode):
+    t = _fresh_table(spark, "id bigint, v bigint", None)
+    t.set_properties({"write.delete.mode": mode})
+    rows = [(i, v) for i, v in enumerate(vals)]
+    mid = len(rows) // 2  # two files so CoW rewrite mixes touched/untouched
+    for chunk in (rows[:mid], rows[mid:]):
+        if chunk:
+            t.refresh().append(
+                spark.createDataFrame(chunk, "id bigint, v bigint")
+            )
+    t.refresh().delete(_pred_sql(pred, joiner))
+    got = sorted((r["id"], r["v"]) for r in t.refresh().df().collect())
+    expect = sorted((i, v) for i, v in rows if not _pred_eval(v, pred, joiner))
+    assert got == expect
+
+
+@_settings
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(-10, 10)), min_size=1, max_size=16),
+    pred=_pred_strategy()[0],
+    joiner=_pred_strategy()[1],
+    mode=st.sampled_from(["copy-on-write", "merge-on-read"]),
+)
+def test_update_matches_sql_semantics(spark, vals, pred, joiner, mode):
+    t = _fresh_table(spark, "id bigint, v bigint", None)
+    t.set_properties({"write.update.mode": mode})
+    rows = [(i, v) for i, v in enumerate(vals)]
+    mid = len(rows) // 2
+    for chunk in (rows[:mid], rows[mid:]):
+        if chunk:
+            t.refresh().append(
+                spark.createDataFrame(chunk, "id bigint, v bigint")
+            )
+    t.refresh().update({"v": "100"}, _pred_sql(pred, joiner))
+    got = sorted((r["id"], r["v"]) for r in t.refresh().df().collect())
+    expect = sorted(
+        (i, 100 if _pred_eval(v, pred, joiner) else v) for i, v in rows
+    )
+    assert got == expect
