@@ -282,3 +282,178 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped breadth: scalar agg, join ratio, having + semi-join,
+# disjunctive multi-column predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                        * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: fully-pushable conjunctive filter + single scalar
+    aggregate — the canonical 'scan should do all the work' query; every
+    predicate reaches the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,4)")
+            * F.col("l_discount").cast("decimal(8,4)")
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))
+            ELSE CAST(0 AS DECIMAL(22,8)) END) AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
+        * 100 AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dimension join + conditional-over-total
+    ratio. Scale: part is the smaller side — size-gated broadcast via
+    load_dim keeps the lineitem side shuffle-free at test scale and lets
+    AQE decide at 100 TB."""
+    from iceberg_matrix_spark.sources.testdata import load_dim
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_dim(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit(0).cast("decimal(22,8)")
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.sum(promo).cast("double") / F.sum(disc).cast("double") * 100
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 212
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_totalprice,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi-join-like
+    reduction, then re-join for detail. Scale: the `big` set is tiny after
+    HAVING, so the orders join broadcasts it; the second lineitem agg
+    shuffles only matching orders. Total order under LIMIT (price desc,
+    orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    from iceberg_matrix_spark.sources.testdata import load_dim
+
+    cust = load_dim(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("__q"))
+        .filter(F.col("__q") > 212)
+        .select(F.col("l_orderkey").alias("__big_orderkey"))
+    )
+    joined = (
+        orders.join(F.broadcast(big), orders.o_orderkey == F.col("__big_orderkey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    return (
+        joined.groupBy(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — the predicate
+    can't be fully pushed to either scan, so the optimizer must extract
+    the common per-side residuals and evaluate the disjunction post-join."""
+    from iceberg_matrix_spark.sources.testdata import load_dim
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_dim(spark, sf_dir, "part")
+    joined = li.join(part, part.p_partkey == li.l_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30)
+    return joined.filter(cond).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,4)")
+            * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
