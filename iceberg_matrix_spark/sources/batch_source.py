@@ -1,0 +1,219 @@
+"""'icelite': batch Python DataSource — ``spark.read.format("icelite")``.
+
+Makes IceLite tables readable through Spark's stock reader API (the way
+every engine in the reference reads Iceberg natively), not only through
+the :class:`IceLiteTable` wrapper:
+
+    spark.read.format("icelite").load("/path/to/table")
+    spark.read.format("icelite").option("snapshot_id", ...).load(path)
+    spark.read.format("icelite").option("ref", "audit-branch").load(path)
+
+Semantics (current or time-traveled snapshot, MoR-merged):
+- one input partition per data file, decoded to Arrow on executors;
+- position deletes (incl. V3 PUFFIN-tagged DVs) and equality deletes are
+  applied per partition — each task reads only the delete entries scoped
+  to the snapshot and filters its own file's rows;
+- filter pushdown: ``pushFilters`` translates Spark's EqualTo/Greater/
+  Less filters into manifest pruning (partition-transform projection +
+  column bounds via :func:`prune_files`) — pruned files never become
+  partitions. All filters are also returned as residuals, so Spark
+  re-applies them post-scan: pruning is an optimization, never a
+  correctness dependency;
+- schema evolution by field ID: old files are projected/renamed/
+  back-filled (incl. V3 initial-defaults) to the current schema in Arrow.
+
+Scale: the driver touches one metadata JSON (partition planning reads no
+data); row decoding, delete merging, and schema projection all run in
+executor Python workers on Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from iceberg_matrix_spark.tables.metadata import TableMetadata, load_metadata
+from iceberg_matrix_spark.tables.table import (
+    _file_uri,
+    _physical_type,
+    prune_files,
+)
+from iceberg_matrix_spark.tables.transforms import parse_transform
+
+SOURCE_NAME = "icelite"
+
+_OP = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _arrow_type(ddl: str):
+    import pyarrow as pa
+
+    ddl = ddl.lower()
+    prim = {
+        "boolean": pa.bool_(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if ddl in prim:
+        return prim[ddl]
+    if ddl.startswith("decimal"):
+        p, s = ddl[ddl.index("(") + 1 : ddl.index(")")].split(",")
+        return pa.decimal128(int(p), int(s))
+    raise NotImplementedError(f"icelite batch source: unsupported type {ddl!r}")
+
+
+class _ScanPartition(InputPartition):
+    def __init__(self, path, seq, schema_id, pos_delete_dirs, eq_deletes):
+        self.path = path
+        self.seq = seq
+        self.schema_id = schema_id
+        self.pos_delete_dirs = pos_delete_dirs  # [dir, ...]
+        self.eq_deletes = eq_deletes  # [(dir, [col, ...], seq), ...]
+
+
+def _resolve_snapshot(meta: TableMetadata, options: dict):
+    sid = options.get("snapshot_id")
+    if sid is not None:
+        return meta.snapshot_by_id(int(sid))
+    ref = meta.refs.get(options.get("ref", "main"))
+    if ref is None:
+        return None
+    return meta.snapshot_by_id(ref.snapshot_id)
+
+
+class IceLiteBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.location = options.get("path") or options["location"]
+        self.options = dict(options)
+        self.filters: list[tuple] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (DataSource API)
+        for f in filters:
+            op = _OP.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self.filters.append((f.attribute[0], op, f.value))
+            yield f  # everything stays a residual: pruning only optimizes
+
+    def partitions(self) -> list[_ScanPartition]:
+        meta, _ = load_metadata(self.location)
+        snap = _resolve_snapshot(meta, self.options)
+        if snap is None:
+            return []
+        transforms = [parse_transform(s) for s in meta.partition_spec]
+        files = prune_files(snap.data_files, self.filters, transforms)
+        pos_dirs = [d.path for d in snap.delete_files if d.content == 1]
+        eq = [
+            (d.path, list(d.equality_columns), d.sequence_number)
+            for d in snap.delete_files
+            if d.content == 2
+        ]
+        return [
+            _ScanPartition(f.path, f.sequence_number, f.schema_id, pos_dirs, eq)
+            for f in files
+        ]
+
+    def read(self, partition: _ScanPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        meta, _ = load_metadata(self.location)
+        file_schema = meta.schema_by_id(partition.schema_id)
+        current = meta.current_schema
+        table = pq.read_table(partition.path)
+
+        # position deletes scoped to this file (file_path matches the
+        # Spark _metadata.file_path form)
+        uri = _file_uri(partition.path)
+        drop = None
+        for ddir in partition.pos_delete_dirs:
+            dels = pq.read_table(ddir, columns=["file_path", "pos"])
+            mine = dels.filter(pc.equal(dels["file_path"], uri))["pos"]
+            if len(mine):
+                s = mine.to_pylist()
+                drop = set(s) if drop is None else drop | set(s)
+        if drop:
+            mask = [i not in drop for i in range(table.num_rows)]
+            table = table.filter(pa.array(mask))
+
+        # field-ID projection to the current schema (+ V3 initial-defaults)
+        by_id = {f.id: f for f in file_schema.fields}
+        cols, names = [], []
+        for cf in current.fields:
+            typ = _arrow_type(_physical_type(cf.type))
+            old = by_id.get(cf.id)
+            if old is not None and old.name in table.column_names:
+                col = table[old.name]
+                if col.type != typ:
+                    col = pc.cast(col, typ)
+            else:
+                fill = cf.initial_default
+                col = pa.array([fill] * table.num_rows, type=typ)
+            cols.append(col)
+            names.append(cf.name)
+        out = pa.table(dict(zip(names, cols)))
+
+        # equality deletes apply to rows written BEFORE the delete commit
+        for ddir, key_cols, dseq in partition.eq_deletes:
+            if partition.seq >= dseq or not key_cols:
+                continue
+            keys = pq.read_table(ddir, columns=key_cols)
+            mask = None
+            for kc in key_cols:
+                hit = pc.is_in(out[kc], value_set=keys[kc].combine_chunks())
+                mask = hit if mask is None else pc.and_(mask, hit)
+            out = out.filter(pc.invert(pc.fill_null(mask, False)))
+
+        yield from out.to_batches()
+
+
+class IceLiteBatchDataSource(DataSource):
+    """spark.read.format("icelite").load(table_location)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        location = self.options.get("path") or self.options["location"]
+        meta, _ = load_metadata(location)
+        return ", ".join(
+            f"{f.name} {_physical_type(f.type)}" for f in meta.current_schema.fields
+        )
+
+    def reader(self, schema) -> IceLiteBatchReader:
+        return IceLiteBatchReader(dict(self.options))
+
+
+def register_batch_source(spark: SparkSession) -> None:
+    # pushFilters requires this conf (dynamic SQLConf — safe to set at
+    # runtime); self-configure so the source works on any session, the
+    # same pattern as load_table's nanosAsLong
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(IceLiteBatchDataSource)

@@ -433,40 +433,7 @@ class IceLiteTable:
     def _prune_files(
         self, files: list[DataFileEntry], filters: list[tuple]
     ) -> list[DataFileEntry]:
-        """Manifest-level file skipping: partition-transform projection +
-        column min/max bounds (SURVEY §4). ``filters`` are simple
-        conjunctive predicates (col, op, literal); anything not prunable
-        is left to the parquet scan's pushdown."""
-        transforms = {t.source: t for t in self._transforms()}
-        kept = []
-        for f in files:
-            alive = True
-            for col, op, val in filters:
-                # partition projection
-                t = transforms.get(col)
-                if t is not None and t.field_name in f.partition:
-                    pv = f.partition[t.field_name]
-                    proj = t.project_value(val)
-                    if proj is not None and pv is not None:
-                        if op == "=" and not _cmp_ok(pv, "=", proj):
-                            alive = False
-                        elif op in (">", ">=") and not _cmp_ok(pv, ">=", proj):
-                            alive = False
-                        elif op in ("<", "<=") and not _cmp_ok(pv, "<=", proj):
-                            alive = False
-                # column bounds
-                lo = f.lower_bounds.get(col)
-                hi = f.upper_bounds.get(col)
-                if lo is not None and hi is not None:
-                    if op == "=" and not (_cmp_ok(hi, ">=", val) and _cmp_ok(lo, "<=", val)):
-                        alive = False
-                    elif op in (">", ">=") and not _cmp_ok(hi, ">=", val):
-                        alive = False
-                    elif op in ("<", "<=") and not _cmp_ok(lo, "<=", val):
-                        alive = False
-            if alive:
-                kept.append(f)
-        return kept
+        return prune_files(files, filters, self._transforms())
 
     def _read_files(
         self, files: list[DataFileEntry], with_meta: bool
@@ -988,6 +955,56 @@ def _physical_type(logical: str) -> str:
     return _PHYSICAL_TYPES.get(logical, logical)
 
 
+def prune_files(
+    files: list[DataFileEntry], filters: list[tuple], transforms: list[Transform]
+) -> list[DataFileEntry]:
+    """Manifest-level file skipping: partition-transform projection +
+    column min/max bounds (SURVEY §4). ``filters`` are simple
+    conjunctive predicates (col, op, literal); anything not prunable
+    is left to the parquet scan's pushdown. Standalone so the batch
+    Python DataSource (sources/batch_source.py) can prune without a
+    SparkSession."""
+    by_source = {t.source: t for t in transforms}
+    kept = []
+    for f in files:
+        alive = True
+        for col, op, val in filters:
+            # partition projection
+            t = by_source.get(col)
+            if t is not None and t.field_name in f.partition:
+                pv = f.partition[t.field_name]
+                proj = t.project_value(val)
+                if proj is not None and pv is not None:
+                    # identity: partition value IS the column value, so
+                    # strict ops prune strictly; other transforms map a
+                    # range of column values onto one partition value, so
+                    # a file at the boundary must be kept
+                    ident = t.kind == "identity"
+                    if op == "=" and not _cmp_ok(pv, "=", proj):
+                        alive = False
+                    elif op in (">", ">=") and not _cmp_ok(
+                        pv, op if ident else ">=", proj
+                    ):
+                        alive = False
+                    elif op in ("<", "<=") and not _cmp_ok(
+                        pv, op if ident else "<=", proj
+                    ):
+                        alive = False
+            # column bounds
+            lo = f.lower_bounds.get(col)
+            hi = f.upper_bounds.get(col)
+            if lo is not None and hi is not None:
+                if op == "=" and not (_cmp_ok(hi, ">=", val) and _cmp_ok(lo, "<=", val)):
+                    alive = False
+                elif op in (">", ">=") and not _cmp_ok(hi, ">=", val):
+                    alive = False
+                elif op in ("<", "<=") and not _cmp_ok(lo, "<=", val):
+                    alive = False
+        if alive:
+            kept.append(f)
+    return kept
+
+
 def _file_uri(path: str) -> str:
     """Spark's _metadata.file_path form for a local path (Hadoop-style
     single-slash scheme: ``file:/tmp/...``)."""
@@ -1010,6 +1027,10 @@ def _cmp_ok(a, op: str, b) -> bool:
             return a2 >= b2
         if op == "<=":
             return a2 <= b2
+        if op == ">":
+            return a2 > b2
+        if op == "<":
+            return a2 < b2
     except TypeError:
         return True  # incomparable → keep the file (pruning must be safe)
     return True
