@@ -138,10 +138,10 @@ import tempfile
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 
-def _fresh_table(spark, schema, partition_by):
+def _fresh_table(spark, schema, partition_by, properties=None):
     cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="prop-wh-"))
     cat.create_namespace("p")
-    return cat.create_table("p.t", schema, partition_by)
+    return cat.create_table("p.t", schema, partition_by, properties)
 
 
 _OPS = ["=", ">", ">=", "<", "<="]
@@ -314,4 +314,89 @@ def test_update_matches_sql_semantics(spark, vals, pred, joiner, mode):
     expect = sorted(
         (i, 100 if _pred_eval(v, pred, joiner) else v) for i, v in rows
     )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution soundness: any sequence of add/rename/drop/widen/append
+# must read back exactly what the in-memory model predicts (field-ID
+# resolution, NULL/default back-fill, old files under new schemas).
+# ---------------------------------------------------------------------------
+
+
+@_settings
+@given(
+    steps=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 5)), min_size=3, max_size=7
+    )
+)
+def test_schema_evolution_matches_model(spark, steps):
+    t = _fresh_table(
+        spark, "id bigint, a int", None, {"format-version": "3"}
+    )
+    # model: ordered columns -> per-row values keyed by id
+    cols: list[str] = ["id", "a"]
+    types: dict[str, str] = {"id": "bigint", "a": "int"}
+    rows: dict[int, dict[str, object]] = {}
+    next_id = 0
+    next_col = 0
+
+    def append_rows(n: int) -> None:
+        nonlocal next_id
+        batch = []
+        for _ in range(n):
+            r = {}
+            for c in cols:
+                r[c] = next_id if c == "id" else next_id * 10 + len(c)
+                if types[c] == "string":
+                    r[c] = str(r[c])
+            rows[next_id] = r
+            batch.append(tuple(r[c] for c in cols))
+            next_id += 1
+        ddl = ", ".join(f"{c} {types[c]}" for c in cols)
+        t.refresh().append(spark.createDataFrame(batch, ddl))
+
+    append_rows(2)
+    for kind, pick in steps:
+        mutable = [c for c in cols if c != "id"]
+        if kind == 0:  # add a string column with a default
+            nonlocal_name = f"c{next_col}"
+            next_col += 1
+            default = f"d{pick}"
+            t.refresh().add_columns(
+                {nonlocal_name: "string"}, defaults={nonlocal_name: default}
+            )
+            cols.append(nonlocal_name)
+            types[nonlocal_name] = "string"
+            for r in rows.values():  # existing rows read the default
+                r[nonlocal_name] = default
+        elif kind == 1 and mutable:  # rename
+            old = mutable[pick % len(mutable)]
+            new = f"r{next_col}"
+            next_col += 1
+            t.refresh().rename_column(old, new)
+            cols[cols.index(old)] = new
+            types[new] = types.pop(old)
+            for r in rows.values():
+                r[new] = r.pop(old)
+        elif kind == 2 and len(mutable) > 1:  # drop (keep >=1 data col)
+            victim = mutable[pick % len(mutable)]
+            t.refresh().drop_column(victim)
+            cols.remove(victim)
+            del types[victim]
+            for r in rows.values():
+                del r[victim]
+        elif kind == 3:  # widen an int column
+            ints = [c for c in mutable if types[c] == "int"]
+            if ints:
+                c = ints[pick % len(ints)]
+                t.refresh().alter_column_type(c, "bigint")
+                types[c] = "bigint"
+        else:  # append under the current schema
+            append_rows(1 + pick % 2)
+
+    got = sorted(
+        tuple(r[c] for c in sorted(cols)) for r in t.refresh().df().collect()
+    )
+    expect = sorted(tuple(r[c] for c in sorted(cols)) for r in rows.values())
     assert got == expect
