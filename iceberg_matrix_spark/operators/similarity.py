@@ -453,3 +453,35 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_centroids_cached(emb, corpus_key=sf_dir, k=16)
     return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=10, centroids=cents)
+
+
+@register(
+    "q_ann_ivf_exhaustive",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id query_id, CAST(embedding AS DOUBLE[]) query_vec
+      FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.query_vec) score
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = all clusters: the SAME partitioned plan as
+    q_ann_ivf_topk (cluster-id equi-join, per-cluster candidate sets,
+    exact re-rank) but probing every cluster, which makes the result
+    exactly the brute-force top-k — so the full IVF machinery gets a SQL
+    oracle. q_ann_ivf_topk (nprobe=4) remains the approximate scale path,
+    recall-tested in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids_cached(emb, corpus_key=sf_dir, k=16)
+    return ann_ivf_topk(
+        emb, _query_vectors(spark, sf_dir), k=10, centroids=cents, nprobe=len(cents)
+    )
