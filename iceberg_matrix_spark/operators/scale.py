@@ -121,3 +121,92 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty_dec").cast("string").cast("double").alias("sum_qty"),
         "max_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (deterministic, mergeable, oracle-able)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+# 60-bit md5 prefix (stable across engines) normalized into (0, 1]
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_distinct_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group.
+
+    The KMV sketch (Bar-Yossef et al., RANDOM'02) keeps the k smallest
+    hash values of a set; the estimator is (k-1)/h_(k) with h in (0,1].
+    Unlike HLL (whose register layout differs per engine), KMV over an
+    md5-derived hash is a pure function of the data — DuckDB computes the
+    exact same sketch AND estimate, so an approximate-cardinality
+    operator gets an EXACT oracle.
+
+    Plan: hash each value (JVM md5), then a real two-stage sketch merge —
+    stage 1 builds a capped k-smallest set per (group, input partition),
+    stage 2 merges the per-partition sketches (KMV of a union = KMV of
+    merged KMVs: the k smallest of the union are contained in the union
+    of per-part k-smallest sets). The shuffle carries at most k hashes
+    per group per partition, never the full distinct set — that is the
+    sketch's point at 100 TB. The result is partitioning-invariant.
+    Groups with < k distinct values report the exact count.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    per_part = (
+        df.select(F.col(group_col), h.alias("__h"))
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy(group_col, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__m"))
+    )
+    sk = (
+        per_part.select(group_col, F.explode("__m").alias("__h"))
+        .groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__mins"))
+    )
+    n = F.size("__mins")
+    kth = F.element_at("__mins", k).cast("double") / F.lit(_KMV_SPACE)
+    return sk.select(
+        group_col,
+        F.when(n < k, n.cast("double"))
+        .otherwise((F.lit(float(k - 1))) / kth)
+        .alias("distinct_est"),
+        n.alias("sketch_size"),
+    )
+
+
+@register(
+    "q_kmv_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM lineitem
+    ),
+    mins AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk,
+             COUNT(DISTINCT h) OVER (PARTITION BY l_returnflag) AS nd
+      FROM (SELECT DISTINCT l_returnflag, h FROM hashed)
+    )
+    SELECT l_returnflag,
+           CASE WHEN MAX(nd) < {KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
+                ELSE {KMV_K - 1}.0 / (CAST(MAX(CASE WHEN rk = {KMV_K} THEN h END) AS DOUBLE)
+                                      / {float(1 << 60)})
+           END AS distinct_est,
+           CAST(LEAST(MAX(nd), {KMV_K}) AS INT) AS sketch_size
+    FROM mins WHERE rk <= {KMV_K}
+    GROUP BY l_returnflag
+    """,
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts per return flag via the KMV sketch — approximate
+    cardinality with an exact cross-engine oracle (see
+    kmv_distinct_sketch docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct_sketch(li, "l_returnflag", "l_partkey")
