@@ -88,13 +88,22 @@ class IceLiteTable:
     def _transforms(self) -> list[Transform]:
         return [parse_transform(s) for s in self.meta.partition_spec]
 
+    # Commit retry budget: under N concurrent writers one loser can lose
+    # every round until the others drain, so the budget must exceed any
+    # realistic writer fan-in (Iceberg's default is 4 with exponential
+    # backoff; heavy streaming fan-in needs more). Jittered backoff keeps
+    # racing writers from re-colliding in lockstep.
+    _COMMIT_RETRIES = 20
+
     def _commit(self, mutate) -> None:
         """Optimistic commit loop: re-read + re-apply on conflict. The
         mutation runs on a deep copy so a mid-mutate failure can't leave
         the in-memory metadata half-updated."""
         import copy
+        import random
+        import time
 
-        for _ in range(5):
+        for attempt in range(self._COMMIT_RETRIES):
             try:
                 meta = mutate(copy.deepcopy(self.meta))
                 self.version = commit_metadata(self.location, meta, self.version)
@@ -102,7 +111,10 @@ class IceLiteTable:
                 return
             except CommitConflict:
                 self.refresh()
-        raise CommitConflict(f"gave up after 5 retries: {self.location}")
+                time.sleep(random.uniform(0, 0.02 * min(attempt + 1, 5)))
+        raise CommitConflict(
+            f"gave up after {self._COMMIT_RETRIES} retries: {self.location}"
+        )
 
     # ------------------------------------------------------------------ util
 

@@ -472,3 +472,38 @@ def test_expire_snapshots_retry_does_not_delete_live_files(spark, catalog):
         import os
 
         assert os.path.exists(f.path.replace("file:", "")) or os.path.exists(f.path)
+
+
+def test_concurrent_appenders_all_land_exactly_once(spark, catalog):
+    """8 threads race appends through the optimistic-commit loop: every
+    batch must land exactly once and the snapshot history must be a
+    single linear chain (no lost updates, no forks)."""
+    import threading
+
+    from iceberg_matrix_spark.tables.table import IceLiteTable
+
+    t = catalog.create_table("ns.race_appends", "id bigint")
+    errs = []
+
+    def worker(i: int) -> None:
+        try:
+            IceLiteTable(spark, t.location).append(
+                spark.range(i * 100, i * 100 + 10)
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    final = IceLiteTable(spark, t.location)
+    got = sorted(r["id"] for r in final.df().collect())
+    assert got == sorted(x for i in range(8) for x in range(i * 100, i * 100 + 10))
+    # linear history: each snapshot's parent is the previous snapshot
+    snaps = final.meta.snapshots
+    assert len(snaps) == 8
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur.parent_id == prev.snapshot_id
