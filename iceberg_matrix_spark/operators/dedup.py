@@ -112,29 +112,37 @@ def ngram_jaccard_pairs(
     list (d² pair blow-up) off a single reducer at 100 TB.
     """
     sets_ = shingle_sets(df, id_col, text_col, k)
-    sizes = sets_.select("doc_id", "n_sh")
-    ex = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
-    postings = ex.groupBy("shingle").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    # posting entries carry (doc_id, n_sh): the pair emission then has
+    # both set sizes in hand, so Jaccard needs NO size joins afterwards —
+    # the whole operator is exactly two shuffles (postings, pair counts).
+    # array_sort on structs orders by the first field = doc_id.
+    ex = sets_.select(
+        F.explode("shingles").alias("shingle"),
+        F.struct(F.col("doc_id").alias("id"), F.col("n_sh").alias("n")).alias("e"),
     )
+    postings = ex.groupBy("shingle").agg(F.array_sort(F.collect_list("e")).alias("ids"))
     if max_doc_freq is not None:
         postings = postings.filter(F.size("ids") <= max_doc_freq)
     # all ordered pairs within one posting list: (ids[i], ids[j]) for i<j
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.id AS id1, x.n AS n1, y.id AS id2, y.n AS n2))))"
     )
     common = (
         postings.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .groupBy(
+            F.col("p.id1").alias("id1"),
+            F.col("p.id2").alias("id2"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.n2").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
     return (
-        common.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")))
+        common.withColumn(
+            "jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "common", "jaccard")
     )

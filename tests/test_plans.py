@@ -59,10 +59,10 @@ def test_matrix_grid_joins_stay_broadcast(spark, sf_dir):
 
 
 def test_dedup_ngram_shuffle_budget(spark, sf_dir):
-    # postings groupBy + pair count + 2 size joins; the old self-join plan
-    # had an extra exchange and double-computed the shingle expressions
+    # exactly two shuffles: postings groupBy + pair-count groupBy (sizes
+    # ride inside the posting structs, so no size joins at all)
     df = QUERIES["q_dedup_ngram_threshold"](spark, sf_dir)
-    assert shuffle_count(df) <= 5
+    assert shuffle_count(df) == 2
 
 
 def test_curation_ops_stay_narrow(spark, sf_dir):
