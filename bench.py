@@ -40,6 +40,9 @@ HEADLINE = [
     "q_text_fingerprint_winnow",
     "q_multimodal_decode",
     "q_stream_window_agg",
+    # round 2 additions: iterative clustering + distributed prefix sum
+    "q_dedup_filtered_corpus",
+    "q_pack_sequences",
 ]
 
 

@@ -400,3 +400,26 @@ def test_schema_evolution_matches_model(spark, steps):
     )
     expect = sorted(tuple(r[c] for c in sorted(cols)) for r in rows.values())
     assert got == expect
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.text(alphabet=st.sampled_from("abc"), min_size=0, max_size=6),
+        min_size=2,
+        max_size=20,
+    ),
+    part=st.sampled_from([None, "s", "truncate(2, s)"]),
+    op=st.sampled_from(_OPS),
+    lit=st.text(alphabet=st.sampled_from("abc"), min_size=0, max_size=6),
+)
+def test_string_pruned_scan_matches_model(spark, vals, part, op, lit):
+    # string partitions (identity + prefix-truncate): lexicographic range
+    # filters against prefix-projected partition values must stay sound
+    t = _fresh_table(spark, "s string", [part] if part else None)
+    mid = len(vals) // 2
+    for chunk in (vals[:mid], vals[mid:]):
+        if chunk:
+            t.refresh().append(spark.createDataFrame([(v,) for v in chunk], "s string"))
+    got = sorted(r["s"] for r in t.df(filters=[("s", op, lit)]).collect())
+    assert got == _model(vals, op, lit)
