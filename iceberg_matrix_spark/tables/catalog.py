@@ -116,7 +116,11 @@ class IceLiteCatalog:
         schema: StructType | str,
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        defaults: dict[str, object] | None = None,
     ) -> IceLiteTable:
+        """``defaults`` maps column → V3 DEFAULT literal (used both as
+        initial-default and write-default — the CREATE TABLE ... DEFAULT
+        surface, iceberg_feature_tests.py:771-776)."""
         location = self._location(identifier)
         if current_version(location) > 0:
             raise TableAlreadyExistsError(identifier)
@@ -131,6 +135,15 @@ class IceLiteCatalog:
                 SchemaField(id=i + 1, name=f.name, type=f.dataType.simpleString(), nullable=f.nullable)
                 for i, f in enumerate(schema.fields)
             ]
+        if defaults:
+            if version < 3:
+                raise ValueError("column DEFAULT values require format-version 3")
+            by_name = {f.name: f for f in fields}
+            for col, lit in defaults.items():
+                if col not in by_name:
+                    raise ValueError(f"DEFAULT for unknown column {col!r}")
+                by_name[col].initial_default = lit
+                by_name[col].write_default = lit
         for f in fields:
             if f.type in ("timestamp_ns", "variant") and version < 3:
                 raise ValueError(
