@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_matrix_spark.queries.registry import register
-from iceberg_matrix_spark.sources.testdata import load_table
+from iceberg_matrix_spark.sources.testdata import load_table, normalize_events_ts
 from iceberg_matrix_spark.streaming.windows import (
     session_window_counts,
     tumbling_window_counts,
@@ -41,17 +41,17 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming: file source → watermark → 1-hour tumbling
     windows per event_type → memory sink (complete mode, availableNow)."""
     # stream only the events file: give the file source its own glob.
-    # events.ts is TIMESTAMP(NANOS) parquet — self-configure nanosAsLong so
-    # this works under the driver's vanilla session (same as load_table).
+    # nanosAsLong covers driver generations that write TIMESTAMP(NANOS);
+    # normalize_events_ts dispatches on the read dtype either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # watermarks require TIMESTAMP (session-TZ); the session TZ is
+        .parquet(sf_dir),
+        # watermarks run on TIMESTAMP (session-TZ); the session TZ is
         # pinned to UTC so values equal the batch loader's TIMESTAMP_NTZ
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        to="timestamp",
     )
     agg = tumbling_window_counts(stream, window="1 hour", watermark="1 hour")
     sink = f"stream_window_agg_{uuid.uuid4().hex[:8]}"
@@ -125,11 +125,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def src() -> DataFrame:
-        return (
+        return normalize_events_ts(
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .parquet(sf_dir),
+            to="timestamp",
         )
 
     deduped = (

@@ -1,0 +1,430 @@
+"""TPC-H-shaped breadth, part 2: correlated subqueries, outer-join
+distributions, global-threshold selections, multi-EXISTS anti-joins.
+
+Widens §2.5–§2.7 with the decision-support shapes (Q4/Q7/Q10/Q11/Q13/
+Q15/Q17/Q21/Q22 analogs, adapted to the driver's slimmer star schema —
+no partsupp/commitdate/shipmode columns) that exercise Catalyst's
+decorrelation, outer-join, and scalar-subquery machinery. Reference
+parity anchor: the reference's engines are exercised with aggregate +
+join + subquery SQL shapes (tests/iceberg_feature_tests.py DML/query
+probes); these queries are the standard OLAP canon a migrating user
+brings with them.
+
+Determinism contract (same as relational.py / sqlcov.py): every float
+aggregate is staged through exact DECIMAL sums and cast to double once;
+thresshold comparisons are either exact-decimal or single-IEEE-op double
+expressions computed from identical operands on both engines; every
+LIMIT sits under a total order.
+
+Scale notes per query in the docstrings — the common theme: correlated
+EXISTS/NOT EXISTS decorrelate to semi/anti hash joins (no per-row
+loops), scalar subqueries become one-row broadcasts, and the only
+all-table shuffles are the groupBys the semantics require.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.sources.testdata import load_dim, load_table
+
+_DEC_SUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+)
+_REV_SUM = f"CAST(CAST(SUM({_REV_DEC}) AS VARCHAR) AS DOUBLE)"
+
+
+def _rev_col() -> F.Column:
+    """Spark twin of _REV_DEC: exact decimal revenue term."""
+    return F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+
+
+@register(
+    "q4_priority_returns",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-windowed orders with a correlated EXISTS on
+    lineitem, counted per priority. Catalyst decorrelates to a left-semi
+    hash join; at 100 TB that's one shuffle on orderkey (both sides
+    date/flag-filtered first, pushed to the scans)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP_NTZ '1997-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           {_REV_SUM} AS volume,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name IN ('NATION_0', 'NATION_1')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between customer and supplier
+    nations by year. Five-way star join: nation/supplier/customer get
+    size-gated broadcast hints (load_dim), so at test scale the lineitem
+    side never shuffles until the final groupBy; at 100 TB AQE picks the
+    strategy. The nation filter semi-reduces customers before the fact
+    join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_dim(spark, sf_dir, "customer")
+    supp = load_dim(spark, sf_dir, "supplier")
+    nation = load_dim(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_0", "NATION_1"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("sn_key"))
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("ship_year")
+    ).agg(
+        F.sum(_rev_col()).cast("double").alias("volume"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           {_REV_SUM} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    The returnflag + date filters push to both scans before the joins;
+    the final ORDER BY ... LIMIT is a TakeOrderedAndProject (no global
+    sort materialization). Total order via (revenue DESC, custkey)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_dim(spark, sf_dir, "nation")
+    joined = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey, {_DEC_SUM.format(x="l_extendedprice")} AS part_value
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT {_DEC_SUM.format(x="l_extendedprice")} AS total_value,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem
+    )
+    SELECT l_partkey, part_value
+    FROM pv, tot
+    WHERE part_value * n_parts * 10 > total_value * 12
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds 1.2× the mean
+    part share (expressed as value·n·10 > total·12 — integer scaling, no
+    inexact literals). The threshold is a one-row aggregate broadcast
+    into the filter; both operands are exact-decimal sums cast to double
+    once, so the comparison is the same IEEE op on both engines. Scale:
+    one groupBy(l_partkey) shuffle + a scalar broadcast — no second pass
+    over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("part_value")
+    )
+    tot = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return pv.crossJoin(F.broadcast(tot)).filter(
+        F.col("part_value") * F.col("n_parts") * 10 > F.col("total_value") * 12
+    ).select("l_partkey", "part_value")
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY n_orders
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram through a LEFT
+    OUTER join with a join-side predicate (customers with zero matching
+    orders must survive with count 0). Two shuffles by construction
+    (custkey, then n_orders — the second is tiny)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_REV_DEC}) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(rev.r AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — a self-referential scalar threshold (revenue = MAX over
+    the same aggregate). The comparison stays in exact DECIMAL (cast to
+    double only for output), so ties are exact, not float-fuzzy. Scale:
+    the rev aggregate is one suppkey shuffle; MAX(r) is a one-row
+    broadcast; supplier join is broadcast at test scale (load_dim)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    supp = load_dim(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_col()).alias("r"))
+    max_r = rev.agg(F.max("r").alias("max_r"))
+    best = rev.crossJoin(F.broadcast(max_r)).filter(F.col("r") == F.col("max_r"))
+    return supp.join(best, best.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             {_DEC_SUM.format(x="l_quantity")} AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_DEC_SUM.format(x="l.l_extendedprice")} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+      AND l.l_quantity * 5 * pa.cnt < pa.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders — each line
+    compared against 20% of its part's average quantity. The correlated
+    scalar AVG is decorrelated by hand into a per-part aggregate joined
+    back (the plan Catalyst produces for the subquery form anyway, but
+    explicit so both engines evaluate the identical exact predicate:
+    qty·5·cnt < sum_qty in integer-valued doubles < 2^53). Scale: one
+    partkey-shuffle aggregate + one partkey join; the brand filter
+    prunes the part side at the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_dim(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    joined = (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .join(pa, F.col("pa_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+    )
+    return joined.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q21_sole_return_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q21_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for returns in
+    multi-supplier finished orders — EXISTS + NOT EXISTS, both
+    correlated with an inequality on top of the equality key. Catalyst
+    decorrelates to a semi + anti join pair on orderkey (the inequality
+    rides along as a join condition); no per-row subquery execution.
+    Total order under LIMIT via (numwait DESC, s_name)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 25
+        """
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT {_DEC_SUM.format(x="c_acctbal")} AS pos_sum,
+             CAST(COUNT(*) AS BIGINT) AS pos_cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+           {_DEC_SUM.format(x="c.c_acctbal")} AS total_bal
+    FROM customer c, pos
+    WHERE c.c_acctbal * pos.pos_cnt > pos.pos_sum
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders —
+    an uncorrelated scalar threshold (average positive balance, in
+    multiply-through form: bal·cnt > sum, one IEEE op per row on
+    identical operands) plus a correlated NOT EXISTS (anti join against
+    date-filtered orders). Scale: customer scans once; the threshold is
+    a one-row broadcast; the anti join shuffles only the date-filtered
+    slice of orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("pos_sum"),
+        F.count(F.lit(1)).alias("pos_cnt"),
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal") * F.col("pos_cnt") > F.col("pos_sum")
+    )
+    dormant = rich.join(
+        orders, orders.o_custkey == rich.c_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
+    )

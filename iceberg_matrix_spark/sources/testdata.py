@@ -40,26 +40,39 @@ def sf_dir_from_env() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, read as a raw long
-    (see session.py). We truncate to microseconds with *integer* division
-    (`div` — float division would lose precision: 2024-epoch nanos exceed
-    the 53-bit double mantissa) and cast to TIMESTAMP_NTZ so values match
-    DuckDB's ``CAST(ts AS TIMESTAMP)`` exactly.
+    ``events.ts`` is normalized to TIMESTAMP_NTZ (see
+    ``normalize_events_ts``) so values match DuckDB's ``ts`` exactly
+    regardless of whether the driver generated NANOS or MICROS parquet.
     """
     if name == "events":
-        # events.parquet is INT64 TIMESTAMP(NANOS); vanilla sessions reject it
-        # with PARQUET_TYPE_ILLEGAL unless nanosAsLong is on. Set it here (a
-        # dynamic SQLConf) so queries work under ANY session, not just ones
-        # built by session.py. Deliberately not restored: the conf must still
-        # hold at execution time, and it only affects nanos-typed columns.
+        # Some driver generations write events.ts as INT64 TIMESTAMP(NANOS);
+        # vanilla sessions reject that with PARQUET_TYPE_ILLEGAL unless
+        # nanosAsLong is on. Set it here (a dynamic SQLConf) so queries work
+        # under ANY session, not just ones built by session.py. Deliberately
+        # not restored: the conf must still hold at execution time, and it
+        # only affects nanos-typed columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        df = normalize_events_ts(df, to="timestamp_ntz")
     return df
+
+
+def normalize_events_ts(df: DataFrame, to: str = "timestamp_ntz") -> DataFrame:
+    """Normalize events.ts to a uniform timestamp type whatever the file's
+    physical unit: NANOS arrives as a raw long (nanosAsLong) →
+    integer-divide to micros (``div`` — float division would lose
+    precision: 2024-epoch nanos exceed the 53-bit double mantissa);
+    MICROS/MILLIS arrive as a timestamp type already → just align the
+    target type. Dispatch on the *read* dtype, not the file footer, so the
+    same code survives driver testdata regenerations (round 1 shipped
+    NANOS events, round 2 MICROS)."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        col = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        col = F.col("ts")
+    return df.withColumn("ts", col.cast(to))
 
 
 # On-disk size under which a table gets an explicit broadcast hint.
