@@ -346,3 +346,184 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     48-token stride), identified by fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 3
+# Deterministic stand-in for the eval/benchmark set: ~1% of the corpus.
+# In production this is the real benchmark suite loaded as a small table.
+DECON_BENCH_MOD = 97
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, text_col: str = "text", k: int = DECON_NGRAM
+) -> DataFrame:
+    """Flag training documents sharing any k-word n-gram with a benchmark
+    set (the decontamination step every eval-honest corpus build runs;
+    same n-gram-overlap rule as GPT-3 appx C / PaLM §7).
+
+    Returns (doc_id, n_overlap_ngrams) for contaminated docs only.
+
+    Scale design: the benchmark side is small by nature (eval suites are
+    MBs, the corpus is TBs) → its distinct n-grams BROADCAST; the corpus
+    side is a narrow (doc_id, text) projection whose exploded n-grams
+    join map-side with no shuffle. The only shuffle is the per-doc count
+    over *matched* rows — proportional to contamination, not corpus size.
+    """
+    from iceberg_matrix_spark.functions.text import word_shingles
+
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("g")).distinct()
+    )
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(word_shingles(text_col, k)).alias("g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_ngrams"))
+    )
+
+
+_DECON_TOKS = "regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_DECON_GRAMS = (
+    "list_distinct(list_transform(generate_series(1, len(t)-2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+)
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DECON_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, {_DECON_GRAMS} AS gs FROM toks WHERE len(t) >= {DECON_NGRAM}
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % {DECON_BENCH_MOD} <> 0
+    )
+    SELECT c.doc_id, COUNT(*) AS n_overlap_ngrams
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 3-gram with the
+    benchmark slice (doc_id % 97 == 0 stands in for the eval set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    # distinct per-doc grams on the corpus side too (word_shingles already
+    # dedupes within a doc) so counts mean "distinct shared n-grams".
+    return decontaminate(corpus, bench)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter rules
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRACTION = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+# The Gopher rule uses a tiny fixed stopword list (Rae et al. 2021,
+# arXiv:2112.11446 table A1: "the, be, to, of, and, that, have, with").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document filter verdicts (Rae et al. 2021 §A1.1,
+    adapted to the signals present in the synthetic corpus): word-count
+    band, mean-word-length band, symbol-to-word ratio, alphabetic-word
+    fraction, distinct-stopword floor, and the AND of all five.
+
+    Pure Catalyst expressions over one bound token array — shuffle-free,
+    whole-stage codegen, 2-column scan; the 100 TB shape is a narrow
+    projection exactly like operators/text.py."""
+    from iceberg_matrix_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    no_ws = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    mean_len = no_ws / n_words
+    symbol_hits = F.regexp_count(F.col(text_col), F.lit(r"(#|\.\.\.)"))
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))) / n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbol_ratio": symbol_hits / n_words <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha_fraction": alpha_frac >= GOPHER_MIN_ALPHA_FRACTION,
+        "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+    }
+    out = df.withColumns(rules)
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+@register(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_DECON_TOKS} AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS no_ws,
+             len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS symbol_hits
+      FROM documents
+    )
+    SELECT doc_id,
+      len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_word_count,
+      CAST(no_ws AS DOUBLE) / len(toks) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AS ok_mean_word_len,
+      CAST(symbol_hits AS DOUBLE) / len(toks) <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+      CAST(len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE) / len(toks)
+        >= {GOPHER_MIN_ALPHA_FRACTION} AS ok_alpha_fraction,
+      len(list_intersect(list_transform(toks, x -> lower(x)), {_GOPHER_STOP_SQL}))
+        >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+      (len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND (CAST(no_ws AS DOUBLE) / len(toks) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
+        AND (CAST(symbol_hits AS DOUBLE) / len(toks) <= {GOPHER_MAX_SYMBOL_RATIO})
+        AND (CAST(len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE) / len(toks) >= {GOPHER_MIN_ALPHA_FRACTION})
+        AND (len(list_intersect(list_transform(toks, x -> lower(x)), {_GOPHER_STOP_SQL})) >= {GOPHER_MIN_STOPWORDS})
+        AS keep
+    FROM documents JOIN t USING (doc_id)
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-filter verdicts + the combined keep flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs).select(
+        "doc_id",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_alpha_fraction",
+        "ok_stopwords",
+        "keep",
+    )

@@ -68,3 +68,57 @@ def test_repetition_plan_is_narrow(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # shuffle-free narrow projection
+
+
+def test_decontaminate_counts_shared_ngrams(spark):
+    from iceberg_matrix_spark.operators.pipeline import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two distinct 3-grams with the benchmark doc
+            (1, "alpha beta gamma delta zeta"),
+            # shares none
+            (2, "one two three four five"),
+            # shares exactly one ("gamma delta epsilon")
+            (3, "x y gamma delta epsilon q"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["n_overlap_ngrams"] for r in decontaminate(corpus, bench).collect()}
+    assert rows == {1: 2, 3: 1}  # doc 2 absent — nothing shared
+
+
+def test_gopher_rules_known_verdicts(spark):
+    from iceberg_matrix_spark.operators.pipeline import gopher_rules
+
+    long_ok = "the quick brown fox jumps over " + " ".join(
+        "word" + "abcdefghij"[i % 10] for i in range(60)
+    ) + " and that have with to of be"
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(
+                [
+                    (1, long_ok),                    # passes everything
+                    (2, "too short to keep the and"),  # fails word count only
+                    (3, long_ok + " ##### ... ... ... ... ... ... " * 4),  # symbols
+                ],
+                "doc_id bigint, text string",
+            )
+        ).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["ok_word_count"] is False and rows[2]["keep"] is False
+    assert rows[2]["ok_stopwords"] is True
+    assert rows[3]["ok_symbol_ratio"] is False and rows[3]["keep"] is False
+
+
+def test_gopher_plan_is_narrow(spark, sf_dir):
+    from iceberg_matrix_spark.operators.pipeline import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # shuffle-free narrow projection
