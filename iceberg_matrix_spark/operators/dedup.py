@@ -83,8 +83,11 @@ def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """(doc_id, shingles array, n_sh) for docs with ≥ k tokens."""
+    from iceberg_matrix_spark.operators.scale import ensure_compute_parallelism
+
+    slim = ensure_compute_parallelism(df.select(id_col, text_col))
     return (
-        df.select(
+        slim.select(
             F.col(id_col).alias("doc_id"),
             word_shingles(text_col, k).alias("shingles"),
         )

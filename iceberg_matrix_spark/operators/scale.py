@@ -36,6 +36,30 @@ _PARTIAL = {
 }
 
 
+def ensure_compute_parallelism(df: DataFrame) -> DataFrame:
+    """Guarantee a compute-bound narrow stage gets ≥ defaultParallelism
+    input splits.
+
+    At 100 TB a parquet scan yields thousands of maxPartitionBytes splits
+    and this is a NO-OP (planned partitions already ≥ cores). The case it
+    fixes is the inverse: a small file (one row group) under a per-row
+    CPU-heavy projection (md5-per-gram winnowing, shingle hashing) plans
+    as ONE task and serializes all that work onto a single core. The
+    round-robin repartition it inserts moves only the slim projection's
+    bytes — negligible next to the per-row compute it parallelizes — and
+    is excluded from the data-shuffle plan budget
+    (plans/inspect.py:data_shuffle_count).
+
+    Call it AFTER projecting down to the columns the stage needs, so the
+    exchange carries nothing extra.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -193,6 +193,12 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     Selected hex digests compare lexicographically identically in any
     engine, so the whole operator is SQL-oracle-able.
     """
+    from iceberg_matrix_spark.operators.scale import ensure_compute_parallelism
+
+    # md5-per-gram is the rare projection where per-row CPU dominates the
+    # scan: make sure it isn't serialized onto one task by a small input
+    # (no-op at real scale — see ensure_compute_parallelism).
+    df = ensure_compute_parallelism(df.select("doc_id", text_col))
     k, w = _WINNOW_K, _WINNOW_W
     norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
     expr = (

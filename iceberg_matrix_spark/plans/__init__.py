@@ -7,6 +7,7 @@ from iceberg_matrix_spark.plans.inspect import (
     pushed_filters,
     read_schemas,
     scan_columns,
+    data_shuffle_count,
     shuffle_count,
     sort_merge_join_count,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "pushed_filters",
     "read_schemas",
     "scan_columns",
+    "data_shuffle_count",
     "shuffle_count",
     "sort_merge_join_count",
 ]

@@ -49,6 +49,20 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
 
 
+def data_shuffle_count(df: DataFrame) -> int:
+    """Shuffle exchanges excluding round-robin repartitions.
+
+    Round-robin exchanges come from ensure_compute_parallelism
+    (operators/scale.py): they exist only when a small local input plans
+    fewer splits than cores, and vanish at real scale. The *data*
+    shuffles — hash/range exchanges required by the operator semantics —
+    are the ones the 100 TB shuffle budget counts.
+    """
+    plan = explain_formatted(df)
+    rr = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
+    return shuffle_count(df) - rr
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     return len(
         re.findall(r"^\(\d+\) BroadcastHashJoin", explain_formatted(df), re.MULTILINE)

@@ -428,3 +428,44 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
     )
+
+
+@register(
+    "q_window_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           LAG(o_orderkey, 2) OVER w AS prev2_orderkey,
+           NTILE(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           FIRST_VALUE(o_orderkey) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth (§2.7): LEAD/LAG offsets, NTILE
+    quartiles, percent_rank/cume_dist ratios, FIRST_VALUE over an
+    explicit ROWS frame — all under a TOTAL order (date, unique key), so
+    every engine computes identical results. percent_rank/cume_dist are
+    exact small-integer ratios → bit-identical doubles.
+
+    Scale: one shuffle on o_custkey serves every function (same window
+    spec reused); no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.lag("o_orderkey", 2).over(w).alias("prev2_orderkey"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(wrows).alias("first_orderkey"),
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from iceberg_matrix_spark.plans import (
     broadcast_join_count,
+    data_shuffle_count,
     pushed_filters,
     scan_columns,
     shuffle_count,
@@ -62,7 +63,7 @@ def test_dedup_ngram_shuffle_budget(spark, sf_dir):
     # exactly two shuffles: postings groupBy + pair-count groupBy (sizes
     # ride inside the posting structs, so no size joins at all)
     df = QUERIES["q_dedup_ngram_threshold"](spark, sf_dir)
-    assert shuffle_count(df) == 2
+    assert data_shuffle_count(df) == 2
 
 
 def test_curation_ops_stay_narrow(spark, sf_dir):
@@ -102,6 +103,9 @@ def test_text_ops_are_shuffle_free(spark, sf_dir):
     for name in ("q_text_quality", "q_text_token_stats", "q_text_bpe_token_count",
                  "q_text_fingerprint_winnow"):
         df = QUERIES[name](spark, sf_dir)
-        assert shuffle_count(df) == 0, name
+        # winnow may carry a round-robin repartition from
+        # ensure_compute_parallelism on small local inputs — zero DATA
+        # shuffles is the invariant that holds at 100 TB
+        assert data_shuffle_count(df) == 0, name
         [cols] = scan_columns(df)
         assert cols <= {"doc_id", "text"}, name
