@@ -485,3 +485,70 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(
         emb, _query_vectors(spark, sf_dir), k=10, centroids=cents, nprobe=len(cents)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector quantization (int8 per-dimension scaling)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension int8 quantization: codes = floor((x - min_d) · 255 /
+    (max_d - min_d)), clamped to [0, 255], with (min_d, max_d) computed
+    per dimension over the corpus — the storage-compression step an
+    embedding store runs before ANN serving (4× smaller than float32).
+
+    Plan: posexplode (narrow) → per-dimension MIN/MAX (64 groups, partial
+    aggs combine map-side) → broadcast the 64-row stats → per-vector code
+    aggregation (one shuffle on vec_id). Float min/max are EXACT (no
+    accumulation), and the code expression is the same IEEE op sequence
+    on both engines, so codes are bit-identical cross-engine.
+    """
+    ex = df.select(
+        "vec_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = ex.join(F.broadcast(stats), "pos").withColumn(
+        "code",
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("x") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))),
+            ),
+        ),
+    )
+    return coded.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum("code").alias("sum_codes"),
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+    )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    stats AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos
+    ),
+    coded AS (
+      SELECT vec_id,
+             least(255, greatest(0, CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT))) AS code
+      FROM ex JOIN stats USING (pos)
+    )
+    SELECT vec_id, COUNT(*) AS n_dims, CAST(SUM(code) AS BIGINT) AS sum_codes,
+           MIN(code) AS min_code, MAX(code) AS max_code
+    FROM coded GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization codes per vector (count/sum/min/max summary)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)

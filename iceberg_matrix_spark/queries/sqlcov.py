@@ -457,3 +457,51 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q_null_semantics",
+    oracle=f"""
+    WITH v AS (
+      SELECT NULLIF(event_type, 'error') AS etype,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS val,
+             user_id
+      FROM events
+    )
+    SELECT etype,
+           COUNT(*) AS n_rows,
+           COUNT(val) AS n_nonnull,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           {_DEC_SUM.format(x="COALESCE(val, 0)")} AS sum_val,
+           MIN(val) AS min_val,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM v GROUP BY etype
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface in one query: a NULL grouping key (SQL
+    groups NULLs together), null-skipping COUNT(col)/MIN, explicit
+    IS NULL counting, and COALESCE defaulting — the semantics the CoW
+    DELETE fix (tables/table.py) depends on, exercised on the query side.
+
+    Scale: one groupBy shuffle; NULL handling is free in codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.nullif("event_type", F.lit("error")).alias("etype"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("val"),
+        "user_id",
+    )
+    return v.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_nonnull"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.sum(F.coalesce(F.col("val"), F.lit(0)).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -180,3 +180,68 @@ def q_variant_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_event_id,
+           c.event_id AS click_event_id,
+           p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the user's
+    clicks in the preceding hour — two watermarked file streams, inner
+    join with an event-time range condition (the condition is what lets
+    the engine expire join state: click state older than the watermark
+    minus the interval is dropped). availableNow processes the full file
+    set, so the result equals the batch join exactly.
+
+    Scale: state is hash-partitioned by user_id; per-key state is bounded
+    by the 1-hour interval × ingest rate, not history length.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src(alias: str, etype: str) -> DataFrame:
+        s = normalize_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir),
+            to="timestamp",
+        ).filter(F.col("event_type") == etype)
+        return s.select(
+            F.col("event_id").alias(f"{alias}_event_id"),
+            F.col("user_id").alias(f"{alias}_user_id"),
+            F.col("ts").alias(f"{alias}_ts"),
+        ).withWatermark(f"{alias}_ts", "1 hour")
+
+    purchases = src("p", "purchase")
+    clicks = src("c", "click")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    sink = f"stream_stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).select(
+        F.col("p_event_id").alias("purchase_event_id"),
+        F.col("c_event_id").alias("click_event_id"),
+        F.col("p_user_id").alias("user_id"),
+    )

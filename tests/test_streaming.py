@@ -195,11 +195,13 @@ def test_tumbling_windows_stream_matches_batch(spark, sf_dir):
     """Streaming windowed agg (availableNow, complete mode) equals the
     batch plan of the same operator."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    from iceberg_matrix_spark.sources.testdata import normalize_events_ts
+
+    stream = normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .parquet(sf_dir),
+        to="timestamp",
     )
     sink = f"win_{uuid.uuid4().hex[:8]}"
     q = (
@@ -212,9 +214,8 @@ def test_tumbling_windows_stream_matches_batch(spark, sf_dir):
         .start()
     )
     q.awaitTermination(120)
-    batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), to="timestamp"
     )
     expect = {
         (r["window_start"], r["event_type"], r["n_events"], r["max_value"])
