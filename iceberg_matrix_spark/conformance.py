@@ -70,6 +70,7 @@ FEATURES = [
     ("time-travel", "VERSION/TIMESTAMP AS OF", "snapshots"),
     ("branching-tagging", "Branches and tags", "snapshots"),
     ("incremental-read", "Snapshot-range reads", "snapshots"),
+    ("snapshot-rollback", "rollback_to_snapshot / set_current_snapshot", "snapshots"),
     ("streaming-tail", "Continuous streaming read", "streaming"),
     ("compaction", "rewrite_data_files", "maintenance"),
     ("snapshot-expiry", "expire_snapshots", "maintenance"),
@@ -421,6 +422,27 @@ def t_branching(ctx: Ctx) -> str:
     assert t.df(ref="v1").count() == 3
     try:
         t.append(ctx.spark.range(1), branch="v1")  # tags are immutable
+        return "fail"
+    except ValueError:
+        pass
+    return "pass"
+
+
+@conformance_test("snapshot-rollback")
+def t_snapshot_rollback(ctx: Ctx) -> str:
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(3))
+    first = t._current_snapshot().snapshot_id
+    t.append(ctx.spark.range(3, 8))
+    second = t._current_snapshot().snapshot_id
+    t.rollback_to_snapshot(first)
+    assert t.df().count() == 3  # reads the rolled-back head
+    # the undone snapshot survives until expiry and main can roll forward
+    t.set_current_snapshot(second)
+    assert t.df().count() == 8
+    t.rollback_to_snapshot(first)
+    try:
+        t.rollback_to_snapshot(second)  # not an ancestor of current head
         return "fail"
     except ValueError:
         pass

@@ -277,3 +277,38 @@ def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(tokens("text")).alias("n_ws_tokens"),
     )
+
+
+VOCAB_TOPK = 500
+
+
+@register(
+    "q_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS freq
+    FROM toks
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT {VOCAB_TOPK}
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: global token frequencies, top-{500} under a
+    total order (freq desc, token) — the first step of tokenizer
+    training over a corpus.
+
+    Scale: explode is narrow; the groupBy(token) partial-aggregates
+    map-side so the shuffle carries one row per distinct token per task,
+    not one per token occurrence; the top-k is a TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(VOCAB_TOPK)
+    )

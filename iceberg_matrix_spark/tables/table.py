@@ -930,6 +930,40 @@ class IceLiteTable:
 
         self._commit(mutate)
 
+    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+        """Move ``main`` back to an ANCESTOR snapshot (the Iceberg
+        ``rollback_to_snapshot`` procedure contract — arbitrary jumps go
+        through :meth:`set_current_snapshot`). Later snapshots stay in
+        metadata (and remain tag/branch-addressable) until
+        ``expire_snapshots`` removes them."""
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            meta.snapshot_by_id(snapshot_id)  # existence check
+            sid = meta.current_snapshot_id
+            while sid is not None and sid != snapshot_id:
+                sid = meta.snapshot_by_id(sid).parent_id
+            if sid != snapshot_id:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not an ancestor of the current "
+                    "main head; use set_current_snapshot for non-linear jumps"
+                )
+            meta.refs["main"] = Ref(snapshot_id=snapshot_id, type="branch")
+            return meta
+
+        self._commit(mutate)
+
+    def set_current_snapshot(self, snapshot_id: int) -> None:
+        """Point ``main`` at ANY existing snapshot (Iceberg's
+        ``set_current_snapshot`` procedure) — e.g. rolling forward again
+        after a rollback."""
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            meta.snapshot_by_id(snapshot_id)
+            meta.refs["main"] = Ref(snapshot_id=snapshot_id, type="branch")
+            return meta
+
+        self._commit(mutate)
+
     def drop_ref(self, name: str) -> None:
         def mutate(meta: TableMetadata) -> TableMetadata:
             if name == "main":

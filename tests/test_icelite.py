@@ -507,3 +507,25 @@ def test_concurrent_appenders_all_land_exactly_once(spark, catalog):
     assert len(snaps) == 8
     for prev, cur in zip(snaps, snaps[1:]):
         assert cur.parent_id == prev.snapshot_id
+
+
+def test_snapshot_rollback_and_set_current(spark, catalog):
+    t = catalog.create_table("ns.t_rollback", "id bigint")
+    t.append(spark.range(3))
+    first = t._current_snapshot().snapshot_id
+    t.append(spark.range(3, 8))
+    second = t._current_snapshot().snapshot_id
+
+    t.rollback_to_snapshot(first)
+    assert t.df().count() == 3
+    # rolled-past snapshot still addressable by id (survives until expiry)
+    assert t.df(snapshot_id=second).count() == 8
+
+    t.set_current_snapshot(second)  # roll forward again
+    assert t.df().count() == 8
+
+    t.rollback_to_snapshot(first)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback_to_snapshot(second)
+    with pytest.raises(KeyError):
+        t.set_current_snapshot(999999)
