@@ -43,6 +43,12 @@ HEADLINE = [
     # round 2 additions: iterative clustering + distributed prefix sum
     "q_dedup_filtered_corpus",
     "q_pack_sequences",
+    # round 2, second wave: multi-EXISTS decorrelation, broadcast n-gram
+    # decontamination, posexplode quantization, dense-grid rollup
+    "q21_sole_return_suppliers",
+    "q_decontaminate",
+    "q_embedding_quantize",
+    "q_time_rollup_gapfill",
 ]
 
 

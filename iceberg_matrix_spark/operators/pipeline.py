@@ -527,3 +527,102 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_stopwords",
         "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing (per-source token budgets)
+# ---------------------------------------------------------------------------
+
+# Declared mixture shares; every source not listed splits the remainder
+# evenly. The shape (a few up-weighted domains + a uniform tail) is the
+# standard training-mixture spec.
+DOMAIN_SHARES: dict[str, float] = {"src0": 0.30, "src1": 0.20}
+
+
+def domain_mix(df: DataFrame, source_col: str = "source") -> DataFrame:
+    """Down-sample each source to its target token share: weight_s =
+    min(1, share_s · total_tokens / tokens_s), keep iff the per-doc
+    md5 coin < weight·100. Deterministic (no RNG), auditable, and
+    engine-portable — the same doc set survives on any cluster layout.
+
+    Scale: one groupBy(source) aggregate (tiny) + one global aggregate
+    (one row), both broadcast back onto a narrow scan; the fact side
+    never shuffles.
+    """
+    from iceberg_matrix_spark.functions.text import token_count
+
+    toks = df.select(
+        "doc_id", F.col(source_col).alias("source"), token_count("text").alias("n_toks")
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n_toks").alias("src_tokens"))
+    declared = F.lit(None).cast("double")
+    for src, share in DOMAIN_SHARES.items():
+        declared = F.when(F.col("source") == src, F.lit(share)).otherwise(declared)
+    per_src = per_src.withColumn("declared", declared)
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum(F.coalesce("declared", F.lit(0.0))).alias("declared_sum"),
+        F.sum(F.when(F.col("declared").isNull(), 1).otherwise(0)).alias("n_other"),
+    )
+    weighted = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "src_tokens",
+        F.least(
+            F.lit(1.0),
+            F.coalesce(
+                F.col("declared"),
+                (F.lit(1.0) - F.col("declared_sum")) / F.col("n_other"),
+            )
+            * F.col("total_tokens")
+            / F.col("src_tokens"),
+        ).alias("weight"),
+    )
+    kept = toks.join(F.broadcast(weighted), "source").filter(
+        F.expr(_COIN) < F.col("weight") * 100.0
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_toks").cast("bigint").alias("tokens_kept"),
+    )
+
+
+_DOMAIN_SHARE_SQL = " ".join(
+    f"WHEN source = '{s}' THEN {v}" for s, v in DOMAIN_SHARES.items()
+)
+
+
+@register(
+    "q_domain_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_DECON_TOKS}) AS n_toks FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens,
+             CASE {_DOMAIN_SHARE_SQL} ELSE NULL END AS declared
+      FROM toks GROUP BY source
+    ),
+    totals AS (
+      SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+             SUM(COALESCE(declared, 0.0)) AS declared_sum,
+             CAST(SUM(CASE WHEN declared IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+      FROM per_src
+    ),
+    weighted AS (
+      SELECT source,
+             least(1.0, COALESCE(declared, (1.0 - declared_sum) / n_other)
+                        * total_tokens / src_tokens) AS weight
+      FROM per_src, totals
+    )
+    SELECT t.source, COUNT(*) AS n_docs_kept,
+           CAST(SUM(t.n_toks) AS BIGINT) AS tokens_kept
+    FROM toks t JOIN weighted w ON w.source = t.source
+    WHERE {_COIN_SQL} < w.weight * 100.0
+    GROUP BY t.source
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: deterministic per-source token
+    down-sampling to declared shares (src0 30%, src1 20%, uniform tail)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix(docs)

@@ -423,3 +423,46 @@ def test_string_pruned_scan_matches_model(spark, vals, part, op, lit):
             t.refresh().append(spark.createDataFrame([(v,) for v in chunk], "s string"))
     got = sorted(r["s"] for r in t.df(filters=[("s", op, lit)]).collect())
     assert got == _model(vals, op, lit)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user key
+            st.integers(0, 10_000),       # ts offset seconds (may collide)
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_forward_fill_matches_model(spark, rows):
+    """forward_fill == last non-null observation per key in (ts, event_id)
+    order, modeled in plain Python."""
+    from iceberg_matrix_spark.operators.timeseries import forward_fill
+
+    data = [
+        (uid, 1_700_000_000 + off, i, val)  # event_id = list index → total order
+        for i, (uid, off, val) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e, v) for u, t, e, v in data],
+        "user_id int, ts bigint, event_id int, val double",
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["filled_value"]
+        for r in forward_fill(df, "user_id", ["ts", "event_id"], F.col("val")).collect()
+    }
+    # model
+    by_user: dict[int, list] = {}
+    for u, t, e, v in data:
+        by_user.setdefault(u, []).append((t, e, v))
+    expect = {}
+    for u, evs in by_user.items():
+        carried = None
+        for t, e, v in sorted(evs):
+            if v is not None:
+                carried = v
+            expect[(u, e)] = carried
+    assert got == expect
