@@ -505,3 +505,38 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, c_mktsegment) AS lev_dist,
+           split_part(c_name, '#', 2) AS cust_num,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           reverse(c_mktsegment) AS seg_reversed,
+           repeat(substring(c_mktsegment, 1, 1), 3) AS seg_initial3,
+           CAST(instr(c_name, '0') AS BIGINT) AS first_zero_pos,
+           CAST(ascii(c_mktsegment) AS BIGINT) AS seg_first_byte
+    FROM customer
+    WHERE c_custkey < 200
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth (§2.17): edit distance, field splitting,
+    padding, character translation, reverse/repeat/position/codepoint —
+    the manipulation surface ETL jobs lean on. All JVM-side codegen; the
+    scan reads 3 columns and the filter pushes down."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return cust.select(
+        "c_custkey",
+        F.levenshtein("c_name", "c_mktsegment").alias("lev_dist"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.reverse("c_mktsegment").alias("seg_reversed"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("seg_initial3"),
+        F.instr("c_name", "0").cast("bigint").alias("first_zero_pos"),
+        F.ascii("c_mktsegment").cast("bigint").alias("seg_first_byte"),
+    )

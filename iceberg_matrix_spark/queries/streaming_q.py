@@ -44,6 +44,9 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanosAsLong covers driver generations that write TIMESTAMP(NANOS);
     # normalize_events_ts dispatches on the read dtype either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # this query routes ts through session-TZ TIMESTAMP (watermarks); pin
+    # UTC so the NTZ↔LTZ round-trip is the identity under ANY session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = normalize_events_ts(
         spark.readStream.schema(raw_schema)
@@ -122,6 +125,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id across executors.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # this query routes ts through session-TZ TIMESTAMP (watermarks); pin
+    # UTC so the NTZ↔LTZ round-trip is the identity under ANY session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def src() -> DataFrame:
@@ -206,6 +212,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the 1-hour interval × ingest rate, not history length.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # this query routes ts through session-TZ TIMESTAMP (watermarks); pin
+    # UTC so the NTZ↔LTZ round-trip is the identity under ANY session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def src(alias: str, etype: str) -> DataFrame:

@@ -177,19 +177,19 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_important_parts",
-    oracle=f"""
+    oracle="""
     WITH pv AS (
-      SELECT l_partkey, {_DEC_SUM.format(x="l_extendedprice")} AS part_value
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
       FROM lineitem GROUP BY l_partkey
     ),
     tot AS (
-      SELECT {_DEC_SUM.format(x="l_extendedprice")} AS total_value,
-             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
-      FROM lineitem
+      SELECT CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total_value,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM pv
     )
-    SELECT l_partkey, part_value
+    SELECT l_partkey, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS part_value
     FROM pv, tot
-    WHERE part_value * n_parts * 10 > total_value * 12
+    WHERE CAST(CAST(v AS VARCHAR) AS DOUBLE) * n_parts * 10 > total_value * 12
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,23 +198,23 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     inexact literals). The threshold is a one-row aggregate broadcast
     into the filter; both operands are exact-decimal sums cast to double
     once, so the comparison is the same IEEE op on both engines. Scale:
-    one groupBy(l_partkey) shuffle + a scalar broadcast — no second pass
-    over lineitem."""
+    lineitem is scanned ONCE — the global total and part count are
+    re-aggregated from the tiny per-part frame (exact: decimal sums
+    combine associatively), then broadcast as a one-row threshold."""
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("part_value")
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("v")
     )
-    tot = li.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("total_value"),
-        F.countDistinct("l_partkey").alias("n_parts"),
+    tot = pv.agg(
+        F.sum("v").cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
     )
-    return pv.crossJoin(F.broadcast(tot)).filter(
-        F.col("part_value") * F.col("n_parts") * 10 > F.col("total_value") * 12
-    ).select("l_partkey", "part_value")
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .withColumn("part_value", F.col("v").cast("double"))
+        .filter(F.col("part_value") * F.col("n_parts") * 10 > F.col("total_value") * 12)
+        .select("l_partkey", "part_value")
+    )
 
 
 @register(

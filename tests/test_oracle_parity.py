@@ -22,3 +22,25 @@ def test_all_queries_return_rows(spark, sf_dir):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.columns, f"{name}: no columns"
+
+
+def test_queries_survive_non_utc_session(spark, sf_dir):
+    """The driver builds its own SparkSession and guarantees nothing about
+    its timezone. Every query must produce oracle-identical results under
+    a hostile session TZ: batch paths are TIMESTAMP_NTZ end-to-end, and
+    streaming paths pin UTC themselves before routing through session-TZ
+    timestamps."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for name in (
+            "q_top1_latest",          # batch events scan
+            "q_date_trunc_agg",       # date arithmetic on events
+            "q1_pricing_summary",     # lineitem timestamp filters
+            "q_time_rollup_gapfill",  # grid generated from timestamps
+            "q_stream_window_agg",    # streaming watermark path
+        ):
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            assert_query_matches_oracle(spark, QUERIES[name], ORACLES[name], sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

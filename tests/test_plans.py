@@ -109,3 +109,36 @@ def test_text_ops_are_shuffle_free(spark, sf_dir):
         assert data_shuffle_count(df) == 0, name
         [cols] = scan_columns(df)
         assert cols <= {"doc_id", "text"}, name
+
+
+def test_tpch_breadth_decorrelation_and_scan_budget(spark, sf_dir):
+    # Q4/Q21: correlated (NOT) EXISTS must become semi/anti hash joins
+    plan4 = QUERIES["q4_priority_returns"](spark, sf_dir)
+    p4 = plan4._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p4
+
+    plan21 = QUERIES["q21_sole_return_suppliers"](spark, sf_dir)
+    p21 = plan21._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+
+    # Q13: LEFT OUTER survives (customers with zero orders must appear),
+    # exactly the two semantic shuffles (per-customer agg, histogram agg)
+    df13 = QUERIES["q13_order_count_distribution"](spark, sf_dir)
+    p13 = df13._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in p13 or "BuildRight" in p13
+    assert data_shuffle_count(df13) <= 2
+
+    # Q11: lineitem scanned ONCE — the global threshold re-aggregates the
+    # per-part frame instead of re-reading the fact table
+    df11 = QUERIES["q11_important_parts"](spark, sf_dir)
+    scans = scan_columns(df11)
+    lineitem_scans = [c for c in scans if "l_extendedprice" in c]
+    assert len(lineitem_scans) == 1, scans
+
+    # Q22: anti join against the date-filtered orders slice, with the
+    # filter pushed to the scan
+    df22 = QUERIES["q22_dormant_customers"](spark, sf_dir)
+    p22 = df22._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p22
+    text = " ".join(f for fs in pushed_filters(df22) for f in fs)
+    assert "o_orderdate" in text
