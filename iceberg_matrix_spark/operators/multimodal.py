@@ -261,7 +261,39 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000)
 
 
-@register("q_multimodal_decode")  # stub decoder — no portable SQL oracle
+@register(
+    "q_multimodal_decode",
+    # The codec is a stub, but a DETERMINISTIC one: payload =
+    # repeat(md5(doc_id), copies) as ASCII hex, so n_bytes/checksum/mean
+    # are exact functions of doc_id that DuckDB can recompute — the
+    # Arrow-batched mapInPandas stage gets a full value oracle, not just
+    # a rows-only check. (A real codec build would drop back to
+    # rows-only + golden-file tests.)
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             CAST(doc_id % 7 + 1 AS BIGINT) AS copies,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, media_type, copies,
+             CAST(list_sum(list_transform(generate_series(1, 32),
+                                          i -> ascii(substring(h, i, 1)))) AS BIGINT) AS s32
+      FROM m
+    )
+    SELECT doc_id, media_type,
+           CAST(copies * 32 AS INT) AS n_bytes,
+           (copies * s32) % 2147483648 AS checksum,
+           CAST(copies * s32 AS DOUBLE) / (copies * 32) AS mean_intensity,
+           CAST(CASE WHEN media_type <> 'audio' THEN 64 + (doc_id % 16) * 32 ELSE 0 END AS INT)
+             AS decoded_width,
+           CAST(CASE WHEN media_type <> 'audio' THEN 64 + (doc_id % 9) * 32 ELSE 0 END AS INT)
+             AS decoded_height
+    FROM s
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode stage over every media item (stub codec)."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
