@@ -64,6 +64,42 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right values with
+    ``right.on >= left.on`` within the same ``by`` key (NULL if none).
+    Same single-shuffle union+window shape as backward, traversed in
+    descending time: the carried ``last`` is then the nearest later
+    right row. Tie semantics mirror DuckDB's ``ASOF ... ON l.ts <=
+    r.ts`` (a right row exactly at the left timestamp is visible)."""
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_tag = right.select(*by, on, *value_cols).withColumn("__side", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(v)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{v}")
+            for v in value_cols
+        ],
+    )
+    keep = [c for c in left.columns]
+    return carried.filter(F.col("__side") == 1).select(
+        *keep, *[F.col(f"__asof_{v}").alias(v) for v in value_cols]
+    )
+
+
 @register(
     "q_asof_join",
     oracle="""
@@ -96,6 +132,40 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join_backward(
         clicks, purchases, on="ts", by=["user_id"], value_cols=["purchase_value"]
+    )
+
+
+@register(
+    "q_asof_join_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS next_purchase_value FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, CAST(c.ts AS TIMESTAMP) AS ts,
+           p.next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click annotated with the user's NEXT purchase value at-or-
+    after the click — the forward as-of direction, checked against
+    DuckDB's native ASOF JOIN with the inequality flipped."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    return asof_join_forward(
+        clicks, purchases, on="ts", by=["user_id"], value_cols=["next_purchase_value"]
     )
 
 

@@ -540,3 +540,61 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("c_name", "0").cast("bigint").alias("first_zero_pos"),
         F.ascii("c_mktsegment").cast("bigint").alias("seg_first_byte"),
     )
+
+
+@register(
+    "q_array_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           list_sort(list(DISTINCT o_orderstatus))[1] AS first_status
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregation: collect_set sorted into a canonical array
+    (collect_list/set order is partition-dependent — array_sort makes the
+    result deterministic under ANY partitioning, which is the only safe
+    way to emit collected arrays at scale), joined to a string + element
+    access."""
+    orders = load_table(spark, sf_dir, "orders")
+    sorted_set = F.array_sort(F.collect_set("o_orderstatus"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(sorted_set, ",").alias("statuses"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.element_at(sorted_set, 1).alias("first_status"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3_months,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS week,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+             AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function breadth (§2.17): month arithmetic with
+    end-of-month clamping, last_day, day-of-week (Spark's 1=Sunday
+    convention; the oracle shifts DuckDB's 0=Sunday), ISO week number,
+    day differences."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp_ntz").alias("plus_3_months"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.weekofyear("o_orderdate").cast("int").alias("week"),
+        F.datediff(
+            "o_orderdate", F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+        ).cast("int").alias("days_since_epoch_start"),
+    )
