@@ -234,3 +234,58 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmv_distinct_sketch docstring)."""
     li = load_table(spark, sf_dir, "lineitem")
     return kmv_distinct_sketch(li, "l_returnflag", "l_partkey")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: a hot join key (one orderkey owning a large
+    fraction of rows) pins its entire fan-out on one reducer in a plain
+    shuffle join. Salting splits each left key across N sub-partitions —
+    left rows get a deterministic content-hash salt, the (smaller) right
+    side is replicated N ways — so the hot key's work spreads over N
+    reducers. Results are identical to the unsalted join for ANY salt
+    assignment (the salt only routes rows), which is what the registered
+    oracle checks.
+
+    This is the pre-AQE / deterministic complement to AQE's runtime skew
+    splitting (which stays on as a backstop); the cost is N× the right
+    side's shuffle volume, so use it when right ≪ left — the usual
+    hot-fact ⨝ dimension shape.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l_salted = left.withColumn("__salt", salt.cast("int"))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l_salted.join(r_salted, [*on, "__salt"]).drop("__salt")
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join through the salting path, aggregated per order
+    status — the oracle is the PLAIN join, proving salt-routing never
+    changes results."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )

@@ -55,3 +55,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    from iceberg_matrix_spark.operators.scale import salted_join
+
+    # one hot key owning 90% of the left side
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i, float(i)) for i in range(1000)], "k bigint, v double"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(0, 1000, 3)], "k bigint, name string"
+    )
+    plain = {(r["k"], r["v"], r["name"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(left, right, on=["k"], salt_buckets=8).collect()
+    }
+    assert salted == plain
+    # salt column never leaks into the output
+    assert "__salt" not in salted_join(left, right, on=["k"]).columns
