@@ -180,28 +180,32 @@ def minhash_signatures(
 
     Base hash = pmod(xxhash64(shingle), 2^31); permutation i is
     (a_i·h + b_i) mod (2^61−1). Products stay < 2^62, so the arithmetic
-    can't overflow ANSI bigint. One explode + one groupBy(doc) with K min
-    aggregates — signature cost is linear in corpus shingle count.
+    can't overflow ANSI bigint. Signatures are pure array expressions —
+    K ``array_min(transform(...))`` passes per row inside whole-stage
+    codegen — so the whole signature stage is SHUFFLE-FREE (the earlier
+    formulation exploded shingles and re-grouped by doc, shuffling the
+    entire corpus shingle set just to take per-doc minimums).
     """
     return _minhash_from_hashed(hashed_shingle_sets(df, id_col, text_col, k))
 
 
+def _perm_lambda(a: int, b: int):
+    # closure factory: PySpark infers transform's lambda arity from the
+    # Python signature, so captured constants must NOT ride as defaults
+    return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+
 def _minhash_from_hashed(sets_h: DataFrame) -> DataFrame:
-    ex = sets_h.select("doc_id", F.explode("sh_hashed").alias("h"))
-    base = F.pmod(F.col("h"), F.lit(1 << 31))
-    hashed = ex.select(
-        "doc_id",
+    base = sets_h.withColumn(
+        "__base", F.transform("sh_hashed", lambda h: F.pmod(h, F.lit(1 << 31)))
+    )
+    sig = F.array(
         *[
-            F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE)).alias(f"h{i}")
-            for i, (a, b) in enumerate(_HASH_AB)
-        ],
+            F.array_min(F.transform("__base", _perm_lambda(a, b)))
+            for a, b in _HASH_AB
+        ]
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(_NUM_HASHES)]
-    )
-    return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(_NUM_HASHES)]).alias("signature")
-    )
+    return base.select("doc_id", sig.alias("signature"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = _LSH_BANDS) -> DataFrame:
