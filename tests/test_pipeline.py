@@ -94,7 +94,7 @@ def test_decontaminate_counts_shared_ngrams(spark):
 def test_gopher_rules_known_verdicts(spark):
     from iceberg_matrix_spark.operators.pipeline import gopher_rules
 
-    long_ok = "the quick brown fox jumps over " + " ".join(
+    long_ok = "the quick brown fox jumps over a fence " + " ".join(
         "word" + "abcdefghij"[i % 10] for i in range(60)
     ) + " and that have with to of be"
     rows = {
@@ -103,7 +103,7 @@ def test_gopher_rules_known_verdicts(spark):
             spark.createDataFrame(
                 [
                     (1, long_ok),                    # passes everything
-                    (2, "too short to keep the and"),  # fails word count only
+                    (2, "too short to keep the a"),  # fails word count only
                     (3, long_ok + " ##### ... ... ... ... ... ... " * 4),  # symbols
                 ],
                 "doc_id bigint, text string",
