@@ -76,6 +76,7 @@ FEATURES = [
     ("snapshot-expiry", "expire_snapshots", "maintenance"),
     ("orphan-cleanup", "remove_orphan_files", "maintenance"),
     ("manifest-rewrite", "rewrite_manifests", "maintenance"),
+    ("rewrite-position-deletes", "rewrite_position_delete_files", "maintenance"),
     ("metadata-tables", "files/snapshots/refs/partitions/history", "metadata"),
     ("column-stats", "Per-file min/max/null stats", "metadata"),
     ("table-properties", "Property round-trip", "metadata"),
@@ -494,6 +495,24 @@ def t_compaction(ctx: Ctx) -> str:
     assert result["rewritten_data_files_count"] == before
     assert t._current_snapshot().operation == "replace"
     assert t.df().count() == 20
+    return "pass"
+
+
+@conformance_test("rewrite-position-deletes")
+def t_rewrite_position_deletes(ctx: Ctx) -> str:
+    from iceberg_matrix_spark.tables.maintenance import rewrite_position_deletes
+
+    t = ctx.create("id bigint")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(ctx.spark.range(10).coalesce(1))
+    t.delete("id = 1")
+    t.delete("id = 4")
+    t.delete("id = 7")
+    assert len([d for d in t._current_snapshot().delete_files if d.content == 1]) == 3
+    res = rewrite_position_deletes(t)
+    assert res["rewritten_delete_files_count"] == 3
+    assert len([d for d in t._current_snapshot().delete_files if d.content == 1]) == 1
+    assert sorted(r["id"] for r in t.df().collect()) == [0, 2, 3, 5, 6, 8, 9]
     return "pass"
 
 

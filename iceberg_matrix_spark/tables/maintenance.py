@@ -180,3 +180,68 @@ def rewrite_manifests(table: IceLiteTable) -> dict:
             os.remove(os.path.join(mdir, name))
             removed += 1
     return {"rewritten_manifests_count": removed}
+
+
+def rewrite_position_deletes(table: IceLiteTable) -> dict:
+    """Consolidate accumulated position-delete files into one (Iceberg's
+    ``rewrite_position_delete_files`` procedure): every MoR read anti-
+    joins each outstanding delete file, so N per-commit files cost N
+    inputs per scan — consolidation restores O(1). Dangling entries
+    pointing at data files no longer in the head snapshot are dropped.
+
+    Concurrency contract mirrors rewrite_data_files: the distributed
+    dedup+write happens once, before the commit loop; the commit restarts
+    if the head's position-delete set changed (a concurrent MoR DELETE
+    landed), and merges cleanly past concurrent appends.
+    """
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.tables.table import _file_uri
+
+    for _attempt in range(5):
+        table.refresh()
+        head = table._current_snapshot()
+        if head is None:
+            raise ValueError("nothing to rewrite: empty table")
+        pos = [d for d in head.delete_files if d.content == 1]
+        if len(pos) <= 1:
+            return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
+        live = sorted(_file_uri(f.path) for f in head.data_files)
+        dels = (
+            table.spark.read.parquet(*[d.path for d in pos])
+            .select("file_path", "pos")
+            .distinct()
+            .filter(F.col("file_path").isin(live))
+        )
+        max_seq = max(d.sequence_number for d in pos)
+        entry = table._write_delete_file(dels, content=1, sequence_number=max_seq)
+        known = {d.path for d in pos}
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            h = _head(meta)
+            if {d.path for d in h.delete_files if d.content == 1} != known:
+                raise _RewriteRestart()  # concurrent MoR delete: recompute
+            keep = [d for d in h.delete_files if d.content != 1]
+            meta.last_sequence_number += 1
+            return table._snapshot(
+                meta,
+                "replace",
+                h.data_files,
+                keep + [entry],
+                h,
+                "main",
+                {
+                    "rewritten-delete-files": len(known),
+                    "added-delete-files": 1,
+                },
+            )
+
+        try:
+            table._commit(mutate)
+            return {
+                "rewritten_delete_files_count": len(known),
+                "added_delete_files_count": 1,
+            }
+        except _RewriteRestart:
+            continue
+    raise _RewriteRestart("gave up after 5 restarts (concurrent deletes)")

@@ -529,3 +529,28 @@ def test_snapshot_rollback_and_set_current(spark, catalog):
         t.rollback_to_snapshot(second)
     with pytest.raises(KeyError):
         t.set_current_snapshot(999999)
+
+
+def test_rewrite_position_deletes_consolidates_and_preserves_rows(spark, catalog):
+    t = catalog.create_table(
+        "ns.t_posdel", "id bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.range(10))
+    t.append(spark.range(10, 20))
+    t.delete("id IN (1, 11)")
+    t.delete("id IN (3, 13)")
+    t.delete("id = 7")
+    assert len([d for d in t._current_snapshot().delete_files if d.content == 1]) == 3
+
+    res = maint.rewrite_position_deletes(t)
+    assert res["rewritten_delete_files_count"] == 3
+    assert res["added_delete_files_count"] == 1
+    snap = t._current_snapshot()
+    assert len([d for d in snap.delete_files if d.content == 1]) == 1
+    got = sorted(r["id"] for r in t.df().collect())
+    assert got == sorted(set(range(20)) - {1, 11, 3, 13, 7})
+
+    # idempotent: single consolidated file → no-op
+    res2 = maint.rewrite_position_deletes(t)
+    assert res2["rewritten_delete_files_count"] == 0
