@@ -77,6 +77,7 @@ FEATURES = [
     ("orphan-cleanup", "remove_orphan_files", "maintenance"),
     ("manifest-rewrite", "rewrite_manifests", "maintenance"),
     ("rewrite-position-deletes", "rewrite_position_delete_files", "maintenance"),
+    ("table-statistics", "compute_table_stats NDV sketches", "metadata"),
     ("metadata-tables", "files/snapshots/refs/partitions/history", "metadata"),
     ("column-stats", "Per-file min/max/null stats", "metadata"),
     ("table-properties", "Property round-trip", "metadata"),
@@ -513,6 +514,23 @@ def t_rewrite_position_deletes(ctx: Ctx) -> str:
     assert res["rewritten_delete_files_count"] == 3
     assert len([d for d in t._current_snapshot().delete_files if d.content == 1]) == 1
     assert sorted(r["id"] for r in t.df().collect()) == [0, 2, 3, 5, 6, 8, 9]
+    return "pass"
+
+
+@conformance_test("table-statistics")
+def t_table_statistics(ctx: Ctx) -> str:
+    from iceberg_matrix_spark.tables.maintenance import compute_table_statistics
+    from iceberg_matrix_spark.tables.metadata_tables import statistics as stats_table
+
+    t = ctx.create("id bigint")
+    t.append(ctx.spark.range(50).withColumn("id", F.col("id") % 10))
+    res = compute_table_statistics(t)
+    assert res["ndv"]["id"] == 10.0  # below sketch capacity → exact
+    rows = stats_table(t).collect()
+    assert len(rows) == 1 and rows[0]["blob_type"] == "kmv-ndv-v1"
+    t.refresh()
+    assert t.meta.statistics[0]["snapshot_id"] == t._current_snapshot().parent_id or \
+        t.meta.statistics[0]["snapshot_id"] in {s.snapshot_id for s in t.meta.snapshots}
     return "pass"
 
 

@@ -245,3 +245,60 @@ def rewrite_position_deletes(table: IceLiteTable) -> dict:
         except _RewriteRestart:
             continue
     raise _RewriteRestart("gave up after 5 restarts (concurrent deletes)")
+
+
+def compute_table_statistics(table: IceLiteTable, columns: list[str] | None = None) -> dict:
+    """Iceberg's ``compute_table_stats`` procedure shape: per-column NDV
+    sketches for the CURRENT snapshot, persisted as a statistics file
+    under metadata/ and registered in the metadata.json ``statistics``
+    list (one entry per analyzed snapshot; re-analyzing replaces it).
+
+    Real Iceberg writes Apache DataSketches theta blobs in a Puffin file;
+    IceLite writes the deterministic KMV sketch estimates
+    (operators/scale.py — same estimator, engine-portable hash) as JSON.
+    Scale: one aggregation pass per column, each shuffling at most k
+    hashes per partition — never the distinct set itself.
+    """
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.scale import kmv_distinct_sketch
+
+    table.refresh()
+    head = table._current_snapshot()
+    if head is None:
+        raise ValueError("cannot compute statistics on an empty table")
+    df = table.df()
+    cols = columns or df.columns
+    ndv: dict[str, float] = {}
+    for c in cols:
+        row = kmv_distinct_sketch(
+            df.select(F.lit(1).alias("__g"), c), "__g", c
+        ).collect()[0]
+        ndv[c] = float(row["distinct_est"])
+
+    sdir = os.path.join(table.location, "metadata")
+    path = os.path.join(sdir, f"stats-{head.snapshot_id}.json")
+    with open(path, "w") as f:
+        _json.dump(
+            {"snapshot_id": head.snapshot_id, "blob_type": "kmv-ndv-v1", "ndv": ndv},
+            f,
+            indent=1,
+        )
+
+    def mutate(meta: TableMetadata) -> TableMetadata:
+        meta.statistics = [
+            s for s in meta.statistics if s["snapshot_id"] != head.snapshot_id
+        ] + [
+            {
+                "snapshot_id": head.snapshot_id,
+                "statistics_path": path,
+                "blob_type": "kmv-ndv-v1",
+                "columns": sorted(ndv),
+            }
+        ]
+        return meta
+
+    table._commit(mutate)
+    return {"analyzed_columns": len(ndv), "statistics_path": path, "ndv": ndv}

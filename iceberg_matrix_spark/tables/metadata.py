@@ -112,6 +112,11 @@ class TableMetadata:
     # V3 row lineage: next _row_id to assign (advanced per committed file)
     next_row_id: int = 0
     metadata_log: list[dict] = field(default_factory=list)
+    # Iceberg-style table statistics: one entry per analyzed snapshot
+    # ({"snapshot_id", "statistics_path", "blob_type", "columns"}), the
+    # metadata.json `statistics` list that CALL compute_table_stats
+    # maintains. Absent in pre-statistics metadata files → default [].
+    statistics: list[dict] = field(default_factory=list)
 
     # ---- accessors --------------------------------------------------------
 

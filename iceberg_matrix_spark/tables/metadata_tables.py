@@ -116,3 +116,25 @@ def history(table: IceLiteTable) -> DataFrame:
 def metadata_log_entries(table: IceLiteTable) -> DataFrame:
     rows = [(e["version"], e["timestamp_ms"]) for e in table.meta.metadata_log]
     return table.spark.createDataFrame(rows, "version int, timestamp_ms long")
+
+
+def statistics(table: IceLiteTable) -> DataFrame:
+    """The `statistics` metadata table: one row per (analyzed snapshot,
+    column) with its NDV estimate — read back from the stats files the
+    compute_table_statistics procedure wrote."""
+    import json as _json
+
+    rows = []
+    for entry in table.meta.statistics:
+        with open(entry["statistics_path"]) as f:
+            blob = _json.load(f)
+        for col, est in sorted(blob["ndv"].items()):
+            rows.append(
+                (entry["snapshot_id"], entry["statistics_path"],
+                 entry["blob_type"], col, float(est))
+            )
+    return table.spark.createDataFrame(
+        rows,
+        "snapshot_id long, statistics_path string, blob_type string, "
+        "column string, ndv double",
+    )

@@ -554,3 +554,30 @@ def test_rewrite_position_deletes_consolidates_and_preserves_rows(spark, catalog
     # idempotent: single consolidated file → no-op
     res2 = maint.rewrite_position_deletes(t)
     assert res2["rewritten_delete_files_count"] == 0
+
+
+def test_compute_table_statistics_ndv(spark, catalog):
+    t = catalog.create_table("ns.t_stats", "id bigint, val string")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i % 7}") for i in range(200)], "id bigint, val string"
+        )
+    )
+    res = maint.compute_table_statistics(t)
+    assert res["analyzed_columns"] == 2
+    # below sketch capacity the count is exact; above it, estimated
+    assert res["ndv"]["val"] == 7.0
+    assert abs(res["ndv"]["id"] - 200.0) / 200.0 < 0.2
+
+    stats = {(r["column"]): r["ndv"] for r in mt.statistics(t).collect()}
+    assert stats == res["ndv"]
+
+    # metadata round-trips through JSON (new reader sees the stats entry)
+    t.refresh()
+    assert len(t.meta.statistics) == 1
+
+    # re-analyzing the same snapshot replaces, not duplicates
+    maint.compute_table_statistics(t, columns=["val"])
+    t.refresh()
+    assert len(t.meta.statistics) == 1
+    assert t.meta.statistics[0]["columns"] == ["val"]
