@@ -37,22 +37,29 @@ def time_bucket_rollup_gapfilled(
     value_col: str = "value",
 ) -> DataFrame:
     """Hourly rollup per series over a DENSE hour grid spanning the
-    table's [min, max] timestamps; empty cells are zero-filled."""
+    table's [min, max] timestamps; empty cells are zero-filled.
+
+    The fact table is scanned ONCE: the grid bounds and the series set
+    are re-derived from the (tiny) rollup frame itself — every event
+    lands in some bucket, so min/max over rollup buckets equal min/max
+    over event timestamps truncated, and the rollup's distinct series
+    are exactly the table's."""
     bucket = F.date_trunc("hour", F.col(ts_col))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
-        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
-    )
-    grid = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
-    )
-    series = ev.select(F.col(series_col).alias("series")).distinct()
     agg = ev.groupBy(
         bucket.alias("bucket"), F.col(series_col).alias("series")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+    # three consumers (bounds, series, the outer join) would each re-run
+    # the fact scan; persisting the rollup — small by definition, it's
+    # bucket×series cardinality — makes the scan happen once.
+    agg = agg.persist()
+    bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    series = agg.select("series").distinct()
     dense = grid.crossJoin(F.broadcast(series)).join(
         agg, ["bucket", "series"], "left"
     )
