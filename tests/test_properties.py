@@ -466,3 +466,55 @@ def test_forward_fill_matches_model(spark, rows):
                 carried = v
             expect[(u, e)] = carried
     assert got == expect
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.floats(-10, 10, allow_nan=False)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_directions_match_pandas_model(spark, left, right):
+    """Both as-of directions equal pandas.merge_asof (an independent
+    reference implementation) on deduplicated right timestamps."""
+    import pandas as pd
+
+    from iceberg_matrix_spark.operators.asof import asof_join_backward, asof_join_forward
+
+    # unique (key, ts) on the right: as-of is only well-defined per
+    # timestamp; duplicates are collapsed by max value (same as the
+    # registered query does)
+    rdict: dict[tuple, float] = {}
+    for k, ts, v in right:
+        rdict[(k, ts)] = max(v, rdict.get((k, ts), float("-inf")))
+    l_rows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+    r_rows = [(k, ts, v) for (k, ts), v in sorted(rdict.items())]
+
+    ldf = spark.createDataFrame(l_rows, "k int, ts bigint, row_id int")
+    rdf = spark.createDataFrame(r_rows, "k int, ts bigint, val double") if r_rows else \
+        spark.createDataFrame([], "k int, ts bigint, val double")
+
+    lp = pd.DataFrame(l_rows, columns=["k", "ts", "row_id"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(r_rows, columns=["k", "ts", "val"]).sort_values("ts", kind="stable")
+
+    for direction, fn in (("backward", asof_join_backward), ("forward", asof_join_forward)):
+        got = {
+            r["row_id"]: r["val"]
+            for r in fn(ldf, rdf, on="ts", by=["k"], value_cols=["val"]).collect()
+        }
+        if rp.empty:
+            expect = {i: None for _, _, i in l_rows}
+        else:
+            m = pd.merge_asof(
+                lp, rp, on="ts", by="k", direction=direction, allow_exact_matches=True
+            )
+            expect = {
+                int(r.row_id): (None if pd.isna(r.val) else float(r.val))
+                for r in m.itertuples()
+            }
+        assert got == expect, direction
