@@ -584,6 +584,10 @@ def t_metadata_tables(ctx: Ctx) -> str:
     assert {r["name"] for r in refs(t).collect()} == {"main", "v1"}
     assert partitions(t).count() >= 1
     assert history(t).count() == 1
+    from iceberg_matrix_spark.tables.metadata_tables import manifests
+
+    m = manifests(t).collect()
+    assert len(m) == 1 and m[0]["content"] == 0 and m[0]["added_files_count"] >= 1
     return "pass"
 
 

@@ -138,3 +138,41 @@ def statistics(table: IceLiteTable) -> DataFrame:
         "snapshot_id long, statistics_path string, blob_type string, "
         "column string, ndv double",
     )
+
+
+def manifests(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
+    """The `manifests` metadata table (iceberg_feature_tests.py:1053).
+
+    IceLite has no physical manifest files — the metadata.json embeds
+    each snapshot's file lists — so each snapshot's embedded list IS its
+    manifest: one row per (snapshot, content) with added/existing file
+    counts and row totals, the columns the reference reads."""
+    snaps = table.meta.snapshots
+    if snapshot_id is not None:
+        snaps = [s for s in snaps if s.snapshot_id == snapshot_id]
+    by_id = {s.snapshot_id: s for s in table.meta.snapshots}
+    rows = []
+    for s in snaps:
+        parent = by_id.get(s.parent_id)
+        prev_data = {f.path for f in parent.data_files} if parent else set()
+        prev_del = {d.path for d in parent.delete_files} if parent else set()
+        added_d = [f for f in s.data_files if f.path not in prev_data]
+        exist_d = [f for f in s.data_files if f.path in prev_data]
+        rows.append(
+            (s.snapshot_id, 0, len(added_d), len(exist_d),
+             sum(f.record_count for f in added_d),
+             sum(f.record_count for f in exist_d))
+        )
+        if s.delete_files:
+            added_l = [d for d in s.delete_files if d.path not in prev_del]
+            exist_l = [d for d in s.delete_files if d.path in prev_del]
+            rows.append(
+                (s.snapshot_id, 1, len(added_l), len(exist_l),
+                 sum(d.record_count for d in added_l),
+                 sum(d.record_count for d in exist_l))
+            )
+    return table.spark.createDataFrame(
+        rows,
+        "snapshot_id long, content int, added_files_count int, "
+        "existing_files_count int, added_rows_count long, existing_rows_count long",
+    )

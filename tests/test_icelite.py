@@ -581,3 +581,21 @@ def test_compute_table_statistics_ndv(spark, catalog):
     t.refresh()
     assert len(t.meta.statistics) == 1
     assert t.meta.statistics[0]["columns"] == ["val"]
+
+
+def test_manifests_metadata_table(spark, catalog):
+    t = catalog.create_table(
+        "ns.t_manifests", "id bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.range(5).coalesce(1))
+    t.append(spark.range(5, 9).coalesce(1))
+    t.delete("id = 2")
+    rows = mt.manifests(t).orderBy("snapshot_id", "content").collect()
+    # snap1: 1 added data file; snap2: 1 added + 1 existing;
+    # snap3 (MoR delete): data all existing + a delete manifest row
+    assert [(r["content"], r["added_files_count"], r["existing_files_count"]) for r in rows] == [
+        (0, 1, 0), (0, 1, 1), (0, 0, 2), (1, 1, 0),
+    ]
+    assert rows[0]["added_rows_count"] == 5
+    assert rows[-1]["added_rows_count"] == 1  # one position delete row
