@@ -34,6 +34,7 @@ def _populate() -> None:
     from iceberg_matrix_spark.queries import relational  # noqa: F401, PLC0415
     from iceberg_matrix_spark.queries import sqlcov  # noqa: F401, PLC0415
     from iceberg_matrix_spark.queries import tpch_breadth  # noqa: F401, PLC0415
+    from iceberg_matrix_spark.queries import udf_surface  # noqa: F401, PLC0415
     from iceberg_matrix_spark.queries import streaming_q  # noqa: F401, PLC0415
 
 
