@@ -30,6 +30,44 @@ from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_table
 
 
+def _asof_carry(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    descending: bool,
+) -> DataFrame:
+    """Shared union+window engine for both as-of directions.
+
+    The right side's payload is carried as a STRUCT of the value columns,
+    not the raw columns: the struct is non-null for every right row, so a
+    matched right row whose value is NULL is carried faithfully instead
+    of being skipped by ``last(..., ignorenulls=True)`` in favor of a
+    farther row — matching DuckDB ASOF / pandas merge_asof semantics for
+    nullable payloads."""
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_tag = right.select(*by, on, *value_cols).withColumn("__side", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    order = F.col(on).desc() if descending else F.col(on).asc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    payload = F.struct(*[F.col(v) for v in value_cols])
+    carried = unioned.select(
+        "*",
+        F.last(F.when(F.col("__side") == 0, payload), ignorenulls=True)
+        .over(w)
+        .alias("__asof"),
+    )
+    keep = [c for c in left.columns]
+    return carried.filter(F.col("__side") == 1).select(
+        *keep, *[F.col(f"__asof.{v}").alias(v) for v in value_cols]
+    )
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -39,29 +77,7 @@ def asof_join_backward(
 ) -> DataFrame:
     """Left as-of join: for each left row, the latest right values with
     ``right.on <= left.on`` within the same ``by`` key (NULL if none)."""
-    l_tag = left.withColumn("__side", F.lit(1))
-    r_tag = right.select(
-        *by, on, *value_cols
-    ).withColumn("__side", F.lit(0))
-    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(v)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{v}")
-            for v in value_cols
-        ],
-    )
-    keep = [c for c in left.columns]
-    return carried.filter(F.col("__side") == 1).select(
-        *keep, *[F.col(f"__asof_{v}").alias(v) for v in value_cols]
-    )
+    return _asof_carry(left, right, on, by, value_cols, descending=False)
 
 
 def asof_join_forward(
@@ -77,27 +93,7 @@ def asof_join_forward(
     descending time: the carried ``last`` is then the nearest later
     right row. Tie semantics mirror DuckDB's ``ASOF ... ON l.ts <=
     r.ts`` (a right row exactly at the left timestamp is visible)."""
-    l_tag = left.withColumn("__side", F.lit(1))
-    r_tag = right.select(*by, on, *value_cols).withColumn("__side", F.lit(0))
-    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).desc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(v)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{v}")
-            for v in value_cols
-        ],
-    )
-    keep = [c for c in left.columns]
-    return carried.filter(F.col("__side") == 1).select(
-        *keep, *[F.col(f"__asof_{v}").alias(v) for v in value_cols]
-    )
+    return _asof_carry(left, right, on, by, value_cols, descending=True)
 
 
 @register(

@@ -30,7 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
 from iceberg_matrix_spark.sources.testdata import load_table
 
 # ---------------------------------------------------------------------------
@@ -388,7 +388,7 @@ def decontaminate(
     )
 
 
-_DECON_TOKS = "regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_DECON_TOKS = TOKS_SQL
 _DECON_GRAMS = (
     "list_distinct(list_transform(generate_series(1, len(t)-2), "
     "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"

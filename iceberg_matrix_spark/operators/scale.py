@@ -256,7 +256,13 @@ def salted_join(
     side's shuffle volume, so use it when right ≪ left — the usual
     hot-fact ⨝ dimension shape.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    # Row-local salt, NOT a content hash: duplicate rows of the hot key
+    # would all content-hash to one bucket, leaving the skew unmitigated.
+    # monotonically_increasing_id is (partition, row-position)-derived, so
+    # duplicates spread evenly; any routing yields identical join results
+    # (asserted by the registered query's plain-join oracle), and the id
+    # is stable under task retry for deterministic scan order.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     l_salted = left.withColumn("__salt", salt.cast("int"))
     r_salted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

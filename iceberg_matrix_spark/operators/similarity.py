@@ -512,12 +512,19 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
     coded = ex.join(F.broadcast(stats), "pos").withColumn(
         "code",
-        F.least(
-            F.lit(255),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col("x") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))),
-            ),
+        # constant dimensions (mn == mx) would divide by zero — an ANSI
+        # error on Spark 4; code them as 0 explicitly (same CASE in the
+        # oracle so both engines stay expression-identical)
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("x") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))
+                    ),
+                ),
+            )
         ),
     )
     return coded.groupBy("vec_id").agg(
@@ -540,7 +547,9 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ),
     coded AS (
       SELECT vec_id,
-             least(255, greatest(0, CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT))) AS code
+             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                  ELSE least(255, greatest(0, CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)))
+             END AS code
       FROM ex JOIN stats USING (pos)
     )
     SELECT vec_id, COUNT(*) AS n_dims, CAST(SUM(code) AS BIGINT) AS sum_codes,

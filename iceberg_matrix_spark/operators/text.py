@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from iceberg_matrix_spark.functions.text import md5_fingerprint, token_count, tokens
-from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
 from iceberg_matrix_spark.sources.testdata import load_table
 
 # Language marker words (tiny n-gram-style heuristic; deliberately simple —
@@ -88,7 +88,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Registered queries (documents table)
 # ---------------------------------------------------------------------------
 
-_TOKS = "regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_TOKS = TOKS_SQL
 
 
 @register(

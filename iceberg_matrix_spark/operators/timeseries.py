@@ -24,10 +24,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.queries.registry import DEC_SUM_SQL, register
 from iceberg_matrix_spark.sources.testdata import load_table
 
-_DEC_SUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+_DEC_SUM = DEC_SUM_SQL
 
 
 def time_bucket_rollup_gapfilled(
@@ -52,9 +52,13 @@ def time_bucket_rollup_gapfilled(
         F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
     # three consumers (bounds, series, the outer join) would each re-run
-    # the fact scan; persisting the rollup — small by definition, it's
-    # bucket×series cardinality — makes the scan happen once.
-    agg = agg.persist()
+    # the fact scan; checkpointing the rollup — small by definition, it's
+    # bucket×series cardinality — makes the scan happen once. eager
+    # localCheckpoint (not persist): the materialized blocks are released
+    # by the ContextCleaner when this frame is garbage collected, so
+    # repeated invocations don't accumulate cache entries for the
+    # session's lifetime.
+    agg = agg.localCheckpoint(eager=True)
     bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")

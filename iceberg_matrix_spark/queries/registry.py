@@ -33,3 +33,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[F], F]:
         return fn
 
     return deco
+
+
+# --------------------------------------------------------------------------
+# Shared oracle-SQL fragments (load-bearing parity invariants — keep ONE
+# copy so a change can't silently leave some module's oracle behind)
+# --------------------------------------------------------------------------
+
+# Exact decimal sum surfaced as a double: DuckDB's decimal→double direct
+# cast divides in float (inexact); routing through VARCHAR gives the
+# correctly-rounded value Spark's BigDecimal.doubleValue() produces.
+DEC_SUM_SQL = "CAST(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+
+# Whitespace tokens, matching functions/text.py:tokens() exactly
+# (collapse-then-trim avoids phantom empty tokens on tab/newline padding).
+TOKS_SQL = "regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"

@@ -27,10 +27,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.queries.registry import DEC_SUM_SQL, register
 from iceberg_matrix_spark.sources.testdata import load_dim, load_table
 
-_DEC_SUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+_DEC_SUM = DEC_SUM_SQL
 
 _REV_DEC = (
     "CAST(l_extendedprice AS DECIMAL(12,4))"

@@ -38,9 +38,14 @@ def _make_udfs():
     @pandas_udf("int")
     def normalized_len(texts: pd.Series) -> pd.Series:
         # scalar pandas UDF: length of whitespace-collapsed, trimmed,
-        # lowercased text — vectorized over each Arrow batch
-        ws = re.compile(r"\s+")
-        return texts.map(lambda t: len(ws.sub(" ", t).strip().lower()))
+        # lowercased text — vectorized over each Arrow batch. re.ASCII:
+        # Python's \s is Unicode-wide by default, but the DuckDB oracle's
+        # RE2 \s (and the JVM regexes everywhere else in this repo) are
+        # ASCII-only — the classes must agree on non-ASCII whitespace
+        ws = re.compile(r"\s+", re.ASCII)
+        # .strip(" ") not .strip(): bare strip is Unicode-wide, DuckDB's
+        # trim() removes 0x20 spaces only
+        return texts.map(lambda t: len(ws.sub(" ", t).strip(" ").lower()))
 
     @pandas_udf("long")
     def sum_of_squares(v: pd.Series) -> int:  # GROUPED_AGG: Series -> scalar

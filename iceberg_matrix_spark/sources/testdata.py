@@ -69,7 +69,14 @@ def normalize_events_ts(df: DataFrame, to: str = "timestamp_ntz") -> DataFrame:
     NANOS events, round 2 MICROS)."""
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
-        col = F.timestamp_micros(F.expr("ts div 1000"))
+        # Build the NTZ value with pure epoch arithmetic
+        # (timestampadd on a TIMESTAMP_NTZ literal) — NOT via
+        # timestamp_micros(), whose LTZ→NTZ cast renders session-local
+        # wall clock and would shift every value under a non-UTC driver
+        # session (the hostile-TZ contract tests pin).
+        col = F.expr(
+            "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
     else:
         col = F.col("ts")
     return df.withColumn("ts", col.cast(to))

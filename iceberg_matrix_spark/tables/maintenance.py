@@ -263,7 +263,7 @@ def compute_table_statistics(table: IceLiteTable, columns: list[str] | None = No
 
     import pyspark.sql.functions as F
 
-    from iceberg_matrix_spark.operators.scale import kmv_distinct_sketch
+    from iceberg_matrix_spark.operators.scale import _KMV_SPACE, KMV_K
 
     table.refresh()
     head = table._current_snapshot()
@@ -271,12 +271,43 @@ def compute_table_statistics(table: IceLiteTable, columns: list[str] | None = No
         raise ValueError("cannot compute statistics on an empty table")
     df = table.df()
     cols = columns or df.columns
+    # ONE scan for every column: per-partition k-smallest hash sets for
+    # all columns in a single aggregation, merged into one sketch row
+    # (KMV of a union = KMV of merged KMVs). A zero-row head degrades to
+    # empty sketches → NDV 0.0, not a crash.
+    k = KMV_K
+    hashes = df.select(
+        F.spark_partition_id().alias("__pid"),
+        *[
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias(f"__h{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    per_part = hashes.groupBy("__pid").agg(
+        *[
+            F.slice(F.array_sort(F.collect_set(f"__h{i}")), 1, k).alias(f"__m{i}")
+            for i in range(len(cols))
+        ]
+    )
+    merged = per_part.agg(
+        *[
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(f"__m{i}")))),
+                1,
+                k,
+            ).alias(f"__m{i}")
+            for i in range(len(cols))
+        ]
+    ).collect()[0]
     ndv: dict[str, float] = {}
-    for c in cols:
-        row = kmv_distinct_sketch(
-            df.select(F.lit(1).alias("__g"), c), "__g", c
-        ).collect()[0]
-        ndv[c] = float(row["distinct_est"])
+    for i, c in enumerate(cols):
+        mins = merged[f"__m{i}"] or []
+        if len(mins) < k:
+            ndv[c] = float(len(mins))
+        else:
+            ndv[c] = float(k - 1) / (float(mins[k - 1]) / _KMV_SPACE)
 
     sdir = os.path.join(table.location, "metadata")
     path = os.path.join(sdir, f"stats-{head.snapshot_id}.json")

@@ -939,9 +939,14 @@ class IceLiteTable:
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             meta.snapshot_by_id(snapshot_id)  # existence check
+            by_id = {s.snapshot_id: s for s in meta.snapshots}
             sid = meta.current_snapshot_id
             while sid is not None and sid != snapshot_id:
-                sid = meta.snapshot_by_id(sid).parent_id
+                # stop cleanly if the chain crosses an expired snapshot —
+                # the walk must end in the documented ValueError, not a
+                # KeyError from the missing intermediate
+                parent = by_id.get(sid)
+                sid = parent.parent_id if parent is not None else None
             if sid != snapshot_id:
                 raise ValueError(
                     f"snapshot {snapshot_id} is not an ancestor of the current "

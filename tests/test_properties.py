@@ -474,7 +474,13 @@ def test_forward_fill_matches_model(spark, rows):
         st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25
     ),
     right=st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.floats(-10, 10, allow_nan=False)),
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 1000),
+            # include NULL payloads: a matched right row with a NULL value
+            # must be carried as NULL, not skipped for a farther row
+            st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+        ),
         min_size=0,
         max_size=25,
     ),
@@ -489,9 +495,13 @@ def test_asof_join_directions_match_pandas_model(spark, left, right):
     # unique (key, ts) on the right: as-of is only well-defined per
     # timestamp; duplicates are collapsed by max value (same as the
     # registered query does)
-    rdict: dict[tuple, float] = {}
+    rdict: dict[tuple, float | None] = {}
     for k, ts, v in right:
-        rdict[(k, ts)] = max(v, rdict.get((k, ts), float("-inf")))
+        prev = rdict.get((k, ts), "unset")
+        if prev == "unset":
+            rdict[(k, ts)] = v
+        elif v is not None:
+            rdict[(k, ts)] = v if prev is None else max(v, prev)
     l_rows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
     r_rows = [(k, ts, v) for (k, ts), v in sorted(rdict.items())]
 
