@@ -469,3 +469,182 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.first("o_orderkey").over(wrows).alias("first_orderkey"),
     )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+             sn.n_name AS supp_nation,
+             {_REV_DEC} AS v
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN v
+                              ELSE CAST(0 AS DECIMAL(22,8)) END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM vol GROUP BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of the volume sold into one
+    region's customers, per year — a conditional-over-total ratio on top
+    of a six-way star join. Dimensions broadcast (size-gated); the ratio
+    divides two exact decimal sums cast to double once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_dim(spark, sf_dir, "customer")
+    supp = load_dim(spark, sf_dir, "supplier")
+    nation = load_dim(spark, sf_dir, "nation")
+    region = load_dim(spark, sf_dir, "region")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(region, region.r_regionkey == F.col("cn_region"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    v = _rev_col()
+    nation_v = F.when(F.col("supp_nation") == "NATION_1", v).otherwise(
+        F.lit(0).cast("decimal(22,8)")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            (F.sum(nation_v).cast("double") / F.sum(v).cast("double")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           EXTRACT(year FROM o.o_orderdate) AS order_year,
+           CAST(CAST(SUM(
+             CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))
+             - CAST(l_quantity AS DECIMAL(12,4)) * CAST(p_retailprice AS DECIMAL(12,4))
+               * CAST(0.1 AS DECIMAL(2,1))
+           ) AS VARCHAR) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus a 10%-of-retail cost model —
+    the schema has no partsupp) on promo parts per supplier nation and
+    year. All money math stays in exact DECIMAL until the single output
+    cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_dim(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_dim(spark, sf_dir, "supplier")
+    nation = load_dim(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    profit_term = _rev_col() - (
+        F.col("l_quantity").cast("decimal(12,4)")
+        * F.col("p_retailprice").cast("decimal(12,4)")
+        * F.lit(0.1).cast("decimal(2,1)")
+    )
+    joined = (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return joined.groupBy(
+        "supp_nation", F.year("o_orderdate").cast("bigint").alias("order_year")
+    ).agg(F.sum(profit_term).cast("double").alias("profit"))
+
+
+@register(
+    "q12_priority_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → returnflag: the schema has no
+    l_shipmode): high- vs low-priority line counts per flag in a ship
+    year. One fact-fact join + conditional counters."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 15, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per excluded-filtered
+    part group, minus a NOT IN supplier blacklist. Catalyst plans the
+    NOT IN as a null-aware anti join (s_suppkey is non-null, so it
+    degenerates to a plain anti join — no per-row subquery)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 9, 15, 23, 36, 45, 49)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+          )
+        GROUP BY 1, 2, 3
+        """
+    )
