@@ -254,3 +254,65 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_event_id").alias("click_event_id"),
         F.col("p_user_id").alias("user_id"),
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    WITH weights AS (
+      SELECT event_type, COUNT(*) AS type_total
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, w.type_total,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN weights w ON w.event_type = e.event_type
+    WHERE e.value > 50
+    GROUP BY e.event_type, w.type_total
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a STATIC
+    dimension (per-type totals computed batch-side) — the lookup-table
+    pattern every streaming pipeline uses. The static side broadcasts;
+    no stream-side state is needed for a stream-static inner join, so
+    unlike the stream-stream case there is no watermark requirement.
+
+    Scale: the static frame re-resolves per micro-batch (Spark's
+    stream-static contract), so a small dimension stays a broadcast at
+    any stream volume.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    static_totals = (
+        normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), to="timestamp")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+    )
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
+        to="timestamp",
+    ).filter(F.col("value") > 50)
+    joined = stream.join(F.broadcast(static_totals), "event_type")
+    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy("event_type", "type_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
