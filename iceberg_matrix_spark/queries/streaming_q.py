@@ -66,7 +66,9 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow streaming query did not finish in 120s")
     return spark.table(sink).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -153,7 +155,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow streaming query did not finish in 120s")
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -248,7 +252,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow streaming query did not finish in 120s")
     return spark.table(sink).select(
         F.col("p_event_id").alias("purchase_event_id"),
         F.col("c_event_id").alias("click_event_id"),
@@ -287,7 +293,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     static_totals = (
-        normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), to="timestamp")
+        load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("type_total"))
     )
@@ -307,7 +313,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow streaming query did not finish in 120s")
     return (
         spark.table(sink)
         .groupBy("event_type", "type_total")

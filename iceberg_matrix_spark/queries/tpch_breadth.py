@@ -631,9 +631,11 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part group, minus a NOT IN supplier blacklist. Catalyst plans the
     NOT IN as a null-aware anti join (s_suppkey is non-null, so it
     degenerates to a plain anti join — no per-row subquery)."""
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    # dims go through load_dim so the size-gated broadcast hint survives
+    # into the temp views (same scale contract as q7/q8/q9)
+    load_dim(spark, sf_dir, "part").createOrReplaceTempView("part")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_dim(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(
         """
         SELECT p.p_brand, p.p_type, p.p_size,
