@@ -359,6 +359,62 @@ def q_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_merge_sql",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_acctbal > 5000
+    )
+    SELECT t.c_custkey, t.c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal * 2
+                ELSE t.c_acctbal END AS c_acctbal
+    FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.c_acctbal
+    FROM src s LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+    WHERE t.c_custkey IS NULL
+    """,
+)
+def q_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful MERGE INTO driven by the literal SQL string the reference
+    runs (/root/reference/tests/iceberg_feature_tests.py:525-529): CTAS a
+    real IceLite table from customer, execute the MERGE through the SQL
+    front-end (sql/facade.py), and return the table's post-merge state.
+    Matched rows double their balance; unmatched source rows (key-offset
+    twins of the high-balance customers) insert. The oracle recomputes the
+    final state relationally over the raw parquet."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
+    wh = tempfile.mkdtemp(prefix="icelite_sql_merge_")
+    sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.dml")
+    target = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    sql.catalog.create_table_as_select("dml.customer_t", target)
+    source = target.filter(F.col("c_acctbal") > 5000)
+    sql.catalog.create_table_as_select(
+        "dml.customer_src",
+        source.unionAll(
+            source.withColumn("c_custkey", F.col("c_custkey") + F.lit(10000000))
+        ),
+    )
+    sql.sql(
+        """MERGE INTO local.dml.customer_t t USING local.dml.customer_src s
+           ON t.c_custkey = s.c_custkey
+           WHEN MATCHED THEN UPDATE SET t.c_acctbal = s.c_acctbal * 2
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    return sql.sql("SELECT c_custkey, c_name, c_acctbal FROM local.dml.customer_t")
+
+
 # ---------------------------------------------------------------------------
 # §2.6 aggregations: conditional / distinct / hierarchical
 # ---------------------------------------------------------------------------

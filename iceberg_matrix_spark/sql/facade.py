@@ -1,0 +1,510 @@
+"""SQL-string front-end over IceLite tables.
+
+The reference's flagship DML surface is literally ``spark.sql("MERGE INTO
+... / UPDATE ... / DELETE FROM ... / INSERT INTO ...")`` against Iceberg
+tables (/root/reference/tests/iceberg_feature_tests.py:454,512-529).
+IceLite exposes the same operations as API calls
+(tables/table.py:548,608,670); this module closes the fidelity gap with a
+parse-and-dispatch shim so a user can run the reference's exact statement
+shapes unchanged.
+
+Scope is deliberate: the four DML verbs plus the DDL statements the
+reference's SQL-driven tests use (CREATE/DROP NAMESPACE, CREATE TABLE
+[AS SELECT], DROP TABLE [PURGE], DESCRIBE, SHOW). SELECT statements are
+delegated to Spark SQL after substituting catalog identifiers with temp
+views over the tables' current snapshots — reads therefore inherit the
+full Catalyst plan (pushdown, pruning, AQE), and nothing here re-implements
+query execution.
+
+Parsing is a small depth-aware tokenizer (quotes + parens), not a grammar:
+statements outside the supported shapes raise ``UnsupportedSQLError``
+loudly rather than mis-executing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_matrix_spark.tables.catalog import IceLiteCatalog, NoSuchTableError
+from iceberg_matrix_spark.tables.table import IceLiteTable, _physical_type
+
+
+class UnsupportedSQLError(Exception):
+    """Statement shape outside the shim's supported surface."""
+
+
+# --------------------------------------------------------------- tokenizing
+
+
+def _scan_top(s: str):
+    """Yield (index, char, depth, in_quote) for top-level structure scans."""
+    depth, quote = 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            yield i, ch, depth, True
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        yield i, ch, depth, False
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren-depth 0, outside string literals."""
+    parts, start = [], 0
+    for i, ch, depth, quoted in _scan_top(s):
+        if ch == sep and depth == 0 and not quoted:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _find_top_keyword(s: str, kw: str) -> int:
+    """Index of the first top-level, unquoted, word-boundary ``kw``; -1."""
+    pat = re.compile(rf"\b{kw}\b", re.IGNORECASE)
+    for m in pat.finditer(s):
+        ok = True
+        for i, _ch, depth, quoted in _scan_top(s):
+            if i == m.start():
+                ok = depth == 0 and not quoted
+                break
+        if ok:
+            return m.start()
+    return -1
+
+
+def _take_parens(s: str) -> tuple[str, str]:
+    """Given a string starting at '(', return (inner, remainder)."""
+    s = s.lstrip()
+    if not s.startswith("("):
+        raise UnsupportedSQLError(f"expected '(' at: {s[:40]!r}")
+    for i, ch, depth, quoted in _scan_top(s):
+        if ch == ")" and depth == 0 and not quoted:
+            return s[1:i], s[i + 1 :]
+    raise UnsupportedSQLError("unbalanced parentheses")
+
+
+def _rewrite_aliases(expr: str, mapping: dict[str, str]) -> str:
+    """Rewrite ``alias.`` qualifiers simultaneously (handles t/s swaps)."""
+    if not mapping:
+        return expr
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in mapping) + r")\s*\.", re.IGNORECASE
+    )
+    return pat.sub(lambda m: mapping[m.group(1).lower()] + ".", expr)
+
+
+_IDENT = r"[A-Za-z_][\w.$]*|`[^`]+`(?:\.`?[^`.]+`?)*"
+
+
+class IceLiteSQL:
+    """Parse-and-dispatch SQL shim over an :class:`IceLiteCatalog`.
+
+    ``name`` is the catalog prefix stripped from identifiers, so the
+    reference's three-part ``local.ns.tbl`` names resolve to this
+    catalog's ``ns.tbl`` (iceberg_feature_tests.py:368-375 configures the
+    filesystem catalog under the name ``local``).
+    """
+
+    def __init__(self, spark: SparkSession, catalog: IceLiteCatalog, name: str = "local"):
+        self.spark = spark
+        self.catalog = catalog
+        self.name = name
+
+    # ----------------------------------------------------------- dispatch
+
+    def sql(self, statement: str) -> DataFrame | None:
+        """Execute one statement. Queries return a DataFrame; DML/DDL None."""
+        stmt = statement.strip().rstrip(";").strip()
+        head = stmt.split(None, 2)
+        verb = head[0].upper() if head else ""
+        two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
+        if two == "CREATE NAMESPACE":
+            return self._create_namespace(stmt)
+        if two == "DROP NAMESPACE":
+            return self._drop_namespace(stmt)
+        if two == "CREATE TABLE":
+            return self._create_table(stmt)
+        if two == "DROP TABLE":
+            return self._drop_table(stmt)
+        if verb == "INSERT":
+            return self._insert(stmt)
+        if verb == "UPDATE":
+            return self._update(stmt)
+        if verb == "DELETE":
+            return self._delete(stmt)
+        if verb == "MERGE":
+            return self._merge(stmt)
+        if verb in ("SELECT", "WITH", "VALUES"):
+            return self._run_select(stmt)
+        if verb in ("DESCRIBE", "DESC"):
+            return self._describe(stmt)
+        if verb == "SHOW":
+            return self._show(stmt)
+        raise UnsupportedSQLError(f"unsupported statement: {stmt[:60]!r}")
+
+    # -------------------------------------------------------- identifiers
+
+    def _resolve(self, ident: str) -> str:
+        parts = [p.strip("`") for p in ident.strip().split(".")]
+        if len(parts) >= 3 and parts[0] == self.name:
+            parts = parts[1:]
+        if len(parts) < 2:
+            raise UnsupportedSQLError(
+                f"identifier must be [{self.name}.]namespace.table: {ident!r}"
+            )
+        return ".".join(parts)
+
+    def _resolve_ns(self, ident: str) -> str:
+        parts = [p.strip("`") for p in ident.strip().split(".")]
+        if len(parts) >= 2 and parts[0] == self.name:
+            parts = parts[1:]
+        return ".".join(parts)
+
+    def table(self, ident: str) -> IceLiteTable:
+        return self.catalog.load_table(self._resolve(ident))
+
+    # ------------------------------------------------------------ queries
+
+    def _view_name(self, identifier: str) -> str:
+        return "icelite_" + re.sub(r"\W", "_", identifier)
+
+    def _substitute_views(self, text: str) -> str:
+        """Register a temp view per referenced catalog table; rewrite names."""
+        for ns in self.catalog.list_namespaces():
+            for tbl in self.catalog.list_tables(ns):
+                ident = f"{ns}.{tbl}"
+                pat = re.compile(
+                    rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}\b"
+                )
+                if pat.search(text):
+                    view = self._view_name(ident)
+                    self.catalog.load_table(ident).df().createOrReplaceTempView(view)
+                    text = pat.sub(view, text)
+        return text
+
+    def _run_select(self, stmt: str) -> DataFrame:
+        return self.spark.sql(self._substitute_views(stmt))
+
+    def _describe(self, stmt: str) -> DataFrame:
+        m = re.match(rf"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?({_IDENT})\s*$", stmt, re.I)
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        rows = self.catalog.describe(self._resolve(m.group(1)))
+        return self.spark.createDataFrame(rows, "col_name string, data_type string")
+
+    def _show(self, stmt: str) -> DataFrame:
+        if re.match(r"SHOW\s+NAMESPACES\s*$", stmt, re.I):
+            return self.spark.createDataFrame(
+                [(n,) for n in self.catalog.list_namespaces()], "namespace string"
+            )
+        m = re.match(rf"SHOW\s+TABLES\s+(?:IN|FROM)\s+({_IDENT})\s*$", stmt, re.I)
+        if m:
+            ns = self._resolve_ns(m.group(1))
+            return self.spark.createDataFrame(
+                [(ns, t) for t in self.catalog.list_tables(ns)],
+                "namespace string, tableName string",
+            )
+        raise UnsupportedSQLError(stmt)
+
+    # --------------------------------------------------------------- DDL
+
+    def _create_namespace(self, stmt: str) -> None:
+        m = re.match(
+            rf"CREATE\s+NAMESPACE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*$", stmt, re.I
+        )
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        self.catalog.create_namespace(self._resolve_ns(m.group(2)))
+
+    def _drop_namespace(self, stmt: str) -> None:
+        m = re.match(
+            rf"DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$", stmt, re.I
+        )
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        ns = self._resolve_ns(m.group(2))
+        if m.group(1) and ns not in self.catalog.list_namespaces():
+            return
+        self.catalog.drop_namespace(ns)
+
+    def _parse_tblproperties(self, text: str) -> dict[str, str]:
+        return {
+            k: v
+            for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", text)
+        }
+
+    def _create_table(self, stmt: str) -> None:
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*(.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        if_not_exists, ident, rest = m.group(1), self._resolve(m.group(2)), m.group(3)
+        if if_not_exists and self.catalog.table_exists(ident):
+            return
+
+        schema_ddl = None
+        rest = rest.strip()
+        if rest.startswith("("):
+            schema_ddl, rest = _take_parens(rest)
+
+        partition_by = None
+        pm = re.search(r"\bPARTITIONED\s+BY\b", rest, re.I)
+        if pm:
+            inner, after = _take_parens(rest[pm.end() :])
+            partition_by = _split_top(inner)
+            rest = rest[: pm.start()] + after
+
+        properties = None
+        tm = re.search(r"\bTBLPROPERTIES\b", rest, re.I)
+        if tm:
+            inner, after = _take_parens(rest[tm.end() :])
+            properties = self._parse_tblproperties(inner)
+            rest = rest[: tm.start()] + after
+
+        rest = re.sub(r"\bUSING\s+\w+\b", "", rest, flags=re.I).strip()
+        am = re.match(r"AS\s+(.*)$", rest, re.I | re.S)
+        if am:
+            df = self._run_select(am.group(1))
+            self.catalog.create_table_as_select(ident, df, partition_by, properties)
+            return
+        if rest:
+            raise UnsupportedSQLError(f"unparsed CREATE TABLE tail: {rest[:60]!r}")
+        if schema_ddl is None:
+            raise UnsupportedSQLError("CREATE TABLE needs (schema) or AS SELECT")
+        self.catalog.create_table(ident, schema_ddl, partition_by, properties)
+
+    def _drop_table(self, stmt: str) -> None:
+        m = re.match(
+            rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})(\s+PURGE)?\s*$", stmt, re.I
+        )
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        ident = self._resolve(m.group(2))
+        try:
+            self.catalog.drop_table(ident, purge=bool(m.group(3)))
+        except NoSuchTableError:
+            if not m.group(1):
+                raise
+
+    # --------------------------------------------------------------- DML
+
+    def _aligned(self, table: IceLiteTable, df: DataFrame, cols: list[str] | None) -> DataFrame:
+        """Positionally align an input frame to the table schema, casting
+        to physical types; unspecified columns fill with write-default."""
+        fields = table.meta.current_schema.fields
+        targets = cols if cols is not None else [f.name for f in fields]
+        if len(df.columns) != len(targets):
+            raise UnsupportedSQLError(
+                f"INSERT supplies {len(df.columns)} columns, expected {len(targets)}"
+            )
+        by_pos = dict(zip(targets, df.columns))
+        out = []
+        for f in fields:
+            if f.name in by_pos:
+                out.append(F.col(by_pos[f.name]).cast(_physical_type(f.type)).alias(f.name))
+            else:
+                out.append(
+                    F.lit(f.write_default).cast(_physical_type(f.type)).alias(f.name)
+                )
+        return df.select(*out)
+
+    def _insert(self, stmt: str) -> None:
+        m = re.match(
+            rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*(.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        mode, ident, body = m.group(1).upper(), self._resolve(m.group(2)), m.group(3).strip()
+        cols = None
+        if body.startswith("("):
+            inner, body = _take_parens(body)
+            cols = [c.strip().strip("`") for c in _split_top(inner)]
+            body = body.strip()
+        if re.match(r"VALUES\b", body, re.I):
+            df = self.spark.sql(f"SELECT * FROM {body}")
+        else:
+            df = self._run_select(body)
+        table = self.catalog.load_table(ident)
+        aligned = self._aligned(table, df, cols)
+        if mode == "OVERWRITE":
+            table.overwrite(aligned)
+        else:
+            table.append(aligned)
+
+    def _update(self, stmt: str) -> None:
+        m = re.match(rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$", stmt, re.I | re.S)
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        ident, body = self._resolve(m.group(1)), m.group(2)
+        w = _find_top_keyword(body, "WHERE")
+        where = "true"
+        if w >= 0:
+            where = body[w + len("WHERE") :].strip()
+            body = body[:w]
+        sets = {}
+        for assign in _split_top(body):
+            lhs, eq, rhs = assign.partition("=")
+            if not eq:
+                raise UnsupportedSQLError(f"bad SET clause: {assign!r}")
+            col = lhs.strip().strip("`")
+            col = col.split(".")[-1]  # accept tbl-qualified LHS
+            sets[col] = rhs.strip()
+        self.catalog.load_table(ident).update(sets, where=where)
+
+    def _delete(self, stmt: str) -> None:
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$", stmt, re.I | re.S
+        )
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        ident = self._resolve(m.group(1))
+        self.catalog.load_table(ident).delete(where=(m.group(2) or "true").strip())
+
+    # -------------------------------------------------------------- MERGE
+
+    def _merge(self, stmt: str) -> None:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+(.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise UnsupportedSQLError(f"unsupported MERGE shape: {stmt[:80]!r}")
+        target_id = self._resolve(m.group(1))
+        t_alias = (m.group(2) or m.group(1).split(".")[-1]).lower()
+        rest = m.group(3).strip()
+
+        if rest.startswith("("):
+            inner, rest = _take_parens(rest)  # nested-paren-safe subquery
+            source = self._run_select(inner)
+            src_name = None
+        else:
+            sm = re.match(rf"({_IDENT})(.*)$", rest, re.S)
+            if not sm:
+                raise UnsupportedSQLError(f"bad MERGE source: {rest[:60]!r}")
+            src_name = sm.group(1)
+            source = self.catalog.load_table(self._resolve(src_name)).df()
+            rest = sm.group(2)
+        am = re.match(r"\s*(?:AS\s+)?(\w+)?\s*ON\s+(.*)$", rest, re.I | re.S)
+        if not am:
+            raise UnsupportedSQLError(f"expected [alias] ON ...: {rest[:60]!r}")
+        s_alias = (am.group(1) or "").lower()
+        tail = am.group(2)
+        if not s_alias:
+            if src_name is None:
+                raise UnsupportedSQLError("MERGE subquery source needs an alias")
+            s_alias = src_name.split(".")[-1].lower()
+        w = _find_top_keyword(tail, "WHEN")
+        if w < 0:
+            raise UnsupportedSQLError("MERGE needs at least one WHEN clause")
+        on_text, whens_text = tail[:w], tail[w:]
+
+        # IceLiteTable.merge hard-codes aliases t/s (tables/table.py:670);
+        # rewrite the user's qualifiers simultaneously so swaps are safe.
+        amap = {t_alias: "t", s_alias: "s"}
+        on = _rewrite_aliases(on_text.strip(), amap)
+
+        matched_update: dict[str, str] | None = None
+        matched_delete = False
+        insert_when_not_matched = False
+        reshape: dict[str, str] = {}
+        for clause in self._split_whens(whens_text):
+            cm = re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", clause, re.I | re.S)
+            if cm:
+                matched_update = {}
+                for assign in _split_top(cm.group(1)):
+                    lhs, eq, rhs = assign.partition("=")
+                    if not eq:
+                        raise UnsupportedSQLError(f"bad MERGE SET: {assign!r}")
+                    col = lhs.strip().strip("`").split(".")[-1]
+                    matched_update[col] = _rewrite_aliases(rhs.strip(), amap)
+                continue
+            if re.match(r"MATCHED\s+THEN\s+DELETE\s*$", clause, re.I):
+                matched_delete = True
+                continue
+            if re.match(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$", clause, re.I):
+                insert_when_not_matched = True
+                continue
+            im = re.match(
+                r"NOT\s+MATCHED\s+THEN\s+INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*$",
+                clause,
+                re.I | re.S,
+            )
+            if im:
+                cols = [c.strip().strip("`") for c in _split_top(im.group(1))]
+                exprs = [_rewrite_aliases(e, amap) for e in _split_top(im.group(2))]
+                # Supported mapping: simple s.col references — reshape the
+                # source so merge()'s INSERT-by-name path picks them up.
+                names = []
+                for e in exprs:
+                    em = re.match(r"s\.(\w+)$", e.strip(), re.I)
+                    if not em:
+                        raise UnsupportedSQLError(
+                            f"MERGE INSERT VALUES supports s.col refs only: {e!r}"
+                        )
+                    names.append(em.group(1))
+                source = source.select(
+                    *[F.col(n).alias(c) for n, c in zip(names, cols)]
+                )
+                reshape = dict(zip(names, cols))
+                insert_when_not_matched = True
+                continue
+            raise UnsupportedSQLError(f"unsupported MERGE clause: WHEN {clause[:60]!r}")
+
+        if reshape:
+            # The reshaped source carries target column names; rewrite the
+            # ON condition (and any UPDATE exprs) to the new names. A
+            # reference to a source column the INSERT list dropped cannot
+            # resolve — fail loudly rather than mis-plan.
+            def _remap(expr: str) -> str:
+                def sub(mm: re.Match) -> str:
+                    name = mm.group(1)
+                    if name not in reshape:
+                        raise UnsupportedSQLError(
+                            f"s.{name} not in MERGE INSERT column mapping"
+                        )
+                    return "s." + reshape[name]
+
+                return re.sub(r"\bs\.(\w+)", sub, expr)
+
+            on = _remap(on)
+            if matched_update is not None:
+                matched_update = {c: _remap(e) for c, e in matched_update.items()}
+
+        self.catalog.load_table(target_id).merge(
+            source,
+            on=on,
+            matched_update=matched_update,
+            matched_delete=matched_delete,
+            insert_when_not_matched=insert_when_not_matched,
+        )
+
+    def _split_whens(self, text: str) -> list[str]:
+        """Split the WHEN-clause tail into clauses at top-level WHENs."""
+        starts = []
+        pat = re.compile(r"\bWHEN\b", re.I)
+        tops = {i for i, _c, d, q in _scan_top(text) if d == 0 and not q}
+        for mm in pat.finditer(text):
+            if mm.start() in tops:
+                starts.append(mm.start())
+        if not starts or starts[0] != 0:
+            raise UnsupportedSQLError(f"expected WHEN clauses: {text[:60]!r}")
+        starts.append(len(text))
+        return [
+            text[starts[i] + 4 : starts[i + 1]].strip() for i in range(len(starts) - 1)
+        ]

@@ -1,0 +1,71 @@
+"""DuckDB-reads-IceLite interop (tables/interop.py).
+
+The write-here/read-there pattern from the reference's cross-engine
+suites (/root/reference/tests/daft_feature_tests.py:210-226): IceLite
+writes; DuckDB must reconstruct the same rows from the live-file
+manifest alone. The happy path (MoR delete + schema evolution, v2 and
+v3) runs in the conformance probe ``interop-duckdb-read``; this module
+covers the library edges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+from iceberg_matrix_spark.tables.interop import (
+    duckdb_scan_sql,
+    live_file_manifest,
+    read_with_duckdb,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    cat = IceLiteCatalog(spark, str(tmp_path))
+    cat.create_namespace("ns")
+    return cat
+
+
+def test_empty_table_manifest_and_scan(spark, catalog):
+    t = catalog.create_table("ns.empty", "id bigint")
+    assert live_file_manifest(t) == {"data": [], "position_deletes": []}
+    assert read_with_duckdb(t).num_rows == 0
+
+
+def test_round_trip_no_deletes(spark, catalog):
+    t = catalog.create_table("ns.plain", "id bigint, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    got = sorted((r["id"], r["v"]) for r in read_with_duckdb(t).to_pylist())
+    assert got == [(1, "a"), (2, "b")]
+    assert "ANTI JOIN" not in duckdb_scan_sql(t)  # no delete branch emitted
+
+
+def test_cow_delete_needs_no_delete_files(spark, catalog):
+    t = catalog.create_table("ns.cow", "id bigint")
+    t.set_properties({"write.delete.mode": "copy-on-write"})
+    t.append(spark.range(5))
+    t.delete("id >= 3")
+    m = live_file_manifest(t)
+    assert m["position_deletes"] == []
+    assert sorted(r["id"] for r in read_with_duckdb(t).to_pylist()) == [0, 1, 2]
+
+
+def test_equality_deletes_refused_loudly(spark, catalog):
+    t = catalog.create_table("ns.eq", "id bigint, v bigint")
+    t.upsert(spark.createDataFrame([(1, 1)], "id bigint, v bigint"), ["id"])
+    t.upsert(spark.createDataFrame([(1, 2)], "id bigint, v bigint"), ["id"])
+    with pytest.raises(NotImplementedError, match="equality"):
+        live_file_manifest(t)
+
+
+def test_time_travel_ref_manifest(spark, catalog):
+    """Manifest of an older branch state excludes later files."""
+    t = catalog.create_table("ns.tt", "id bigint")
+    t.append(spark.range(2))
+    n_first = len(live_file_manifest(t)["data"])
+    t.append(spark.range(2, 4))
+    assert len(live_file_manifest(t)["data"]) > n_first
+    first_snap = t.meta.snapshots[0].snapshot_id
+    t.create_tag("v1", first_snap)
+    assert sorted(r["id"] for r in read_with_duckdb(t, ref="v1").to_pylist()) == [0, 1]
