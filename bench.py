@@ -49,6 +49,19 @@ HEADLINE = [
     "q_decontaminate",
     "q_embedding_quantize",
     "q_time_rollup_gapfill",
+    # round 3: keep every formerly-red query's plan watched (the rest of
+    # the nine — q_conditional_agg / q_sessionize / q_stream_window_agg
+    # are already above)
+    "q_top1_latest",
+    "q_window_running",
+    "q_json_extract",
+    "q_date_trunc_agg",
+    "q_session_window_batch",
+    "q_variant_parse_extract",
+    # round 3 additions: SQL-string MERGE against a real table, WKB
+    # geometry codec round-trip
+    "q_merge_sql",
+    "q_geo_bbox",
 ]
 
 

@@ -116,10 +116,11 @@ SUPPORT_OVERRIDES = {
     ("deletion-vectors", 2): "none",  # V2 MoR emits plain parquet deletes
     ("multi-arg-transforms", 2): "none",  # rejected, like Spark/Iceberg
     ("multi-arg-transforms", 3): "none",  # (iceberg_feature_tests.py:1016-1031)
-    # Spark 4.1 here ships no ST_* routines (probe classifies the
-    # rejection — the reference's honest-negative pattern)
+    # V3: GEOMETRY/GEOGRAPHY(srid) types + WKB io measured present,
+    # constructors/predicates absent (functions/geo.py supplies them at
+    # the WKB level) → partial. V2 measures the V3-only rejection.
     ("geospatial-types", 2): "none",
-    ("geospatial-types", 3): "none",
+    ("geospatial-types", 3): "partial",
     # V3-only features: V2 probes measure the rejection
     ("column-default-values", 2): "none",
     ("row-lineage", 2): "none",
@@ -132,12 +133,16 @@ SUPPORT_OVERRIDES = {
     **{
         (fid, v): "unknown"
         for fid in (
-            "glue-catalog", "s3tables-catalog", "jdbc-catalog",
+            "glue-catalog", "s3tables-catalog",
             "hive-catalog", "nessie-catalog",
             "polaris-catalog", "unity-catalog", "horizon-catalog",
         )
         for v in (2, 3)
     },
+    # DB-API adapter proven via the sqlite driver; the Postgres server
+    # itself stays env-blocked → partial, measured by probe
+    ("jdbc-catalog", 2): "partial",
+    ("jdbc-catalog", 3): "partial",
 }
 
 
@@ -300,6 +305,41 @@ def t_merge(ctx: Ctx) -> str:
     )
     got = {r["id"]: r["v"] for r in t.df().collect()}
     assert got == {1: 10, 2: 99, 3: 30}
+    return "pass"
+
+
+@conformance_test("jdbc-catalog")
+def t_jdbc_catalog(ctx: Ctx) -> str:
+    """JDBC-catalog adapter (flink_feature_tests.py:329-340 is the
+    Postgres exercise): the DB-API seam is proven live with the sqlite
+    driver URL, and the Postgres branch must fail with the explicit
+    driver-unavailable signal (no psycopg2/services in the sandbox) —
+    partial: adapter measured working, server env-blocked."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.tables.sql_catalog import (  # noqa: PLC0415
+        DriverUnavailableError,
+        dbapi_catalog_from_url,
+    )
+
+    wh = tempfile.mkdtemp(prefix="jdbc-wh-")
+    cat = dbapi_catalog_from_url(
+        ctx.spark, wh, f"sqlite:///{wh}/catalog.db"
+    )
+    cat.create_namespace("jns")
+    t = cat.create_table("jns.t", "id bigint", properties=ctx.props())
+    t.append(ctx.spark.range(3))
+    assert cat.load_table("jns.t").df().count() == 3
+    cat.rename_table("jns.t", "jns.t2")
+    assert cat.list_tables("jns") == ["t2"]
+    assert cat.metadata_location("jns.t2") is not None
+    cat.drop_table("jns.t2", purge=True)
+    # the env-blocked half, measured loudly:
+    try:
+        dbapi_catalog_from_url(ctx.spark, wh, "postgresql://localhost/ice")
+        return "error"  # psycopg2 unexpectedly present but unprobed
+    except DriverUnavailableError:
+        pass
     return "pass"
 
 
@@ -736,11 +776,38 @@ def t_variant(ctx: Ctx) -> str:
 
 @conformance_test("geospatial-types")
 def t_geospatial(ctx: Ctx) -> str:
+    """Measured PARTIAL on V3: this build ships the SRID-parameterised
+    GEOMETRY/GEOGRAPHY types + WKB io (st_geomfromwkb/st_asbinary/
+    st_setsrid/st_srid) — probed here with a library-encoded WKB point
+    round-tripping through the native type with its SRID intact, the
+    reference's GEOMETRY(4326) exercise (iceberg_feature_tests.py:
+    1386-1394). Constructors/predicates (ST_Point, ST_Contains) are
+    absent; functions/geo.py supplies bbox semantics at the WKB level.
+    V2 measures the V3-only rejection (geometry is a V3 storage type)."""
+    from iceberg_matrix_spark.functions.geo import geometry_to_wkb, to_geometry, wkb_point
+
+    if ctx.version < 3:
+        return "fail"  # V3-only storage type, like the reference's skip
     ctx.spark.conf.set("spark.sql.geospatial.enabled", "true")
+    df = ctx.spark.createDataFrame([(3, 4)], "x long, y long").select(
+        wkb_point("x", "y").alias("g")
+    )
+    native = df.select(to_geometry("g", srid=4326).alias("geom"))
+    assert "geometry" in native.schema["geom"].dataType.simpleString().lower()
+    row = native.selectExpr(
+        "st_srid(geom) AS srid", "st_asbinary(geom) AS wkb"
+    ).collect()[0]
+    assert row["srid"] == 4326
+    import struct  # noqa: PLC0415
+
+    assert bytes(row["wkb"]) == struct.pack("<BIdd", 1, 1, 3.0, 4.0)
+    # the missing half that keeps this PARTIAL, measured:
+    st_point_present = True
     try:
         ctx.spark.sql("SELECT ST_Point(1.0, 2.0)").collect()
     except Exception:
-        return "fail"  # measured unsupported in this build
+        st_point_present = False
+    assert not st_point_present, "ST_Point unexpectedly present — upgrade to full"
     return "pass"
 
 
@@ -955,7 +1022,6 @@ def _register_skip(feature_id: str, reason: str) -> None:
 for _fid, _reason in [
     ("glue-catalog", "needs AWS credentials + Glue endpoint — no network in sandbox"),
     ("s3tables-catalog", "needs AWS S3 Tables endpoint — no network in sandbox"),
-    ("jdbc-catalog", "needs a Postgres server — no services in sandbox"),
     ("hive-catalog", "needs a Hive metastore service — no services in sandbox"),
     ("nessie-catalog", "needs a Nessie service — no services in sandbox"),
     ("polaris-catalog", "needs a Polaris service — no services in sandbox"),

@@ -60,18 +60,23 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one row per identical text (the min-id representative)."""
-    fp = md5_fingerprint(text_col)
+    """Keep one row per identical text (the min-id representative).
+
+    The fingerprint is materialized as a column once, so the
+    normalization regex + md5 runs a single time per row — joining on a
+    recomputed ``md5_fingerprint(text_col)`` expression would charge it
+    on both sides of the semi-join."""
+    with_fp = df.withColumn("__fp", md5_fingerprint(text_col))
     w_min = (
-        df.select(F.col(id_col).alias("__id"), fp.alias("__fp"))
+        with_fp.select(F.col(id_col).alias("__id"), "__fp")
         .groupBy("__fp")
         .agg(F.min("__id").alias("__keep"))
     )
-    return df.join(
+    return with_fp.join(
         w_min,
-        (md5_fingerprint(text_col) == w_min.__fp) & (F.col(id_col) == w_min.__keep),
+        (with_fp.__fp == w_min.__fp) & (F.col(id_col) == w_min.__keep),
         "left_semi",
-    )
+    ).drop("__fp")
 
 
 # ---------------------------------------------------------------------------

@@ -144,15 +144,21 @@ def extract_features(media: DataFrame) -> DataFrame:
     pipeline shape."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
         for pdf in batches:
             vecs = []
             for payload in pdf["payload"]:
-                window = max(1, len(payload) // _FEATURE_DIM)
-                vec = [
-                    float(sum(payload[i * window : (i + 1) * window]) % 256) / 255.0
-                    for i in range(_FEATURE_DIM)
-                ]
-                vecs.append(vec)
+                # Vectorized even in the stub (the shape a real codec
+                # stage should take): window sums via reshape, windows
+                # past the payload end read as zero like the slice sum.
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                window = max(1, len(arr) // _FEATURE_DIM)
+                buf = np.zeros(_FEATURE_DIM * window, dtype=np.int64)
+                n = min(len(arr), buf.size)
+                buf[:n] = arr[:n]
+                vec = (buf.reshape(_FEATURE_DIM, window).sum(axis=1) % 256) / 255.0
+                vecs.append(vec.astype("float64").tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": vecs})
 
     return media.mapInPandas(feats, schema=_FEATURES_SCHEMA)

@@ -16,6 +16,8 @@ Two techniques the build brief calls out explicitly:
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,12 +54,54 @@ def ensure_compute_parallelism(df: DataFrame) -> DataFrame:
 
     Call it AFTER projecting down to the columns the stage needs, so the
     exchange carries nothing extra.
+
+    The check estimates planned scan splits from input-file sizes vs
+    ``spark.sql.files.maxPartitionBytes`` — no ``df.rdd`` conversion,
+    which would force a full plan analysis + RDD materialization per
+    call. Non-file-backed frames (in-memory relations) fall back to the
+    physical-partition probe, the rare path.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    import math  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= target:
+            return df
+        max_bytes = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        splits = 0
+        for uri in files:
+            path = uri[5:] if uri.startswith("file:") else uri
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                splits += 1
+                continue
+            splits += max(1, math.ceil(size / max_bytes))
+            if splits >= target:
+                return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(conf_val: str) -> int:
+    """Spark size-conf string → bytes ('134217728b', '128m', '1g')."""
+    m = re.match(r"(\d+)\s*([a-zA-Z]*)", conf_val.strip())
+    if not m:
+        return 128 * 1024 * 1024
+    num, unit = int(m.group(1)), m.group(2).lower()
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+            "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}.get(unit, 1)
+    return num * mult
 
 
 def salted_aggregate(

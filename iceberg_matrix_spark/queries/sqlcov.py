@@ -590,11 +590,59 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     return orders.select(
         "o_orderkey",
-        F.add_months("o_orderdate", 3).cast("timestamp_ntz").alias("plus_3_months"),
+        # timestampadd preserves time-of-day AND clamps end-of-month,
+        # matching DuckDB's + INTERVAL 3 MONTH for any input; add_months
+        # returns DATE (drops time), which only coincided while testdata
+        # order dates were all midnight.
+        F.expr("timestampadd(MONTH, 3, o_orderdate)")
+        .cast("timestamp_ntz")
+        .alias("plus_3_months"),
         F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
         F.dayofweek("o_orderdate").cast("int").alias("dow"),
         F.weekofyear("o_orderdate").cast("int").alias("week"),
         F.datediff(
             "o_orderdate", F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
         ).cast("int").alias("days_since_epoch_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.17 geospatial: WKB round-trip + bounding-box predicate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_geo_bbox",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
+           CAST((c_nationkey * 7) % 180 - 90 AS DOUBLE) AS y
+    FROM customer
+    WHERE (c_custkey % 360 - 180) BETWEEN -60 AND 60
+      AND ((c_nationkey * 7) % 180 - 90) BETWEEN -45 AND 45
+    """,
+)
+def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial surface (reference GEOMETRY exercise,
+    iceberg_feature_tests.py:1386-1394): derive deterministic integer
+    lon/lat per customer, encode them as REAL little-endian WKB point
+    bytes (functions/geo.py, byte-pinned vs struct.pack in
+    tests/test_geo.py), then run a bounding-box predicate that decodes
+    the doubles back OUT of the WKB — the query output only matches the
+    oracle if the encode→decode round-trip is bit-exact. All JVM-side
+    (reflect-based bit twiddling, functions/geo.py module docstring); no
+    Python worker, and the expression trees stay small enough for
+    whole-stage codegen."""
+    from iceberg_matrix_spark.functions.geo import bbox_contains, wkb_point, wkb_x, wkb_y
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 360 - 180).alias("__ix"),
+        ((F.col("c_nationkey").cast("long") * 7) % 180 - 90).alias("__iy"),
+    )
+    geo = cust.select("c_custkey", wkb_point("__ix", "__iy").alias("g"))
+    return geo.filter(bbox_contains("g", -60.0, -45.0, 60.0, 45.0)).select(
+        "c_custkey",
+        wkb_x("g").alias("x"),
+        wkb_y("g").alias("y"),
     )

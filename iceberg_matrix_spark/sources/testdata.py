@@ -77,8 +77,26 @@ def normalize_events_ts(df: DataFrame, to: str = "timestamp_ntz") -> DataFrame:
         col = F.expr(
             "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
         )
-    else:
+    elif ts_type == "timestamp_ntz":
         col = F.col("ts")
+    elif ts_type == "timestamp":
+        # isAdjustedToUTC=true micros read as TIMESTAMP_LTZ; a bare
+        # cast('timestamp_ntz') renders session-LOCAL wall clock and
+        # silently diverges from DuckDB's naive (UTC wall clock) read
+        # under non-UTC sessions. unix_micros extracts the instant's UTC
+        # epoch micros session-TZ-independently; rebuild NTZ with the
+        # same pure-epoch arithmetic as the nanos branch.
+        col = F.expr(
+            "timestampadd(MICROSECOND, unix_micros(ts), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+    else:
+        raise TypeError(
+            f"events.ts read as unexpected dtype {ts_type!r}; "
+            "normalize_events_ts knows bigint (nanos), timestamp_ntz, "
+            "and timestamp (LTZ micros) — a driver testdata regeneration "
+            "changed the physical unit, extend the dispatch deliberately"
+        )
     return df.withColumn("ts", col.cast(to))
 
 

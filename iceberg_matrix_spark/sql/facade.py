@@ -128,6 +128,8 @@ class IceLiteSQL:
         head = stmt.split(None, 2)
         verb = head[0].upper() if head else ""
         two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
+        if verb == "ALTER":
+            return self._alter_table(stmt)
         if two == "CREATE NAMESPACE":
             return self._create_namespace(stmt)
         if two == "DROP NAMESPACE":
@@ -175,17 +177,43 @@ class IceLiteSQL:
 
     # ------------------------------------------------------------ queries
 
-    def _view_name(self, identifier: str) -> str:
-        return "icelite_" + re.sub(r"\W", "_", identifier)
+    def _view_name(self, identifier: str, suffix: str = "") -> str:
+        return "icelite_" + re.sub(r"\W", "_", identifier + suffix)
 
     def _substitute_views(self, text: str) -> str:
-        """Register a temp view per referenced catalog table; rewrite names."""
+        """Register a temp view per referenced catalog table; rewrite names.
+
+        Time travel: ``tbl VERSION AS OF <snapshot-id>`` and
+        ``tbl TIMESTAMP AS OF '<ts>'`` (iceberg_feature_tests.py:820)
+        resolve to snapshot-pinned views before the plain-name pass."""
         for ns in self.catalog.list_namespaces():
             for tbl in self.catalog.list_tables(ns):
                 ident = f"{ns}.{tbl}"
-                pat = re.compile(
-                    rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}\b"
+                base = rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}"
+                vpat = re.compile(base + r"\s+VERSION\s+AS\s+OF\s+(\d+)", re.I)
+                for m in list(vpat.finditer(text)):
+                    sid = int(m.group(1))
+                    view = self._view_name(ident, f"_v{sid}")
+                    self.catalog.load_table(ident).df(
+                        snapshot_id=sid
+                    ).createOrReplaceTempView(view)
+                    text = text.replace(m.group(0), view)
+                tpat = re.compile(
+                    base + r"\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.I
                 )
+                for m in list(tpat.finditer(text)):
+                    from datetime import datetime, timezone  # noqa: PLC0415
+
+                    dt = datetime.fromisoformat(m.group(1))
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=timezone.utc)
+                    ms = int(dt.timestamp() * 1000)
+                    view = self._view_name(ident, f"_t{ms}")
+                    self.catalog.load_table(ident).df(
+                        as_of_timestamp_ms=ms
+                    ).createOrReplaceTempView(view)
+                    text = text.replace(m.group(0), view)
+                pat = re.compile(base + r"\b")
                 if pat.search(text):
                     view = self._view_name(ident)
                     self.catalog.load_table(ident).df().createOrReplaceTempView(view)
@@ -298,6 +326,71 @@ class IceLiteSQL:
         except NoSuchTableError:
             if not m.group(1):
                 raise
+
+    def _alter_table(self, stmt: str) -> None:
+        """ALTER TABLE verbs the reference's SQL tests exercise
+        (iceberg_feature_tests.py:708-745 schema evolution, :888-889
+        tags/branches, :968 partition fields, property round-trips)."""
+        m = re.match(rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", stmt, re.I | re.S)
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        t = self.catalog.load_table(self._resolve(m.group(1)))
+        body = m.group(2).strip()
+
+        am = re.match(r"ADD\s+COLUMNS?\s*(.*)$", body, re.I | re.S)
+        if am:
+            cols_text = am.group(1).strip()
+            if cols_text.startswith("("):
+                cols_text, rest = _take_parens(cols_text)
+                if rest.strip():
+                    raise UnsupportedSQLError(f"trailing ALTER text: {rest!r}")
+            cols = {}
+            for part in _split_top(cols_text):
+                name, _, typ = part.strip().partition(" ")
+                if not typ.strip():
+                    raise UnsupportedSQLError(f"bad column def: {part!r}")
+                cols[name.strip("`")] = typ.strip().lower()
+            t.add_columns(cols)
+            return
+        rm = re.match(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", body, re.I)
+        if rm:
+            t.rename_column(rm.group(1), rm.group(2))
+            return
+        dm = re.match(r"DROP\s+COLUMN\s+(\w+)\s*$", body, re.I)
+        if dm:
+            t.drop_column(dm.group(1))
+            return
+        cm = re.match(r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*$", body, re.I)
+        if cm:
+            t.alter_column_type(cm.group(1), cm.group(2).lower())
+            return
+        pm = re.match(r"SET\s+TBLPROPERTIES\s*(.*)$", body, re.I | re.S)
+        if pm:
+            inner, _rest = _take_parens(pm.group(1))
+            t.set_properties(self._parse_tblproperties(inner))
+            return
+        fm = re.match(r"ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$", body, re.I)
+        if fm:
+            t.add_partition_field(fm.group(1))
+            return
+        fm = re.match(r"DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$", body, re.I)
+        if fm:
+            t.drop_partition_field(fm.group(1))
+            return
+        bm = re.match(
+            r"CREATE\s+(TAG|BRANCH)\s+`?([\w.-]+)`?"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+            body,
+            re.I,
+        )
+        if bm:
+            sid = int(bm.group(3)) if bm.group(3) else None
+            if bm.group(1).upper() == "TAG":
+                t.create_tag(bm.group(2), sid)
+            else:
+                t.create_branch(bm.group(2), sid)
+            return
+        raise UnsupportedSQLError(f"unsupported ALTER TABLE clause: {body[:60]!r}")
 
     # --------------------------------------------------------------- DML
 

@@ -35,6 +35,9 @@ def _parse_schema_ddl(ddl: str) -> list[tuple[str, str]]:
 
     Unlike StructType.fromDDL this admits the V3 logical types
     ``timestamp_ns`` and ``variant`` (stored as bigint/string physically).
+    Types normalize to lowercase so `CREATE TABLE (id BIGINT)` and
+    `(id bigint)` produce the same metadata (type-widening checks and
+    Spark's simpleString are lowercase).
     """
     out: list[tuple[str, str]] = []
     depth, cur = 0, []
@@ -45,7 +48,7 @@ def _parse_schema_ddl(ddl: str) -> list[tuple[str, str]]:
             if not part:
                 continue
             name, _, typ = part.partition(" ")
-            typ = typ.strip()
+            typ = typ.strip().lower()
             if not typ:
                 raise ValueError(f"bad schema field: {part!r}")
             out.append((name, typ))

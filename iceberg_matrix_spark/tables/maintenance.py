@@ -15,6 +15,12 @@ from iceberg_matrix_spark.tables.metadata import TableMetadata
 from iceberg_matrix_spark.tables.table import IceLiteTable, _head
 
 
+class CommitConflictError(RuntimeError):
+    """A rewrite exhausted its retries against concurrent commits — the
+    PUBLIC failure signal callers catch (the private ``_RewriteRestart``
+    sentinel is control flow and never escapes)."""
+
+
 class _RewriteRestart(Exception):
     """Concurrent row-level deletes landed mid-rewrite; restart from the
     new head (Iceberg's rewrite aborts on conflicting deletes too)."""
@@ -77,7 +83,11 @@ def rewrite_data_files(table: IceLiteTable, target_partitions: int | None = None
         except _RewriteRestart:
             continue
     else:
-        raise _RewriteRestart("gave up after 5 restarts (concurrent deletes)")
+        raise CommitConflictError(
+            "rewrite_data_files gave up after 5 restarts: concurrent "
+            "row-level deletes kept landing mid-rewrite (uncommitted "
+            "rewrite output is reclaimed by remove_orphan_files)"
+        )
 
     snap = table._current_snapshot()
     return {
@@ -243,8 +253,15 @@ def rewrite_position_deletes(table: IceLiteTable) -> dict:
                 "added_delete_files_count": 1,
             }
         except _RewriteRestart:
+            # the consolidated delete file written this attempt was never
+            # committed — reclaim it now instead of leaving an orphan for
+            # remove_orphan_files
+            shutil.rmtree(entry.path, ignore_errors=True)
             continue
-    raise _RewriteRestart("gave up after 5 restarts (concurrent deletes)")
+    raise CommitConflictError(
+        "rewrite_position_deletes gave up after 5 restarts: concurrent "
+        "MoR deletes kept landing mid-consolidation"
+    )
 
 
 def compute_table_statistics(table: IceLiteTable, columns: list[str] | None = None) -> dict:
@@ -276,8 +293,8 @@ def compute_table_statistics(table: IceLiteTable, columns: list[str] | None = No
     # (KMV of a union = KMV of merged KMVs). A zero-row head degrades to
     # empty sketches → NDV 0.0, not a crash.
     k = KMV_K
+    ncols = len(cols)
     hashes = df.select(
-        F.spark_partition_id().alias("__pid"),
         *[
             F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10)
             .cast("long")
@@ -285,11 +302,30 @@ def compute_table_statistics(table: IceLiteTable, columns: list[str] | None = No
             for i, c in enumerate(cols)
         ],
     )
-    per_part = hashes.groupBy("__pid").agg(
-        *[
-            F.slice(F.array_sort(F.collect_set(f"__h{i}")), 1, k).alias(f"__m{i}")
-            for i in range(len(cols))
-        ]
+
+    # Per-partition k-smallest via Arrow-batched mapInPandas with a
+    # RUNNING k-bounded buffer: memory is O(k + arrow-batch), never the
+    # partition's distinct set (a collect_set here would buffer the full
+    # per-partition NDV before any slice — an OOM risk on
+    # high-cardinality columns at scale). Hashing stays JVM-side; only
+    # the k-min selection crosses to Python.
+    def _k_smallest(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        mins = [np.empty(0, dtype=np.int64) for _ in range(ncols)]
+        for pdf in batches:
+            for i in range(ncols):
+                vals = pdf[f"__h{i}"].dropna()
+                if len(vals):
+                    merged_arr = np.unique(
+                        np.concatenate([mins[i], vals.to_numpy(dtype=np.int64)])
+                    )
+                    mins[i] = merged_arr[:k]
+        yield pd.DataFrame({f"__m{i}": [mins[i].tolist()] for i in range(ncols)})
+
+    per_part = hashes.mapInPandas(
+        _k_smallest, schema=", ".join(f"__m{i} array<bigint>" for i in range(ncols))
     )
     merged = per_part.agg(
         *[

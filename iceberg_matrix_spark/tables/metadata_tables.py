@@ -146,7 +146,13 @@ def manifests(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
     IceLite has no physical manifest files — the metadata.json embeds
     each snapshot's file lists — so each snapshot's embedded list IS its
     manifest: one row per (snapshot, content) with added/existing file
-    counts and row totals, the columns the reference reads."""
+    counts and row totals, the columns the reference reads.
+
+    Expired parents: a snapshot whose parent was expired has no baseline
+    to diff against, so its added/existing split is reported as NULL
+    rather than mis-counting every carried-over file as "added" (a root
+    snapshot — parent_id None — genuinely adds everything and keeps
+    concrete counts)."""
     snaps = table.meta.snapshots
     if snapshot_id is not None:
         snaps = [s for s in snaps if s.snapshot_id == snapshot_id]
@@ -154,16 +160,23 @@ def manifests(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
     rows = []
     for s in snaps:
         parent = by_id.get(s.parent_id)
+        parent_expired = s.parent_id is not None and parent is None
         prev_data = {f.path for f in parent.data_files} if parent else set()
         prev_del = {d.path for d in parent.delete_files} if parent else set()
-        added_d = [f for f in s.data_files if f.path not in prev_data]
-        exist_d = [f for f in s.data_files if f.path in prev_data]
-        rows.append(
-            (s.snapshot_id, 0, len(added_d), len(exist_d),
-             sum(f.record_count for f in added_d),
-             sum(f.record_count for f in exist_d))
-        )
+        if parent_expired:
+            rows.append((s.snapshot_id, 0, None, None, None, None))
+        else:
+            added_d = [f for f in s.data_files if f.path not in prev_data]
+            exist_d = [f for f in s.data_files if f.path in prev_data]
+            rows.append(
+                (s.snapshot_id, 0, len(added_d), len(exist_d),
+                 sum(f.record_count for f in added_d),
+                 sum(f.record_count for f in exist_d))
+            )
         if s.delete_files:
+            if parent_expired:
+                rows.append((s.snapshot_id, 1, None, None, None, None))
+                continue
             added_l = [d for d in s.delete_files if d.path not in prev_del]
             exist_l = [d for d in s.delete_files if d.path in prev_del]
             rows.append(

@@ -1,13 +1,14 @@
-"""SQL-backed IceLite catalog on stdlib sqlite3 (the SqlCatalog analog).
+"""SQL-backed IceLite catalog over any DB-API driver (SqlCatalog analog).
 
-The reference exercises a SQLite SqlCatalog through PyIceberg
-(/root/reference/tests/iceberg_feature_tests.py — catalog matrix rows);
-that dependency isn't available here, but the catalog *model* is plain
-SQL and worth having natively: identifiers live in database rows, so
-catalog DDL gets transactional semantics the directory catalog cannot
-give — concurrent CREATE resolves to exactly one winner via the primary
-key, RENAME is a single-statement atomic update (a filesystem catalog
-would need a non-atomic directory move), and DROP can't half-complete.
+The reference exercises a SQLite SqlCatalog through PyIceberg and a JDBC
+catalog against Postgres (/root/reference/tests/iceberg_feature_tests.py
+catalog matrix rows; flink_feature_tests.py:329-340); those service
+dependencies aren't available here, but the catalog *model* is plain SQL
+and worth having natively: identifiers live in database rows, so catalog
+DDL gets transactional semantics the directory catalog cannot give —
+concurrent CREATE resolves to exactly one winner via the primary key,
+RENAME is a single-statement atomic update (a filesystem catalog would
+need a non-atomic directory move), and DROP can't half-complete.
 
 Schema (mirrors the shape PyIceberg's SqlCatalog uses):
 
@@ -21,6 +22,15 @@ SQL catalog adds over scanning the warehouse directory. Data and
 metadata files themselves stay in the warehouse exactly as with
 :class:`IceLiteCatalog`; only name resolution moves into SQL, so every
 table remains readable by both catalogs.
+
+Portability seam (:class:`DbApiCatalog`): the SQL here is ANSI +
+``CREATE TABLE IF NOT EXISTS``; everything driver-specific is a
+constructor parameter — connection factory, paramstyle, IntegrityError
+class, per-connection init statements. :class:`SqlCatalog` is the
+sqlite3 instantiation; :func:`dbapi_catalog_from_url` is the JDBC-shaped
+entry point (``sqlite:///path`` works in-container; ``postgresql://``
+resolves the psycopg2 driver and fails with an explicit env-blocked
+error when absent — the adapter is the same class either way).
 """
 
 from __future__ import annotations
@@ -29,8 +39,9 @@ import json
 import os
 import shutil
 import sqlite3
+from collections.abc import Callable
 from contextlib import contextmanager
-from typing import Iterator
+from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -44,39 +55,69 @@ from iceberg_matrix_spark.tables.metadata import _version_path, current_version
 from iceberg_matrix_spark.tables.table import IceLiteTable
 
 
-class SqlCatalog:
-    """Catalog façade storing identifiers in SQLite; table IO delegates to
-    the same IceLite machinery as the directory catalog."""
+class DbApiCatalog:
+    """Catalog façade storing identifiers in ANY DB-API database; table IO
+    delegates to the same IceLite machinery as the directory catalog."""
 
-    def __init__(self, spark: SparkSession, warehouse: str, db_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        connect: Callable[[], Any],
+        *,
+        paramstyle: str = "qmark",
+        integrity_error: type[Exception] = Exception,
+        init_statements: tuple[str, ...] = (),
+    ):
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
-        self.db_path = db_path or os.path.join(warehouse, "catalog.db")
+        self._connect = connect
+        self._paramstyle = paramstyle
+        self._integrity_error = integrity_error
+        self._init_statements = init_statements
         # the delegate handles schema parsing/validation + metadata creation
         self._fs = IceLiteCatalog(spark, warehouse)
         with self._conn() as con:
-            con.execute(
+            self._exec(
+                con,
                 "CREATE TABLE IF NOT EXISTS namespaces ("
-                " namespace TEXT PRIMARY KEY, properties_json TEXT NOT NULL)"
+                " namespace TEXT PRIMARY KEY, properties_json TEXT NOT NULL)",
             )
-            con.execute(
+            self._exec(
+                con,
                 "CREATE TABLE IF NOT EXISTS tables ("
                 " namespace TEXT NOT NULL, name TEXT NOT NULL,"
                 " location TEXT NOT NULL, metadata_location TEXT,"
                 " PRIMARY KEY (namespace, name),"
-                " FOREIGN KEY (namespace) REFERENCES namespaces(namespace))"
+                " FOREIGN KEY (namespace) REFERENCES namespaces(namespace))",
             )
 
+    # ------------------------------------------------------------- plumbing
+
     @contextmanager
-    def _conn(self) -> Iterator[sqlite3.Connection]:
-        con = sqlite3.connect(self.db_path, timeout=30)
-        con.execute("PRAGMA foreign_keys = ON")
+    def _conn(self) -> Iterator[Any]:
+        con = self._connect()
         try:
+            for stmt in self._init_statements:
+                con.execute(stmt)
             with con:  # transaction scope: commit on success, rollback on error
                 yield con
         finally:
             con.close()
+
+    def _sql(self, sql: str) -> str:
+        """Translate qmark placeholders to the driver's paramstyle."""
+        if self._paramstyle in ("format", "pyformat"):
+            return sql.replace("?", "%s")
+        return sql
+
+    def _exec(self, con: Any, sql: str, params: tuple = ()):
+        return con.execute(self._sql(sql), params)
+
+    @staticmethod
+    def _is_fk_violation(exc: Exception) -> bool:
+        return "foreign key" in str(exc).lower()
 
     @staticmethod
     def _split(identifier: str) -> tuple[str, str]:
@@ -88,16 +129,24 @@ class SqlCatalog:
     # ------------------------------------------------------------ namespaces
 
     def create_namespace(self, name: str, properties: dict[str, str] | None = None) -> None:
-        with self._conn() as con:
-            con.execute(
-                "INSERT OR IGNORE INTO namespaces VALUES (?, ?)",
-                (name, json.dumps(properties or {})),
-            )
+        # portable INSERT-if-absent: plain INSERT, swallow the PK conflict
+        # (sqlite's INSERT OR IGNORE / Postgres's ON CONFLICT are dialects)
+        try:
+            with self._conn() as con:
+                self._exec(
+                    con,
+                    "INSERT INTO namespaces VALUES (?, ?)",
+                    (name, json.dumps(properties or {})),
+                )
+        except self._integrity_error as exc:
+            if self._is_fk_violation(exc):
+                raise
+            # already exists — idempotent like CREATE NAMESPACE IF NOT EXISTS
 
     def namespace_properties(self, name: str) -> dict[str, str]:
         with self._conn() as con:
-            row = con.execute(
-                "SELECT properties_json FROM namespaces WHERE namespace = ?", (name,)
+            row = self._exec(
+                con, "SELECT properties_json FROM namespaces WHERE namespace = ?", (name,)
             ).fetchone()
         if row is None:
             raise ValueError(f"no such namespace: {name}")
@@ -105,21 +154,22 @@ class SqlCatalog:
 
     def drop_namespace(self, name: str) -> None:
         with self._conn() as con:
-            n = con.execute(
-                "SELECT COUNT(*) FROM tables WHERE namespace = ?", (name,)
+            n = self._exec(
+                con, "SELECT COUNT(*) FROM tables WHERE namespace = ?", (name,)
             ).fetchone()[0]
             if n:
                 raise ValueError(f"namespace {name} is not empty")
-            con.execute("DELETE FROM namespaces WHERE namespace = ?", (name,))
+            self._exec(con, "DELETE FROM namespaces WHERE namespace = ?", (name,))
 
     def list_namespaces(self) -> list[str]:
         with self._conn() as con:
-            return [r[0] for r in con.execute(
-                "SELECT namespace FROM namespaces ORDER BY namespace")]
+            return [r[0] for r in self._exec(
+                con, "SELECT namespace FROM namespaces ORDER BY namespace")]
 
     def list_tables(self, namespace: str) -> list[str]:
         with self._conn() as con:
-            return [r[0] for r in con.execute(
+            return [r[0] for r in self._exec(
+                con,
                 "SELECT name FROM tables WHERE namespace = ? ORDER BY name",
                 (namespace,))]
 
@@ -128,14 +178,15 @@ class SqlCatalog:
     def table_exists(self, identifier: str) -> bool:
         ns, tbl = self._split(identifier)
         with self._conn() as con:
-            return con.execute(
-                "SELECT 1 FROM tables WHERE namespace = ? AND name = ?", (ns, tbl)
+            return self._exec(
+                con, "SELECT 1 FROM tables WHERE namespace = ? AND name = ?", (ns, tbl)
             ).fetchone() is not None
 
     def _row(self, identifier: str) -> tuple[str, str, str]:
         ns, tbl = self._split(identifier)
         with self._conn() as con:
-            row = con.execute(
+            row = self._exec(
+                con,
                 "SELECT namespace, name, location FROM tables"
                 " WHERE namespace = ? AND name = ?",
                 (ns, tbl),
@@ -143,6 +194,19 @@ class SqlCatalog:
         if row is None:
             raise NoSuchTableError(identifier)
         return row
+
+    def _claim(self, ns: str, tbl: str, location: str, identifier: str) -> None:
+        try:
+            with self._conn() as con:
+                self._exec(
+                    con,
+                    "INSERT INTO tables (namespace, name, location) VALUES (?, ?, ?)",
+                    (ns, tbl, location),
+                )
+        except self._integrity_error as exc:
+            if self._is_fk_violation(exc):
+                raise ValueError(f"no such namespace: {ns}") from exc
+            raise TableAlreadyExistsError(identifier) from exc
 
     def create_table(
         self,
@@ -155,23 +219,14 @@ class SqlCatalog:
         location = os.path.join(self.warehouse, ns, tbl)
         # claim the identifier FIRST: the primary key makes concurrent
         # creates race-free (exactly one INSERT succeeds)
-        try:
-            with self._conn() as con:
-                con.execute(
-                    "INSERT INTO tables (namespace, name, location) VALUES (?, ?, ?)",
-                    (ns, tbl, location),
-                )
-        except sqlite3.IntegrityError as exc:
-            if "FOREIGN KEY" in str(exc):
-                raise ValueError(f"no such namespace: {ns}") from exc
-            raise TableAlreadyExistsError(identifier) from exc
+        self._claim(ns, tbl, location, identifier)
         try:
             os.makedirs(os.path.dirname(location), exist_ok=True)
             table = self._fs.create_table(identifier, schema, partition_by, properties)
         except Exception:
             with self._conn() as con:  # roll back the claim on failure
-                con.execute(
-                    "DELETE FROM tables WHERE namespace = ? AND name = ?", (ns, tbl)
+                self._exec(
+                    con, "DELETE FROM tables WHERE namespace = ? AND name = ?", (ns, tbl)
                 )
             raise
         self._sync_pointer(ns, tbl, location)
@@ -196,16 +251,7 @@ class SqlCatalog:
         if current_version(location) == 0:
             raise NoSuchTableError(f"no table metadata at {location}")
         ns, tbl = self._split(identifier)
-        try:
-            with self._conn() as con:
-                con.execute(
-                    "INSERT INTO tables (namespace, name, location) VALUES (?, ?, ?)",
-                    (ns, tbl, location),
-                )
-        except sqlite3.IntegrityError as exc:
-            if "FOREIGN KEY" in str(exc):
-                raise ValueError(f"no such namespace: {ns}") from exc
-            raise TableAlreadyExistsError(identifier) from exc
+        self._claim(ns, tbl, location, identifier)
         self._sync_pointer(ns, tbl, location)
         return IceLiteTable(self.spark, location)
 
@@ -224,23 +270,24 @@ class SqlCatalog:
         new_ns, new_tbl = self._split(new_identifier)
         try:
             with self._conn() as con:
-                cur = con.execute(
+                cur = self._exec(
+                    con,
                     "UPDATE tables SET namespace = ?, name = ?"
                     " WHERE namespace = ? AND name = ?",
                     (new_ns, new_tbl, ns, tbl),
                 )
                 if cur.rowcount == 0:
                     raise NoSuchTableError(identifier)
-        except sqlite3.IntegrityError as exc:
-            if "FOREIGN KEY" in str(exc):
+        except self._integrity_error as exc:
+            if self._is_fk_violation(exc):
                 raise ValueError(f"no such namespace: {new_ns}") from exc
             raise TableAlreadyExistsError(new_identifier) from exc
 
     def drop_table(self, identifier: str, purge: bool = False) -> None:
         ns, tbl, location = self._row(identifier)
         with self._conn() as con:
-            con.execute(
-                "DELETE FROM tables WHERE namespace = ? AND name = ?", (ns, tbl)
+            self._exec(
+                con, "DELETE FROM tables WHERE namespace = ? AND name = ?", (ns, tbl)
             )
         if purge:
             shutil.rmtree(location, ignore_errors=True)
@@ -252,7 +299,8 @@ class SqlCatalog:
     def metadata_location(self, identifier: str) -> str | None:
         ns, tbl = self._split(identifier)
         with self._conn() as con:
-            row = con.execute(
+            row = self._exec(
+                con,
                 "SELECT metadata_location FROM tables WHERE namespace = ? AND name = ?",
                 (ns, tbl),
             ).fetchone()
@@ -264,8 +312,66 @@ class SqlCatalog:
         version = current_version(location)
         pointer = _version_path(location, version) if version else None
         with self._conn() as con:
-            con.execute(
+            self._exec(
+                con,
                 "UPDATE tables SET metadata_location = ?"
                 " WHERE namespace = ? AND name = ?",
                 (pointer, ns, tbl),
             )
+
+
+class SqlCatalog(DbApiCatalog):
+    """The stdlib-sqlite3 instantiation of :class:`DbApiCatalog` (the
+    shape PyIceberg's SqlCatalog uses with a sqlite URI)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, db_path: str | None = None):
+        self.db_path = db_path or os.path.join(warehouse, "catalog.db")
+        super().__init__(
+            spark,
+            warehouse,
+            connect=lambda: sqlite3.connect(self.db_path, timeout=30),
+            paramstyle="qmark",
+            integrity_error=sqlite3.IntegrityError,
+            init_statements=("PRAGMA foreign_keys = ON",),
+        )
+
+
+class DriverUnavailableError(RuntimeError):
+    """The DB-API driver for the requested URL scheme isn't installed in
+    this environment (the JDBC-catalog env-blocked signal)."""
+
+
+def dbapi_catalog_from_url(
+    spark: SparkSession, warehouse: str, url: str
+) -> DbApiCatalog:
+    """JDBC-shaped entry point: ``scheme://...`` → configured catalog.
+
+    ``sqlite:///path/to/db`` runs on stdlib sqlite3 (proving the seam
+    in-container); ``postgresql://host/db`` resolves psycopg2 and raises
+    :class:`DriverUnavailableError` when it isn't installed — the honest
+    env-blocked outcome, with the adapter code path identical either way
+    (flink_feature_tests.py:329-340 is the Postgres JDBC exercise).
+    """
+    scheme, sep, rest = url.partition("://")
+    if not sep:
+        raise ValueError(f"not a catalog URL: {url!r}")
+    if scheme == "sqlite":
+        path = rest.lstrip("/")
+        db_path = ("/" + path) if path else os.path.join(warehouse, "catalog.db")
+        return SqlCatalog(spark, warehouse, db_path=db_path)
+    if scheme in ("postgresql", "postgres"):
+        try:
+            import psycopg2  # noqa: PLC0415
+        except ImportError as exc:
+            raise DriverUnavailableError(
+                "postgresql catalog needs psycopg2, which is not installed "
+                "in this environment (no network/services in the sandbox)"
+            ) from exc
+        return DbApiCatalog(
+            spark,
+            warehouse,
+            connect=lambda: psycopg2.connect(url),
+            paramstyle="pyformat",
+            integrity_error=psycopg2.IntegrityError,
+        )
+    raise ValueError(f"unsupported catalog URL scheme: {scheme!r}")

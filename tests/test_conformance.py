@@ -37,8 +37,9 @@ def test_conformance_run_is_clean(spark):
         ("deletion-vectors", 2),
         ("multi-arg-transforms", 2),
         ("multi-arg-transforms", 3),
-        ("geospatial-types", 2),
-        ("geospatial-types", 3),
+        ("geospatial-types", 2),  # geometry is a V3 storage type; V3 is
+        # now measured PARTIAL (types + WKB io present, ST_* constructors
+        # absent — functions/geo.py supplies them at the WKB level)
         # V3-only features: the V2 probes measure the rejection
         ("column-default-values", 2),
         ("row-lineage", 2),
@@ -48,11 +49,14 @@ def test_conformance_run_is_clean(spark):
     # environment-blocked integrations are registered SKIP rows with
     # reasons (the reference's coverage rule: a verdict for every feature)
     skips = {r["feature_id"] for r in report["results"] if r["verdict"] == "skip"}
-    assert {"glue-catalog", "jdbc-catalog"} <= skips
-    # sqlite-catalog, rest-catalog, and metadata-location-sink graduated
-    # from skips to real probes (tables/sql_catalog.py,
-    # tables/rest_catalog.py, sinks/manifest.py)
-    assert {"sqlite-catalog", "rest-catalog", "metadata-location-sink"}.isdisjoint(skips)
+    assert {"glue-catalog", "hive-catalog"} <= skips
+    # sqlite-catalog, rest-catalog, metadata-location-sink, and (round 3)
+    # jdbc-catalog graduated from skips to real probes
+    # (tables/sql_catalog.py — DbApiCatalog seam, tables/rest_catalog.py,
+    # sinks/manifest.py)
+    assert {
+        "sqlite-catalog", "rest-catalog", "metadata-location-sink", "jdbc-catalog"
+    }.isdisjoint(skips)
     for r in report["results"]:
         if r["verdict"] == "skip":
             assert r["detail"], f"skip row {r['feature_id']} must carry a reason"

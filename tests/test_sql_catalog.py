@@ -114,3 +114,48 @@ def test_tables_interop_with_directory_catalog_readers(spark, cat):
     t.append(spark.range(5))
     # a plain path-based reader sees the same table
     assert IceLiteTable(spark, t.location).df().count() == 5
+
+
+# ----------------------------------------------------------- DB-API seam
+
+
+def test_dbapi_url_factory_sqlite(spark, tmp_path):
+    """The JDBC-shaped entry point with a sqlite URL exercises the SAME
+    DbApiCatalog code path a Postgres deployment would use."""
+    from iceberg_matrix_spark.tables.sql_catalog import dbapi_catalog_from_url
+
+    wh = str(tmp_path / "wh")
+    cat = dbapi_catalog_from_url(spark, wh, f"sqlite:///{tmp_path}/cat.db")
+    cat.create_namespace("db")
+    cat.create_namespace("db")  # idempotent, portable INSERT-if-absent
+    t = cat.create_table("db.t", "id bigint")
+    t.append(spark.range(4))
+    assert cat.load_table("db.t").df().count() == 4
+    cat.rename_table("db.t", "db.renamed")
+    assert cat.list_tables("db") == ["renamed"]
+    assert str(tmp_path / "cat.db") == cat.db_path
+
+
+def test_dbapi_url_factory_postgres_env_blocked(spark, tmp_path):
+    from iceberg_matrix_spark.tables.sql_catalog import (
+        DriverUnavailableError,
+        dbapi_catalog_from_url,
+    )
+
+    with pytest.raises(DriverUnavailableError, match="psycopg2"):
+        dbapi_catalog_from_url(spark, str(tmp_path), "postgresql://localhost/ice")
+    with pytest.raises(ValueError, match="scheme"):
+        dbapi_catalog_from_url(spark, str(tmp_path), "mysql://localhost/ice")
+
+
+def test_dbapi_paramstyle_translation():
+    """pyformat drivers get %s placeholders — translation is text-level."""
+    from iceberg_matrix_spark.tables.sql_catalog import DbApiCatalog
+
+    fake = object.__new__(DbApiCatalog)
+    fake._paramstyle = "pyformat"
+    assert fake._sql("SELECT * FROM t WHERE a = ? AND b = ?") == (
+        "SELECT * FROM t WHERE a = %s AND b = %s"
+    )
+    fake._paramstyle = "qmark"
+    assert fake._sql("SELECT ?") == "SELECT ?"

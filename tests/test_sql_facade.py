@@ -132,7 +132,7 @@ def test_drop_table_purge_and_if_exists(sql):
 
 def test_unsupported_statements_raise(sql):
     with pytest.raises(UnsupportedSQLError):
-        sql.sql("ALTER TABLE x.y ADD COLUMN z INT")
+        sql.sql("GRANT SELECT ON x.y TO role_z")
     with pytest.raises(UnsupportedSQLError):
         sql.sql("UPDATE onepart SET v=1")
     sql.sql("CREATE NAMESPACE nsA")
@@ -150,3 +150,58 @@ def test_where_inside_string_literal_not_split(sql):
     _seed(sql, "nsB.t", rows="(1,'x')")
     sql.sql("UPDATE nsB.t SET val = 'a where b' WHERE id = 1")
     assert sql.sql("SELECT val FROM nsB.t").collect()[0][0] == "a where b"
+
+
+# ------------------------------------------------- ALTER TABLE + time travel
+
+
+def test_alter_table_schema_evolution_sql(sql):
+    """The reference's exact ALTER statements (iceberg_feature_tests.py:
+    708-745): add/rename/drop column, type widening."""
+    sql.sql("CREATE NAMESPACE nsC")
+    sql.sql("CREATE TABLE nsC.t (id INT, name STRING, amount FLOAT) USING iceberg")
+    sql.sql("INSERT INTO nsC.t VALUES (1,'a',1.5)")
+    sql.sql("ALTER TABLE nsC.t ADD COLUMNS (age INT)")
+    assert sql.sql("SELECT age FROM nsC.t").collect()[0][0] is None
+    sql.sql("ALTER TABLE nsC.t RENAME COLUMN name TO full_name")
+    assert sql.sql("SELECT full_name FROM nsC.t").collect()[0][0] == "a"
+    sql.sql("ALTER TABLE nsC.t DROP COLUMN age")
+    assert "age" not in sql.sql("SELECT * FROM nsC.t").columns
+    sql.sql("ALTER TABLE nsC.t ALTER COLUMN id TYPE BIGINT")
+    sql.sql("ALTER TABLE nsC.t ALTER COLUMN amount TYPE DOUBLE")
+    desc = {r["col_name"]: r["data_type"] for r in sql.sql("DESCRIBE nsC.t").collect()}
+    assert desc["id"] == "bigint" and desc["amount"] == "double"
+
+
+def test_alter_table_properties_partition_refs(sql):
+    sql.sql("CREATE NAMESPACE nsD")
+    sql.sql("CREATE TABLE nsD.t (id BIGINT, ts TIMESTAMP_NTZ) USING iceberg")
+    sql.sql("ALTER TABLE nsD.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    t = sql.table("nsD.t")
+    assert t.meta.properties["write.delete.mode"] == "merge-on-read"
+    sql.sql("ALTER TABLE nsD.t ADD PARTITION FIELD bucket(4, id)")
+    t.refresh()
+    assert any("bucket" in s for s in t.meta.partition_spec)
+    sql.sql("ALTER TABLE nsD.t DROP PARTITION FIELD bucket(4, id)")
+    t.refresh()
+    assert not t.meta.partition_spec
+    sql.sql("INSERT INTO nsD.t VALUES (1, TIMESTAMP_NTZ '2024-01-01 00:00:00')")
+    assert sql.sql("SELECT count(*) FROM nsD.t").collect()[0][0] == 1
+
+
+def test_version_as_of_time_travel_sql(sql):
+    """SELECT ... VERSION AS OF (iceberg_feature_tests.py:820) + CREATE TAG."""
+    sql.sql("CREATE NAMESPACE nsE")
+    _seed(sql, "nsE.t", rows="(1,'a')")
+    t = sql.table("nsE.t")
+    snap1 = t.meta.snapshots[-1].snapshot_id
+    sql.sql("INSERT INTO nsE.t VALUES (2,'b')")
+    assert sql.sql("SELECT count(*) FROM nsE.t").collect()[0][0] == 2
+    old = sql.sql(f"SELECT count(*) FROM nsE.t VERSION AS OF {snap1}").collect()[0][0]
+    assert old == 1
+    sql.sql(f"ALTER TABLE nsE.t CREATE TAG `v1_release` AS OF VERSION {snap1}")
+    t.refresh()
+    assert t.meta.refs["v1_release"].snapshot_id == snap1
+    sql.sql("ALTER TABLE nsE.t CREATE BRANCH `dev`")
+    t.refresh()
+    assert "dev" in t.meta.refs
