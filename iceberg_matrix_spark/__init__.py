@@ -15,6 +15,8 @@ matrix plus engine conformance harnesses) as an idiomatic PySpark library:
   the correctness harness (``__spark_entry__.py``).
 - ``iceberg_matrix_spark.streaming`` — Structured Streaming pipelines with
   IceLite snapshot-per-epoch sinks.
+- ``iceberg_matrix_spark.sql``      — SQL-string front-end (MERGE/UPDATE/
+  DELETE/INSERT, DDL, ALTER TABLE, time-travel SELECT) over IceLite.
 """
 
 from iceberg_matrix_spark.session import get_spark
