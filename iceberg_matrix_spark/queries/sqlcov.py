@@ -646,3 +646,75 @@ def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         wkb_x("g").alias("x"),
         wkb_y("g").alias("y"),
     )
+
+
+@register(
+    "q_geo_distance_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey % 97 AS DOUBLE) AS x,
+             CAST((c_custkey * 31) % 89 AS DOUBLE) AS y
+      FROM customer WHERE c_custkey <= 2000
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
+    """,
+)
+def q_geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance self-join via GRID BUCKETING — the spatial
+    analog of the LSH band join (operators/similarity.py): each point
+    lands in one ⌈d⌉-sized grid cell; the LEFT side explodes to its 3×3
+    neighbor cells, so every pair within distance d shares ≥1 join key
+    and the join is a plain equi-join on the cell id, never an all-pairs
+    cross product. Exact distance verifies candidates; id ordering
+    dedupes. At 100 TB this is the standard distributed spatial-join
+    plan: shuffle ∝ points×9, per-cell work bounded by local density.
+    The oracle is the brute-force O(n²) inequality join DuckDB can
+    afford at sf0.01. Integer coordinates → exact double arithmetic."""
+    d = 2.0
+    cell = int(d)  # grid pitch ≥ d so neighbors cover the radius
+    pts = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 2000)
+        .select(
+            F.col("c_custkey").alias("id"),
+            (F.col("c_custkey") % 97).cast("double").alias("x"),
+            ((F.col("c_custkey") * 31) % 89).cast("double").alias("y"),
+        )
+    )
+    with_cell = pts.withColumn(
+        "cx", F.floor(F.col("x") / cell)
+    ).withColumn("cy", F.floor(F.col("y") / cell))
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("ox"),
+        (F.floor(F.col("id") / 3) - 1).cast("long").alias("oy"),
+    )
+    left = (
+        with_cell.crossJoin(F.broadcast(offsets))
+        .withColumn("jx", F.col("cx") + F.col("ox"))
+        .withColumn("jy", F.col("cy") + F.col("oy"))
+        .select("id", "x", "y", "jx", "jy")
+    )
+    right = with_cell.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dist_sq = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    return (
+        left.join(right, ["jx", "jy"])
+        .filter((F.col("id") < F.col("id_b")) & (dist_sq <= F.lit(4.0)))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            dist_sq.alias("dist_sq"),
+        )
+    )

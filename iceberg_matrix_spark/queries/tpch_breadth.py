@@ -334,6 +334,75 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             {_DEC_SUM.format(x="l_quantity")} AS qty_ps
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ), pp AS (
+      SELECT l_partkey,
+             CAST(CAST(SUM(CAST(qty_ps AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+               AS qty_p,
+             CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supply GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+    FROM supplier s
+    JOIN supply sp ON sp.l_suppkey = s.s_suppkey
+    JOIN pp ON pp.l_partkey = sp.l_partkey
+    WHERE sp.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND 2 * sp.qty_ps * pp.n_supp > pp.qty_p
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    shipped volume of a name-filtered part in the window exceeds half the
+    part's AVERAGE per-supplier volume — the doubly-nested IN + correlated
+    aggregate subquery, hand-decorrelated like Catalyst would: one
+    (part, supplier) aggregate, one per-part re-aggregate of THAT, a
+    semi-filter on the part name list, and an exact integer-domain
+    comparison (2·qty_ps·n_supp > qty_p — all integer-valued doubles
+    < 2^53, so both engines evaluate it exactly; no 0.5·avg float).
+    The testdata has no partsupp table, so lineitem's (part, supplier)
+    pairs play the supply relation. Scale: two shuffles on l_partkey
+    (the second over already-aggregated pairs), part names broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    small_parts = load_dim(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    supply = (
+        li.join(small_parts, small_parts.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("qty_ps")
+        )
+    )
+    pp = supply.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum(F.col("qty_ps").cast("decimal(18,4)")).cast("double").alias("qty_p"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    supplier = load_dim(spark, sf_dir, "supplier")
+    excess = supply.join(pp, F.col("pp_partkey") == supply.l_partkey).filter(
+        2 * F.col("qty_ps") * F.col("n_supp") > F.col("qty_p")
+    )
+    return (
+        excess.join(supplier, supplier.s_suppkey == excess.l_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+
+
+@register(
     "q21_sole_return_suppliers",
     oracle="""
     SELECT s.s_name, COUNT(*) AS numwait
