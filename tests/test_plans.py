@@ -172,3 +172,42 @@ def test_text_ops_run_inside_codegen(spark, sf_dir):
 
     for name in ("q_text_quality", "q_text_token_stats"):
         assert codegen_stage_count(QUERIES[name](spark, sf_dir)) >= 1, name
+
+
+def test_geo_queries_stay_jvm_and_codegen(spark, sf_dir):
+    """The WKB codec must stay inside whole-stage codegen (the first
+    implementation silently fell out at janino's 64 KB method limit and
+    ran interpreted, ~150x slower) and must never touch Python."""
+    from iceberg_matrix_spark.plans import codegen_stage_count
+
+    df = QUERIES["q_geo_bbox"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    # codegen_stage_count inspects the executed plan's codegen wrapping;
+    # a 64 KB bailout would leave zero codegen stages
+    assert codegen_stage_count(df) >= 1
+
+
+def test_spatial_join_is_bucketed_not_cartesian(spark, sf_dir):
+    """Grid bucketing must plan an equi-join on the cell id — an
+    inequality-only distance join would degrade to a cartesian product
+    (the O(n^2) plan the oracle uses, fatal at scale)."""
+    df = QUERIES["q_geo_distance_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # (the only nested-loop node allowed is the 9-row offsets broadcast
+    # cross; the point-pair candidate join itself must be an equi-join)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_q20_two_shuffle_aggregate_chain(spark, sf_dir):
+    """Q20's decorrelated plan: the supply aggregate shuffles lineitem on
+    (partkey, suppkey) once; the per-part re-aggregate works on already-
+    aggregated pairs; the part-name filter reaches the part scan."""
+    df = QUERIES["q20_excess_stock_suppliers"](spark, sf_dir)
+    text = " ".join(f for fs in pushed_filters(df) for f in fs)
+    assert "p_name" in text  # LIKE 'small%' pushed to the part scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # the IN-list became a semi join
