@@ -178,7 +178,12 @@ class IceLiteSQL:
     # ------------------------------------------------------------ queries
 
     def _view_name(self, identifier: str, suffix: str = "") -> str:
-        return "icelite_" + re.sub(r"\W", "_", identifier + suffix)
+        # the readable mangling alone can collide ("a.b_c" vs "a_b.c");
+        # a short digest of the exact identifier disambiguates
+        import hashlib  # noqa: PLC0415
+
+        digest = hashlib.md5((identifier + suffix).encode()).hexdigest()[:8]
+        return "icelite_" + re.sub(r"\W", "_", identifier + suffix) + "_" + digest
 
     def _substitute_views(self, text: str) -> str:
         """Register a temp view per referenced catalog table; rewrite names.

@@ -205,3 +205,36 @@ def test_version_as_of_time_travel_sql(sql):
     sql.sql("ALTER TABLE nsE.t CREATE BRANCH `dev`")
     t.refresh()
     assert "dev" in t.meta.refs
+
+
+def test_timestamp_as_of_time_travel_sql(sql):
+    import datetime
+
+    sql.sql("CREATE NAMESPACE nsF")
+    _seed(sql, "nsF.t", rows="(1,'a')")
+    t = sql.table("nsF.t")
+    ts_between = datetime.datetime.now(datetime.timezone.utc)
+    import time
+
+    time.sleep(0.05)
+    sql.sql("INSERT INTO nsF.t VALUES (2,'b')")
+    iso = ts_between.strftime("%Y-%m-%dT%H:%M:%S.%f%z")
+    # normalize +0000 to +00:00 for fromisoformat round-trip
+    iso = iso[:-2] + ":" + iso[-2:]
+    n = sql.sql(
+        f"SELECT count(*) FROM nsF.t TIMESTAMP AS OF '{iso}'"
+    ).collect()[0][0]
+    assert n == 1
+    assert sql.sql("SELECT count(*) FROM nsF.t").collect()[0][0] == 2
+
+
+def test_view_names_do_not_collide(sql):
+    """'a.b_c' and 'a_b.c' must resolve to DIFFERENT temp views."""
+    sql.sql("CREATE NAMESPACE a")
+    sql.sql("CREATE NAMESPACE a_b")
+    sql.sql("CREATE TABLE a.b_c (v BIGINT) USING iceberg")
+    sql.sql("CREATE TABLE a_b.c (v BIGINT) USING iceberg")
+    sql.sql("INSERT INTO a.b_c VALUES (1)")
+    sql.sql("INSERT INTO a_b.c VALUES (2)")
+    assert sql.sql("SELECT v FROM a.b_c").collect()[0][0] == 1
+    assert sql.sql("SELECT v FROM a_b.c").collect()[0][0] == 2
