@@ -23,6 +23,7 @@ Run:  python -m iceberg_matrix_spark.conformance  → conformance_report.{json,m
 from __future__ import annotations
 
 import json
+import os
 import traceback
 import uuid
 from dataclasses import dataclass, field
@@ -108,6 +109,7 @@ FEATURES = [
     ("horizon-catalog", "Horizon catalog", "catalog"),
     ("metadata-location-sink", "Metadata-location sink (S3/boto3)", "write"),
     ("interop-duckdb-read", "Second-engine read (DuckDB over live files)", "read"),
+    ("add-files", "add_files adoption of foreign parquet", "write"),
 ]
 
 # Support matrix: (feature_id, version) -> level. Everything unlisted is
@@ -370,6 +372,44 @@ def t_interop_duckdb(ctx: Ctx) -> str:
         for r in read_with_duckdb(t).to_pylist()
     }
     assert got == expected == {(1, "a", None), (3, "c", None), (4, "d", 1.5)}
+    return "pass"
+
+
+@conformance_test("add-files")
+def t_add_files(ctx: Ctx) -> str:
+    """The write direction of cross-engine interop: DuckDB writes
+    parquet, IceLite adopts it in place via the add_files procedure
+    (metadata-only commit), and row-level DML then works on the adopted
+    rows like any other data."""
+    import tempfile  # noqa: PLC0415
+
+    import duckdb  # noqa: PLC0415
+
+    t = ctx.create("id bigint, v string")
+    t.append(ctx.spark.createDataFrame([(1, "spark")], "id bigint, v string"))
+    ext = os.path.join(tempfile.mkdtemp(prefix="ducked-"), "foreign.parquet")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "COPY (SELECT * FROM (VALUES (2, 'duck'), (3, 'db')) t(id, v)) "
+            f"TO '{ext}' (FORMAT parquet)"
+        )
+    finally:
+        con.close()
+    n = t.add_files([ext])
+    assert n == 1
+    got = {r["id"]: r["v"] for r in t.df().collect()}
+    assert got == {1: "spark", 2: "duck", 3: "db"}
+    # adopted rows participate in row-level DML
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.delete("id = 2")
+    assert sorted(r["id"] for r in t.df().collect()) == [1, 3]
+    # duplicate adoption rejected
+    try:
+        t.add_files([ext])
+        return "error"
+    except ValueError:
+        pass
     return "pass"
 
 

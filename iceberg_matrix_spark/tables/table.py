@@ -350,6 +350,90 @@ class IceLiteTable:
 
         self._commit(mutate)
 
+    def add_files(self, paths: list[str], branch: str = "main") -> int:
+        """Iceberg's ``add_files`` procedure shape: adopt EXISTING parquet
+        files as data files WITHOUT rewriting — the manifest entries point
+        at the files in place, so a foreign writer's output (DuckDB, a
+        bulk loader) becomes table data with a metadata-only commit. The
+        inverse of tables/interop.py's export direction.
+
+        Scope guards, loudly enforced: unpartitioned tables only (adopted
+        files carry no partition values); every file must share at least
+        one column with the current schema (missing columns read as NULL
+        through the schema'd scan, extra columns are ignored); a path
+        already referenced by the head snapshot is rejected (Iceberg's
+        duplicate check). Returns the number of files adopted; zero-row
+        files are skipped but never deleted — they aren't ours.
+        """
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        if self._transforms():
+            raise ValueError(
+                "add_files supports unpartitioned tables only (adopted "
+                "files carry no partition values)"
+            )
+        resolved: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                resolved.extend(
+                    sorted(
+                        os.path.join(root, n)
+                        for root, _d, names in os.walk(p)
+                        for n in names
+                        if n.endswith(".parquet")
+                    )
+                )
+            else:
+                resolved.append(p)
+        if not resolved:
+            raise ValueError("add_files: no parquet files at the given paths")
+        current_cols = set(self.meta.current_schema.names())
+        for p in resolved:
+            cols = set(pq.read_schema(p).names)
+            if not (cols & current_cols):
+                raise ValueError(
+                    f"add_files: {p} shares no columns with the table "
+                    f"schema {sorted(current_cols)}"
+                )
+        stats = _collect_file_stats(self.spark, resolved)
+        adopted = [p for p in resolved if stats[p]["rows"] > 0]
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            parent = _head(meta, branch)
+            existing = {_file_uri(f.path) for f in (parent.data_files if parent else [])}
+            dupes = [p for p in adopted if _file_uri(p) in existing]
+            if dupes:
+                raise ValueError(f"add_files: already referenced: {dupes}")
+            meta.last_sequence_number += 1
+            seq = meta.last_sequence_number
+            entries = [
+                DataFileEntry(
+                    path=p,
+                    record_count=stats[p]["rows"],
+                    schema_id=meta.current_schema_id,
+                    sequence_number=seq,
+                    file_size_bytes=stats[p]["size"],
+                    lower_bounds=stats[p]["lower"],
+                    upper_bounds=stats[p]["upper"],
+                    null_counts=stats[p]["nulls"],
+                )
+                for p in adopted
+            ]
+            data = (parent.data_files if parent else []) + entries
+            deletes = parent.delete_files if parent else []
+            return self._snapshot(
+                meta,
+                "append",
+                data,
+                deletes,
+                parent,
+                branch,
+                {"added-files-via-add-files": len(entries)},
+            )
+
+        self._commit(mutate)
+        return len(adopted)
+
     def append_arrow(self, arrow_table, branch: str = "main") -> None:
         """Append a pyarrow Table (PyIceberg's ``tbl.append(pa.table)``
         surface, /root/reference/tests/pyiceberg_feature_tests.py:155-158).

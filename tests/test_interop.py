@@ -69,3 +69,47 @@ def test_time_travel_ref_manifest(spark, catalog):
     first_snap = t.meta.snapshots[0].snapshot_id
     t.create_tag("v1", first_snap)
     assert sorted(r["id"] for r in read_with_duckdb(t, ref="v1").to_pylist()) == [0, 1]
+
+
+# -------------------------------------------------------------- add_files
+
+
+def test_add_files_guards(spark, catalog, tmp_path):
+    import duckdb
+
+    ext = str(tmp_path / "f.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT 1 AS id, 'x' AS v) TO '{ext}' (FORMAT parquet)"
+    )
+    # partitioned table → loud rejection
+    tp = catalog.create_table("ns.parted", "id bigint, v string", ["bucket(4, id)"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.add_files([ext])
+    # no shared columns → loud rejection
+    alien = str(tmp_path / "alien.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT 5 AS other) TO '{alien}' (FORMAT parquet)"
+    )
+    t = catalog.create_table("ns.t", "id bigint, v string")
+    with pytest.raises(ValueError, match="shares no columns"):
+        t.add_files([alien])
+    with pytest.raises(ValueError, match="no parquet files"):
+        t.add_files([])
+
+
+def test_add_files_missing_column_reads_null_and_time_travels(spark, catalog, tmp_path):
+    import duckdb
+
+    partial = str(tmp_path / "partial.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT 7 AS id) TO '{partial}' (FORMAT parquet)"  # no v column
+    )
+    t = catalog.create_table("ns.tt", "id bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    snap_before = t.meta.snapshots[-1].snapshot_id
+    assert t.add_files([partial]) == 1
+    got = {r["id"]: r["v"] for r in t.df().collect()}
+    assert got == {1: "a", 7: None}  # missing column back-fills NULL
+    # the adoption is its own snapshot: time travel excludes it
+    assert [r["id"] for r in t.df(snapshot_id=snap_before).collect()] == [1]
+    assert t.meta.snapshots[-1].summary["added-files-via-add-files"] == 1
