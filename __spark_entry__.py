@@ -63,7 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered so never-driver-green queries come first (see _driver_green).
     """
     green = _driver_green()
-    names = sorted(QUERIES, key=lambda n: (n in green, list(QUERIES).index(n)))
+    order = {n: i for i, n in enumerate(QUERIES)}
+    names = sorted(QUERIES, key=lambda n: (n in green, order[n]))
     return {n: QUERIES[n] for n in names}
 
 

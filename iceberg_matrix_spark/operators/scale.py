@@ -71,23 +71,31 @@ def ensure_compute_parallelism(df: DataFrame) -> DataFrame:
     except Exception:
         files = []
     if files:
-        if len(files) >= target:
-            return df
+        # Mirror FilePartition planning (FilePartition.maxSplitBytes):
+        #   maxSplit = min(maxPartitionBytes, max(openCost, bytesPerCore))
+        #   partitions ≈ ceil(Σ(size + openCost) / maxSplit)   (bin-packed)
+        # A bare ceil(size/maxPartitionBytes) estimate diverges BOTH ways:
+        # it under-counts when bytesPerCore shrinks maxSplit (large files
+        # on many cores → Spark splits finer → a repartition here would
+        # add a pointless full shuffle) and over-counts nothing for many
+        # tiny files that Spark bin-packs into few partitions.
         max_bytes = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        splits = 0
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        total = 0
         for uri in files:
             path = uri[5:] if uri.startswith("file:") else uri
             try:
-                size = os.path.getsize(path)
+                total += os.path.getsize(path) + open_cost
             except OSError:
-                splits += 1
-                continue
-            splits += max(1, math.ceil(size / max_bytes))
-            if splits >= target:
-                return df
-        return df.repartition(target)
+                total += open_cost
+        bytes_per_core = total / max(1, target)
+        max_split = min(max_bytes, max(open_cost, bytes_per_core)) or 1
+        est_partitions = math.ceil(total / max_split) if total else 1
+        return df.repartition(target) if est_partitions < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -185,44 +185,77 @@ class IceLiteSQL:
         digest = hashlib.md5((identifier + suffix).encode()).hexdigest()[:8]
         return "icelite_" + re.sub(r"\W", "_", identifier + suffix) + "_" + digest
 
+    def _sub_unquoted(self, text: str, pat: re.Pattern, repl) -> str:
+        """re.sub that skips matches inside string literals — substituting
+        a table name inside ``WHERE v = 'ns.t'`` would silently corrupt
+        the literal. ``repl`` is a function of the match."""
+        out, last = [], 0
+        tops = {
+            i for i, _c, _d, quoted in _scan_top(text) if not quoted
+        }
+        for m in pat.finditer(text):
+            if m.start() not in tops:
+                continue
+            out.append(text[last : m.start()])
+            out.append(repl(m))
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
+
     def _substitute_views(self, text: str) -> str:
         """Register a temp view per referenced catalog table; rewrite names.
 
         Time travel: ``tbl VERSION AS OF <snapshot-id>`` and
         ``tbl TIMESTAMP AS OF '<ts>'`` (iceberg_feature_tests.py:820)
-        resolve to snapshot-pinned views before the plain-name pass."""
+        resolve to snapshot-pinned views before the plain-name pass.
+        All passes are quote-aware: identifiers inside string literals
+        stay untouched."""
         for ns in self.catalog.list_namespaces():
             for tbl in self.catalog.list_tables(ns):
                 ident = f"{ns}.{tbl}"
                 base = rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}"
-                vpat = re.compile(base + r"\s+VERSION\s+AS\s+OF\s+(\d+)", re.I)
-                for m in list(vpat.finditer(text)):
+
+                def _tt_view(m: re.Match, _ident=ident) -> str:
                     sid = int(m.group(1))
-                    view = self._view_name(ident, f"_v{sid}")
-                    self.catalog.load_table(ident).df(
+                    view = self._view_name(_ident, f"_v{sid}")
+                    self.catalog.load_table(_ident).df(
                         snapshot_id=sid
                     ).createOrReplaceTempView(view)
-                    text = text.replace(m.group(0), view)
-                tpat = re.compile(
-                    base + r"\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.I
+                    return view
+
+                text = self._sub_unquoted(
+                    text,
+                    re.compile(base + r"\s+VERSION\s+AS\s+OF\s+(\d+)", re.I),
+                    _tt_view,
                 )
-                for m in list(tpat.finditer(text)):
+
+                def _ts_view(m: re.Match, _ident=ident) -> str:
                     from datetime import datetime, timezone  # noqa: PLC0415
 
                     dt = datetime.fromisoformat(m.group(1))
                     if dt.tzinfo is None:
                         dt = dt.replace(tzinfo=timezone.utc)
                     ms = int(dt.timestamp() * 1000)
-                    view = self._view_name(ident, f"_t{ms}")
-                    self.catalog.load_table(ident).df(
+                    view = self._view_name(_ident, f"_t{ms}")
+                    self.catalog.load_table(_ident).df(
                         as_of_timestamp_ms=ms
                     ).createOrReplaceTempView(view)
-                    text = text.replace(m.group(0), view)
-                pat = re.compile(base + r"\b")
-                if pat.search(text):
-                    view = self._view_name(ident)
-                    self.catalog.load_table(ident).df().createOrReplaceTempView(view)
-                    text = pat.sub(view, text)
+                    return view
+
+                text = self._sub_unquoted(
+                    text,
+                    re.compile(base + r"\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.I),
+                    _ts_view,
+                )
+
+                def _plain_view(_m: re.Match, _ident=ident) -> str:
+                    view = self._view_name(_ident)
+                    self.catalog.load_table(_ident).df().createOrReplaceTempView(view)
+                    return view
+
+                text = self._sub_unquoted(
+                    text, re.compile(base + r"\b"), _plain_view
+                )
         return text
 
     def _run_select(self, stmt: str) -> DataFrame:
@@ -407,6 +440,12 @@ class IceLiteSQL:
         if len(df.columns) != len(targets):
             raise UnsupportedSQLError(
                 f"INSERT supplies {len(df.columns)} columns, expected {len(targets)}"
+            )
+        unknown = [c for c in targets if c not in {f.name for f in fields}]
+        if unknown:
+            raise UnsupportedSQLError(
+                f"INSERT column list names unknown columns {unknown}; "
+                f"table has {[f.name for f in fields]}"
             )
         by_pos = dict(zip(targets, df.columns))
         out = []

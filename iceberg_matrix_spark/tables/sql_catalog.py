@@ -66,9 +66,12 @@ class DbApiCatalog:
         connect: Callable[[], Any],
         *,
         paramstyle: str = "qmark",
-        integrity_error: type[Exception] = Exception,
+        integrity_error: type[Exception],
         init_statements: tuple[str, ...] = (),
     ):
+        # integrity_error is REQUIRED (no Exception default): a blanket
+        # catch would swallow OperationalErrors (connection refused, DB
+        # locked) as "already exists" inside create_namespace.
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
@@ -100,7 +103,7 @@ class DbApiCatalog:
         con = self._connect()
         try:
             for stmt in self._init_statements:
-                con.execute(stmt)
+                self._exec(con, stmt)
             with con:  # transaction scope: commit on success, rollback on error
                 yield con
         finally:
@@ -113,7 +116,12 @@ class DbApiCatalog:
         return sql
 
     def _exec(self, con: Any, sql: str, params: tuple = ()):
-        return con.execute(self._sql(sql), params)
+        """Run through a DB-API cursor — ``connection.execute`` is a
+        sqlite3/psycopg-3 convenience that psycopg2 connections lack; the
+        cursor API is the portable spelling and carries rowcount."""
+        cur = con.cursor()
+        cur.execute(self._sql(sql), params)
+        return cur
 
     @staticmethod
     def _is_fk_violation(exc: Exception) -> bool:

@@ -387,6 +387,14 @@ class IceLiteTable:
                 resolved.append(p)
         if not resolved:
             raise ValueError("add_files: no parquet files at the given paths")
+        # intra-call dedupe (a directory expansion can overlap an explicit
+        # file): adopting the same file twice would silently double every
+        # row it contains on all subsequent scans
+        seen: set[str] = set()
+        resolved = [
+            p for p in resolved
+            if not (_file_uri(p) in seen or seen.add(_file_uri(p)))
+        ]
         current_cols = set(self.meta.current_schema.names())
         for p in resolved:
             cols = set(pq.read_schema(p).names)

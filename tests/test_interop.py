@@ -113,3 +113,18 @@ def test_add_files_missing_column_reads_null_and_time_travels(spark, catalog, tm
     # the adoption is its own snapshot: time travel excludes it
     assert [r["id"] for r in t.df(snapshot_id=snap_before).collect()] == [1]
     assert t.meta.snapshots[-1].summary["added-files-via-add-files"] == 1
+
+
+def test_add_files_same_path_twice_in_one_call(spark, catalog, tmp_path):
+    """Intra-call duplicates (explicit file + enclosing dir) adopt once."""
+    import duckdb
+
+    d = tmp_path / "ext"
+    d.mkdir()
+    f = str(d / "x.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT 1 AS id) TO '{f}' (FORMAT parquet)"
+    )
+    t = catalog.create_table("ns.dup", "id bigint")
+    assert t.add_files([str(d), f]) == 1
+    assert t.df().count() == 1

@@ -238,3 +238,20 @@ def test_view_names_do_not_collide(sql):
     sql.sql("INSERT INTO a_b.c VALUES (2)")
     assert sql.sql("SELECT v FROM a.b_c").collect()[0][0] == 1
     assert sql.sql("SELECT v FROM a_b.c").collect()[0][0] == 2
+
+
+def test_identifier_inside_string_literal_not_substituted(sql):
+    """Quote-aware view substitution: a literal equal to the table name
+    must survive verbatim."""
+    sql.sql("CREATE NAMESPACE nsG")
+    sql.sql("CREATE TABLE nsG.t (id BIGINT, val STRING) USING iceberg")
+    sql.sql("INSERT INTO nsG.t VALUES (1,'nsG.t'),(2,'other')")
+    rows = sql.sql("SELECT id FROM nsG.t WHERE val = 'nsG.t'").collect()
+    assert [r["id"] for r in rows] == [1]
+
+
+def test_insert_unknown_column_raises(sql):
+    sql.sql("CREATE NAMESPACE nsH")
+    sql.sql("CREATE TABLE nsH.t (id BIGINT, val STRING) USING iceberg")
+    with pytest.raises(UnsupportedSQLError, match="unknown columns"):
+        sql.sql("INSERT INTO nsH.t (id, vall) VALUES (1, 'x')")
