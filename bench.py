@@ -59,9 +59,12 @@ HEADLINE = [
     "q_session_window_batch",
     "q_variant_parse_extract",
     # round 3 additions: SQL-string MERGE against a real table, WKB
-    # geometry codec round-trip
+    # geometry codec round-trip, grid-bucketed spatial join, Q20's
+    # double-decorrelated aggregate chain
     "q_merge_sql",
     "q_geo_bbox",
+    "q_geo_distance_join",
+    "q20_excess_stock_suppliers",
 ]
 
 
