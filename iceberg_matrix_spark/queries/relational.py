@@ -415,6 +415,55 @@ def q_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql.sql("SELECT c_custkey, c_name, c_acctbal FROM local.dml.customer_t")
 
 
+@register(
+    "q_cdc_changelog",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_acctbal FROM customer
+    ), final AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal > 5000 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_acctbal >= 0
+    )
+    SELECT f.c_custkey, f.c_acctbal, 'insert' AS _change_type
+    FROM final f LEFT JOIN base b
+      ON b.c_custkey = f.c_custkey AND b.c_acctbal = f.c_acctbal
+    WHERE b.c_custkey IS NULL
+    UNION ALL
+    SELECT b.c_custkey, b.c_acctbal, 'delete' AS _change_type
+    FROM base b LEFT JOIN final f
+      ON f.c_custkey = b.c_custkey AND f.c_acctbal = b.c_acctbal
+    WHERE f.c_custkey IS NULL
+    """,
+)
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog (Iceberg create_changelog_view shape) certified end
+    to end: build a real IceLite table from customer, run a DELETE (CoW)
+    and an UPDATE (MoR) through the table layer, then diff the first and
+    last snapshots with snapshot_changes (tables/table.py) — UPDATEs
+    surface as delete+insert pairs, DELETEs as deletes. The oracle
+    recomputes the state diff relationally over the raw parquet (rows
+    are unique per (custkey, acctbal), so the set-join diff equals the
+    multiset exceptAll diff)."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
+    wh = tempfile.mkdtemp(prefix="icelite_cdc_")
+    cat = IceLiteCatalog(spark, wh)
+    cat.create_namespace("cdc")
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = cat.create_table_as_select("cdc.customer_t", base)
+    first = t.meta.snapshots[-1].snapshot_id
+    t.set_properties({"write.delete.mode": "copy-on-write"})
+    t.delete("c_acctbal < 0")
+    t.set_properties({"write.update.mode": "merge-on-read"})
+    t.update({"c_acctbal": "c_acctbal * 2"}, where="c_acctbal > 5000")
+    last = t.refresh().meta.snapshots[-1].snapshot_id
+    return t.snapshot_changes(first, last)
+
+
 # ---------------------------------------------------------------------------
 # §2.6 aggregations: conditional / distinct / hierarchical
 # ---------------------------------------------------------------------------

@@ -534,6 +534,28 @@ class IceLiteTable:
         files = [f for f in end.data_files if lo < f.sequence_number <= hi]
         return self._read_files(files, with_meta=False)
 
+    def snapshot_changes(
+        self, start_snapshot_id: int, end_snapshot_id: int
+    ) -> DataFrame:
+        """CDC changelog between two snapshots: the table rows plus a
+        ``_change_type`` column ('insert' | 'delete') — Iceberg's
+        create_changelog_view shape, expressed Spark-first as a MULTISET
+        state diff: inserts = state@end ∖ state@start, deletes =
+        state@start ∖ state@end (``exceptAll``, so duplicate rows diff by
+        multiplicity). Works across any operation mix — appends, CoW/MoR
+        DELETE/UPDATE, MERGE — because it diffs materialized states
+        rather than replaying operation metadata; an UPDATE surfaces as
+        its delete+insert pair. Scale: two MoR-resolved scans + two
+        hash-distinct-style shuffles on the full row, the same cost
+        class as the DISTINCT the diff semantics require."""
+        before = self.df(snapshot_id=start_snapshot_id)
+        after = self.df(snapshot_id=end_snapshot_id)
+        return after.exceptAll(before).withColumn(
+            "_change_type", F.lit("insert")
+        ).unionAll(
+            before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
+        )
+
     def _prune_files(
         self, files: list[DataFileEntry], filters: list[tuple]
     ) -> list[DataFileEntry]:

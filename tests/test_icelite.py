@@ -599,3 +599,33 @@ def test_manifests_metadata_table(spark, catalog):
     ]
     assert rows[0]["added_rows_count"] == 5
     assert rows[-1]["added_rows_count"] == 1  # one position delete row
+
+
+def test_snapshot_changes_cdc(spark, tmp_path):
+    """CDC diff across an operation mix: UPDATE surfaces as its
+    delete+insert pair, duplicates diff by multiplicity (exceptAll)."""
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+
+    cat = IceLiteCatalog(spark, str(tmp_path))
+    cat.create_namespace("ns")
+    t = cat.create_table("ns.t", "id bigint, v bigint")
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30), (3, 30)], "id bigint, v bigint")
+    )
+    first = t.meta.snapshots[-1].snapshot_id
+    t.delete("id = 2")
+    t.update({"v": "v + 1"}, where="id = 1")
+    t.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    last = t.refresh().meta.snapshots[-1].snapshot_id
+    rows = sorted(
+        (r["_change_type"], r["id"], r["v"])
+        for r in t.snapshot_changes(first, last).collect()
+    )
+    assert rows == [
+        ("delete", 1, 10),   # old image of the UPDATE
+        ("delete", 2, 20),   # the DELETE
+        ("insert", 1, 11),   # new image of the UPDATE
+        ("insert", 3, 30),   # multiplicity: (3,30) went from 2 copies to 3
+    ]
+    # identical snapshots → empty changelog
+    assert t.snapshot_changes(last, last).count() == 0
