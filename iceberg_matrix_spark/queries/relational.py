@@ -416,6 +416,35 @@ def q_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_read",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey % 3 = 1
+    """,
+)
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-range incremental read certified through the driver gate
+    (the conformance probe `incremental-read` covers the mechanics; this
+    adds a value-level oracle): three commits land thirds of customer,
+    and read_incremental over (snap1, snap2] must return EXACTLY the
+    second batch — not the first, not the third
+    (tables/table.py:read_incremental; flink start/end-tag hints)."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
+    wh = tempfile.mkdtemp(prefix="icelite_incr_")
+    cat = IceLiteCatalog(spark, wh)
+    cat.create_namespace("incr")
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = cat.create_table("incr.customer_t", "c_custkey bigint, c_acctbal double")
+    for rem in (0, 1, 2):
+        t.append(base.filter(F.col("c_custkey") % 3 == rem))
+    snaps = [s.snapshot_id for s in t.meta.snapshots]
+    return t.read_incremental(snaps[0], snaps[1])
+
+
+@register(
     "q_cdc_changelog",
     oracle="""
     WITH base AS (
