@@ -445,6 +445,67 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_metadata_tables",
+    oracle="""
+    WITH thirds AS (
+      SELECT c_custkey % 3 AS rem, COUNT(*) AS n_rows,
+             MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      FROM customer GROUP BY c_custkey % 3
+    )
+    SELECT rem + 1 AS commit_seq, 'append' AS operation,
+           CAST(1 AS BIGINT) AS n_files, n_rows,
+           CAST(min_key AS VARCHAR) AS lower_key,
+           CAST(max_key AS VARCHAR) AS upper_key
+    FROM thirds
+    """,
+)
+def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-table surface certified at the VALUE level (the
+    conformance probes cover mechanics; this puts bounds math under the
+    driver oracle): three single-file commits land thirds of customer,
+    then `snapshots` ⋈ `files` must report per commit exactly one file,
+    the third's row count, and footer lower/upper bounds equal to the
+    third's true MIN/MAX key (tables/metadata_tables.py:21,40 — the
+    bounds come from executor-collected parquet footer stats, so this
+    also oracles the stats collector end to end)."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.tables import metadata_tables as mt  # noqa: PLC0415
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
+    wh = tempfile.mkdtemp(prefix="icelite_meta_")
+    cat = IceLiteCatalog(spark, wh)
+    cat.create_namespace("meta")
+    base = load_table(spark, sf_dir, "customer").select("c_custkey")
+    t = cat.create_table("meta.customer_t", "c_custkey bigint")
+    for rem in (0, 1, 2):
+        t.append(base.filter(F.col("c_custkey") % 3 == rem).coalesce(1))
+    snaps = mt.snapshots(t).select("sequence_number", "operation")
+    fl = mt.files(t).select(
+        "sequence_number",
+        "record_count",
+        F.col("lower_bounds")["c_custkey"].alias("lower_key"),
+        F.col("upper_bounds")["c_custkey"].alias("upper_key"),
+    )
+    return (
+        snaps.join(fl, "sequence_number")
+        .groupBy("sequence_number", "operation", "lower_key", "upper_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("record_count").alias("n_rows"),
+        )
+        .select(
+            F.col("sequence_number").alias("commit_seq"),
+            "operation",
+            "n_files",
+            "n_rows",
+            "lower_key",
+            "upper_key",
+        )
+    )
+
+
+@register(
     "q_cdc_changelog",
     oracle="""
     WITH base AS (
