@@ -65,6 +65,9 @@ HEADLINE = [
     "q_geo_bbox",
     "q_geo_distance_join",
     "q20_excess_stock_suppliers",
+    # round 3, second wave: token-level posting-list pipeline (the
+    # heaviest new shuffle shape — one row per token position)
+    "q_substring_dup_spans",
 ]
 
 

@@ -110,6 +110,8 @@ FEATURES = [
     ("metadata-location-sink", "Metadata-location sink (S3/boto3)", "write"),
     ("interop-duckdb-read", "Second-engine read (DuckDB over live files)", "read"),
     ("add-files", "add_files adoption of foreign parquet", "write"),
+    ("sort-order-rewrite", "Sort-order clustering compaction", "maintenance"),
+    ("zorder-clustering", "Z-order multi-dimension clustering", "maintenance"),
 ]
 
 # Support matrix: (feature_id, version) -> level. Everything unlisted is
@@ -646,6 +648,67 @@ def t_compaction(ctx: Ctx) -> str:
     assert result["rewritten_data_files_count"] == before
     assert t._current_snapshot().operation == "replace"
     assert t.df().count() == 20
+    return "pass"
+
+
+@conformance_test("sort-order-rewrite")
+def t_sort_order_rewrite(ctx: Ctx) -> str:
+    """replace_sort_order + rewrite_data_files(strategy='sort'): after the
+    clustering rewrite, files carry DISJOINT id ranges, so manifest
+    min/max pruning answers a range predicate from a fraction of the
+    files — the scan-reduction Iceberg's sort compaction buys at scale."""
+    t = ctx.create("id bigint, v string")
+    # four stride-interleaved appends: every file spans the full id range,
+    # so before clustering NO file can be pruned for any range predicate
+    for i in range(4):
+        t.append(
+            ctx.spark.range(100)
+            .filter(f"id % 4 = {i}")
+            .selectExpr("id", "concat('v', id) AS v")
+            .coalesce(1)
+        )
+    pred = [("id", ">=", 10), ("id", "<=", 19)]
+    snap = t._current_snapshot()
+    before = len(t._prune_files(snap.data_files, pred))
+    assert before == len(snap.data_files) == 4
+
+    t.replace_sort_order(["id"])
+    assert t.sort_order_fields() == [{"column": "id", "direction": "asc"}]
+    rewrite_data_files(t, target_partitions=4, strategy="sort")
+
+    snap = t._current_snapshot()
+    after = len(t._prune_files(snap.data_files, pred))
+    assert len(snap.data_files) >= 2, "sort rewrite should emit multiple range files"
+    assert after < before, "clustered files must prune for the range predicate"
+    assert sorted(r["id"] for r in t.df().collect()) == list(range(100))
+    return "pass"
+
+
+@conformance_test("zorder-clustering")
+def t_zorder_clustering(ctx: Ctx) -> str:
+    """rewrite_data_files(strategy='zorder'): Morton-interleaved
+    clustering tightens min/max bounds on BOTH dimensions, so a 2-D
+    corner predicate prunes files a round-robin layout cannot."""
+    t = ctx.create("x bigint, y bigint")
+    grid = ctx.spark.sql(
+        "SELECT id % 32 AS x, CAST(id / 32 AS bigint) AS y FROM range(1024)"
+    )
+    t.append(grid.repartition(4))  # round-robin: every file spans the grid
+    pred = [("x", ">=", 0), ("x", "<=", 7), ("y", ">=", 0), ("y", "<=", 7)]
+    snap = t._current_snapshot()
+    before = len(t._prune_files(snap.data_files, pred))
+    assert before == len(snap.data_files)
+
+    rewrite_data_files(t, target_partitions=16, strategy="zorder", columns=["x", "y"])
+    snap = t._current_snapshot()
+    kept = t._prune_files(snap.data_files, pred)
+    # the 8×8 corner is a prefix of the z-curve → a couple of files at most
+    assert len(snap.data_files) >= 8
+    assert len(kept) <= max(2, len(snap.data_files) // 4)
+    assert t.df().count() == 1024
+    # value integrity through the clustering rewrite
+    got = sorted((r["x"], r["y"]) for r in t.df().collect())
+    assert got == sorted((i % 32, i // 32) for i in range(1024))
     return "pass"
 
 

@@ -28,6 +28,7 @@ def _populate() -> None:
     from iceberg_matrix_spark.operators import pipeline  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import scale  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import similarity  # noqa: F401, PLC0415
+    from iceberg_matrix_spark.operators import spans  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import text  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import timeseries  # noqa: F401, PLC0415
     from iceberg_matrix_spark.queries import matrix  # noqa: F401, PLC0415

@@ -26,10 +26,81 @@ class _RewriteRestart(Exception):
     new head (Iceberg's rewrite aborts on conflicting deletes too)."""
 
 
-def rewrite_data_files(table: IceLiteTable, target_partitions: int | None = None) -> dict:
+def _zorder_expr(live, columns: list[str], bits: int = 16):
+    """Z-value (Morton code) expression over ``columns``.
+
+    Numeric columns are linearly scaled to ``bits``-bit integers using
+    global min/max (one tiny driver-side aggregate — 2 scalars per
+    column, constant regardless of table size); non-numeric columns are
+    xxhash64-masked to the same width. The bit interleave itself is a
+    chain of shift/and/or Catalyst expressions, so the whole z-value
+    stays inside whole-stage codegen — no Python in the row path.
+    Mirrors Iceberg's rewrite_data_files(strategy=>'sort',
+    sort_order=>'zorder(a,b)') clustering semantics."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(live.dtypes)
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+    }
+    aggs = []
+    for c in columns:
+        base = dtypes.get(c, "")
+        t = base.split("(")[0]
+        if t in numeric or t == "decimal" or t == "timestamp":
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+            ]
+    bounds = live.agg(*aggs).collect()[0].asDict() if aggs else {}
+
+    mask = (1 << bits) - 1
+    scaled = []
+    for c in columns:
+        t = dtypes.get(c, "").split("(")[0]
+        if f"__mn_{c}" in bounds and bounds[f"__mn_{c}"] is not None:
+            mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+            span = (mx - mn) or 1.0
+            s = F.round(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(mask)
+            ).cast("long")
+            s = F.least(F.greatest(s, F.lit(0)), F.lit(mask))
+        else:
+            # non-numeric (or all-NULL): hash into the same code space
+            s = F.pmod(F.xxhash64(F.col(c)), F.lit(mask + 1))
+        scaled.append(F.coalesce(s, F.lit(0)))
+
+    n = len(scaled)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftrightunsigned(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def rewrite_data_files(
+    table: IceLiteTable,
+    target_partitions: int | None = None,
+    strategy: str = "binpack",
+    columns: list[str] | None = None,
+) -> dict:
     """Compaction: materialize the MoR-resolved live rows and rewrite them
     as a compact file set (op="replace"); the captured files' delete files
     are applied and dropped. Returns a summary like the Iceberg procedure.
+
+    ``strategy`` mirrors Iceberg's rewrite_data_files strategies:
+
+    - ``binpack`` (default): rewrite as-is (optionally repartitioned).
+    - ``sort``: range-repartition + sort within partitions on ``columns``
+      (default: the table's registered sort order, see
+      ``replace_sort_order``) so each output file covers a disjoint key
+      range — manifest min/max pruning then skips files for range
+      predicates. At 100 TB this is the difference between scanning the
+      whole table and scanning one file per point query.
+    - ``zorder``: cluster on the Morton interleave of ``columns`` so
+      min/max bounds tighten on EVERY z-dimension at once — multi-column
+      predicates prune files that a single-column sort cannot.
 
     Concurrency contract (what lets this run inside a live streaming job,
     flink_feature_tests.py:1100-1172): the expensive rewrite happens ONCE,
@@ -39,13 +110,51 @@ def rewrite_data_files(table: IceLiteTable, target_partitions: int | None = None
     row-level DELETES against the victim set abort and restart the whole
     rewrite — same as Iceberg's conflicting-delete validation."""
 
+    from pyspark.sql import functions as F
+
+    if strategy not in ("binpack", "sort", "zorder"):
+        raise ValueError(f"unknown rewrite strategy: {strategy!r}")
+
     for _attempt in range(5):
         table.refresh()
         parent = table._current_snapshot()
         if parent is None:
             raise ValueError("nothing to compact")
         live = table._read_snapshot(parent, with_meta=False)
-        if target_partitions:
+        if strategy == "sort":
+            fields = (
+                [{"column": c.split()[0],
+                  "direction": (c.split() + ["asc"])[1].lower()} for c in columns]
+                if columns
+                else table.sort_order_fields()
+            )
+            if not fields:
+                raise ValueError(
+                    "strategy='sort' needs columns= or a table sort order "
+                    "(replace_sort_order)"
+                )
+            order = [
+                F.col(f["column"]).desc() if f["direction"] == "desc" else F.col(f["column"]).asc()
+                for f in fields
+            ]
+            n = target_partitions or int(
+                table.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            live = live.repartitionByRange(n, *order).sortWithinPartitions(*order)
+        elif strategy == "zorder":
+            if not columns:
+                raise ValueError("strategy='zorder' needs columns=")
+            n = target_partitions or int(
+                table.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            zv = _zorder_expr(live, columns)
+            live = (
+                live.withColumn("__z", zv)
+                .repartitionByRange(n, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif target_partitions:
             live = live.repartition(target_partitions)
         # heavy distributed write, outside the optimistic-commit loop
         entries = table._write_data_files(

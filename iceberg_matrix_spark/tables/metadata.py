@@ -117,6 +117,12 @@ class TableMetadata:
     # metadata.json `statistics` list that CALL compute_table_stats
     # maintains. Absent in pre-statistics metadata files → default [].
     statistics: list[dict] = field(default_factory=list)
+    # Iceberg sort orders (metadata.json `sort-orders` +
+    # `default-sort-order-id`): each entry is {"order_id": N, "fields":
+    # [{"column": c, "direction": "asc"|"desc"}, ...]}. Order id 0 is the
+    # implicit unsorted order, so 0 here means "no sort order set".
+    sort_orders: list[dict] = field(default_factory=list)
+    default_sort_order_id: int = 0
 
     # ---- accessors --------------------------------------------------------
 

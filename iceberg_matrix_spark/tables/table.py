@@ -1024,6 +1024,43 @@ class IceLiteTable:
         self.drop_partition_field(old)
         self.add_partition_field(new)
 
+    # ------------------------------------------------------- sort order
+
+    def replace_sort_order(self, columns: list[str]) -> None:
+        """ALTER TABLE ... WRITE ORDERED BY — metadata-only commit that
+        registers a new sort order and makes it the default. Columns may
+        carry a direction suffix ("col desc"); default is ascending.
+        Existing files keep their layout; `rewrite_data_files(strategy=
+        "sort")` and range-distributed writes consult this order."""
+        schema_names = set(self.meta.current_schema.names())
+        fields = []
+        for c in columns:
+            parts = c.split()
+            name = parts[0]
+            direction = parts[1].lower() if len(parts) > 1 else "asc"
+            if name not in schema_names:
+                raise KeyError(f"sort column not in schema: {name}")
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"bad sort direction: {c!r}")
+            fields.append({"column": name, "direction": direction})
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            order_id = max((o["order_id"] for o in meta.sort_orders), default=0) + 1
+            meta.sort_orders.append({"order_id": order_id, "fields": fields})
+            meta.default_sort_order_id = order_id
+            return meta
+
+        self._commit(mutate)
+
+    def sort_order_fields(self) -> list[dict]:
+        """The default sort order's fields ([] when unsorted)."""
+        if self.meta.default_sort_order_id == 0:
+            return []
+        for o in self.meta.sort_orders:
+            if o["order_id"] == self.meta.default_sort_order_id:
+                return list(o["fields"])
+        return []
+
     # ------------------------------------------------------------- refs
 
     def create_branch(self, name: str, snapshot_id: int | None = None) -> None:

@@ -1,0 +1,97 @@
+"""Sort-order metadata + sort/z-order clustering rewrites.
+
+The conformance probes (sort-order-rewrite, zorder-clustering) assert
+the pruning payoff; these tests pin the metadata surface, the validation
+errors, and the stronger file-layout invariant — after a sort rewrite
+the per-file min/max bounds are totally ordered (disjoint ranges), which
+is WHY pruning works at any scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_matrix_spark.tables import IceLiteCatalog
+from iceberg_matrix_spark.tables.maintenance import rewrite_data_files
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return IceLiteCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _shuffled_table(spark, catalog, n=200, files=4):
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.t", "id bigint, v string")
+    for i in range(files):
+        t.append(
+            spark.range(n)
+            .filter(f"id % {files} = {i}")
+            .selectExpr("id", "concat('v', id) AS v")
+            .coalesce(1)
+        )
+    return t
+
+
+def test_replace_sort_order_metadata_round_trip(spark, catalog):
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.t", "id bigint, v string")
+    assert t.sort_order_fields() == []
+    t.replace_sort_order(["v desc", "id"])
+    t2 = t.refresh()
+    assert t2.sort_order_fields() == [
+        {"column": "v", "direction": "desc"},
+        {"column": "id", "direction": "asc"},
+    ]
+    # replacing bumps the order id and keeps history
+    t.replace_sort_order(["id"])
+    assert t.meta.default_sort_order_id == 2
+    assert [o["order_id"] for o in t.meta.sort_orders] == [1, 2]
+
+
+def test_replace_sort_order_validation(spark, catalog):
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.t", "id bigint")
+    with pytest.raises(KeyError):
+        t.replace_sort_order(["nope"])
+    with pytest.raises(ValueError):
+        t.replace_sort_order(["id sideways"])
+
+
+def test_sort_strategy_requires_an_order(spark, catalog):
+    t = _shuffled_table(spark, catalog)
+    with pytest.raises(ValueError, match="sort order"):
+        rewrite_data_files(t, strategy="sort")
+    with pytest.raises(ValueError, match="columns"):
+        rewrite_data_files(t, strategy="zorder")
+    with pytest.raises(ValueError, match="strategy"):
+        rewrite_data_files(t, strategy="cluster")
+
+
+def test_sort_rewrite_produces_disjoint_file_ranges(spark, catalog):
+    t = _shuffled_table(spark, catalog)
+    t.replace_sort_order(["id"])
+    rewrite_data_files(t, target_partitions=4, strategy="sort")
+    files = sorted(
+        t._current_snapshot().data_files, key=lambda f: f.lower_bounds["id"]
+    )
+    assert len(files) >= 2
+    for a, b in zip(files, files[1:]):
+        assert a.upper_bounds["id"] < b.lower_bounds["id"], (
+            "sorted rewrite must emit disjoint id ranges"
+        )
+    # values survive the rewrite
+    assert sorted(r["id"] for r in t.df().collect()) == list(range(200))
+
+
+def test_zorder_handles_string_dimension(spark, catalog):
+    """Non-numeric z-dimensions take the hash path — the rewrite must
+    still preserve every row."""
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.t", "id bigint, cat string")
+    t.append(
+        spark.range(100).selectExpr("id", "concat('c', id % 7) AS cat").repartition(3)
+    )
+    rewrite_data_files(t, target_partitions=4, strategy="zorder", columns=["id", "cat"])
+    got = sorted((r["id"], r["cat"]) for r in t.df().collect())
+    assert got == sorted((i, f"c{i % 7}") for i in range(100))
