@@ -112,6 +112,7 @@ FEATURES = [
     ("add-files", "add_files adoption of foreign parquet", "write"),
     ("sort-order-rewrite", "Sort-order clustering compaction", "maintenance"),
     ("zorder-clustering", "Z-order multi-dimension clustering", "maintenance"),
+    ("sql-call-procedures", "CALL system.* maintenance procedures", "maintenance"),
 ]
 
 # Support matrix: (feature_id, version) -> level. Everything unlisted is
@@ -449,6 +450,54 @@ def t_sql_dml(ctx: Ctx) -> str:
     assert sql.sql(f"SELECT count(*) FROM {tbl}").collect()[0][0] == 3
     assert sql.sql(f"SELECT val FROM {tbl} WHERE id=1").collect()[0][0] == "merged"
     sql.sql(f"DROP TABLE {src} PURGE")
+    sql.sql(f"DROP TABLE {tbl} PURGE")
+    return "pass"
+
+
+@conformance_test("sql-call-procedures")
+def t_sql_call_procedures(ctx: Ctx) -> str:
+    """The reference's maintenance statements, verbatim: CALL
+    local.system.rewrite_data_files / expire_snapshots with named
+    arguments and a TIMESTAMP literal (iceberg_feature_tests.py:853-860),
+    asserting the same post-conditions (row count preserved, snapshots
+    expired to 1)."""
+    from datetime import datetime, timezone  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
+
+    sql = IceLiteSQL(ctx.spark, ctx.catalog)
+    name = ctx.table_name()
+    tbl = f"local.{name}"
+    sql.sql(
+        f"""CREATE TABLE {tbl} (id BIGINT, val STRING)
+            USING iceberg TBLPROPERTIES ('format-version'='{ctx.version}')"""
+    )
+    sql.sql(f"INSERT INTO {tbl} VALUES (1,'a')")
+    sql.sql(f"INSERT INTO {tbl} VALUES (2,'b')")
+    sql.sql(f"INSERT INTO {tbl} VALUES (3,'c')")
+
+    res = sql.sql(f"CALL local.system.rewrite_data_files(table => '{name}')")
+    assert res.collect()[0]["rewritten_data_files_count"] == 3
+    now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    sql.sql(
+        f"""CALL local.system.expire_snapshots(
+                table => '{name}',
+                older_than => TIMESTAMP '{now}',
+                retain_last => 1
+            )"""
+    )
+    assert sql.sql(f"SELECT count(*) FROM {tbl}").collect()[0][0] == 3
+    t = ctx.catalog.load_table(name)
+    assert len(t.meta.snapshots) == 1
+
+    # sort_order dispatch: zorder(...) and plain column lists both route
+    res = sql.sql(
+        f"CALL local.system.rewrite_data_files(table => '{name}', "
+        f"strategy => 'sort', sort_order => 'id')"
+    )
+    assert res.collect()[0]["added_data_files_count"] >= 1
+    res = sql.sql(f"CALL local.system.remove_orphan_files(table => '{name}')")
+    assert res.collect()[0]["orphan_file_location_count"] >= 0
     sql.sql(f"DROP TABLE {tbl} PURGE")
     return "pass"
 

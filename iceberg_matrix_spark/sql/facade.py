@@ -23,9 +23,11 @@ loudly rather than mis-executing.
 
 from __future__ import annotations
 
+import json
 import re
+from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog, NoSuchTableError
@@ -148,6 +150,8 @@ class IceLiteSQL:
             return self._merge(stmt)
         if verb in ("SELECT", "WITH", "VALUES"):
             return self._run_select(stmt)
+        if verb == "CALL":
+            return self._call(stmt)
         if verb in ("DESCRIBE", "DESC"):
             return self._describe(stmt)
         if verb == "SHOW":
@@ -630,6 +634,119 @@ class IceLiteSQL:
             matched_delete=matched_delete,
             insert_when_not_matched=insert_when_not_matched,
         )
+
+    # --------------------------------------------------------------- CALL
+
+    def _call(self, stmt: str) -> DataFrame:
+        """``CALL <cat>.system.<proc>(name => value, ...)`` — the
+        reference's maintenance surface, statement-for-statement
+        (iceberg_feature_tests.py:853-860). Returns the procedure's
+        summary as a one-row DataFrame, like Iceberg's CALL output."""
+        m = re.match(rf"CALL\s+({_IDENT})\s*\((.*)\)\s*$", stmt, re.I | re.S)
+        if not m:
+            raise UnsupportedSQLError(f"unsupported CALL shape: {stmt[:60]!r}")
+        parts = [p.strip("`") for p in m.group(1).strip().split(".")]
+        if parts and parts[0] == self.name:
+            parts = parts[1:]
+        if len(parts) != 2 or parts[0].lower() != "system":
+            raise UnsupportedSQLError(
+                f"procedures live under [{self.name}.]system: {m.group(1)!r}"
+            )
+        proc = parts[1].lower()
+        args: dict[str, str] = {}
+        if m.group(2).strip():
+            for item in _split_top(m.group(2).strip()):
+                am = re.match(r"(\w+)\s*=>\s*(.+)$", item.strip(), re.S)
+                if not am:
+                    raise UnsupportedSQLError(
+                        f"CALL arguments must be name => value: {item.strip()[:40]!r}"
+                    )
+                args[am.group(1).lower()] = am.group(2).strip()
+
+        from iceberg_matrix_spark.tables import maintenance as maint  # noqa: PLC0415
+
+        table_arg = args.pop("table", None)
+        if table_arg is None:
+            raise UnsupportedSQLError(f"CALL {proc} needs table => '...'")
+        t = self.table(str(self._call_value(table_arg)))
+
+        if proc == "rewrite_data_files":
+            strategy = str(self._call_value(args.pop("strategy", "'binpack'"))).lower()
+            columns = None
+            sort_order = args.pop("sort_order", None)
+            if sort_order is not None:
+                so = str(self._call_value(sort_order)).strip()
+                zm = re.match(r"zorder\s*\((.*)\)\s*$", so, re.I)
+                if zm:
+                    strategy = "zorder"
+                    columns = [c.strip() for c in zm.group(1).split(",")]
+                else:
+                    strategy = "sort"
+                    columns = [c.strip() for c in so.split(",")]
+            tp = args.pop("target_partitions", None)
+            result = maint.rewrite_data_files(
+                t,
+                target_partitions=int(self._call_value(tp)) if tp else None,
+                strategy=strategy,
+                columns=columns,
+            )
+        elif proc == "expire_snapshots":
+            older = args.pop("older_than", None)
+            result = maint.expire_snapshots(
+                t,
+                older_than_ms=self._call_value(older) if older else None,
+                retain_last=int(self._call_value(args.pop("retain_last", "1"))),
+            )
+        elif proc == "remove_orphan_files":
+            removed = maint.remove_orphan_files(
+                t, dry_run=bool(self._call_value(args.pop("dry_run", "false")))
+            )
+            result = {"orphan_file_location_count": len(removed)}
+        elif proc == "rewrite_manifests":
+            result = maint.rewrite_manifests(t)
+        elif proc == "rewrite_position_delete_files":
+            result = maint.rewrite_position_deletes(t)
+        elif proc == "compute_table_stats":
+            cols = args.pop("columns", None)
+            result = maint.compute_table_statistics(
+                t, columns=self._call_value(cols) if cols else None
+            )
+        else:
+            raise UnsupportedSQLError(f"unknown procedure: system.{proc}")
+        if args:
+            raise UnsupportedSQLError(
+                f"unsupported argument(s) for {proc}: {sorted(args)}"
+            )
+        row = {
+            k: (v if isinstance(v, (bool, int, float, str)) or v is None else json.dumps(v))
+            for k, v in sorted(result.items())
+        }
+        return self.spark.createDataFrame([Row(**row)])
+
+    @staticmethod
+    def _call_value(text: str):
+        """One CALL argument value: string / number / boolean / TIMESTAMP
+        (→ UTC epoch millis, matching the reference's utcnow literals) /
+        array('a','b') (→ list of strings)."""
+        v = text.strip()
+        tm = re.match(r"TIMESTAMP\s*'([^']+)'\s*$", v, re.I)
+        if tm:
+            dt = datetime.fromisoformat(tm.group(1))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+        am = re.match(r"array\s*\((.*)\)\s*$", v, re.I | re.S)
+        if am:
+            return [IceLiteSQL._call_value(p) for p in _split_top(am.group(1))]
+        if len(v) >= 2 and v[0] == "'" and v[-1] == "'":
+            return v[1:-1].replace("''", "'")
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        if re.fullmatch(r"-?\d+", v):
+            return int(v)
+        if re.fullmatch(r"-?\d+\.\d+", v):
+            return float(v)
+        raise UnsupportedSQLError(f"unsupported CALL value: {v[:40]!r}")
 
     def _split_whens(self, text: str) -> list[str]:
         """Split the WHEN-clause tail into clauses at top-level WHENs."""

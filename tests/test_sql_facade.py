@@ -255,3 +255,57 @@ def test_insert_unknown_column_raises(sql):
     sql.sql("CREATE TABLE nsH.t (id BIGINT, val STRING) USING iceberg")
     with pytest.raises(UnsupportedSQLError, match="unknown columns"):
         sql.sql("INSERT INTO nsH.t (id, vall) VALUES (1, 'x')")
+
+
+# ------------------------------------------------------------------ CALL
+
+
+def test_call_value_parsing():
+    v = IceLiteSQL._call_value
+    assert v("'ns.t'") == "ns.t"
+    assert v("'it''s'") == "it's"
+    assert v("42") == 42
+    assert v("-3.5") == -3.5
+    assert v("TRUE") is True
+    assert v("array('a', 'b')") == ["a", "b"]
+    # the reference's utcnow literal form → UTC epoch millis
+    assert v("TIMESTAMP '1970-01-01 00:00:01'") == 1000
+    with pytest.raises(UnsupportedSQLError):
+        v("sysdate()")
+
+
+def test_call_rejects_bad_shapes(sql):
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.nc")
+    _seed(sql, "local.nc.t")
+    with pytest.raises(UnsupportedSQLError, match="system"):
+        sql.sql("CALL local.other.rewrite_data_files(table => 'nc.t')")
+    with pytest.raises(UnsupportedSQLError, match="unknown procedure"):
+        sql.sql("CALL local.system.vacuum(table => 'nc.t')")
+    with pytest.raises(UnsupportedSQLError, match="needs table"):
+        sql.sql("CALL local.system.rewrite_data_files(retain_last => 1)")
+    with pytest.raises(UnsupportedSQLError, match="name => value"):
+        sql.sql("CALL local.system.rewrite_data_files('nc.t')")
+    with pytest.raises(UnsupportedSQLError, match="unsupported argument"):
+        sql.sql("CALL local.system.rewrite_manifests(table => 'nc.t', x => 1)")
+
+
+def test_call_zorder_sort_order_dispatch(sql):
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.nz")
+    sql.sql("CREATE TABLE local.nz.t (x BIGINT, y BIGINT) USING iceberg")
+    sql.sql("INSERT INTO local.nz.t VALUES (1,10),(2,20),(3,30),(4,40)")
+    res = sql.sql(
+        "CALL local.system.rewrite_data_files(table => 'nz.t', "
+        "sort_order => 'zorder(x, y)', target_partitions => 2)"
+    )
+    assert res.collect()[0]["added_data_files_count"] >= 1
+    assert sql.sql("SELECT count(*) FROM local.nz.t").collect()[0][0] == 4
+
+
+def test_call_compute_table_stats(sql):
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.ns")
+    _seed(sql, "local.ns.st")
+    res = sql.sql(
+        "CALL local.system.compute_table_stats(table => 'ns.st', "
+        "columns => array('id'))"
+    ).collect()[0]
+    assert "id" in str(res.asDict())
