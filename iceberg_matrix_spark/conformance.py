@@ -113,6 +113,7 @@ FEATURES = [
     ("sort-order-rewrite", "Sort-order clustering compaction", "maintenance"),
     ("zorder-clustering", "Z-order multi-dimension clustering", "maintenance"),
     ("sql-call-procedures", "CALL system.* maintenance procedures", "maintenance"),
+    ("write-distribution", "write.distribution-mode hash/range", "write"),
 ]
 
 # Support matrix: (feature_id, version) -> level. Everything unlisted is
@@ -697,6 +698,50 @@ def t_compaction(ctx: Ctx) -> str:
     assert result["rewritten_data_files_count"] == before
     assert t._current_snapshot().operation == "replace"
     assert t.df().count() == 20
+    return "pass"
+
+
+@conformance_test("write-distribution")
+def t_write_distribution(ctx: Ctx) -> str:
+    """write.distribution-mode: 'hash' clusters rows by partition value
+    before the write (one file per partition, not one per task×partition
+    — the small-files explosion at cluster scale); 'range' clusters by
+    the sort order so fresh appends carry near-disjoint min/max bounds
+    without any rewrite."""
+    # hash mode on a partitioned table: 6 input tasks × 3 partitions
+    # would write up to 18 files; hash distribution writes exactly 3
+    t = ctx.catalog.create_table(
+        ctx.table_name(), "id bigint, cat string", ["cat"], ctx.props()
+    )
+    t.set_properties({"write.distribution-mode": "hash"})
+    t.append(
+        ctx.spark.range(60)
+        .selectExpr("id", "concat('c', id % 3) AS cat")
+        .repartition(6)
+    )
+    files = t._current_snapshot().data_files
+    assert len(files) == 3, f"hash distribution should write 3 files, got {len(files)}"
+    assert len({tuple(f.partition.items()) for f in files}) == 3
+    assert t.df().count() == 60
+
+    # range mode + sort order: single shuffled append → disjoint bounds
+    t2 = ctx.create("id bigint, v string")
+    t2.replace_sort_order(["id"])
+    t2.set_properties({"write.distribution-mode": "range"})
+    t2.append(
+        ctx.spark.range(100)
+        .selectExpr("id", "concat('v', id) AS v")
+        .repartition(5)  # round-robin scrambles before the write path
+    )
+    files2 = sorted(
+        t2._current_snapshot().data_files, key=lambda f: f.lower_bounds["id"]
+    )
+    assert len(files2) >= 2
+    for a, b in zip(files2, files2[1:]):
+        assert a.upper_bounds["id"] < b.lower_bounds["id"]
+    kept = t2._prune_files(files2, [("id", ">=", 0), ("id", "<=", 9)])
+    assert len(kept) < len(files2)
+    assert t2.df().count() == 100
     return "pass"
 
 

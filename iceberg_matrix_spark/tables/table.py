@@ -323,6 +323,40 @@ class IceLiteTable:
         meta.refs[branch] = Ref(snapshot_id=sid, type="branch")
         return meta
 
+    def _distribute_for_write(self, df: DataFrame) -> DataFrame:
+        """Honor ``write.distribution-mode`` (none | hash | range) like
+        Iceberg's writer. ``hash`` clusters rows by the partition
+        transforms so each task writes one file per partition instead of
+        EVERY task writing to every partition — the small-files
+        explosion that kills 1000-executor writes. ``range`` range-
+        partitions on partition transforms + sort order so fresh files
+        carry tight, near-disjoint min/max bounds (clustered-on-write,
+        no rewrite needed). Any registered sort order is also applied as
+        the local in-partition sort, both modes."""
+        mode = str(
+            self.meta.properties.get("write.distribution-mode", "none")
+        ).lower()
+        if mode not in ("none", "hash", "range"):
+            raise ValueError(f"bad write.distribution-mode: {mode!r}")
+        dtypes = dict(df.dtypes)
+        order = [
+            F.col(f["column"]).desc() if f["direction"] == "desc" else F.col(f["column"]).asc()
+            for f in self.sort_order_fields()
+            if f["column"] in dtypes
+        ]
+        pexprs = [
+            t.apply_typed(dtypes[t.source])
+            for t in self._transforms()
+            if t.source in dtypes
+        ]
+        if mode == "hash" and pexprs:
+            df = df.repartition(*pexprs)
+        elif mode == "range" and (pexprs or order):
+            df = df.repartitionByRange(*pexprs, *order)
+        if order:
+            df = df.sortWithinPartitions(*order)
+        return df
+
     def append(
         self,
         df: DataFrame,
@@ -334,6 +368,7 @@ class IceLiteTable:
         ``extra_summary`` rides along in the same atomic commit — the
         streaming sink stores its epoch bookkeeping there so a crash
         between "write" and "record batch id" is impossible."""
+        df = self._distribute_for_write(df)
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             meta.last_sequence_number += 1
@@ -454,6 +489,7 @@ class IceLiteTable:
 
     def overwrite(self, df: DataFrame, branch: str = "main") -> None:
         """Full-table INSERT OVERWRITE (flink suite :640,892)."""
+        df = self._distribute_for_write(df)
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             meta.last_sequence_number += 1

@@ -95,3 +95,11 @@ def test_zorder_handles_string_dimension(spark, catalog):
     rewrite_data_files(t, target_partitions=4, strategy="zorder", columns=["id", "cat"])
     got = sorted((r["id"], r["cat"]) for r in t.df().collect())
     assert got == sorted((i, f"c{i % 7}") for i in range(100))
+
+
+def test_bad_distribution_mode_rejected(spark, catalog):
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.t", "id bigint")
+    t.set_properties({"write.distribution-mode": "shuffle"})
+    with pytest.raises(ValueError, match="distribution-mode"):
+        t.append(spark.range(3))
