@@ -219,6 +219,35 @@ class IceLiteSQL:
                 ident = f"{ns}.{tbl}"
                 base = rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}"
 
+                # metadata-table suffix FIRST (the plain-name pass below
+                # would otherwise swallow the base name out of
+                # ``ns.tbl.snapshots``) — the reference's
+                # SELECT ... FROM {tbl}.snapshots / .files / ... idiom
+                # (iceberg_feature_tests.py:394-398,815,1053-1068)
+                def _meta_view(m: re.Match, _ident=ident) -> str:
+                    from iceberg_matrix_spark.tables import (  # noqa: PLC0415
+                        metadata_tables as mt,
+                    )
+
+                    suffix = m.group(1).lower()
+                    view = self._view_name(_ident, f"_m_{suffix}")
+                    getattr(mt, suffix)(
+                        self.catalog.load_table(_ident)
+                    ).createOrReplaceTempView(view)
+                    return view
+
+                text = self._sub_unquoted(
+                    text,
+                    re.compile(
+                        base
+                        + r"\.(snapshots|files|all_delete_files|delete_files|"
+                        r"partitions|refs|history|metadata_log_entries|"
+                        r"statistics|manifests)\b",
+                        re.I,
+                    ),
+                    _meta_view,
+                )
+
                 def _tt_view(m: re.Match, _ident=ident) -> str:
                     sid = int(m.group(1))
                     view = self._view_name(_ident, f"_v{sid}")

@@ -78,6 +78,14 @@ def all_delete_files(table: IceLiteTable, snapshot_id: int | None = None) -> Dat
     )
 
 
+def delete_files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
+    """Current-snapshot delete files — the ``{tbl}.delete_files`` surface
+    the reference groups by content (redshift fixtures :155-159).
+    Snapshot-scoped like ``all_delete_files`` (whose name follows the
+    reference's ``{tbl}.all_delete_files`` probes)."""
+    return all_delete_files(table, snapshot_id)
+
+
 def partitions(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
     snap = table._resolve_snapshot(snapshot_id=snapshot_id)
     agg: dict[str, dict] = {}

@@ -309,3 +309,36 @@ def test_call_compute_table_stats(sql):
         "columns => array('id'))"
     ).collect()[0]
     assert "id" in str(res.asDict())
+
+
+# ------------------------------------------------- metadata-table SELECTs
+
+
+def test_select_metadata_tables(sql):
+    """The reference's SELECT-from-metadata idiom
+    (iceberg_feature_tests.py:394-398,815,1053-1068)."""
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.nm")
+    sql.sql("CREATE TABLE local.nm.t (id BIGINT, val STRING) USING iceberg")
+    sql.sql("INSERT INTO local.nm.t VALUES (1,'a')")
+    sql.sql("INSERT INTO local.nm.t VALUES (2,'b')")
+    snaps = sql.sql(
+        "SELECT snapshot_id, operation FROM local.nm.t.snapshots ORDER BY committed_at"
+    ).collect()
+    assert [r["operation"] for r in snaps] == ["append", "append"]
+    assert sql.sql("SELECT count(*) FROM local.nm.t.files").collect()[0][0] == 2
+    refs = sql.sql("SELECT name, type FROM local.nm.t.refs").collect()
+    assert ("main", "branch") in {(r["name"], r["type"]) for r in refs}
+    assert sql.sql("SELECT count(*) FROM local.nm.t.history").collect()[0][0] == 2
+    # delete evidence flows into delete_files after a MoR delete
+    sql.sql("ALTER TABLE local.nm.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    sql.sql("DELETE FROM local.nm.t WHERE id = 1")
+    dels = sql.sql(
+        "SELECT content, count(*) AS n FROM local.nm.t.delete_files GROUP BY content"
+    ).collect()
+    assert {(r["content"], r["n"]) for r in dels} == {(1, 1)}
+    # a metadata SELECT mixed with a base-table join in the same statement
+    joined = sql.sql(
+        """SELECT count(*) AS n FROM local.nm.t a
+           CROSS JOIN local.nm.t.snapshots s"""
+    ).collect()[0]["n"]
+    assert joined == 1 * 3  # 1 live row × 3 snapshots
