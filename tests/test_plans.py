@@ -211,3 +211,32 @@ def test_q20_two_shuffle_aggregate_chain(spark, sf_dir):
     assert "p_name" in text  # LIKE 'small%' pushed to the part scan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan  # the IN-list became a semi join
+
+
+def test_substring_spans_plan_shape(spark, sf_dir):
+    """The span pipeline's scale contract: the scan reads only (doc_id,
+    text); no Python appears anywhere in the row path; the posting-list
+    group-by + semi-join + per-doc window cost a bounded shuffle budget
+    (grams shuffle, postings agg, doc window — NOT corpus-wide sorts)."""
+    from iceberg_matrix_spark.plans import explain_formatted
+
+    df = QUERIES["q_substring_dup_spans"](spark, sf_dir)
+    for cols in scan_columns(df):  # grams feed both postings and the join
+        assert cols == {"doc_id", "text"}
+    plan = explain_formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 5  # grams→agg, grams→join, doc window, sort
+    assert sort_merge_join_count(df) <= 1  # postings semi-join may SMJ at scale
+
+
+def test_span_ratio_groupby_reuses_doc_partitioning(spark, sf_dir):
+    """groupBy(doc_id, island) after the doc_id window must NOT add an
+    exchange — hashpartitioning(doc_id) already clusters the keys."""
+    from iceberg_matrix_spark.operators.spans import duplicate_spans
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text")
+    unsorted_shuffles = shuffle_count(spans)
+    # window (1 on doc_id) + grams/postings (2); island groupBy adds none
+    assert unsorted_shuffles <= 4
