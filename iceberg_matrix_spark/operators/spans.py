@@ -140,6 +140,52 @@ def span_dup_ratio(
     )
 
 
+def span_deduped_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    max_doc_freq: int = SPAN_MAX_DOC_FREQ,
+) -> DataFrame:
+    """The removal step: strip every duplicated span from every document
+    and re-assemble the cleaned text — (doc_id, n_tokens, n_tokens_kept,
+    clean_text). Fully-duplicated documents come back with an empty
+    clean_text, the signal to drop them.
+
+    Scale shape: covered positions explode to one row per DUPLICATED
+    token (∝ contamination, not corpus), the anti-join is an equi-join
+    on (doc_id, pos), and re-assembly groups by doc_id — per-document
+    state only. The whole thing is one Catalyst DAG with the span
+    pipeline fused in front."""
+    toks_df = _token_frame(docs, id_col, text_col)
+    sizes = toks_df.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    covered = duplicate_spans(docs, id_col, text_col, k, max_doc_freq).select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    toks_pos = toks_df.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return sizes.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("long").alias("n_tokens_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries + oracles
 # ---------------------------------------------------------------------------
@@ -227,3 +273,46 @@ def q_substring_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-level corpus filtering."""
     docs = load_table(spark, sf_dir, "documents")
     return span_dup_ratio(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "q_substring_dedup_clean",
+    oracle=f"""
+    WITH {_SPANS_SQL},
+    covered AS (
+      SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+      FROM spans
+    ),
+    toks_pos AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(t))) AS BIGINT) AS pos,
+             unnest(t) AS tok
+      FROM toks
+    ),
+    kept_toks AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM toks_pos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c
+        WHERE c.doc_id = tp.doc_id AND c.pos = tp.pos
+      )
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept_toks GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_tokens_kept, 0) AS n_tokens_kept,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN cleaned c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal capstone: every duplicated span stripped, cleaned text
+    re-assembled per document (empty text marks a fully-duplicated doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_deduped_corpus(docs, "doc_id", "text").orderBy("doc_id")

@@ -69,3 +69,22 @@ def test_ratio_reports_zero_for_clean_docs(spark):
     assert rows[2]["dup_tokens"] == 10
     assert rows[3]["dup_tokens"] == 0 and rows[3]["dup_ratio"] == 0.0
     assert rows[3]["n_tokens"] == 10
+
+
+def test_clean_corpus_strips_exactly_the_spans(spark):
+    shared = _words("s", 10)
+    tail = _words("t", 5)
+    docs = _docs(
+        spark,
+        [(1, shared + " " + tail), (2, shared), (3, _words("q", 9))],
+    )
+    from iceberg_matrix_spark.operators.spans import span_deduped_corpus
+
+    rows = {
+        r["doc_id"]: r
+        for r in span_deduped_corpus(docs, "doc_id", "text", k=8).collect()
+    }
+    assert rows[1]["clean_text"] == tail and rows[1]["n_tokens_kept"] == 5
+    assert rows[2]["clean_text"] == "" and rows[2]["n_tokens_kept"] == 0
+    assert rows[3]["clean_text"] == _words("q", 9)
+    assert rows[3]["n_tokens"] == 9
