@@ -40,30 +40,34 @@ def _zorder_expr(live, columns: list[str], bits: int = 16):
     from pyspark.sql import functions as F
 
     dtypes = dict(live.dtypes)
-    numeric = {
-        "tinyint", "smallint", "int", "bigint", "float", "double", "date",
-    }
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+    def num_expr(c: str):
+        """Column as DOUBLE, or None for non-numeric. DATE can't cast to
+        DOUBLE under ANSI — route through unix_date (TIMESTAMP casts
+        fine)."""
+        t = dtypes.get(c, "").split("(")[0]
+        if t == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if t in numeric or t in ("decimal", "timestamp", "timestamp_ntz"):
+            return F.col(c).cast("double")
+        return None
+
     aggs = []
     for c in columns:
-        base = dtypes.get(c, "")
-        t = base.split("(")[0]
-        if t in numeric or t == "decimal" or t == "timestamp":
-            aggs += [
-                F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
-            ]
+        e = num_expr(c)
+        if e is not None:
+            aggs += [F.min(e).alias(f"__mn_{c}"), F.max(e).alias(f"__mx_{c}")]
     bounds = live.agg(*aggs).collect()[0].asDict() if aggs else {}
 
     mask = (1 << bits) - 1
     scaled = []
     for c in columns:
-        t = dtypes.get(c, "").split("(")[0]
-        if f"__mn_{c}" in bounds and bounds[f"__mn_{c}"] is not None:
+        e = num_expr(c)
+        if e is not None and bounds.get(f"__mn_{c}") is not None:
             mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
             span = (mx - mn) or 1.0
-            s = F.round(
-                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(mask)
-            ).cast("long")
+            s = F.round((e - F.lit(mn)) / F.lit(span) * F.lit(mask)).cast("long")
             s = F.least(F.greatest(s, F.lit(0)), F.lit(mask))
         else:
             # non-numeric (or all-NULL): hash into the same code space

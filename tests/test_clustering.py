@@ -103,3 +103,20 @@ def test_bad_distribution_mode_rejected(spark, catalog):
     t.set_properties({"write.distribution-mode": "shuffle"})
     with pytest.raises(ValueError, match="distribution-mode"):
         t.append(spark.range(3))
+
+
+def test_zorder_date_dimension_under_ansi(spark, catalog):
+    """DATE z-dimensions must scale numerically (unix_date), not blow up
+    on the ANSI DATE→DOUBLE cast."""
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.t", "id bigint, d date")
+    t.append(
+        spark.sql(
+            "SELECT id, date_add(DATE '2024-01-01', CAST(id % 30 AS INT)) AS d "
+            "FROM range(90)"
+        ).repartition(3)
+    )
+    rewrite_data_files(t, target_partitions=4, strategy="zorder", columns=["id", "d"])
+    assert t.df().count() == 90
+    files = t._current_snapshot().data_files
+    assert len(files) >= 2
