@@ -719,3 +719,71 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
         """
     )
+
+
+@register(
+    "q2a_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    elig AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name, c.cost
+      FROM part p
+      JOIN costs c   ON c.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n  ON n.n_nationkey = s.s_nationkey
+      JOIN region r  ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size <= 10 AND p.p_type = 'SMALL'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    FROM elig e
+    WHERE cost = (
+      SELECT MIN(e2.cost) FROM elig e2 WHERE e2.p_partkey = e.p_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2a_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for small parts, the EUROPE
+    supplier(s) achieving the minimum observed unit price, with the
+    correlated-MIN predicate. The oracle states it as the literal Q2
+    correlated subquery; the Spark plan decorrelates it to a single
+    window MIN over the eligible rows — one partkey-partitioned pass, no
+    second scan of the fact aggregate (the classic Q2 trap is
+    recomputing the eligible join under the subquery). Cost is
+    MIN(l_extendedprice) — a raw-column MIN, exact and identical across
+    engines (no decimal-division scale divergence). Scale: one
+    (partkey, suppkey) fact shuffle; dims broadcast via load_dim; the
+    window repartitions by partkey only."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_dim(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "SMALL")
+    )
+    supp = load_dim(spark, sf_dir, "supplier")
+    nation = load_dim(spark, sf_dir, "nation")
+    region = load_dim(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    elig = (
+        part.join(costs, costs.l_partkey == part.p_partkey)
+        .join(supp, supp.s_suppkey == costs.l_suppkey)
+        .join(nation, nation.n_nationkey == supp.s_nationkey)
+        .join(region, region.r_regionkey == nation.n_regionkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
