@@ -528,3 +528,62 @@ def test_asof_join_directions_match_pandas_model(spark, left, right):
                 for r in m.itertuples()
             }
         assert got == expect, direction
+
+
+# ----------------------------------------------------- substring spans
+
+
+def _model_spans(docs: list[tuple[int, str]], k: int) -> set[tuple[int, int, int]]:
+    """Naive O(corpus²) reference for duplicate_spans: every positional
+    k-gram string, cross-document duplicate grams, interval merge."""
+    grams: dict[str, set[int]] = {}
+    per_doc: dict[int, list[int]] = {}
+    toks = {d: re.sub(r"\s+", " ", t).strip().split(" ") for d, t in docs}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            grams.setdefault(" ".join(ts[i : i + k]), set()).add(d)
+    for d, ts in toks.items():
+        starts = [
+            i + 1
+            for i in range(len(ts) - k + 1)
+            if len(grams[" ".join(ts[i : i + k])]) >= 2
+        ]
+        if starts:
+            per_doc[d] = starts
+    out = set()
+    for d, starts in per_doc.items():
+        lo = prev = starts[0]
+        for p in starts[1:]:
+            if p - prev <= k:
+                prev = p
+                continue
+            out.add((d, lo, prev + k - 1))
+            lo = prev = p
+        out.add((d, lo, prev + k - 1))
+    return out
+
+
+_word = st.sampled_from([f"w{i}" for i in range(12)])
+
+
+@_settings
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=1, max_size=30).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_duplicate_spans_match_naive_model(spark, docs, k):
+    from iceberg_matrix_spark.operators.spans import duplicate_spans
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(
+            df, "doc_id", "text", k=k, max_doc_freq=10**6
+        ).collect()
+    }
+    assert got == _model_spans(rows, k)
