@@ -160,6 +160,19 @@ def rewrite_data_files(
             )
         elif target_partitions:
             live = live.repartition(target_partitions)
+        else:
+            # size-aware binpack: coalesce (no shuffle — merges read
+            # splits, Iceberg's binpack grouping) toward
+            # write.target-file-size-bytes so compaction emits ~target-
+            # sized files instead of one file per input split
+            target_bytes = int(
+                table.meta.properties.get(
+                    "write.target-file-size-bytes", str(512 * 1024 * 1024)
+                )
+            )
+            total = sum(f.file_size_bytes for f in parent.data_files)
+            n = max(1, -(-total // max(target_bytes, 1)))
+            live = live.coalesce(n)
         # heavy distributed write, outside the optimistic-commit loop
         entries = table._write_data_files(
             live, table.meta.current_schema_id, parent.sequence_number + 1

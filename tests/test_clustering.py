@@ -120,3 +120,29 @@ def test_zorder_date_dimension_under_ansi(spark, catalog):
     assert t.df().count() == 90
     files = t._current_snapshot().data_files
     assert len(files) >= 2
+
+
+def test_binpack_targets_file_size(spark, catalog):
+    """Default binpack coalesces toward write.target-file-size-bytes:
+    many small files in, a few target-sized files out — and a huge
+    target collapses to one file."""
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.t", "id bigint, pad string")
+    for i in range(8):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id", "repeat('x', 200) AS pad")
+            .coalesce(1)
+        )
+    before = t._current_snapshot().data_files
+    total = sum(f.file_size_bytes for f in before)
+    t.set_properties({"write.target-file-size-bytes": str(total // 3)})
+    rewrite_data_files(t)
+    mid = t._current_snapshot().data_files
+    assert 1 < len(mid) < len(before)
+    assert t.df().count() == 800
+
+    t.set_properties({"write.target-file-size-bytes": str(1 << 30)})
+    rewrite_data_files(t)
+    assert len(t._current_snapshot().data_files) == 1
+    assert t.df().count() == 800
