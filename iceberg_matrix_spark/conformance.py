@@ -114,6 +114,7 @@ FEATURES = [
     ("zorder-clustering", "Z-order multi-dimension clustering", "maintenance"),
     ("sql-call-procedures", "CALL system.* maintenance procedures", "maintenance"),
     ("write-distribution", "write.distribution-mode hash/range", "write"),
+    ("cdc-apply", "Changelog replication (CDC apply)", "snapshots"),
 ]
 
 # Support matrix: (feature_id, version) -> level. Everything unlisted is
@@ -698,6 +699,55 @@ def t_compaction(ctx: Ctx) -> str:
     assert result["rewritten_data_files_count"] == before
     assert t._current_snapshot().operation == "replace"
     assert t.df().count() == 20
+    return "pass"
+
+
+@conformance_test("cdc-apply")
+def t_cdc_apply(ctx: Ctx) -> str:
+    """End-to-end changelog replication: a replica table is driven ONLY
+    by the source's snapshot_changes diffs (insert/delete row images)
+    across a mixed append/UPDATE/DELETE/append history, and must
+    converge to the exact source state after every epoch — the Iceberg
+    create_changelog_view → MERGE-apply pipeline."""
+    src = ctx.create("id bigint, v string")
+    replica = ctx.create("id bigint, v string")
+
+    marks = []
+    src.append(
+        ctx.spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 6)], "id bigint, v string"
+        )
+    )
+    marks.append(src._current_snapshot().snapshot_id)
+    src.update({"v": "'updated'"}, "id = 2")
+    marks.append(src._current_snapshot().snapshot_id)
+    src.delete("id = 4")
+    marks.append(src._current_snapshot().snapshot_id)
+    src.append(ctx.spark.createDataFrame([(6, "v6"), (7, "v7")], "id bigint, v string"))
+    marks.append(src._current_snapshot().snapshot_id)
+
+    # epoch 0: bootstrap the replica from the first snapshot's full state
+    replica.append(src.df(snapshot_id=marks[0]))
+    for a, b in zip(marks, marks[1:]):
+        ch = src.snapshot_changes(a, b)
+        inserts = ch.filter("_change_type = 'insert'").drop("_change_type")
+        deleted_keys = {
+            r["id"]
+            for r in ch.filter("_change_type = 'delete'").select("id").collect()
+        }
+        inserted_keys = {r["id"] for r in inserts.select("id").collect()}
+        # UPDATE rows arrive as delete+insert of the same key → upsert;
+        # keys with only a delete image are true deletions
+        if inserted_keys:
+            replica.upsert(inserts, ["id"])
+        gone = deleted_keys - inserted_keys
+        if gone:
+            replica.delete(f"id IN ({', '.join(str(k) for k in sorted(gone))})")
+        want = sorted(
+            (r["id"], r["v"]) for r in src.df(snapshot_id=b).collect()
+        )
+        got = sorted((r["id"], r["v"]) for r in replica.df().collect())
+        assert got == want, f"replica diverged after epoch {a}->{b}"
     return "pass"
 
 
