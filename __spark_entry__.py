@@ -27,19 +27,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_green() -> set[str]:
-    """Query names with a fully-green row in any prior CORRECTNESS_r*.json.
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(green, seen) query names across prior CORRECTNESS_r*.json files.
 
     The driver samples ~50 of the registered queries per round following
     dict order, so ``queries()`` front-loads everything that has never
-    earned a green driver row (never sampled, or sampled and not fully
-    green) — each round then certifies exactly the rows that need it.
+    earned a green driver row — formerly-red rows (seen but not green)
+    FIRST, then never-sampled rows — so each round certifies exactly the
+    rows that need it most.
     """
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
+    seen: set[str] = set()
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
@@ -47,6 +49,7 @@ def _driver_green() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            seen.add(name)
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
@@ -54,17 +57,20 @@ def _driver_green() -> set[str]:
                 and row.get("hash_match")
             ):
                 green.add(name)
-    return green
+    return green, seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so never-driver-green queries come first (see _driver_green).
+    Ordered so never-driver-green queries come first, formerly-red ones
+    ahead of never-sampled ones (see _driver_history).
     """
-    green = _driver_green()
+    green, seen = _driver_history()
     order = {n: i for i, n in enumerate(QUERIES)}
-    names = sorted(QUERIES, key=lambda n: (n in green, order[n]))
+    names = sorted(
+        QUERIES, key=lambda n: (n in green, n not in seen, order[n])
+    )
     return {n: QUERIES[n] for n in names}
 
 
