@@ -461,6 +461,26 @@ class IceLiteSQL:
             else:
                 t.create_branch(bm.group(2), sid)
             return
+        # Iceberg's write-layout DDL: WRITE ORDERED BY sets the sort order
+        # AND range distribution; WRITE LOCALLY ORDERED BY sets only the
+        # local sort; WRITE DISTRIBUTED BY PARTITION sets hash clustering.
+        wm = re.match(
+            r"WRITE\s+(LOCALLY\s+)?ORDERED\s+BY\s*(.*)$", body, re.I | re.S
+        )
+        if wm:
+            cols_text = wm.group(2).strip()
+            if cols_text.startswith("("):
+                cols_text, rest = _take_parens(cols_text)
+                if rest.strip():
+                    raise UnsupportedSQLError(f"trailing ALTER text: {rest!r}")
+            cols = [c.strip().strip("`") for c in _split_top(cols_text)]
+            t.replace_sort_order(cols)
+            if not wm.group(1):
+                t.set_properties({"write.distribution-mode": "range"})
+            return
+        if re.match(r"WRITE\s+DISTRIBUTED\s+BY\s+PARTITION\s*$", body, re.I):
+            t.set_properties({"write.distribution-mode": "hash"})
+            return
         raise UnsupportedSQLError(f"unsupported ALTER TABLE clause: {body[:60]!r}")
 
     # --------------------------------------------------------------- DML

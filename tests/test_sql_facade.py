@@ -342,3 +342,39 @@ def test_select_metadata_tables(sql):
            CROSS JOIN local.nm.t.snapshots s"""
     ).collect()[0]["n"]
     assert joined == 1 * 3  # 1 live row × 3 snapshots
+
+
+# ------------------------------------------------------ write-layout DDL
+
+
+def test_write_ordered_by_ddl(sql):
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.wo")
+    sql.sql("CREATE TABLE local.wo.t (id BIGINT, v STRING) USING iceberg")
+    sql.sql("ALTER TABLE local.wo.t WRITE ORDERED BY (id DESC, v)")
+    t = sql.table("local.wo.t")
+    assert t.sort_order_fields() == [
+        {"column": "id", "direction": "desc"},
+        {"column": "v", "direction": "asc"},
+    ]
+    assert t.properties["write.distribution-mode"] == "range"
+
+    sql.sql("ALTER TABLE local.wo.t WRITE LOCALLY ORDERED BY v")
+    t = sql.table("local.wo.t")
+    assert t.sort_order_fields() == [{"column": "v", "direction": "asc"}]
+    # LOCALLY leaves the distribution mode untouched
+    assert t.properties["write.distribution-mode"] == "range"
+
+    sql.sql("ALTER TABLE local.wo.t WRITE DISTRIBUTED BY PARTITION")
+    assert sql.table("local.wo.t").properties["write.distribution-mode"] == "hash"
+
+    # the range layout actually lands on writes driven through SQL
+    sql.sql("ALTER TABLE local.wo.t WRITE ORDERED BY id")
+    sql.sql(
+        "INSERT INTO local.wo.t SELECT id, concat('v', id) FROM range(100)"
+    )
+    files = sorted(
+        sql.table("local.wo.t")._current_snapshot().data_files,
+        key=lambda f: f.lower_bounds["id"],
+    )
+    for a, b in zip(files, files[1:]):
+        assert a.upper_bounds["id"] < b.lower_bounds["id"]
