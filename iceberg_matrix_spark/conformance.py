@@ -115,6 +115,7 @@ FEATURES = [
     ("sql-call-procedures", "CALL system.* maintenance procedures", "maintenance"),
     ("write-distribution", "write.distribution-mode hash/range", "write"),
     ("cdc-apply", "Changelog replication (CDC apply)", "snapshots"),
+    ("nested-types", "struct/array/map columns", "types"),
 ]
 
 # Support matrix: (feature_id, version) -> level. Everything unlisted is
@@ -699,6 +700,38 @@ def t_compaction(ctx: Ctx) -> str:
     assert result["rewritten_data_files_count"] == before
     assert t._current_snapshot().operation == "replace"
     assert t.df().count() == 20
+    return "pass"
+
+
+@conformance_test("nested-types")
+def t_nested_types(ctx: Ctx) -> str:
+    """struct/array/map columns end to end: round-trip, nested-path
+    predicates and projections, row-level DELETE/UPDATE keyed on a
+    nested field, NULL back-fill for an added struct column, and footer
+    min/max bounds recorded for nested LEAVES (dotted paths) — the stats
+    file skipping needs at scale."""
+    t = ctx.create(
+        "id bigint, tags array<string>, attrs map<string,bigint>, "
+        "addr struct<city:string,zip:bigint>"
+    )
+    t.append(
+        ctx.spark.sql(
+            "SELECT id, array('a','b') AS tags, map('k', id) AS attrs, "
+            "named_struct('city', concat('c', id % 2), 'zip', id) AS addr "
+            "FROM range(6)"
+        )
+    )
+    got = t.df()
+    assert got.schema["addr"].dataType.simpleString() == "struct<city:string,zip:bigint>"
+    assert [r["city"] for r in got.filter("addr.zip = 2").select("addr.city").collect()] == ["c0"]
+    t.delete("addr.zip = 1")
+    assert t.df().count() == 5
+    t.update({"tags": "array('z')"}, "id = 0")
+    assert t.df().filter("id = 0").collect()[0]["tags"] == ["z"]
+    t.add_columns({"extra": "struct<a:bigint>"})
+    assert t.df().select("extra").collect()[0]["extra"] is None
+    lower = t._current_snapshot().data_files[0].lower_bounds
+    assert any(k.startswith("addr.") for k in lower), lower
     return "pass"
 
 
