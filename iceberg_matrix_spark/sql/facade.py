@@ -481,6 +481,12 @@ class IceLiteSQL:
         if re.match(r"WRITE\s+DISTRIBUTED\s+BY\s+PARTITION\s*$", body, re.I):
             t.set_properties({"write.distribution-mode": "hash"})
             return
+        im = re.match(r"SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*$", body, re.I)
+        if im:
+            t.set_identifier_fields(
+                [c.strip().strip("`") for c in _split_top(im.group(1))]
+            )
+            return
         raise UnsupportedSQLError(f"unsupported ALTER TABLE clause: {body[:60]!r}")
 
     # --------------------------------------------------------------- DML

@@ -51,6 +51,10 @@ class DeleteFileEntry:
     sequence_number: int
     file_format: str = "PARQUET"  # "PUFFIN" marks V3 deletion vectors
     equality_columns: list[str] = field(default_factory=list)
+    # FIELD IDS of the equality columns (Iceberg's equality_ids): the
+    # names above are the write-time names; application resolves ids →
+    # CURRENT names so RENAME COLUMN can't detach a delete from its key
+    equality_ids: list[int] = field(default_factory=list)
 
 
 @dataclass
@@ -123,6 +127,10 @@ class TableMetadata:
     # implicit unsorted order, so 0 here means "no sort order set".
     sort_orders: list[dict] = field(default_factory=list)
     default_sort_order_id: int = 0
+    # Iceberg identifier fields (schema `identifier-field-ids`): the
+    # row-identity key upsert paths default to. Stored as FIELD IDS so
+    # renames track automatically.
+    identifier_field_ids: list[int] = field(default_factory=list)
 
     # ---- accessors --------------------------------------------------------
 

@@ -243,6 +243,8 @@ class IceLiteTable:
     def _write_delete_file(
         self, df: DataFrame, content: int, sequence_number: int, equality_columns=()
     ) -> DeleteFileEntry:
+        by_name = {f.name: f.id for f in self.meta.current_schema.fields}
+        equality_ids = [by_name[c] for c in equality_columns if c in by_name]
         ddir = os.path.join(self.location, "deletes")
         name = f"delete-{uuid.uuid4().hex[:12]}"
         path = os.path.join(ddir, name)
@@ -264,6 +266,7 @@ class IceLiteTable:
             sequence_number=sequence_number,
             file_format=fmt,
             equality_columns=list(equality_columns),
+            equality_ids=equality_ids,
         )
 
     def _snapshot(
@@ -674,11 +677,21 @@ class IceLiteTable:
             df = df.join(F.broadcast(dels), [_META_FILE, _META_POS], "left_anti")
 
         for d in (d for d in snap.delete_files if d.content == 2):
-            keys = self.spark.read.parquet(d.path).select(*d.equality_columns)
+            # resolve the delete key by FIELD ID so renames after the
+            # delete was written still target the right column; the
+            # parquet delete file itself carries the write-time names
+            if d.equality_ids:
+                by_id = {f.id: f.name for f in self.meta.current_schema.fields}
+                cur_cols = [by_id[i] for i in d.equality_ids]
+            else:  # legacy entries: name-addressed
+                cur_cols = list(d.equality_columns)
+            keys = self.spark.read.parquet(d.path).select(
+                *d.equality_columns
+            ).toDF(*cur_cols)
             # equality deletes apply only to rows written BEFORE the delete
             doomed = (
                 df.filter(F.col(_META_SEQ) < F.lit(d.sequence_number))
-                .join(F.broadcast(keys), d.equality_columns, "left_semi")
+                .join(F.broadcast(keys), cur_cols, "left_semi")
                 .select(_META_FILE, _META_POS)
             )
             df = df.join(doomed, [_META_FILE, _META_POS], "left_anti")
@@ -922,17 +935,48 @@ class IceLiteTable:
 
         self._commit(mutate)
 
+    def set_identifier_fields(self, columns: list[str]) -> None:
+        """ALTER TABLE ... SET IDENTIFIER FIELDS — declare the row-identity
+        key (Iceberg schema identifier-field-ids). Stored as field IDS,
+        so later RENAME COLUMN keeps the identity intact. ``upsert``
+        defaults its key to these fields."""
+        by_name = {f.name: f.id for f in self.meta.current_schema.fields}
+        ids = []
+        for c in columns:
+            if c not in by_name:
+                raise KeyError(f"identifier field not in schema: {c}")
+            ids.append(by_name[c])
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            meta.identifier_field_ids = ids
+            return meta
+
+        self._commit(mutate)
+
+    def identifier_fields(self) -> list[str]:
+        """Current NAMES of the identifier fields (resolved by ID)."""
+        by_id = {f.id: f.name for f in self.meta.current_schema.fields}
+        return [by_id[i] for i in self.meta.identifier_field_ids if i in by_id]
+
     def upsert(
         self,
         source: DataFrame,
-        key_columns: list[str],
+        key_columns: list[str] | None = None,
         branch: str = "main",
         extra_summary: dict | None = None,
     ) -> None:
         """Streaming-style PK upsert via equality deletes + append in ONE
         snapshot (flink write.upsert.enabled, :764-784): new rows carry
         the same sequence number as the delete, so the equality delete
-        only affects older files."""
+        only affects older files. ``key_columns`` defaults to the
+        table's identifier fields (set_identifier_fields)."""
+        if key_columns is None:
+            key_columns = self.identifier_fields()
+            if not key_columns:
+                raise ValueError(
+                    "upsert needs key_columns or table identifier fields "
+                    "(set_identifier_fields)"
+                )
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             parent = _head(meta, branch)

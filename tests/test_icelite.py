@@ -629,3 +629,36 @@ def test_snapshot_changes_cdc(spark, tmp_path):
     ]
     # identical snapshots → empty changelog
     assert t.snapshot_changes(last, last).count() == 0
+
+
+# --------------------------------------------------------- identifier fields
+
+
+def test_identifier_fields_drive_default_upsert(spark, catalog):
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.pk", "id bigint, v string")
+    with pytest.raises(ValueError, match="identifier fields"):
+        t.upsert(_kv_df(spark, [(1, "a")]).toDF("id", "v"))
+    with pytest.raises(KeyError):
+        t.set_identifier_fields(["nope"])
+    t.set_identifier_fields(["id"])
+    assert t.identifier_fields() == ["id"]
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "id bigint, v string"))
+    got = {r["id"]: r["v"] for r in t.df().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # identity is ID-based: a rename keeps the key intact
+    t.rename_column("id", "pk")
+    assert t.identifier_fields() == ["pk"]
+    t.upsert(spark.createDataFrame([(3, "C")], "pk bigint, v string"))
+    assert {r["pk"]: r["v"] for r in t.df().collect()}[3] == "C"
+
+
+def test_set_identifier_fields_sql(spark, catalog):
+    from iceberg_matrix_spark.sql import IceLiteSQL
+
+    sql = IceLiteSQL(spark, catalog)
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.pk")
+    sql.sql("CREATE TABLE local.pk.t (id BIGINT, v STRING) USING iceberg")
+    sql.sql("ALTER TABLE local.pk.t SET IDENTIFIER FIELDS id")
+    assert catalog.load_table("pk.t").identifier_fields() == ["id"]
