@@ -51,7 +51,17 @@ def _gram_starts(
     toks_df: DataFrame, k: int, max_doc_freq: int
 ) -> DataFrame:
     """(doc_id, pos) of every k-gram start whose gram appears in 2..cap
-    distinct documents. pos is 1-based (matches DuckDB generate_series)."""
+    distinct documents. pos is 1-based (matches DuckDB generate_series).
+
+    The gram frame feeds BOTH the doc-frequency aggregate and the semi-
+    join, so Catalyst scans the corpus twice (the plan test pins both
+    scans to (doc_id, text) only). That is the deliberate trade-off: at
+    100 TB, persisting the exploded gram frame costs ~16 bytes × total
+    tokens of executor storage, while recomputing it is one extra pruned
+    columnar scan + codegen pass — measured here (and typical for
+    hash-only derivations), recompute is the same speed or faster, and
+    it never risks eviction thrash. Callers that iterate over the grams
+    repeatedly can persist `_token_frame` upstream instead."""
     grams = (
         toks_df.filter(F.size("toks") >= k)
         .select(
