@@ -240,7 +240,8 @@ class IceLiteSQL:
                     text,
                     re.compile(
                         base
-                        + r"\.(snapshots|files|all_delete_files|delete_files|"
+                        + r"\.(snapshots|all_data_files|all_delete_files|all_files|"
+                        r"data_files|delete_files|files|"
                         r"partitions|refs|history|metadata_log_entries|"
                         r"statistics|manifests)\b",
                         re.I,

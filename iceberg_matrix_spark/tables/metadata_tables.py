@@ -63,6 +63,46 @@ def files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
     )
 
 
+def data_files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
+    """Alias of ``files`` under Iceberg's ``{tbl}.data_files`` name."""
+    return files(table, snapshot_id)
+
+
+def all_data_files(table: IceLiteTable) -> DataFrame:
+    """Every data file referenced by ANY surviving snapshot (Iceberg's
+    all_data_files): one row per (snapshot, file) reference — the
+    input to orphan audits and time-travel storage accounting."""
+    rows = [
+        (s.snapshot_id, f.path, f.record_count, f.file_size_bytes, f.sequence_number)
+        for s in table.meta.snapshots
+        for f in s.data_files
+    ]
+    return table.spark.createDataFrame(
+        rows,
+        "snapshot_id long, file_path string, record_count long, "
+        "file_size_in_bytes long, sequence_number long",
+    )
+
+
+def all_files(table: IceLiteTable) -> DataFrame:
+    """all_data_files ∪ delete-file references with an Iceberg content
+    code (0=data, 1=position deletes, 2=equality deletes)."""
+    rows = [
+        (s.snapshot_id, 0, f.path, f.record_count, f.file_size_bytes, f.sequence_number)
+        for s in table.meta.snapshots
+        for f in s.data_files
+    ] + [
+        (s.snapshot_id, d.content, d.path, d.record_count, None, d.sequence_number)
+        for s in table.meta.snapshots
+        for d in s.delete_files
+    ]
+    return table.spark.createDataFrame(
+        rows,
+        "snapshot_id long, content int, file_path string, record_count long, "
+        "file_size_in_bytes long, sequence_number long",
+    )
+
+
 def all_delete_files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
     snap = table._resolve_snapshot(snapshot_id=snapshot_id)
     entries = snap.delete_files if snap else []

@@ -378,3 +378,26 @@ def test_write_ordered_by_ddl(sql):
     )
     for a, b in zip(files, files[1:]):
         assert a.upper_bounds["id"] < b.lower_bounds["id"]
+
+
+def test_select_all_files_metadata(sql):
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.af")
+    sql.sql("CREATE TABLE local.af.t (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO local.af.t SELECT id FROM range(3)")
+    sql.sql("INSERT INTO local.af.t SELECT id FROM range(3, 6)")
+    # one row per (snapshot, file) reference
+    t = sql.table("local.af.t")
+    expected = sum(len(s_.data_files) for s_ in t.meta.snapshots)
+    n = sql.sql("SELECT count(*) AS n FROM local.af.t.all_data_files").collect()[0]["n"]
+    assert n == expected > 0
+    sql.sql(
+        "ALTER TABLE local.af.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    sql.sql("DELETE FROM local.af.t WHERE id = 1")
+    rows = sql.sql(
+        "SELECT content, count(*) AS n FROM local.af.t.all_files GROUP BY content"
+    ).collect()
+    got = {(r["content"], r["n"]) for r in rows}
+    assert (1, 1) in got  # the position-delete reference
+    cur = len(sql.table("local.af.t")._current_snapshot().data_files)
+    assert sql.sql("SELECT count(*) FROM local.af.t.data_files").collect()[0][0] == cur
