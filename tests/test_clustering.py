@@ -146,3 +146,48 @@ def test_binpack_targets_file_size(spark, catalog):
     rewrite_data_files(t)
     assert len(t._current_snapshot().data_files) == 1
     assert t.df().count() == 800
+
+
+def test_zorder_expr_matches_python_interleave(spark, catalog):
+    """The Catalyst bit-interleave must equal the reference Morton code
+    for already-16-bit integer inputs (identity scaling: min=0,
+    max=65535 present in the data)."""
+    from iceberg_matrix_spark.tables.maintenance import _zorder_expr
+    import pyspark.sql.functions as F
+
+    vals = [0, 1, 2, 3, 255, 256, 32767, 65535]
+    rows = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", _zorder_expr(df, ["x", "y"])).collect()
+    }
+
+    def morton(a, bvals):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((bvals >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z)
+
+
+def test_sort_rewrite_applies_and_drops_mor_deletes(spark, catalog):
+    """A clustering rewrite over a table with outstanding MoR deletes
+    must fold the deletes in (live rows only) and drop the delete
+    files, like binpack compaction does."""
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns.t", "id bigint")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    for i in range(4):
+        t.append(spark.range(i * 25, (i + 1) * 25).coalesce(1))
+    t.delete("id % 10 = 0")
+    assert t._current_snapshot().delete_files
+    t.replace_sort_order(["id"])
+    rewrite_data_files(t, target_partitions=4, strategy="sort")
+    snap = t._current_snapshot()
+    assert not snap.delete_files
+    got = sorted(r["id"] for r in t.df().collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
