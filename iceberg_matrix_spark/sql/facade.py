@@ -314,6 +314,15 @@ class IceLiteSQL:
                 [(ns, t) for t in self.catalog.list_tables(ns)],
                 "namespace string, tableName string",
             )
+        m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$", stmt, re.I)
+        if m:
+            # the reference reads bloom-filter props back through this
+            # exact statement (iceberg_feature_tests.py:1097)
+            props = self.table(m.group(1)).properties
+            return self.spark.createDataFrame(
+                sorted((k, str(v)) for k, v in props.items()),
+                "key string, value string",
+            )
         raise UnsupportedSQLError(stmt)
 
     # --------------------------------------------------------------- DDL

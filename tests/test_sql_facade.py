@@ -401,3 +401,13 @@ def test_select_all_files_metadata(sql):
     assert (1, 1) in got  # the position-delete reference
     cur = len(sql.table("local.af.t")._current_snapshot().data_files)
     assert sql.sql("SELECT count(*) FROM local.af.t.data_files").collect()[0][0] == cur
+
+
+def test_show_tblproperties(sql):
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.sp")
+    sql.sql(
+        "CREATE TABLE local.sp.t (id BIGINT) USING iceberg "
+        "TBLPROPERTIES ('write.parquet.bloom-filter-enabled.column.id'='true')"
+    )
+    rows = {r["key"]: r["value"] for r in sql.sql("SHOW TBLPROPERTIES local.sp.t").collect()}
+    assert rows["write.parquet.bloom-filter-enabled.column.id"] == "true"
