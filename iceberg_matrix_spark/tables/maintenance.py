@@ -126,12 +126,16 @@ def rewrite_data_files(
             raise ValueError("nothing to compact")
         live = table._read_snapshot(parent, with_meta=False)
         if strategy == "sort":
-            fields = (
-                [{"column": c.split()[0],
-                  "direction": (c.split() + ["asc"])[1].lower()} for c in columns]
-                if columns
-                else table.sort_order_fields()
-            )
+            if columns:
+                fields = []
+                for c in columns:
+                    parts = c.split()
+                    direction = parts[1].lower() if len(parts) > 1 else "asc"
+                    if direction not in ("asc", "desc"):
+                        raise ValueError(f"bad sort direction: {c!r}")
+                    fields.append({"column": parts[0], "direction": direction})
+            else:
+                fields = table.sort_order_fields()
             if not fields:
                 raise ValueError(
                     "strategy='sort' needs columns= or a table sort order "
