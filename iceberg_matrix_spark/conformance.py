@@ -464,7 +464,7 @@ def t_sql_call_procedures(ctx: Ctx) -> str:
     arguments and a TIMESTAMP literal (iceberg_feature_tests.py:853-860),
     asserting the same post-conditions (row count preserved, snapshots
     expired to 1)."""
-    from datetime import datetime, timezone  # noqa: PLC0415
+    from datetime import datetime, timedelta, timezone  # noqa: PLC0415
 
     from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
 
@@ -481,7 +481,13 @@ def t_sql_call_procedures(ctx: Ctx) -> str:
 
     res = sql.sql(f"CALL local.system.rewrite_data_files(table => '{name}')")
     assert res.collect()[0]["rewritten_data_files_count"] == 3
-    now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    # microsecond precision + 1s forward slack: a whole-second cutoff can
+    # tie with a snapshot committed in the same wall-clock second, which
+    # then survives `timestamp_ms < older_than_ms` and breaks the
+    # snapshots==1 assertion on fast runs
+    now = (datetime.now(timezone.utc) + timedelta(seconds=1)).isoformat(
+        sep=" ", timespec="microseconds"
+    )
     sql.sql(
         f"""CALL local.system.expire_snapshots(
                 table => '{name}',

@@ -107,6 +107,18 @@ def _rewrite_aliases(expr: str, mapping: dict[str, str]) -> str:
 
 _IDENT = r"[A-Za-z_][\w.$]*|`[^`]+`(?:\.`?[^`.]+`?)*"
 
+# Recognized named arguments per CALL procedure. Checked up front so a
+# typo'd argument fails BEFORE the procedure executes (Iceberg validates
+# named args at parse time; expire_snapshots must never run first).
+_PROC_ARGS: dict[str, set[str]] = {
+    "rewrite_data_files": {"table", "strategy", "sort_order", "target_partitions"},
+    "expire_snapshots": {"table", "older_than", "retain_last"},
+    "remove_orphan_files": {"table", "dry_run"},
+    "rewrite_manifests": {"table"},
+    "rewrite_position_delete_files": {"table"},
+    "compute_table_stats": {"table", "columns"},
+}
+
 
 class IceLiteSQL:
     """Parse-and-dispatch SQL shim over an :class:`IceLiteCatalog`.
@@ -730,6 +742,18 @@ class IceLiteSQL:
 
         from iceberg_matrix_spark.tables import maintenance as maint  # noqa: PLC0415
 
+        # Validate the argument set BEFORE executing anything: a typo'd or
+        # unknown argument must fail loudly up front (Iceberg rejects unknown
+        # named args at parse time), never after a destructive procedure ran.
+        allowed = _PROC_ARGS.get(proc)
+        if allowed is None:
+            raise UnsupportedSQLError(f"unknown procedure: system.{proc}")
+        extra = set(args) - allowed
+        if extra:
+            raise UnsupportedSQLError(
+                f"unsupported argument(s) for {proc}: {sorted(extra)}"
+            )
+
         table_arg = args.pop("table", None)
         if table_arg is None:
             raise UnsupportedSQLError(f"CALL {proc} needs table => '...'")
@@ -764,7 +788,7 @@ class IceLiteSQL:
             )
         elif proc == "remove_orphan_files":
             removed = maint.remove_orphan_files(
-                t, dry_run=bool(self._call_value(args.pop("dry_run", "false")))
+                t, dry_run=self._call_bool(args.pop("dry_run", "false"), "dry_run")
             )
             result = {"orphan_file_location_count": len(removed)}
         elif proc == "rewrite_manifests":
@@ -776,17 +800,29 @@ class IceLiteSQL:
             result = maint.compute_table_statistics(
                 t, columns=self._call_value(cols) if cols else None
             )
-        else:
+        else:  # pragma: no cover — _PROC_ARGS gate rejects unknown procs above
             raise UnsupportedSQLError(f"unknown procedure: system.{proc}")
-        if args:
-            raise UnsupportedSQLError(
-                f"unsupported argument(s) for {proc}: {sorted(args)}"
-            )
         row = {
             k: (v if isinstance(v, (bool, int, float, str)) or v is None else json.dumps(v))
             for k, v in sorted(result.items())
         }
         return self.spark.createDataFrame([Row(**row)])
+
+    @staticmethod
+    def _call_bool(text: str, param: str) -> bool:
+        """Coerce one CALL argument to a boolean, accepting unquoted
+        true/false and the quoted spellings 'true'/'false' (case-
+        insensitive). Anything else is rejected — bool('false') is True
+        in Python, and silently flipping e.g. dry_run would turn a real
+        orphan cleanup into a no-op (or vice versa)."""
+        v = IceLiteSQL._call_value(text)
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, str) and v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        raise UnsupportedSQLError(
+            f"{param} expects a boolean, got: {text.strip()[:40]!r}"
+        )
 
     @staticmethod
     def _call_value(text: str):

@@ -26,7 +26,7 @@ class _RewriteRestart(Exception):
     new head (Iceberg's rewrite aborts on conflicting deletes too)."""
 
 
-def _zorder_expr(live, columns: list[str], bits: int = 16):
+def _zorder_expr(live, columns: list[str], bits: int | None = None):
     """Z-value (Morton code) expression over ``columns``.
 
     Numeric columns are linearly scaled to ``bits``-bit integers using
@@ -38,6 +38,14 @@ def _zorder_expr(live, columns: list[str], bits: int = 16):
     Mirrors Iceberg's rewrite_data_files(strategy=>'sort',
     sort_order=>'zorder(a,b)') clustering semantics."""
     from pyspark.sql import functions as F
+
+    # The interleaved code must fit a signed 64-bit long: bit positions go
+    # up to bits*len(columns)-1, and position 63 is the sign bit (flipping
+    # it would invert range order for high z-values; >=64 wraps mod 64
+    # under Java shift semantics, silently colliding bits). Scale the
+    # per-dimension width down so the widest bit lands at <= 62.
+    if bits is None:
+        bits = max(1, min(16, 62 // max(1, len(columns))))
 
     dtypes = dict(live.dtypes)
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}

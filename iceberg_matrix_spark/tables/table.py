@@ -244,7 +244,14 @@ class IceLiteTable:
         self, df: DataFrame, content: int, sequence_number: int, equality_columns=()
     ) -> DeleteFileEntry:
         by_name = {f.name: f.id for f in self.meta.current_schema.fields}
-        equality_ids = [by_name[c] for c in equality_columns if c in by_name]
+        unknown = [c for c in equality_columns if c not in by_name]
+        if unknown:
+            raise ValueError(
+                f"equality delete key column(s) {unknown} not in the current "
+                f"schema — refusing to write a delete file whose equality_ids "
+                f"would not cover its key columns"
+            )
+        equality_ids = [by_name[c] for c in equality_columns]
         ddir = os.path.join(self.location, "deletes")
         name = f"delete-{uuid.uuid4().hex[:12]}"
         path = os.path.join(ddir, name)
@@ -682,6 +689,15 @@ class IceLiteTable:
             # parquet delete file itself carries the write-time names
             if d.equality_ids:
                 by_id = {f.id: f.name for f in self.meta.current_schema.fields}
+                missing = [i for i in d.equality_ids if i not in by_id]
+                if missing:
+                    raise ValueError(
+                        f"equality delete {d.path} references field id(s) "
+                        f"{missing} that no longer exist in the current "
+                        f"schema — an equality-key column was dropped after "
+                        f"the delete was written; the delete cannot be "
+                        f"applied correctly"
+                    )
                 cur_cols = [by_id[i] for i in d.equality_ids]
             else:  # legacy entries: name-addressed
                 cur_cols = list(d.equality_columns)

@@ -282,11 +282,28 @@ def test_call_rejects_bad_shapes(sql):
     with pytest.raises(UnsupportedSQLError, match="unknown procedure"):
         sql.sql("CALL local.system.vacuum(table => 'nc.t')")
     with pytest.raises(UnsupportedSQLError, match="needs table"):
-        sql.sql("CALL local.system.rewrite_data_files(retain_last => 1)")
+        sql.sql("CALL local.system.rewrite_data_files(strategy => 'binpack')")
     with pytest.raises(UnsupportedSQLError, match="name => value"):
         sql.sql("CALL local.system.rewrite_data_files('nc.t')")
     with pytest.raises(UnsupportedSQLError, match="unsupported argument"):
         sql.sql("CALL local.system.rewrite_manifests(table => 'nc.t', x => 1)")
+    # an unrecognized argument (e.g. a typo'd older_than) must fail BEFORE
+    # the procedure executes — nothing may be expired/deleted first
+    t = sql.catalog.load_table("nc.t")
+    snaps_before = len(t.meta.snapshots)
+    with pytest.raises(UnsupportedSQLError, match="unsupported argument"):
+        sql.sql(
+            "CALL local.system.expire_snapshots(table => 'nc.t', "
+            "older_tha => TIMESTAMP '2099-01-01 00:00:00')"
+        )
+    assert len(sql.catalog.load_table("nc.t").meta.snapshots) == snaps_before
+    # quoted boolean strings coerce (case-insensitive); junk is rejected
+    with pytest.raises(UnsupportedSQLError, match="boolean"):
+        sql.sql("CALL local.system.remove_orphan_files(table => 'nc.t', dry_run => 'maybe')")
+    res = sql.sql(
+        "CALL local.system.remove_orphan_files(table => 'nc.t', dry_run => 'TRUE')"
+    )
+    assert "orphan_file_location_count" in res.columns
 
 
 def test_call_zorder_sort_order_dispatch(sql):
