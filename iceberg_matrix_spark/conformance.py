@@ -93,6 +93,7 @@ FEATURES = [
     ("timestamp-ns", "Nanosecond timestamps (V3)", "types"),
     ("variant-shredding", "Shredded VARIANT storage (V3)", "types"),
     ("drop-table-purge", "DROP TABLE PURGE blast-radius gate", "lifecycle"),
+    ("sql-refs", "Branch/tag SQL identifiers (tbl.branch_x / tbl.tag_x)", "snapshots"),
     # Catalog integrations: registered skip rows with honest reasons, the
     # reference's own pattern for environment-blocked features
     # (iceberg_feature_tests.py:1222-1290; coverage rule :1660-1677 demands
@@ -453,6 +454,58 @@ def t_sql_dml(ctx: Ctx) -> str:
     assert sql.sql(f"SELECT count(*) FROM {tbl}").collect()[0][0] == 3
     assert sql.sql(f"SELECT val FROM {tbl} WHERE id=1").collect()[0][0] == "merged"
     sql.sql(f"DROP TABLE {src} PURGE")
+    sql.sql(f"DROP TABLE {tbl} PURGE")
+    return "pass"
+
+
+@conformance_test("sql-refs")
+def t_sql_refs(ctx: Ctx) -> str:
+    """The reference's branch/tag SQL statements, verbatim
+    (iceberg_feature_tests.py:888-898): CREATE TAG AS OF VERSION, bare
+    CREATE BRANCH, INSERT INTO {tbl}.branch_<name>, and suffix reads
+    {tbl}.branch_<name> / {tbl}.tag_<name>, asserting the exact counts
+    the reference asserts (main=1, branch=2, tag=1)."""
+    from iceberg_matrix_spark.sql import IceLiteSQL, UnsupportedSQLError  # noqa: PLC0415
+
+    sql = IceLiteSQL(ctx.spark, ctx.catalog)
+    tbl = f"local.{ctx.table_name()}"
+    sql.sql(
+        f"""CREATE TABLE {tbl} (id BIGINT, val STRING)
+            USING iceberg TBLPROPERTIES ('format-version'='{ctx.version}')"""
+    )
+    sql.sql(f"INSERT INTO {tbl} VALUES (1,'main')")
+    snap = sql.sql(
+        f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at DESC LIMIT 1"
+    ).collect()[0][0]
+    sql.sql(f"ALTER TABLE {tbl} CREATE TAG `v1_release` AS OF VERSION {snap}")
+    sql.sql(f"ALTER TABLE {tbl} CREATE BRANCH `test_branch`")
+    sql.sql(f"INSERT INTO {tbl}.branch_test_branch VALUES (2,'branch_data')")
+
+    main_cnt = sql.sql(f"SELECT count(*) FROM {tbl}").collect()[0][0]
+    assert main_cnt == 1, f"Main should have 1 row, got {main_cnt}"
+    branch_cnt = sql.sql(
+        f"SELECT count(*) FROM {tbl}.branch_test_branch"
+    ).collect()[0][0]
+    assert branch_cnt == 2, f"Branch should have 2 rows, got {branch_cnt}"
+    tag_cnt = sql.sql(f"SELECT count(*) FROM {tbl}.tag_v1_release").collect()[0][0]
+    assert tag_cnt == 1
+
+    # wrong-kind and unknown refs fail loudly — never silently read main
+    try:
+        sql.sql(f"SELECT count(*) FROM {tbl}.tag_test_branch")
+        return "fail"
+    except UnsupportedSQLError:
+        pass
+    try:
+        sql.sql(f"SELECT count(*) FROM {tbl}.branch_nope")
+        return "fail"
+    except UnsupportedSQLError:
+        pass
+    try:
+        sql.sql(f"INSERT INTO {tbl}.tag_v1_release VALUES (9,'x')")
+        return "fail"
+    except UnsupportedSQLError:
+        pass
     sql.sql(f"DROP TABLE {tbl} PURGE")
     return "pass"
 

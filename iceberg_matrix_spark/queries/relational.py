@@ -923,3 +923,49 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupingSets([["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "q_branch_read_sql",
+    oracle="""
+    SELECT 'branch' AS ref, c_custkey, c_acctbal FROM customer
+    UNION ALL
+    SELECT 'main' AS ref, c_custkey, c_acctbal FROM customer
+    WHERE c_custkey % 2 = 0
+    """,
+)
+def q_branch_read_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch write + suffix read through the SQL front-end — the
+    reference's idiom verbatim (/root/reference/tests/
+    iceberg_feature_tests.py:890-898): CTAS the even-key half of customer,
+    CREATE BRANCH dev, INSERT the odd half INTO tbl.branch_dev as a SQL
+    string, then read BOTH refs via suffix identifiers. Branch sees all
+    rows; main must still see only the even half — branch isolation is
+    the value under test, hash-checked row-for-row by the oracle."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
+    wh = tempfile.mkdtemp(prefix="icelite_branch_sql_")
+    sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.brt")
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    sql.catalog.create_table_as_select(
+        "brt.customer_t", base.filter(F.col("c_custkey") % 2 == 0)
+    )
+    sql.catalog.create_table_as_select(
+        "brt.customer_odd", base.filter(F.col("c_custkey") % 2 == 1)
+    )
+    sql.sql("ALTER TABLE local.brt.customer_t CREATE BRANCH `dev`")
+    sql.sql(
+        "INSERT INTO local.brt.customer_t.branch_dev "
+        "SELECT c_custkey, c_acctbal FROM local.brt.customer_odd"
+    )
+    return sql.sql(
+        """SELECT 'branch' AS ref, c_custkey, c_acctbal
+           FROM local.brt.customer_t.branch_dev
+           UNION ALL
+           SELECT 'main' AS ref, c_custkey, c_acctbal
+           FROM local.brt.customer_t"""
+    )

@@ -172,6 +172,12 @@ class IceLiteSQL:
 
     # -------------------------------------------------------- identifiers
 
+    def _table_exists(self, ident: str) -> bool:
+        try:
+            return self.catalog.table_exists(self._resolve(ident))
+        except UnsupportedSQLError:
+            return False
+
     def _resolve(self, ident: str) -> str:
         parts = [p.strip("`") for p in ident.strip().split(".")]
         if len(parts) >= 3 and parts[0] == self.name:
@@ -259,6 +265,35 @@ class IceLiteSQL:
                         re.I,
                     ),
                     _meta_view,
+                )
+
+                # branch/tag suffix reads — the reference's
+                # SELECT ... FROM {tbl}.branch_<name> / {tbl}.tag_<name>
+                # idiom (iceberg_feature_tests.py:895-898). Must run before
+                # the plain-name pass, which would otherwise swallow the
+                # base name and silently read `main` — wrong DATA, not an
+                # error.
+                def _ref_view(m: re.Match, _ident=ident) -> str:
+                    kind, refname = m.group(1).lower(), m.group(2)
+                    t = self.catalog.load_table(_ident)
+                    ref = t.meta.refs.get(refname)
+                    if ref is None:
+                        raise UnsupportedSQLError(
+                            f"unknown {kind} {refname!r} on {_ident}"
+                        )
+                    if ref.type != kind:
+                        raise UnsupportedSQLError(
+                            f"{refname!r} on {_ident} is a {ref.type}, "
+                            f"referenced as {kind}_"
+                        )
+                    view = self._view_name(_ident, f"_r_{kind}_{refname}")
+                    t.df(ref=refname).createOrReplaceTempView(view)
+                    return view
+
+                text = self._sub_unquoted(
+                    text,
+                    re.compile(base + r"\.(branch|tag)_(\w+)", re.I),
+                    _ref_view,
                 )
 
                 def _tt_view(m: re.Match, _ident=ident) -> str:
@@ -547,7 +582,21 @@ class IceLiteSQL:
         )
         if not m:
             raise UnsupportedSQLError(stmt)
-        mode, ident, body = m.group(1).upper(), self._resolve(m.group(2)), m.group(3).strip()
+        mode, raw, body = m.group(1).upper(), m.group(2), m.group(3).strip()
+        # INSERT INTO tbl.branch_<name> — write to a branch, the
+        # reference's idiom (iceberg_feature_tests.py:890). tag_ is
+        # read-only: writing to a tag must fail, not silently hit main.
+        branch = "main"
+        rm = re.match(r"(.*)\.(branch|tag)_(\w+)$", raw.strip().strip("`"))
+        if rm and rm.group(1).count(".") >= 1 and not self._table_exists(raw):
+            # only a ref-suffix if the literal name is NOT a real table
+            # (a user may legitimately name a table branch_foo)
+            if rm.group(2).lower() == "tag":
+                raise UnsupportedSQLError(
+                    f"cannot write to a tag: {raw.strip()!r} (tags are immutable)"
+                )
+            raw, branch = rm.group(1), rm.group(3)
+        ident = self._resolve(raw)
         cols = None
         if body.startswith("("):
             inner, body = _take_parens(body)
@@ -560,9 +609,13 @@ class IceLiteSQL:
         table = self.catalog.load_table(ident)
         aligned = self._aligned(table, df, cols)
         if mode == "OVERWRITE":
+            if branch != "main":
+                raise UnsupportedSQLError(
+                    "INSERT OVERWRITE to a branch is not supported"
+                )
             table.overwrite(aligned)
         else:
-            table.append(aligned)
+            table.append(aligned, branch=branch)
 
     def _update(self, stmt: str) -> None:
         m = re.match(rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$", stmt, re.I | re.S)
