@@ -379,6 +379,31 @@ def t_interop_duckdb(ctx: Ctx) -> str:
         for r in read_with_duckdb(t).to_pylist()
     }
     assert got == expected == {(1, "a", None), (3, "c", None), (4, "d", 1.5)}
+
+    # equality deletes too (duckdb_feature_tests.py:358-368 — foreign
+    # engines read equality deletes): upsert writes an equality-delete
+    # file; rows appended AFTER it (higher sequence) must survive the
+    # key-match, rows before it must not. Rename the key column after
+    # the delete was written — field-id resolution must keep targeting it.
+    t.upsert(
+        ctx.spark.createDataFrame(
+            [(3, "c2", 9.0), (5, "e", 2.5)], "id bigint, v string, score double"
+        ),
+        key_columns=["id"],
+    )
+    t.rename_column("v", "val")
+    expected2 = {
+        tuple(r) for r in t.df().select("id", "val", "score").collect()
+    }
+    got2 = {
+        (r["id"], r["val"], r["score"])
+        for r in read_with_duckdb(t).to_pylist()
+    }
+    assert (
+        got2
+        == expected2
+        == {(1, "a", None), (3, "c2", 9.0), (4, "d", 1.5), (5, "e", 2.5)}
+    )
     return "pass"
 
 
