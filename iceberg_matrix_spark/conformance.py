@@ -478,6 +478,29 @@ def t_sql_dml(ctx: Ctx) -> str:
     )
     assert sql.sql(f"SELECT count(*) FROM {tbl}").collect()[0][0] == 3
     assert sql.sql(f"SELECT val FROM {tbl} WHERE id=1").collect()[0][0] == "merged"
+    # SHOW NAMESPACES IN <cat> (iceberg_feature_tests.py:1129-1131)
+    assert len(sql.sql("SHOW NAMESPACES IN local").collect()) > 0
+    # Redshift-survey time-travel spelling resolves like VERSION AS OF
+    snap = sql.sql(
+        f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at LIMIT 1"
+    ).collect()[0][0]
+    assert (
+        sql.sql(
+            f"SELECT count(*) FROM {tbl} FOR SYSTEM_VERSION AS OF {snap}"
+        ).collect()[0][0]
+        == 3
+    )
+    if fv >= 3:
+        # V3 column DEFAULT through the SQL DDL (iceberg_feature_tests.py:
+        # 771-776)
+        cd = f"local.{ctx.table_name()}"
+        sql.sql(
+            f"""CREATE TABLE {cd} (id BIGINT, val STRING DEFAULT 'hello')
+                USING iceberg TBLPROPERTIES ('format-version'='3')"""
+        )
+        sql.sql(f"INSERT INTO {cd} (id) VALUES (1)")
+        assert sql.sql(f"SELECT val FROM {cd} WHERE id=1").collect()[0][0] == "hello"
+        sql.sql(f"DROP TABLE {cd} PURGE")
     sql.sql(f"DROP TABLE {src} PURGE")
     sql.sql(f"DROP TABLE {tbl} PURGE")
     return "pass"

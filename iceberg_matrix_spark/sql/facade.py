@@ -71,15 +71,12 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def _find_top_keyword(s: str, kw: str) -> int:
-    """Index of the first top-level, unquoted, word-boundary ``kw``; -1."""
+    """Index of the first top-level, unquoted, word-boundary ``kw``; -1.
+    One O(|s|) depth/quote scan, not a rescan per candidate match."""
+    tops = {i for i, _ch, depth, quoted in _scan_top(s) if depth == 0 and not quoted}
     pat = re.compile(rf"\b{kw}\b", re.IGNORECASE)
     for m in pat.finditer(s):
-        ok = True
-        for i, _ch, depth, quoted in _scan_top(s):
-            if i == m.start():
-                ok = depth == 0 and not quoted
-                break
-        if ok:
+        if m.start() in tops:
             return m.start()
     return -1
 
@@ -231,10 +228,31 @@ class IceLiteSQL:
         ``tbl TIMESTAMP AS OF '<ts>'`` (iceberg_feature_tests.py:820)
         resolve to snapshot-pinned views before the plain-name pass.
         All passes are quote-aware: identifiers inside string literals
-        stay untouched."""
-        for ns in self.catalog.list_namespaces():
-            for tbl in self.catalog.list_tables(ns):
-                ident = f"{ns}.{tbl}"
+        stay untouched.
+
+        Identifier-driven: dotted tokens are extracted from the statement
+        first and only those that name catalog tables get the regex
+        passes — O(#referenced tables × |stmt|), not
+        O(|catalog| × |stmt|); a thousand-table catalog costs one set
+        lookup per token, not a thousand regex scans."""
+        known = {
+            f"{ns}.{tbl}"
+            for ns in self.catalog.list_namespaces()
+            for tbl in self.catalog.list_tables(ns)
+        }
+        tops = {i for i, _c, _d, quoted in _scan_top(text) if not quoted}
+        referenced: set[str] = set()
+        for m in re.finditer(r"\b[A-Za-z_][\w$]*(?:\.[A-Za-z_$][\w$]*)+", text):
+            if m.start() not in tops:
+                continue
+            parts = m.group(0).split(".")
+            if parts[0] == self.name:
+                parts = parts[1:]
+            for k in range(2, len(parts) + 1):
+                prefix = ".".join(parts[:k])
+                if prefix in known:
+                    referenced.add(prefix)
+        for ident in sorted(referenced):
                 base = rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}"
 
                 # metadata-table suffix FIRST (the plain-name pass below
@@ -304,9 +322,16 @@ class IceLiteSQL:
                     ).createOrReplaceTempView(view)
                     return view
 
+                # VERSION AS OF plus the Redshift/engine-survey spellings
+                # FOR [SYSTEM_]VERSION AS OF (redshift_feature_tests.py:
+                # 1091-1097)
                 text = self._sub_unquoted(
                     text,
-                    re.compile(base + r"\s+VERSION\s+AS\s+OF\s+(\d+)", re.I),
+                    re.compile(
+                        base
+                        + r"\s+(?:FOR\s+)?(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(\d+)",
+                        re.I,
+                    ),
                     _tt_view,
                 )
 
@@ -323,9 +348,15 @@ class IceLiteSQL:
                     ).createOrReplaceTempView(view)
                     return view
 
+                # TIMESTAMP AS OF plus FOR [SYSTEM_TIME|TIMESTAMP] AS OF
                 text = self._sub_unquoted(
                     text,
-                    re.compile(base + r"\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.I),
+                    re.compile(
+                        base
+                        + r"\s+(?:FOR\s+)?(?:SYSTEM_TIME|TIMESTAMP)"
+                        r"\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'",
+                        re.I,
+                    ),
                     _ts_view,
                 )
 
@@ -350,7 +381,15 @@ class IceLiteSQL:
         return self.spark.createDataFrame(rows, "col_name string, data_type string")
 
     def _show(self, stmt: str) -> DataFrame:
-        if re.match(r"SHOW\s+NAMESPACES\s*$", stmt, re.I):
+        nm = re.match(
+            rf"SHOW\s+NAMESPACES(?:\s+(?:IN|FROM)\s+({_IDENT}))?\s*$", stmt, re.I
+        )
+        if nm:
+            # SHOW NAMESPACES IN <cat> (iceberg_feature_tests.py:1129-1131)
+            if nm.group(1) and nm.group(1).strip("`") != self.name:
+                raise UnsupportedSQLError(
+                    f"unknown catalog {nm.group(1)!r} (this is {self.name!r})"
+                )
             return self.spark.createDataFrame(
                 [(n,) for n in self.catalog.list_namespaces()], "namespace string"
             )
@@ -440,7 +479,27 @@ class IceLiteSQL:
             raise UnsupportedSQLError(f"unparsed CREATE TABLE tail: {rest[:60]!r}")
         if schema_ddl is None:
             raise UnsupportedSQLError("CREATE TABLE needs (schema) or AS SELECT")
-        self.catalog.create_table(ident, schema_ddl, partition_by, properties)
+        schema_ddl, defaults = self._strip_column_defaults(schema_ddl)
+        self.catalog.create_table(
+            ident, schema_ddl, partition_by, properties, defaults=defaults or None
+        )
+
+    @staticmethod
+    def _strip_column_defaults(schema_ddl: str) -> tuple[str, dict[str, object]]:
+        """Parse ``col TYPE DEFAULT <lit>`` out of a CREATE TABLE column
+        list — the reference's V3 DDL (iceberg_feature_tests.py:771-776).
+        Returns the DDL without the DEFAULT clauses plus {col: value}."""
+        defaults: dict[str, object] = {}
+        cleaned = []
+        for coldef in _split_top(schema_ddl):
+            cd = coldef.strip()
+            dm = re.search(r"\s+DEFAULT\s+(.+)$", cd, re.I | re.S)
+            if dm:
+                col = cd.split()[0].strip("`")
+                defaults[col] = IceLiteSQL._call_value(dm.group(1).strip())
+                cd = cd[: dm.start()]
+            cleaned.append(cd)
+        return ", ".join(cleaned), defaults
 
     def _drop_table(self, stmt: str) -> None:
         m = re.match(

@@ -428,3 +428,95 @@ def test_show_tblproperties(sql):
     )
     rows = {r["key"]: r["value"] for r in sql.sql("SHOW TBLPROPERTIES local.sp.t").collect()}
     assert rows["write.parquet.bloom-filter-enabled.column.id"] == "true"
+
+
+def test_create_table_column_default(sql):
+    """The reference's V3 DDL verbatim (iceberg_feature_tests.py:771-776):
+    DEFAULT in the column list, INSERT omitting the column reads it back."""
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.nd")
+    sql.sql(
+        """CREATE TABLE local.nd.coldef (id BIGINT, val STRING DEFAULT 'hello')
+           USING iceberg TBLPROPERTIES ('format-version'='3')"""
+    )
+    sql.sql("INSERT INTO local.nd.coldef (id) VALUES (1)")
+    assert (
+        sql.sql("SELECT val FROM local.nd.coldef WHERE id=1").collect()[0][0]
+        == "hello"
+    )
+    # DEFAULT is a V3 feature: V2 must reject, not silently drop it
+    with pytest.raises(ValueError, match="format-version 3"):
+        sql.sql(
+            """CREATE TABLE local.nd.coldef2 (id BIGINT, val STRING DEFAULT 'x')
+               USING iceberg TBLPROPERTIES ('format-version'='2')"""
+        )
+    # numeric defaults parse as numbers
+    sql.sql(
+        """CREATE TABLE local.nd.coldef3 (id BIGINT, n BIGINT DEFAULT 42)
+           USING iceberg TBLPROPERTIES ('format-version'='3')"""
+    )
+    sql.sql("INSERT INTO local.nd.coldef3 (id) VALUES (7)")
+    assert sql.sql("SELECT n FROM local.nd.coldef3").collect()[0][0] == 42
+
+
+def test_show_namespaces_in_catalog(sql):
+    """SHOW NAMESPACES IN <cat> (iceberg_feature_tests.py:1129-1131)."""
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.nsx")
+    bare = {r[0] for r in sql.sql("SHOW NAMESPACES").collect()}
+    scoped = {r[0] for r in sql.sql("SHOW NAMESPACES IN local").collect()}
+    assert "nsx" in scoped and scoped == bare
+    with pytest.raises(UnsupportedSQLError, match="unknown catalog"):
+        sql.sql("SHOW NAMESPACES IN other_cat")
+
+
+def test_time_travel_spelling_variants(sql):
+    """The Redshift survey's alternate time-travel spellings
+    (redshift_feature_tests.py:1091-1097) resolve like VERSION AS OF."""
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.ntt")
+    _seed(sql, "local.ntt.t", rows="(1,'a')")
+    snap = sql.sql(
+        "SELECT snapshot_id FROM local.ntt.t.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    ).collect()[0][0]
+    sql.sql("INSERT INTO local.ntt.t VALUES (2,'b')")
+    for spelling in (
+        f"VERSION AS OF {snap}",
+        f"FOR VERSION AS OF {snap}",
+        f"FOR SYSTEM_VERSION AS OF {snap}",
+    ):
+        got = sql.sql(f"SELECT count(*) FROM local.ntt.t {spelling}").collect()[0][0]
+        assert got == 1, spelling
+    assert sql.sql("SELECT count(*) FROM local.ntt.t").collect()[0][0] == 2
+    # timestamp spellings: pin far-future → sees both rows
+    for spelling in (
+        "TIMESTAMP AS OF '2099-01-01 00:00:00'",
+        "FOR TIMESTAMP AS OF '2099-01-01 00:00:00'",
+        "FOR SYSTEM_TIME AS OF '2099-01-01 00:00:00'",
+        "FOR SYSTEM_TIME AS OF TIMESTAMP '2099-01-01 00:00:00'",
+    ):
+        got = sql.sql(f"SELECT count(*) FROM local.ntt.t {spelling}").collect()[0][0]
+        assert got == 2, spelling
+
+
+def test_substitute_views_touches_only_referenced_tables(sql, monkeypatch):
+    """Identifier-driven substitution: with many tables in the catalog,
+    resolving a statement loads (and registers views for) ONLY the tables
+    the statement references — not one pass per catalog table."""
+    sql.sql("CREATE NAMESPACE nsMany")
+    for i in range(12):
+        sql.sql(f"CREATE TABLE nsMany.t{i} (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO nsMany.t3 VALUES (1),(2)")
+    sql.sql("INSERT INTO nsMany.t7 VALUES (3)")
+    loaded = []
+    orig = type(sql.catalog).load_table
+
+    def counting(self, ident):
+        loaded.append(ident)
+        return orig(self, ident)
+
+    monkeypatch.setattr(type(sql.catalog), "load_table", counting)
+    got = sql.sql(
+        "SELECT (SELECT count(*) FROM nsMany.t3) + "
+        "(SELECT count(*) FROM local.nsMany.t7) AS n"
+    ).collect()[0][0]
+    assert got == 3
+    assert sorted(set(loaded)) == ["nsMany.t3", "nsMany.t7"]
