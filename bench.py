@@ -89,8 +89,38 @@ def main() -> None:
     # tiny and wall-clock is dominated by scheduling overhead + host noise
     # (observed 1.5x run-to-run spread on identical code); min-of-2 warm
     # timings measures the plan, not the noise.
+    # Table-building DML queries measure setup (CTAS) and the DML itself
+    # separately, so a MERGE regression can't hide inside CTAS noise. The
+    # "queries" entry stays the end-to-end time (comparable with earlier
+    # rounds); "splits" carries the breakdown.
+    from iceberg_matrix_spark.queries.relational import (  # noqa: PLC0415
+        _merge_sql_exec,
+        _merge_sql_setup,
+    )
+
+    SPLIT_DML = {"q_merge_sql": (_merge_sql_setup, _merge_sql_exec)}
+
     timings: dict[str, float] = {}
+    splits: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
+        if name in SPLIT_DML:
+            setup_fn, exec_fn = SPLIT_DML[name]
+            best_setup = best_query = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                handle = setup_fn(spark, sf_dir)
+                setup_s = time.perf_counter() - start
+                start = time.perf_counter()
+                exec_fn(handle).write.format("noop").mode("overwrite").save()
+                query_s = time.perf_counter() - start
+                best_setup = min(best_setup, setup_s)
+                best_query = min(best_query, query_s)
+            splits[name] = {
+                "setup_s": round(best_setup, 3),
+                "query_s": round(best_query, 3),
+            }
+            timings[name] = round(best_setup + best_query, 3)
+            continue
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
@@ -106,6 +136,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "splits": splits,
                 "sf": sf,
             }
         )

@@ -30,6 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_matrix_spark.operators.spans import _SPANS_SQL
 from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
 from iceberg_matrix_spark.sources.testdata import load_table
 
@@ -648,27 +649,46 @@ _GOPHER_KEEP_SQL = f"""
 """
 
 
+# span-duplication gate threshold: drop documents whose verbatim
+# cross-document duplicated-token share exceeds this (the Lee et al.
+# "drop mostly-duplicated docs" curation decision)
+SPAN_GATE_MAX_RATIO = 0.5
+
+
 @register(
     "q_corpus_pipeline",
     oracle=f"""
-    WITH feat AS (
+    WITH {_SPANS_SQL},
+    span_per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    span_ok AS (
+      SELECT t.doc_id
+      FROM toks t LEFT JOIN span_per_doc p USING (doc_id)
+      WHERE CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.t)
+            <= {SPAN_GATE_MAX_RATIO}
+    ),
+    feat AS (
       SELECT doc_id, lang, source, text,
              {_DECON_TOKS} AS toks,
              length(regexp_replace(trim(text), '\\s+', '', 'g')) AS no_ws,
              len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS symbol_hits
       FROM documents
     ),
-    kept AS (
+    gated AS (
       SELECT doc_id, lang, source, text, len(toks) AS n_toks FROM feat
       WHERE {_GOPHER_KEEP_SQL}
+        AND doc_id IN (SELECT doc_id FROM span_ok)
     ),
     reps AS (
       SELECT MIN(doc_id) AS doc_id
-      FROM kept
+      FROM gated
       GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
     ),
     deduped AS (
-      SELECT k.* FROM kept k JOIN reps USING (doc_id)
+      SELECT k.* FROM gated k JOIN reps USING (doc_id)
     ),
     sampled AS (
       SELECT * FROM deduped
@@ -682,23 +702,35 @@ _GOPHER_KEEP_SQL = f"""
     """,
 )
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation DAG in one plan: Gopher quality gate → exact
-    dedup (min-id representative) → hash-stratified sampling → per-
-    (lang, source) corpus accounting — each stage the SAME library
-    operator that is oracled individually, proving the stages COMPOSE
-    without collect()s or side effects between them.
+    """The full curation DAG in one plan: Gopher quality gate + span-
+    duplication gate (≤50% verbatim cross-document duplicated tokens,
+    operators/spans.py) → exact dedup (min-id representative) → hash-
+    stratified sampling → per-(lang, source) corpus accounting — each
+    stage the SAME library operator that is oracled individually,
+    proving the stages COMPOSE without collect()s or side effects
+    between them.
 
-    Scale: quality gate and sampling are narrow filters; dedup is one
-    fingerprint groupBy + semi join; the final rollup is a tiny groupBy.
-    Nothing materializes between stages — Catalyst plans the whole
-    pipeline as one DAG.
+    Scale: quality gate and sampling are narrow filters; the span gate
+    is the token-posting pipeline (shuffle ∝ total tokens) ending in a
+    per-doc ratio semi-join; dedup is one fingerprint groupBy + semi
+    join; the final rollup is a tiny groupBy. Nothing materializes
+    between stages — Catalyst plans the whole pipeline as one DAG.
     """
     from iceberg_matrix_spark.functions.text import token_count
     from iceberg_matrix_spark.operators.dedup import dedup_exact
+    from iceberg_matrix_spark.operators.spans import span_dup_ratio
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = gopher_rules(docs).filter(F.col("keep")).select(
-        "doc_id", "lang", "source", "text"
+    span_ok = (
+        span_dup_ratio(docs, "doc_id", "text")
+        .filter(F.col("dup_ratio") <= SPAN_GATE_MAX_RATIO)
+        .select("doc_id")
+    )
+    kept = (
+        gopher_rules(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "lang", "source", "text")
+        .join(span_ok, "doc_id", "left_semi")
     )
     deduped = dedup_exact(kept, "doc_id", "text")
     sampled = hash_stratified_sample(deduped, id_col="doc_id", group_col="lang")

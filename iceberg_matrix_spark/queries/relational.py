@@ -391,6 +391,18 @@ def q_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
+    return _merge_sql_exec(_merge_sql_setup(spark, sf_dir))
+
+
+def _merge_sql_setup(spark: SparkSession, sf_dir: str):
+    """The CTAS phase of q_merge_sql (two table builds) — split out so
+    bench.py can time setup and MERGE separately; a MERGE regression must
+    not hide inside CTAS noise."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
     wh = tempfile.mkdtemp(prefix="icelite_sql_merge_")
     sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
     sql.sql("CREATE NAMESPACE IF NOT EXISTS local.dml")
@@ -406,6 +418,11 @@ def q_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             source.withColumn("c_custkey", F.col("c_custkey") + F.lit(10000000))
         ),
     )
+    return sql
+
+
+def _merge_sql_exec(sql) -> DataFrame:
+    """The measured phase of q_merge_sql: the MERGE statement + read-back."""
     sql.sql(
         """MERGE INTO local.dml.customer_t t USING local.dml.customer_src s
            ON t.c_custkey = s.c_custkey
@@ -968,4 +985,78 @@ def q_branch_read_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNION ALL
            SELECT 'main' AS ref, c_custkey, c_acctbal
            FROM local.brt.customer_t"""
+    )
+
+
+@register(
+    "q_zorder_effect",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           CAST(0 AS BIGINT) AS overlapping_pairs,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    """,
+)
+def q_zorder_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering EFFECT, not just mechanics: after a sort rewrite the
+    per-file min/max ranges must be pairwise DISJOINT — the observable
+    that makes manifest pruning work (one file per range predicate
+    instead of all of them; the reference checks clustering through the
+    same footer-bounds lens, iceberg_feature_tests.py:853-860 +
+    metadata assertions). Build an 8-file hash-scattered table from
+    orders, CALL rewrite_data_files(strategy=>'sort') to 4 files, then
+    derive from the files metadata table: file count, count of
+    OVERLAPPING bound pairs (must be 0), and the manifest-level row
+    count / global key bounds (must equal the raw data's). Boundaries
+    themselves are sampling-dependent, so only these deterministic
+    aggregates are output."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.tables import maintenance as maint  # noqa: PLC0415
+    from iceberg_matrix_spark.tables import metadata_tables as mt  # noqa: PLC0415
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
+    wh = tempfile.mkdtemp(prefix="icelite_zeff_")
+    cat = IceLiteCatalog(spark, wh)
+    cat.create_namespace("zeff")
+    t = cat.create_table("zeff.orders_t", "o_orderkey bigint, o_totalprice double")
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # hash-scatter into 8 files: every file covers nearly the full key
+    # range (worst case for pruning) — the state the rewrite must fix
+    t.append(base.repartition(8, "o_orderkey"))
+    maint.rewrite_data_files(
+        t, strategy="sort", columns=["o_orderkey"], target_partitions=4
+    )
+    t.refresh()
+    # one row per FILE (manifest-scale, thousands at 100 TB, not data
+    # scale) — coalesce(1) + broadcast keep the pairwise-overlap check a
+    # BroadcastNestedLoopJoin, not a 32×32 CartesianProduct
+    bounds = (
+        mt.files(t)
+        .select(
+            F.col("file_path"),
+            F.col("record_count"),
+            F.element_at("lower_bounds", "o_orderkey").cast("bigint").alias("lo"),
+            F.element_at("upper_bounds", "o_orderkey").cast("bigint").alias("hi"),
+        )
+        .coalesce(1)
+    )
+    a, b = bounds.alias("a"), bounds.alias("b")
+    overlaps = a.join(
+        F.broadcast(b),
+        (F.col("a.file_path") < F.col("b.file_path"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")),
+        "inner",
+    ).agg(F.count(F.lit(1)).alias("overlapping_pairs"))
+    summary = bounds.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("record_count").alias("n_rows"),
+        F.min("lo").alias("min_key"),
+        F.max("hi").alias("max_key"),
+    )
+    return summary.crossJoin(F.broadcast(overlaps)).select(
+        "n_files", "overlapping_pairs", "n_rows", "min_key", "max_key"
     )

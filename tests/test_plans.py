@@ -240,3 +240,23 @@ def test_span_ratio_groupby_reuses_doc_partitioning(spark, sf_dir):
     unsorted_shuffles = shuffle_count(spans)
     # window (1 on doc_id) + grams/postings (2); island groupBy adds none
     assert unsorted_shuffles <= 4
+
+
+def test_corpus_pipeline_single_dag_with_span_gate(spark, sf_dir):
+    """The curation capstone composes gopher gate + span-duplication gate
+    + exact dedup + stratified sample + rollup as ONE Catalyst DAG: no
+    Python in the row path, documents scanned with pruned columns only,
+    and the span gate adds its bounded posting-list shuffles (grams agg,
+    postings join, doc window) — not a corpus-wide sort or cartesian."""
+    from iceberg_matrix_spark.plans import explain_formatted
+
+    df = QUERIES["q_corpus_pipeline"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "lang", "source", "text"}
+    # gopher+sample are narrow; dedup adds 2 (fingerprint agg + semi
+    # join); span gate adds its ≤5; final rollup 1 — keep a hard ceiling
+    # so a regression to corpus-wide shuffling fails loudly
+    assert shuffle_count(df) <= 10
