@@ -94,6 +94,7 @@ FEATURES = [
     ("variant-shredding", "Shredded VARIANT storage (V3)", "types"),
     ("drop-table-purge", "DROP TABLE PURGE blast-radius gate", "lifecycle"),
     ("sql-refs", "Branch/tag SQL identifiers (tbl.branch_x / tbl.tag_x)", "snapshots"),
+    ("wap-publish", "Write-audit-publish: fast_forward + cherrypick procedures", "snapshots"),
     # Catalog integrations: registered skip rows with honest reasons, the
     # reference's own pattern for environment-blocked features
     # (iceberg_feature_tests.py:1222-1290; coverage rule :1660-1677 demands
@@ -554,6 +555,52 @@ def t_sql_refs(ctx: Ctx) -> str:
         return "fail"
     except UnsupportedSQLError:
         pass
+    sql.sql(f"DROP TABLE {tbl} PURGE")
+    return "pass"
+
+
+@conformance_test("wap-publish")
+def t_wap_publish(ctx: Ctx) -> str:
+    """Write-audit-publish: stage appends on an audit branch (invisible
+    to main readers), audit, then publish via CALL fast_forward; a
+    rolled-back append can be re-applied with CALL cherrypick_snapshot.
+    Iceberg's branch + procedures idiom end-to-end as SQL strings."""
+    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
+
+    sql = IceLiteSQL(ctx.spark, ctx.catalog)
+    tbl = f"local.{ctx.table_name()}"
+    sql.sql(
+        f"""CREATE TABLE {tbl} (id BIGINT)
+            USING iceberg TBLPROPERTIES ('format-version'='{ctx.version}')"""
+    )
+    sql.sql(f"INSERT INTO {tbl} VALUES (1)")
+    sql.sql(f"ALTER TABLE {tbl} CREATE BRANCH `audit`")
+    sql.sql(f"INSERT INTO {tbl}.branch_audit VALUES (2)")
+    # staged write is invisible to main until published
+    assert sql.sql(f"SELECT count(*) FROM {tbl}").collect()[0][0] == 1
+    sql.sql(
+        f"CALL local.system.fast_forward(table => '{tbl.split('.', 1)[1]}', "
+        f"branch => 'main', to => 'audit')"
+    )
+    assert sql.sql(f"SELECT count(*) FROM {tbl}").collect()[0][0] == 2
+    # roll back the publish, cherry-pick the staged append directly
+    snaps = [
+        r[0]
+        for r in sql.sql(
+            f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at"
+        ).collect()
+    ]
+    sql.sql(
+        f"CALL local.system.rollback_to_snapshot("
+        f"table => '{tbl.split('.', 1)[1]}', snapshot_id => {snaps[0]})"
+    )
+    assert sql.sql(f"SELECT count(*) FROM {tbl}").collect()[0][0] == 1
+    sql.sql(
+        f"CALL local.system.cherrypick_snapshot("
+        f"table => '{tbl.split('.', 1)[1]}', snapshot_id => {snaps[1]})"
+    )
+    got = sorted(r[0] for r in sql.sql(f"SELECT id FROM {tbl}").collect())
+    assert got == [1, 2]
     sql.sql(f"DROP TABLE {tbl} PURGE")
     return "pass"
 

@@ -24,6 +24,7 @@ loudly rather than mis-executing.
 from __future__ import annotations
 
 import json
+import os
 import re
 from datetime import datetime, timezone
 
@@ -114,6 +115,14 @@ _PROC_ARGS: dict[str, set[str]] = {
     "rewrite_manifests": {"table"},
     "rewrite_position_delete_files": {"table"},
     "compute_table_stats": {"table", "columns"},
+    # snapshot management (Iceberg's spark procedures surface)
+    "rollback_to_snapshot": {"table", "snapshot_id"},
+    "rollback_to_timestamp": {"table", "timestamp"},
+    "set_current_snapshot": {"table", "snapshot_id"},
+    "cherrypick_snapshot": {"table", "snapshot_id"},
+    "fast_forward": {"table", "branch", "to"},
+    "ancestors_of": {"table", "snapshot_id"},
+    "add_files": {"table", "source_table"},
 }
 
 
@@ -245,7 +254,8 @@ class IceLiteSQL:
         for m in re.finditer(r"\b[A-Za-z_][\w$]*(?:\.[A-Za-z_$][\w$]*)+", text):
             if m.start() not in tops:
                 continue
-            parts = m.group(0).split(".")
+            # cut a Trino-style $metadata suffix before matching (tbl$snapshots)
+            parts = m.group(0).split("$")[0].split(".")
             if parts[0] == self.name:
                 parts = parts[1:]
             for k in range(2, len(parts) + 1):
@@ -272,11 +282,14 @@ class IceLiteSQL:
                     ).createOrReplaceTempView(view)
                     return view
 
+                # "." is the Spark/Iceberg spelling; "$" is the Trino/
+                # Athena spelling the reference's engine survey probes
+                # (redshift_feature_tests.py:1096)
                 text = self._sub_unquoted(
                     text,
                     re.compile(
                         base
-                        + r"\.(snapshots|all_data_files|all_delete_files|all_files|"
+                        + r"[.$](snapshots|all_data_files|all_delete_files|all_files|"
                         r"data_files|delete_files|files|"
                         r"partitions|refs|history|metadata_log_entries|"
                         r"statistics|manifests)\b",
@@ -563,6 +576,15 @@ class IceLiteSQL:
         fm = re.match(r"DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$", body, re.I)
         if fm:
             t.drop_partition_field(fm.group(1))
+            return
+        # REPLACE PARTITION FIELD <old> WITH <new> — the reference's
+        # partition-evolution statement (clickhouse_feature_tests.py:552,
+        # redshift_feature_tests.py:1327)
+        fm = re.match(
+            r"REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*$", body, re.I
+        )
+        if fm:
+            t.replace_partition_field(fm.group(1), fm.group(2))
             return
         bm = re.match(
             r"CREATE\s+(TAG|BRANCH)\s+`?([\w.-]+)`?"
@@ -912,6 +934,51 @@ class IceLiteSQL:
             result = maint.compute_table_statistics(
                 t, columns=self._call_value(cols) if cols else None
             )
+        elif proc == "rollback_to_snapshot":
+            prev = t.meta.current_snapshot_id
+            sid = int(self._call_value(args.pop("snapshot_id")))
+            t.rollback_to_snapshot(sid)
+            result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
+        elif proc == "rollback_to_timestamp":
+            prev = t.meta.current_snapshot_id
+            ts = self._call_value(args.pop("timestamp"))
+            sid = t.rollback_to_timestamp(int(ts))
+            result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
+        elif proc == "set_current_snapshot":
+            prev = t.meta.current_snapshot_id
+            sid = int(self._call_value(args.pop("snapshot_id")))
+            t.set_current_snapshot(sid)
+            result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
+        elif proc == "cherrypick_snapshot":
+            src = int(self._call_value(args.pop("snapshot_id")))
+            new = t.cherrypick_snapshot(src)
+            result = {"source_snapshot_id": src, "current_snapshot_id": new}
+        elif proc == "fast_forward":
+            branch = str(self._call_value(args.pop("branch")))
+            to = str(self._call_value(args.pop("to")))
+            prev, new = t.fast_forward(branch, to)
+            result = {"branch_updated": branch, "previous_ref": prev, "updated_ref": new}
+        elif proc == "ancestors_of":
+            sid_arg = args.pop("snapshot_id", None)
+            chain = t.ancestors_of(
+                int(self._call_value(sid_arg)) if sid_arg else None
+            )
+            return self.spark.createDataFrame(
+                chain or [], "snapshot_id long, timestamp long"
+            )
+        elif proc == "add_files":
+            src_tbl = str(self._call_value(args.pop("source_table")))
+            pm = re.match(r"`?parquet`?\s*\.\s*`([^`]+)`\s*$", src_tbl, re.I)
+            if not pm:
+                raise UnsupportedSQLError(
+                    "add_files supports source_table => '`parquet`.`<path>`'"
+                )
+            import glob as _glob  # noqa: PLC0415
+
+            root = pm.group(1)
+            paths = sorted(_glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+            n = t.add_files(paths)
+            result = {"added_files_count": n}
         else:  # pragma: no cover — _PROC_ARGS gate rejects unknown procs above
             raise UnsupportedSQLError(f"unknown procedure: system.{proc}")
         row = {

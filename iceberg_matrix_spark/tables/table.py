@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from dataclasses import replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -1215,6 +1216,125 @@ class IceLiteTable:
             return meta
 
         self._commit(mutate)
+
+    def rollback_to_timestamp(self, timestamp_ms: int) -> int:
+        """Move ``main`` back to the LATEST ancestor committed strictly
+        before ``timestamp_ms`` (Iceberg's ``rollback_to_timestamp``
+        procedure). Returns the snapshot id rolled back to."""
+        target: list[int] = []
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            by_id = {s.snapshot_id: s for s in meta.snapshots}
+            sid = meta.current_snapshot_id
+            while sid is not None:
+                snap = by_id.get(sid)
+                if snap is None:
+                    break
+                if snap.timestamp_ms < timestamp_ms:
+                    meta.refs["main"] = Ref(snapshot_id=sid, type="branch")
+                    target.append(sid)
+                    return meta
+                sid = snap.parent_id
+            raise ValueError(
+                f"no ancestor of main committed before {timestamp_ms}"
+            )
+
+        self._commit(mutate)
+        return target[0]
+
+    def fast_forward(self, branch: str, to: str) -> tuple[int | None, int]:
+        """Fast-forward ``branch`` to another ref's head (Iceberg's
+        ``fast_forward`` procedure — the publish step of the
+        write-audit-publish pattern: stage commits on an audit branch,
+        then fast-forward main). Requires ``branch``'s head to be an
+        ancestor of ``to``'s head — a true fast-forward, never a merge.
+        Returns (previous_head, new_head)."""
+        out: list[tuple[int | None, int]] = []
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            to_ref = meta.refs.get(to)
+            if to_ref is None:
+                raise ValueError(f"unknown ref {to!r}")
+            cur = meta.refs.get(branch)
+            if cur is not None and cur.type != "branch":
+                raise ValueError(f"{branch!r} is a {cur.type}, not a branch")
+            head = cur.snapshot_id if cur is not None else None
+            # ancestry check: branch head must be on to-head's parent chain
+            if head is not None:
+                by_id = {s.snapshot_id: s for s in meta.snapshots}
+                sid = to_ref.snapshot_id
+                while sid is not None and sid != head:
+                    s = by_id.get(sid)
+                    sid = s.parent_id if s is not None else None
+                if sid != head:
+                    raise ValueError(
+                        f"cannot fast-forward {branch!r}: its head {head} is "
+                        f"not an ancestor of {to!r} ({to_ref.snapshot_id})"
+                    )
+            meta.refs[branch] = Ref(snapshot_id=to_ref.snapshot_id, type="branch")
+            out.append((head, to_ref.snapshot_id))
+            return meta
+
+        self._commit(mutate)
+        return out[0]
+
+    def cherrypick_snapshot(self, snapshot_id: int) -> int:
+        """Re-apply an APPEND snapshot's added files on top of the current
+        main head (Iceberg's ``cherrypick_snapshot`` — e.g. publishing one
+        staged/rolled-back append without replaying history). Non-append
+        snapshots are rejected, matching Iceberg's own restriction.
+        Returns the new snapshot id."""
+        out: list[int] = []
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            src = meta.snapshot_by_id(snapshot_id)
+            if src.operation != "append":
+                raise ValueError(
+                    f"cherrypick_snapshot supports append snapshots only; "
+                    f"{snapshot_id} is {src.operation!r}"
+                )
+            by_id = {s.snapshot_id: s for s in meta.snapshots}
+            src_parent = by_id.get(src.parent_id) if src.parent_id else None
+            prev = {f.path for f in src_parent.data_files} if src_parent else set()
+            added = [f for f in src.data_files if f.path not in prev]
+            parent = _head(meta, "main")
+            cur_paths = {f.path for f in parent.data_files} if parent else set()
+            dup = [f.path for f in added if f.path in cur_paths]
+            if dup:
+                raise ValueError(
+                    f"cherrypick would re-add files already live: {dup[:3]}"
+                )
+            meta.last_sequence_number += 1
+            new_entries = [replace(f, sequence_number=meta.last_sequence_number) for f in added]
+            data = (parent.data_files if parent else []) + new_entries
+            deletes = parent.delete_files if parent else []
+            m2 = self._snapshot(
+                meta, "append", data, deletes, parent, "main",
+                extra_summary={"source-snapshot-id": str(snapshot_id)},
+            )
+            out.append(m2.current_snapshot_id)
+            return m2
+
+        self._commit(mutate)
+        return out[0]
+
+    def ancestors_of(self, snapshot_id: int | None = None) -> list[tuple[int, int]]:
+        """(snapshot_id, timestamp_ms) for the parent chain starting at
+        ``snapshot_id`` (default: current main head), newest first —
+        Iceberg's ``ancestors_of`` procedure output."""
+        meta = self.meta
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+        if sid is not None and sid not in by_id:
+            raise ValueError(f"unknown snapshot {sid}")
+        chain: list[tuple[int, int]] = []
+        while sid is not None:
+            s = by_id.get(sid)
+            if s is None:
+                break
+            chain.append((s.snapshot_id, s.timestamp_ms))
+            sid = s.parent_id
+        return chain
 
     def drop_ref(self, name: str) -> None:
         def mutate(meta: TableMetadata) -> TableMetadata:

@@ -520,3 +520,148 @@ def test_substitute_views_touches_only_referenced_tables(sql, monkeypatch):
     ).collect()[0][0]
     assert got == 3
     assert sorted(set(loaded)) == ["nsMany.t3", "nsMany.t7"]
+
+
+def test_replace_partition_field_sql(sql):
+    """ALTER TABLE ... REPLACE PARTITION FIELD a WITH b — the reference's
+    partition-evolution statement (clickhouse_feature_tests.py:552)."""
+    sql.sql("CREATE NAMESPACE nsRP")
+    sql.sql(
+        "CREATE TABLE nsRP.t (id BIGINT, region STRING) USING iceberg "
+        "PARTITIONED BY (region)"
+    )
+    sql.sql("ALTER TABLE nsRP.t REPLACE PARTITION FIELD region WITH bucket(4, id)")
+    t = sql.table("nsRP.t")
+    specs = [str(s) for s in t.meta.partition_spec]
+    assert any("bucket" in s for s in specs) and not any(
+        s == "region" for s in specs
+    ), specs
+
+
+def test_dollar_metadata_table_spelling(sql):
+    """tbl$snapshots — the Trino/Athena spelling the reference's engine
+    survey probes (redshift_feature_tests.py:1096)."""
+    sql.sql("CREATE NAMESPACE nsDS")
+    _seed(sql, "nsDS.t", rows="(1,'a')")
+    sql.sql("INSERT INTO nsDS.t VALUES (2,'b')")
+    n_dot = sql.sql("SELECT COUNT(*) FROM nsDS.t.snapshots").collect()[0][0]
+    n_dollar = sql.sql("SELECT COUNT(*) FROM nsDS.t$snapshots").collect()[0][0]
+    assert n_dot == n_dollar == 2
+
+
+def test_call_snapshot_procedures(sql):
+    """Iceberg's snapshot-management procedures through CALL: rollback,
+    roll-forward, rollback-to-timestamp, ancestry listing."""
+    sql.sql("CREATE NAMESPACE nsSP")
+    sql.sql("CREATE TABLE nsSP.t (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO nsSP.t VALUES (1)")
+    sql.sql("INSERT INTO nsSP.t VALUES (2)")
+    sql.sql("INSERT INTO nsSP.t VALUES (3)")
+    snaps = [
+        r[0]
+        for r in sql.sql(
+            "SELECT snapshot_id FROM nsSP.t.snapshots ORDER BY committed_at"
+        ).collect()
+    ]
+    assert len(snaps) == 3
+    anc = sql.sql(f"CALL local.system.ancestors_of(table => 'nsSP.t')").collect()
+    assert [r["snapshot_id"] for r in anc] == list(reversed(snaps))
+
+    res = sql.sql(
+        f"CALL local.system.rollback_to_snapshot(table => 'nsSP.t', "
+        f"snapshot_id => {snaps[0]})"
+    ).collect()[0]
+    assert res["current_snapshot_id"] == snaps[0]
+    assert sql.sql("SELECT count(*) FROM nsSP.t").collect()[0][0] == 1
+
+    res = sql.sql(
+        f"CALL local.system.set_current_snapshot(table => 'nsSP.t', "
+        f"snapshot_id => {snaps[2]})"
+    ).collect()[0]
+    assert res["current_snapshot_id"] == snaps[2]
+    assert sql.sql("SELECT count(*) FROM nsSP.t").collect()[0][0] == 3
+
+    # rollback_to_timestamp: pin to just after the second commit
+    ts2 = sql.sql(
+        "SELECT committed_at FROM nsSP.t.snapshots ORDER BY committed_at"
+    ).collect()[1][0]
+    ms = (int(ts2.timestamp() * 1000) if hasattr(ts2, "timestamp") else int(ts2)) + 1
+    from datetime import datetime, timezone
+
+    lit = datetime.fromtimestamp(ms / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    res = sql.sql(
+        f"CALL local.system.rollback_to_timestamp(table => 'nsSP.t', "
+        f"timestamp => TIMESTAMP '{lit}')"
+    ).collect()[0]
+    assert res["current_snapshot_id"] == snaps[1]
+    assert sql.sql("SELECT count(*) FROM nsSP.t").collect()[0][0] == 2
+
+
+def test_call_fast_forward_wap(sql):
+    """The write-audit-publish pattern: stage appends on an audit branch,
+    then CALL fast_forward publishes main to the branch head."""
+    sql.sql("CREATE NAMESPACE nsWAP")
+    sql.sql("CREATE TABLE nsWAP.t (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO nsWAP.t VALUES (1)")
+    sql.sql("ALTER TABLE nsWAP.t CREATE BRANCH `audit`")
+    sql.sql("INSERT INTO nsWAP.t.branch_audit VALUES (2)")
+    sql.sql("INSERT INTO nsWAP.t.branch_audit VALUES (3)")
+    assert sql.sql("SELECT count(*) FROM nsWAP.t").collect()[0][0] == 1
+    res = sql.sql(
+        "CALL local.system.fast_forward(table => 'nsWAP.t', "
+        "branch => 'main', to => 'audit')"
+    ).collect()[0]
+    assert res["branch_updated"] == "main"
+    assert sql.sql("SELECT count(*) FROM nsWAP.t").collect()[0][0] == 3
+    # a diverged branch cannot fast-forward
+    sql.sql("INSERT INTO nsWAP.t.branch_audit VALUES (4)")
+    sql.sql("INSERT INTO nsWAP.t VALUES (99)")  # main diverges
+    with pytest.raises(ValueError, match="not an ancestor"):
+        sql.sql(
+            "CALL local.system.fast_forward(table => 'nsWAP.t', "
+            "branch => 'main', to => 'audit')"
+        )
+
+
+def test_call_cherrypick_snapshot(sql):
+    """cherrypick re-applies one append's files onto the current head
+    after a rollback skipped it."""
+    sql.sql("CREATE NAMESPACE nsCP")
+    sql.sql("CREATE TABLE nsCP.t (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO nsCP.t VALUES (1)")
+    sql.sql("INSERT INTO nsCP.t VALUES (2)")
+    sql.sql("INSERT INTO nsCP.t VALUES (3)")
+    snaps = [
+        r[0]
+        for r in sql.sql(
+            "SELECT snapshot_id FROM nsCP.t.snapshots ORDER BY committed_at"
+        ).collect()
+    ]
+    # roll back before commit 2, then cherry-pick commit 3's files
+    sql.sql(
+        f"CALL local.system.rollback_to_snapshot(table => 'nsCP.t', "
+        f"snapshot_id => {snaps[0]})"
+    )
+    res = sql.sql(
+        f"CALL local.system.cherrypick_snapshot(table => 'nsCP.t', "
+        f"snapshot_id => {snaps[2]})"
+    ).collect()[0]
+    assert res["source_snapshot_id"] == snaps[2]
+    got = sorted(r["id"] for r in sql.sql("SELECT id FROM nsCP.t").collect())
+    assert got == [1, 3]
+
+
+def test_call_add_files_procedure(sql, spark, tmp_path):
+    """CALL add_files adopts foreign parquet in place (metadata-only)."""
+    ext = str(tmp_path / "foreign")
+    spark.range(5).toDF("id").write.parquet(ext)
+    sql.sql("CREATE NAMESPACE nsAF")
+    sql.sql("CREATE TABLE nsAF.t (id BIGINT) USING iceberg")
+    res = sql.sql(
+        f"CALL local.system.add_files(table => 'nsAF.t', "
+        f"source_table => '`parquet`.`{ext}`')"
+    ).collect()[0]
+    assert res["added_files_count"] >= 1
+    assert sql.sql("SELECT count(*) FROM nsAF.t").collect()[0][0] == 5
