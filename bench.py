@@ -68,6 +68,11 @@ HEADLINE = [
     # round 3, second wave: token-level posting-list pipeline (the
     # heaviest new shuffle shape — one row per token position)
     "q_substring_dup_spans",
+    # round 4: branch write+suffix read through the SQL front-end, and
+    # the sort-rewrite clustering-effect audit (table build + rewrite +
+    # metadata self-check — end-to-end by design, like q_merge_sql)
+    "q_branch_read_sql",
+    "q_zorder_effect",
 ]
 
 

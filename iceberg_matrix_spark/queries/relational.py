@@ -1031,17 +1031,14 @@ def q_zorder_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.refresh()
     # one row per FILE (manifest-scale, thousands at 100 TB, not data
-    # scale) — coalesce(1) + broadcast keep the pairwise-overlap check a
-    # BroadcastNestedLoopJoin, not a 32×32 CartesianProduct
-    bounds = (
-        mt.files(t)
-        .select(
-            F.col("file_path"),
-            F.col("record_count"),
-            F.element_at("lower_bounds", "o_orderkey").cast("bigint").alias("lo"),
-            F.element_at("upper_bounds", "o_orderkey").cast("bigint").alias("hi"),
-        )
-        .coalesce(1)
+    # scale; 1-slice by construction in metadata_tables) — broadcast
+    # keeps the pairwise-overlap check a BroadcastNestedLoopJoin, not a
+    # CartesianProduct
+    bounds = mt.files(t).select(
+        F.col("file_path"),
+        F.col("record_count"),
+        F.element_at("lower_bounds", "o_orderkey").cast("bigint").alias("lo"),
+        F.element_at("upper_bounds", "o_orderkey").cast("bigint").alias("hi"),
     )
     a, b = bounds.alias("a"), bounds.alias("b")
     overlaps = a.join(

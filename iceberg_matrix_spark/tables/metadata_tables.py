@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame
 from iceberg_matrix_spark.tables.table import IceLiteTable
 
 
+def _local_df(table: IceLiteTable, rows, schema: str) -> DataFrame:
+    """Driver-built metadata rows → 1-slice DataFrame. The default
+    createDataFrame parallelizes into defaultParallelism (32) Python-
+    backed partitions, so every downstream op on a 10-row metadata frame
+    spins 32 Python workers — seconds of overhead per touch. Metadata is
+    manifest-scale (files, snapshots — thousands of rows, not data
+    rows), so one slice is the right layout."""
+    if not rows:
+        return table.spark.createDataFrame([], schema)
+    rdd = table.spark.sparkContext.parallelize(rows, 1)
+    return table.spark.createDataFrame(rdd, schema)
+
+
 def snapshots(table: IceLiteTable) -> DataFrame:
     rows = [
         (
@@ -30,7 +43,8 @@ def snapshots(table: IceLiteTable) -> DataFrame:
         )
         for s in table.meta.snapshots
     ]
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows,
         "snapshot_id long, parent_id long, sequence_number long, "
         "committed_at long, operation string, summary map<string,string>",
@@ -54,7 +68,8 @@ def files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
         )
         for f in entries
     ]
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows,
         "file_path string, record_count long, file_size_in_bytes long, "
         "schema_id int, sequence_number long, partition map<string,string>, "
@@ -77,7 +92,8 @@ def all_data_files(table: IceLiteTable) -> DataFrame:
         for s in table.meta.snapshots
         for f in s.data_files
     ]
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows,
         "snapshot_id long, file_path string, record_count long, "
         "file_size_in_bytes long, sequence_number long",
@@ -96,7 +112,8 @@ def all_files(table: IceLiteTable) -> DataFrame:
         for s in table.meta.snapshots
         for d in s.delete_files
     ]
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows,
         "snapshot_id long, content int, file_path string, record_count long, "
         "file_size_in_bytes long, sequence_number long",
@@ -111,7 +128,8 @@ def all_delete_files(table: IceLiteTable, snapshot_id: int | None = None) -> Dat
          list(d.equality_columns))
         for d in entries
     ]
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows,
         "file_path string, content int, record_count long, "
         "sequence_number long, file_format string, equality_columns array<string>",
@@ -138,14 +156,16 @@ def partitions(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame
         ({k: str(v) for k, v in json.loads(key).items()}, v["record_count"], v["file_count"])
         for key, v in sorted(agg.items())
     ]
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows, "partition map<string,string>, record_count long, file_count long"
     )
 
 
 def refs(table: IceLiteTable) -> DataFrame:
     rows = [(name, r.type, r.snapshot_id) for name, r in sorted(table.meta.refs.items())]
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows, "name string, type string, snapshot_id long"
     )
 
@@ -156,14 +176,15 @@ def history(table: IceLiteTable) -> DataFrame:
         (s.timestamp_ms, s.snapshot_id, s.parent_id)
         for s in table.meta.snapshots
     ]
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows, "made_current_at long, snapshot_id long, parent_id long"
     )
 
 
 def metadata_log_entries(table: IceLiteTable) -> DataFrame:
     rows = [(e["version"], e["timestamp_ms"]) for e in table.meta.metadata_log]
-    return table.spark.createDataFrame(rows, "version int, timestamp_ms long")
+    return _local_df(table, rows, "version int, timestamp_ms long")
 
 
 def statistics(table: IceLiteTable) -> DataFrame:
@@ -181,7 +202,8 @@ def statistics(table: IceLiteTable) -> DataFrame:
                 (entry["snapshot_id"], entry["statistics_path"],
                  entry["blob_type"], col, float(est))
             )
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows,
         "snapshot_id long, statistics_path string, blob_type string, "
         "column string, ndv double",
@@ -232,7 +254,8 @@ def manifests(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
                  sum(d.record_count for d in added_l),
                  sum(d.record_count for d in exist_l))
             )
-    return table.spark.createDataFrame(
+    return _local_df(
+        table,
         rows,
         "snapshot_id long, content int, added_files_count int, "
         "existing_files_count int, added_rows_count long, existing_rows_count long",

@@ -29,7 +29,9 @@ def catalog(spark, tmp_path):
 
 def test_empty_table_manifest_and_scan(spark, catalog):
     t = catalog.create_table("ns.empty", "id bigint")
-    assert live_file_manifest(t) == {"data": [], "position_deletes": []}
+    m = live_file_manifest(t)
+    assert m["data"] == [] and m["position_deletes"] == []
+    assert m["data_entries"] == [] and m["equality_deletes"] == []
     assert read_with_duckdb(t).num_rows == 0
 
 
@@ -51,12 +53,21 @@ def test_cow_delete_needs_no_delete_files(spark, catalog):
     assert sorted(r["id"] for r in read_with_duckdb(t).to_pylist()) == [0, 1, 2]
 
 
-def test_equality_deletes_refused_loudly(spark, catalog):
+def test_equality_deletes_exported_with_sequence_scope(spark, catalog):
+    """Equality deletes are exported with per-file sequence scoping
+    (duckdb_feature_tests.py:358-368): a foreign engine applies the
+    delete only to rows written BEFORE it — the re-upserted key's new
+    row (higher sequence) must survive its own delete file."""
     t = catalog.create_table("ns.eq", "id bigint, v bigint")
-    t.upsert(spark.createDataFrame([(1, 1)], "id bigint, v bigint"), ["id"])
+    t.upsert(spark.createDataFrame([(1, 1), (2, 9)], "id bigint, v bigint"), ["id"])
     t.upsert(spark.createDataFrame([(1, 2)], "id bigint, v bigint"), ["id"])
-    with pytest.raises(NotImplementedError, match="equality"):
-        live_file_manifest(t)
+    m = live_file_manifest(t)
+    assert len(m["equality_deletes"]) >= 1
+    for e in m["equality_deletes"]:
+        assert e["key_cols"] == ["id"] and e["seq"] >= 1
+    expected = {tuple(r) for r in t.df().select("id", "v").collect()}
+    got = {(r["id"], r["v"]) for r in read_with_duckdb(t).to_pylist()}
+    assert got == expected == {(1, 2), (2, 9)}
 
 
 def test_time_travel_ref_manifest(spark, catalog):
