@@ -38,6 +38,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from iceberg_matrix_spark.session import local_df
+
 # --------------------------------------------------------------------------
 # Synthetic fixture: engine files in merge order (like load-data.ts imports).
 # Tuples: platforms (id, name, vendor, category, pgroup, variant_group,
@@ -140,9 +142,12 @@ _FEATURE_SCHEMA = (
 
 
 def _dim(spark: SparkSession, rows, schema: str) -> DataFrame:
-    """A dimension-table literal: single partition so cross/lookup joins
-    against it plan as broadcast nested loops, not 32×32 cartesian tasks."""
-    return spark.createDataFrame(rows, schema).coalesce(1)
+    """A dimension-table literal: ONE slice at parallelize time so
+    cross/lookup joins against it plan as broadcast nested loops, not
+    32×32 cartesian tasks — and so the 32 Python-backed partitions of a
+    default createDataFrame never exist to begin with (each costs a
+    Python worker per downstream touch)."""
+    return local_df(spark, rows, schema)
 
 
 def features_frame(spark: SparkSession) -> DataFrame:

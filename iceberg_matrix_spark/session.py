@@ -61,3 +61,18 @@ def get_spark(
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, schema: str):
+    """Driver-built rows → ONE-slice DataFrame.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes into
+    defaultParallelism (32 here) Python-backed partitions, so every
+    downstream touch of a 4-row lookup frame spins 32 Python workers —
+    seconds of fixed overhead. Metadata/lookup frames (file→sequence
+    maps, CALL results, dimension literals) are driver-scale by
+    definition; one slice is the right layout and keeps broadcast
+    hash/nested-loop joins against them cheap."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

@@ -31,6 +31,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog, NoSuchTableError
 from iceberg_matrix_spark.tables.table import IceLiteTable, _physical_type
 
@@ -101,6 +102,18 @@ def _rewrite_aliases(expr: str, mapping: dict[str, str]) -> str:
         r"\b(" + "|".join(re.escape(a) for a in mapping) + r")\s*\.", re.IGNORECASE
     )
     return pat.sub(lambda m: mapping[m.group(1).lower()] + ".", expr)
+
+
+def _lit_type(v) -> str:
+    """Spark DDL type for a CALL-result scalar (bool before int: bool is
+    an int subclass)."""
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    return "string"
 
 
 _IDENT = r"[A-Za-z_][\w.$]*|`[^`]+`(?:\.`?[^`.]+`?)*"
@@ -391,7 +404,7 @@ class IceLiteSQL:
         if not m:
             raise UnsupportedSQLError(stmt)
         rows = self.catalog.describe(self._resolve(m.group(1)))
-        return self.spark.createDataFrame(rows, "col_name string, data_type string")
+        return local_df(self.spark, rows, "col_name string, data_type string")
 
     def _show(self, stmt: str) -> DataFrame:
         nm = re.match(
@@ -403,13 +416,16 @@ class IceLiteSQL:
                 raise UnsupportedSQLError(
                     f"unknown catalog {nm.group(1)!r} (this is {self.name!r})"
                 )
-            return self.spark.createDataFrame(
-                [(n,) for n in self.catalog.list_namespaces()], "namespace string"
+            return local_df(
+                self.spark,
+                [(n,) for n in self.catalog.list_namespaces()],
+                "namespace string",
             )
         m = re.match(rf"SHOW\s+TABLES\s+(?:IN|FROM)\s+({_IDENT})\s*$", stmt, re.I)
         if m:
             ns = self._resolve_ns(m.group(1))
-            return self.spark.createDataFrame(
+            return local_df(
+                self.spark,
                 [(ns, t) for t in self.catalog.list_tables(ns)],
                 "namespace string, tableName string",
             )
@@ -418,7 +434,8 @@ class IceLiteSQL:
             # the reference reads bloom-filter props back through this
             # exact statement (iceberg_feature_tests.py:1097)
             props = self.table(m.group(1)).properties
-            return self.spark.createDataFrame(
+            return local_df(
+                self.spark,
                 sorted((k, str(v)) for k, v in props.items()),
                 "key string, value string",
             )
@@ -963,8 +980,8 @@ class IceLiteSQL:
             chain = t.ancestors_of(
                 int(self._call_value(sid_arg)) if sid_arg else None
             )
-            return self.spark.createDataFrame(
-                chain or [], "snapshot_id long, timestamp long"
+            return local_df(
+                self.spark, chain, "snapshot_id long, timestamp long"
             )
         elif proc == "add_files":
             src_tbl = str(self._call_value(args.pop("source_table")))
@@ -985,7 +1002,7 @@ class IceLiteSQL:
             k: (v if isinstance(v, (bool, int, float, str)) or v is None else json.dumps(v))
             for k, v in sorted(result.items())
         }
-        return self.spark.createDataFrame([Row(**row)])
+        return local_df(self.spark, [tuple(row.values())], ", ".join(f"`{k}` {_lit_type(v)}" for k, v in row.items()))
 
     @staticmethod
     def _call_bool(text: str, param: str) -> bool:

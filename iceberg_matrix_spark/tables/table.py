@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.metadata import (
     CommitConflict,
     DataFileEntry,
@@ -556,7 +557,8 @@ class IceLiteTable:
         if self.format_version < 3:
             raise ValueError("row lineage requires format-version 3")
         out = self._read_snapshot(snap, filters=filters, with_meta=True)
-        fr_map = self.spark.createDataFrame(
+        fr_map = local_df(
+            self.spark,
             [
                 (_file_uri(f.path), f.first_row_id)
                 for f in (snap.data_files if snap else [])
@@ -657,7 +659,8 @@ class IceLiteTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         if with_meta:
-            seq_map = self.spark.createDataFrame(
+            seq_map = local_df(
+                self.spark,
                 [(_file_uri(f.path), f.sequence_number) for f in files],
                 f"{_META_FILE} string, {_META_SEQ} long",
             )
