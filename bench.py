@@ -99,11 +99,16 @@ def main() -> None:
     # "queries" entry stays the end-to-end time (comparable with earlier
     # rounds); "splits" carries the breakdown.
     from iceberg_matrix_spark.queries.relational import (  # noqa: PLC0415
+        _branch_sql_exec,
+        _branch_sql_setup,
         _merge_sql_exec,
         _merge_sql_setup,
     )
 
-    SPLIT_DML = {"q_merge_sql": (_merge_sql_setup, _merge_sql_exec)}
+    SPLIT_DML = {
+        "q_merge_sql": (_merge_sql_setup, _merge_sql_exec),
+        "q_branch_read_sql": (_branch_sql_setup, _branch_sql_exec),
+    }
 
     timings: dict[str, float] = {}
     splits: dict[str, dict[str, float]] = {}

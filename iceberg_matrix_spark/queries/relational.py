@@ -964,6 +964,17 @@ def q_branch_read_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
+    return _branch_sql_exec(_branch_sql_setup(spark, sf_dir))
+
+
+def _branch_sql_setup(spark: SparkSession, sf_dir: str):
+    """The CTAS phase of q_branch_read_sql — split out so bench.py can
+    report setup and the DML-under-test separately."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
     wh = tempfile.mkdtemp(prefix="icelite_branch_sql_")
     sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
     sql.sql("CREATE NAMESPACE IF NOT EXISTS local.brt")
@@ -974,6 +985,11 @@ def q_branch_read_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql.catalog.create_table_as_select(
         "brt.customer_odd", base.filter(F.col("c_custkey") % 2 == 1)
     )
+    return sql
+
+
+def _branch_sql_exec(sql) -> DataFrame:
+    """The measured phase: branch DDL + branch INSERT + both suffix reads."""
     sql.sql("ALTER TABLE local.brt.customer_t CREATE BRANCH `dev`")
     sql.sql(
         "INSERT INTO local.brt.customer_t.branch_dev "
