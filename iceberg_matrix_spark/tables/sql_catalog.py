@@ -222,6 +222,7 @@ class DbApiCatalog:
         schema: StructType | str,
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        defaults: dict[str, object] | None = None,
     ) -> IceLiteTable:
         ns, tbl = self._split(identifier)
         location = os.path.join(self.warehouse, ns, tbl)
@@ -230,7 +231,9 @@ class DbApiCatalog:
         self._claim(ns, tbl, location, identifier)
         try:
             os.makedirs(os.path.dirname(location), exist_ok=True)
-            table = self._fs.create_table(identifier, schema, partition_by, properties)
+            table = self._fs.create_table(
+                identifier, schema, partition_by, properties, defaults=defaults
+            )
         except Exception:
             with self._conn() as con:  # roll back the claim on failure
                 self._exec(

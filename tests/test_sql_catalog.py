@@ -159,3 +159,24 @@ def test_dbapi_paramstyle_translation():
     )
     fake._paramstyle = "qmark"
     assert fake._sql("SELECT ?") == "SELECT ?"
+
+
+def test_sql_facade_composes_over_sql_catalog(spark, cat):
+    """The SQL front-end is catalog-agnostic: the same statements that run
+    over the directory catalog run over the SQLite SqlCatalog (and by the
+    same seam, any DB-API catalog) — DDL, DML, metadata suffixes, CALL."""
+    from iceberg_matrix_spark.sql import IceLiteSQL
+
+    sql = IceLiteSQL(spark, cat)
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.fc")
+    sql.sql("CREATE TABLE local.fc.t (id BIGINT, val STRING) USING iceberg")
+    sql.sql("INSERT INTO local.fc.t VALUES (1,'a'),(2,'b')")
+    sql.sql("UPDATE local.fc.t SET val='x' WHERE id=2")
+    sql.sql("DELETE FROM local.fc.t WHERE id=1")
+    got = [(r["id"], r["val"]) for r in sql.sql("SELECT * FROM local.fc.t").collect()]
+    assert got == [(2, "x")]
+    assert sql.sql("SELECT count(*) FROM local.fc.t.snapshots").collect()[0][0] == 3
+    res = sql.sql("CALL local.system.rewrite_data_files(table => 'fc.t')")
+    assert "rewritten_data_files_count" in res.columns
+    sql.sql("DROP TABLE local.fc.t PURGE")
+    assert not cat.table_exists("fc.t")
