@@ -1168,6 +1168,15 @@ def t_arrow(ctx: Ctx) -> str:
     out = t.to_arrow()
     assert out.num_rows == 2
     assert sorted(out.column("id").to_pylist()) == [1, 2]
+    # PyIceberg's literal scan shape (pyiceberg_feature_tests.py:157-158):
+    # scan(row_filter, selected_fields, snapshot_id).to_arrow()/to_pandas()
+    snap1 = t.meta.snapshots[0].snapshot_id
+    t.append_arrow(pa.table({"id": [3], "v": ["c"]}))
+    assert t.scan().to_arrow().num_rows == 3
+    assert t.scan(snapshot_id=snap1).to_arrow().num_rows == 2
+    filt = t.scan(row_filter="id >= 2", selected_fields=["id"]).to_pandas()
+    assert sorted(filt["id"].tolist()) == [2, 3] and list(filt.columns) == ["id"]
+    assert t.scan(limit=1).to_arrow().num_rows == 1
     return "pass"
 
 

@@ -67,6 +67,22 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+class TableScan:
+    """Lazy scan handle mirroring PyIceberg's DataScan materializers."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def to_arrow(self):
+        return self._df.toArrow()
+
+    def to_pandas(self):
+        return self._df.toPandas()
+
+
 class IceLiteTable:
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
@@ -498,6 +514,27 @@ class IceLiteTable:
     def to_arrow(self, **read_kwargs):
         """Scan to a pyarrow Table (``tbl.scan().to_arrow()`` parity)."""
         return self.df(**read_kwargs).toArrow()
+
+    def scan(
+        self,
+        row_filter: str | None = None,
+        selected_fields=None,
+        limit: int | None = None,
+        **read_kwargs,
+    ) -> "TableScan":
+        """PyIceberg's scan shape, literally — the reference calls
+        ``tbl.scan(...).to_arrow()`` throughout its PyIceberg suite
+        (pyiceberg_feature_tests.py:157-158,495 with snapshot_id).
+        ``row_filter`` is a SQL predicate string; time-travel kwargs
+        (snapshot_id / as_of_timestamp_ms / ref) pass through to df()."""
+        df = self.df(**read_kwargs)
+        if row_filter:
+            df = df.filter(row_filter)
+        if selected_fields:
+            df = df.select(*selected_fields)
+        if limit is not None:
+            df = df.limit(limit)
+        return TableScan(df)
 
     def overwrite(self, df: DataFrame, branch: str = "main") -> None:
         """Full-table INSERT OVERWRITE (flink suite :640,892)."""
