@@ -67,6 +67,32 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+class _Inspect:
+    """PyIceberg-shaped metadata accessor: each method returns the
+    matching metadata table as a DataFrame. Defined by delegation so the
+    single source of truth stays tables/metadata_tables.py."""
+
+    _TABLES = (
+        "snapshots", "files", "data_files", "all_data_files", "all_files",
+        "all_delete_files", "delete_files", "partitions", "refs", "history",
+        "metadata_log_entries", "statistics", "manifests",
+    )
+
+    def __init__(self, table: "IceLiteTable"):
+        self._table = table
+
+    def __getattr__(self, name: str):
+        if name not in self._TABLES:
+            raise AttributeError(f"no metadata table {name!r}")
+        from iceberg_matrix_spark.tables import metadata_tables as mt  # noqa: PLC0415
+
+        fn = getattr(mt, name)
+        return lambda *a, **kw: fn(self._table, *a, **kw)
+
+    def __dir__(self):
+        return list(self._TABLES)
+
+
 class TableScan:
     """Lazy scan handle mirroring PyIceberg's DataScan materializers."""
 
@@ -105,6 +131,13 @@ class IceLiteTable:
 
     def _transforms(self) -> list[Transform]:
         return [parse_transform(s) for s in self.meta.partition_spec]
+
+    @property
+    def inspect(self) -> "_Inspect":
+        """PyIceberg's inspect accessor — ``tbl.inspect.manifests()``
+        (pyiceberg_feature_tests.py:652) and the rest of the metadata-
+        table family, as DataFrames (tables/metadata_tables.py)."""
+        return _Inspect(self)
 
     # Commit retry budget: under N concurrent writers one loser can lose
     # every round until the others drain, so the budget must exceed any
@@ -765,12 +798,26 @@ class IceLiteTable:
     def _dml_mode(self, op: str) -> str:
         return self.meta.properties.get(f"write.{op}.mode", "copy-on-write")
 
-    def delete(self, where: str, branch: str = "main") -> None:
+    def delete(
+        self,
+        where: str | None = None,
+        branch: str = "main",
+        delete_filter: str | None = None,
+    ) -> None:
         """DELETE FROM ... WHERE (iceberg_feature_tests.py:516).
+
+        ``delete_filter`` is PyIceberg's keyword for the same predicate —
+        the reference calls ``tbl.delete(delete_filter="id == 2")``
+        (pyiceberg_feature_tests.py:214); ``==`` is valid Spark SQL so
+        the string passes through unchanged.
 
         MoR writes position-delete files (single PUFFIN-tagged DV file on
         V3); CoW rewrites only the files containing matches, leaving the
         rest untouched (:553-585, :667-680)."""
+        if where is None:
+            where = delete_filter
+        if where is None:
+            raise ValueError("delete needs a predicate (where= or delete_filter=)")
         cond = F.expr(where)
         mode = self._dml_mode("delete")
 

@@ -662,3 +662,21 @@ def test_set_identifier_fields_sql(spark, catalog):
     sql.sql("CREATE TABLE local.pk.t (id BIGINT, v STRING) USING iceberg")
     sql.sql("ALTER TABLE local.pk.t SET IDENTIFIER FIELDS id")
     assert catalog.load_table("pk.t").identifier_fields() == ["id"]
+
+
+def test_pyiceberg_shapes_scan_inspect_delete_filter(spark, catalog):
+    """PyIceberg's literal API shapes (pyiceberg_feature_tests.py:157,214,
+    652): scan().to_arrow(), delete(delete_filter="id == 2"), and
+    tbl.inspect.manifests()/snapshots()."""
+    t = catalog.create_table("ns.pyi", "id bigint, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"))
+    assert t.scan().to_arrow().num_rows == 3
+    t.delete(delete_filter="id == 2")
+    assert sorted(t.scan().to_arrow().column("id").to_pylist()) == [1, 3]
+    assert t.inspect.snapshots().count() == 2
+    m = t.inspect.manifests()
+    assert m.count() >= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="predicate"):
+        t.delete()
