@@ -138,6 +138,25 @@ _PROC_ARGS: dict[str, set[str]] = {
     "add_files": {"table", "source_table"},
 }
 
+# Positional-argument order per procedure (Iceberg's CALL surface accepts
+# both `CALL system.rollback_to_snapshot('db.t', 123)` and named args;
+# the positional order matches the Iceberg procedure signatures).
+_PROC_POSITIONAL: dict[str, list[str]] = {
+    "rewrite_data_files": ["table", "strategy", "sort_order"],
+    "expire_snapshots": ["table", "older_than", "retain_last"],
+    "remove_orphan_files": ["table", "dry_run"],
+    "rewrite_manifests": ["table"],
+    "rewrite_position_delete_files": ["table"],
+    "compute_table_stats": ["table", "columns"],
+    "rollback_to_snapshot": ["table", "snapshot_id"],
+    "rollback_to_timestamp": ["table", "timestamp"],
+    "set_current_snapshot": ["table", "snapshot_id"],
+    "cherrypick_snapshot": ["table", "snapshot_id"],
+    "fast_forward": ["table", "branch", "to"],
+    "ancestors_of": ["table", "snapshot_id"],
+    "add_files": ["table", "source_table"],
+}
+
 
 class IceLiteSQL:
     """Parse-and-dispatch SQL shim over an :class:`IceLiteCatalog`.
@@ -883,13 +902,28 @@ class IceLiteSQL:
         proc = parts[1].lower()
         args: dict[str, str] = {}
         if m.group(2).strip():
-            for item in _split_top(m.group(2).strip()):
-                am = re.match(r"(\w+)\s*=>\s*(.+)$", item.strip(), re.S)
-                if not am:
+            items = [i.strip() for i in _split_top(m.group(2).strip())]
+            named = [re.match(r"(\w+)\s*=>\s*(.+)$", i, re.S) for i in items]
+            if all(named):
+                for am in named:
+                    args[am.group(1).lower()] = am.group(2).strip()
+            elif not any(named):
+                # positional form (Iceberg accepts both):
+                # CALL system.rollback_to_snapshot('db.t', 123)
+                order = _PROC_POSITIONAL.get(proc)
+                if order is None:
+                    raise UnsupportedSQLError(f"unknown procedure: system.{proc}")
+                if len(items) > len(order):
                     raise UnsupportedSQLError(
-                        f"CALL arguments must be name => value: {item.strip()[:40]!r}"
+                        f"{proc} takes at most {len(order)} positional "
+                        f"argument(s), got {len(items)}"
                     )
-                args[am.group(1).lower()] = am.group(2).strip()
+                args = dict(zip(order, items))
+            else:
+                raise UnsupportedSQLError(
+                    "CALL arguments must be all named (name => value) or "
+                    f"all positional: {m.group(2).strip()[:60]!r}"
+                )
 
         from iceberg_matrix_spark.tables import maintenance as maint  # noqa: PLC0415
 

@@ -283,8 +283,10 @@ def test_call_rejects_bad_shapes(sql):
         sql.sql("CALL local.system.vacuum(table => 'nc.t')")
     with pytest.raises(UnsupportedSQLError, match="needs table"):
         sql.sql("CALL local.system.rewrite_data_files(strategy => 'binpack')")
-    with pytest.raises(UnsupportedSQLError, match="name => value"):
-        sql.sql("CALL local.system.rewrite_data_files('nc.t')")
+    # bare 'nc.t' is now the VALID positional form (Iceberg accepts both);
+    # mixed named/positional stays rejected (test_call_positional_arguments)
+    res = sql.sql("CALL local.system.rewrite_data_files('nc.t')")
+    assert "rewritten_data_files_count" in res.columns
     with pytest.raises(UnsupportedSQLError, match="unsupported argument"):
         sql.sql("CALL local.system.rewrite_manifests(table => 'nc.t', x => 1)")
     # an unrecognized argument (e.g. a typo'd older_than) must fail BEFORE
@@ -665,3 +667,30 @@ def test_call_add_files_procedure(sql, spark, tmp_path):
     ).collect()[0]
     assert res["added_files_count"] >= 1
     assert sql.sql("SELECT count(*) FROM nsAF.t").collect()[0][0] == 5
+
+
+def test_call_positional_arguments(sql):
+    """Iceberg's CALL surface accepts positional args too:
+    CALL system.rollback_to_snapshot('db.t', 123)."""
+    sql.sql("CREATE NAMESPACE nsPOS")
+    _seed(sql, "nsPOS.t", rows="(1,'a')")
+    sql.sql("INSERT INTO nsPOS.t VALUES (2,'b')")
+    snaps = [
+        r[0]
+        for r in sql.sql(
+            "SELECT snapshot_id FROM nsPOS.t.snapshots ORDER BY committed_at"
+        ).collect()
+    ]
+    res = sql.sql(
+        f"CALL local.system.rollback_to_snapshot('nsPOS.t', {snaps[0]})"
+    ).collect()[0]
+    assert res["current_snapshot_id"] == snaps[0]
+    assert sql.sql("SELECT count(*) FROM nsPOS.t").collect()[0][0] == 1
+    res = sql.sql("CALL local.system.rewrite_data_files('nsPOS.t')")
+    assert "rewritten_data_files_count" in res.columns
+    # mixed named/positional is ambiguous → loud rejection
+    with pytest.raises(UnsupportedSQLError, match="all named"):
+        sql.sql(f"CALL local.system.rollback_to_snapshot('nsPOS.t', snapshot_id => {snaps[0]})")
+    # too many positionals → loud rejection
+    with pytest.raises(UnsupportedSQLError, match="at most"):
+        sql.sql("CALL local.system.rewrite_manifests('nsPOS.t', 'x')")
