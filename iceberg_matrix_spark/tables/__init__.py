@@ -22,5 +22,24 @@ parity can be checked feature by feature.
 
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 from iceberg_matrix_spark.tables.table import IceLiteTable
+from iceberg_matrix_spark.tables.transforms import (
+    BucketTransform,
+    DayTransform,
+    HourTransform,
+    IdentityTransform,
+    MonthTransform,
+    TruncateTransform,
+    YearTransform,
+)
 
-__all__ = ["IceLiteCatalog", "IceLiteTable"]
+__all__ = [
+    "IceLiteCatalog",
+    "IceLiteTable",
+    "BucketTransform",
+    "DayTransform",
+    "HourTransform",
+    "IdentityTransform",
+    "MonthTransform",
+    "TruncateTransform",
+    "YearTransform",
+]

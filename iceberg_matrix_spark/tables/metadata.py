@@ -80,6 +80,12 @@ class SchemaField:
     initial_default: object = None
     write_default: object = None
 
+    # PyIceberg's field attribute name (schema().find_field(c).field_type,
+    # pyiceberg_feature_tests.py:373-375) — here the logical type string.
+    @property
+    def field_type(self) -> str:
+        return self.type
+
 
 @dataclass
 class TableSchema:
@@ -91,6 +97,24 @@ class TableSchema:
 
     def spark_ddl(self) -> str:
         return ", ".join(f"{f.name} {f.type}" for f in self.fields)
+
+    def find_field(self, name: str) -> SchemaField:
+        """PyIceberg's schema().find_field(name)
+        (pyiceberg_feature_tests.py:373)."""
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise ValueError(f"no field named {name!r}")
+
+    def as_arrow(self):
+        """pyarrow schema — PyIceberg casts arrow batches to
+        ``tbl.schema().as_arrow()`` before append
+        (pyiceberg_feature_tests.py:519). Raises for logical types with
+        no direct Spark DDL spelling (timestamp_ns, variant)."""
+        from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        return to_arrow_schema(StructType.fromDDL(self.spark_ddl()))
 
 
 @dataclass

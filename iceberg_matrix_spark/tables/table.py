@@ -46,7 +46,11 @@ from iceberg_matrix_spark.tables.metadata import (
     commit_metadata,
     load_metadata,
 )
-from iceberg_matrix_spark.tables.transforms import Transform, parse_transform
+from iceberg_matrix_spark.tables.transforms import (
+    Transform,
+    parse_transform,
+    transform_spec,
+)
 
 _META_FILE = "__file"
 _META_POS = "__pos"
@@ -109,6 +113,237 @@ class TableScan:
         return self._df.toPandas()
 
 
+def _type_str(t) -> str:
+    """Coerce a type given as a DDL string or a PyIceberg/PySpark-style
+    ``*Type()`` object/class into our logical type string."""
+    if isinstance(t, str):
+        return t.strip().lower()
+    name = t.__name__ if isinstance(t, type) else type(t).__name__
+    name = name.removesuffix("Type").lower()
+    return {"long": "bigint", "integer": "int"}.get(name, name)
+
+
+class _UpdateSchema:
+    """PyIceberg's schema-evolution idiom, literally
+    (pyiceberg_feature_tests.py:343-350, update_column :371-372)::
+
+        with tbl.update_schema() as u:
+            u.add_column("new_col", StringType())
+
+    Ops batch and land as ONE schema commit on context exit (or an
+    explicit ``.commit()``). Types may be DDL strings or ``*Type()``
+    objects; later ops see earlier ops' effects (rename-then-drop works).
+    """
+
+    def __init__(self, table: "IceLiteTable"):
+        self._table = table
+        self._ops: list = []
+        self._committed = False
+
+    def add_column(self, name, field_type, doc=None, required=False, default=None):
+        dtype = _type_str(field_type)
+        if default is not None and self._table.format_version < 3:
+            raise ValueError("column DEFAULT values require format-version 3")
+
+        def op(meta, fields):
+            if any(f.name == name for f in fields):
+                raise ValueError(f"column already exists: {name}")
+            meta.last_field_id += 1
+            fields.append(
+                SchemaField(
+                    id=meta.last_field_id,
+                    name=name,
+                    type=dtype,
+                    nullable=not required,
+                    initial_default=default,
+                    write_default=default,
+                )
+            )
+            return fields
+
+        self._ops.append(op)
+        return self
+
+    def rename_column(self, old: str, new: str):
+        def op(meta, fields):
+            for f in fields:
+                if f.name == old:
+                    f.name = new
+                    return fields
+            raise KeyError(old)
+
+        self._ops.append(op)
+        return self
+
+    def delete_column(self, name: str):
+        def op(meta, fields):
+            out = [f for f in fields if f.name != name]
+            if len(out) == len(fields):
+                raise KeyError(name)
+            return out
+
+        self._ops.append(op)
+        return self
+
+    def update_column(self, name: str, field_type):
+        new_type = _type_str(field_type)
+
+        def op(meta, fields):
+            for f in fields:
+                if f.name == name:
+                    if (f.type, new_type) not in _WIDENINGS:
+                        raise ValueError(
+                            f"narrowing/unsupported: {f.type} → {new_type}"
+                        )
+                    f.type = new_type
+                    return fields
+            raise KeyError(name)
+
+        self._ops.append(op)
+        return self
+
+    def commit(self) -> None:
+        if self._committed:
+            raise RuntimeError("update_schema already committed")
+        self._committed = True
+        if not self._ops:
+            return
+        ops = self._ops
+
+        def build(meta, fields):
+            for op in ops:
+                fields = op(meta, fields)
+            return fields
+
+        self._table._evolve_schema(build)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None and not self._committed:
+            self.commit()
+        return False
+
+
+class _UpdateSpec:
+    """PyIceberg's partition-spec evolution idiom
+    (pyiceberg_feature_tests.py:450-452)::
+
+        with tbl.update_spec() as u:
+            u.add_field("ts", HourTransform(), "ts_hour")
+
+    Partition field names are derived (``{source}_{kind}``, Iceberg's own
+    default); a caller-supplied name must match the derived one. All ops
+    land as one metadata commit.
+    """
+
+    def __init__(self, table: "IceLiteTable"):
+        self._table = table
+        self._adds: list[str] = []
+        self._removes: list[str] = []
+        self._committed = False
+
+    def add_field(self, source_column_name: str, transform, partition_field_name=None):
+        spec = transform_spec(source_column_name, transform)
+        t = parse_transform(spec)
+        if partition_field_name and partition_field_name != t.field_name:
+            raise ValueError(
+                "custom partition field names are unsupported; the derived "
+                f"name for {spec!r} is {t.field_name!r}"
+            )
+        self._adds.append(spec)
+        return self
+
+    def remove_field(self, name: str):
+        """``name`` is the partition field name ("ts_hour") or a spec
+        string ("hour(ts)")."""
+        self._removes.append(name)
+        return self
+
+    def commit(self) -> None:
+        if self._committed:
+            raise RuntimeError("update_spec already committed")
+        self._committed = True
+        if not (self._adds or self._removes):
+            return
+        adds = list(self._adds)
+        for spec in adds:
+            parse_transform(spec)  # validate before committing anything
+        by_name = {t.field_name: t.spec_string() for t in self._table._transforms()}
+        remove_specs = []
+        for name in self._removes:
+            if name in by_name:
+                remove_specs.append(by_name[name])
+            else:
+                remove_specs.append(parse_transform(name).spec_string())
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            for norm in remove_specs:
+                for i, existing in enumerate(meta.partition_spec):
+                    if parse_transform(existing).spec_string() == norm:
+                        meta.partition_spec.pop(i)
+                        break
+                else:
+                    raise KeyError(norm)
+            meta.partition_spec.extend(adds)
+            return meta
+
+        self._table._commit(mutate)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None and not self._committed:
+            self.commit()
+        return False
+
+
+class _ManageSnapshots:
+    """PyIceberg's snapshot-management builder
+    (pyiceberg_feature_tests.py:522,552-553 — note snapshot_id comes
+    FIRST in this idiom, unlike :meth:`IceLiteTable.create_branch`)::
+
+        tbl.manage_snapshots().create_branch(snap_id, "dev").commit()
+    """
+
+    def __init__(self, table: "IceLiteTable"):
+        self._table = table
+        self._ops: list = []
+
+    def create_branch(self, snapshot_id: int, branch_name: str):
+        self._ops.append(
+            lambda: self._table.create_branch(branch_name, snapshot_id)
+        )
+        return self
+
+    def create_tag(self, snapshot_id: int, tag_name: str):
+        self._ops.append(lambda: self._table.create_tag(tag_name, snapshot_id))
+        return self
+
+    def remove_branch(self, branch_name: str):
+        self._ops.append(lambda: self._table.drop_ref(branch_name))
+        return self
+
+    def remove_tag(self, tag_name: str):
+        self._ops.append(lambda: self._table.drop_ref(tag_name))
+        return self
+
+    def commit(self) -> None:
+        ops, self._ops = self._ops, []
+        for op in ops:
+            op()
+
+
+class PartitionSpecView:
+    """PyIceberg's tbl.spec() shape: ``.fields`` with ``.name``
+    (pyiceberg_feature_tests.py:453-455)."""
+
+    def __init__(self, fields: list[Transform]):
+        self.fields = fields
+
+
 class IceLiteTable:
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
@@ -138,6 +373,45 @@ class IceLiteTable:
         (pyiceberg_feature_tests.py:652) and the rest of the metadata-
         table family, as DataFrames (tables/metadata_tables.py)."""
         return _Inspect(self)
+
+    # ---- PyIceberg-shaped accessors & evolution idioms -------------------
+
+    @property
+    def metadata(self) -> TableMetadata:
+        """PyIceberg's ``tbl.metadata`` (``.refs`` / ``.snapshots`` live
+        here — pyiceberg_feature_tests.py:446,554-556)."""
+        return self.meta
+
+    def current_snapshot(self, ref: str = "main") -> Snapshot | None:
+        """PyIceberg's ``tbl.current_snapshot()``
+        (pyiceberg_feature_tests.py:523)."""
+        return self._current_snapshot(ref)
+
+    def schema(self) -> TableSchema:
+        """PyIceberg's ``tbl.schema()`` — ``.fields`` / ``find_field`` /
+        ``as_arrow`` (pyiceberg_feature_tests.py:351,373,519)."""
+        return self.meta.current_schema
+
+    def spec(self) -> PartitionSpecView:
+        """PyIceberg's ``tbl.spec()`` — field names follow Iceberg's
+        derived naming (pyiceberg_feature_tests.py:453-455)."""
+        return PartitionSpecView(self._transforms())
+
+    def update_schema(self) -> _UpdateSchema:
+        """``with tbl.update_schema() as u: u.add_column(...)`` —
+        PyIceberg's batched-single-commit evolution idiom
+        (pyiceberg_feature_tests.py:343-350)."""
+        return _UpdateSchema(self)
+
+    def update_spec(self) -> _UpdateSpec:
+        """``with tbl.update_spec() as u: u.add_field(...)``
+        (pyiceberg_feature_tests.py:450-452)."""
+        return _UpdateSpec(self)
+
+    def manage_snapshots(self) -> _ManageSnapshots:
+        """``tbl.manage_snapshots().create_branch(id, name).commit()``
+        (pyiceberg_feature_tests.py:522)."""
+        return _ManageSnapshots(self)
 
     # Commit retry budget: under N concurrent writers one loser can lose
     # every round until the others drain, so the budget must exceed any

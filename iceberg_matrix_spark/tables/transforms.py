@@ -40,6 +40,12 @@ class Transform:
             return self.source
         return f"{self.source}_{self.kind}"
 
+    # PyIceberg's spec-field attribute name (tbl.spec().fields[*].name,
+    # pyiceberg_feature_tests.py:453-455 asserts "ts_hour")
+    @property
+    def name(self) -> str:
+        return self.field_name
+
     def spec_string(self) -> str:
         if self.kind == "identity":
             return self.source
@@ -103,6 +109,93 @@ class Transform:
             if isinstance(value, int):
                 return value - (value % self.arg)
         return None  # bucket: handled only for equality via hash elsewhere
+
+
+# ---- PyIceberg-shaped transform objects --------------------------------
+#
+# The reference constructs DayTransform()/HourTransform() objects for
+# partition specs and update_spec().add_field
+# (/root/reference/tests/pyiceberg_feature_tests.py:446,452). Each renders
+# our spec string for the given source column.
+
+
+class _NamedTransform:
+    kind: str = ""
+
+    def spec(self, source: str) -> str:
+        return f"{self.kind}({source})"
+
+    def __repr__(self) -> str:  # pragma: no cover - debug nicety
+        return f"{type(self).__name__}()"
+
+
+class YearTransform(_NamedTransform):
+    kind = "year"
+
+
+class MonthTransform(_NamedTransform):
+    kind = "month"
+
+
+class DayTransform(_NamedTransform):
+    kind = "day"
+
+
+class HourTransform(_NamedTransform):
+    kind = "hour"
+
+
+class IdentityTransform(_NamedTransform):
+    kind = "identity"
+
+    def spec(self, source: str) -> str:
+        return source
+
+
+class BucketTransform(_NamedTransform):
+    kind = "bucket"
+
+    def __init__(self, num_buckets: int):
+        self.num_buckets = int(num_buckets)
+
+    def spec(self, source: str) -> str:
+        return f"bucket({self.num_buckets}, {source})"
+
+
+class TruncateTransform(_NamedTransform):
+    kind = "truncate"
+
+    def __init__(self, width: int):
+        self.width = int(width)
+
+    def spec(self, source: str) -> str:
+        return f"truncate({self.width}, {source})"
+
+
+def transform_spec(source: str, transform) -> str:
+    """Render (source, transform) into a spec string. ``transform`` may be
+    a *Transform object (above, or anything with a ``spec(source)``
+    method), a bare kind string (``"hour"``), a parameterized kind
+    (``"bucket(16)"``), or already a full spec (``"hour(ts)"``)."""
+    if not isinstance(transform, str):
+        spec = getattr(transform, "spec", None)
+        if callable(spec):
+            return spec(source)
+        raise TypeError(f"cannot render transform: {transform!r}")
+    t = transform.strip()
+    if "(" in t:
+        m = re.match(r"^(bucket|truncate)\s*\(\s*(\d+)\s*\)$", t)
+        if m:
+            return f"{m.group(1)}({m.group(2)}, {source})"
+        parsed = parse_transform(t)  # full spec — validate + check source
+        if parsed.source != source:
+            raise ValueError(
+                f"transform {t!r} names source {parsed.source!r}, not {source!r}"
+            )
+        return t
+    if t == "identity":
+        return source
+    return f"{t}({source})"
 
 
 def _as_datetime(value) -> datetime | None:

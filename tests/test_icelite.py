@@ -680,3 +680,124 @@ def test_pyiceberg_shapes_scan_inspect_delete_filter(spark, catalog):
 
     with _pytest.raises(ValueError, match="predicate"):
         t.delete()
+
+
+def test_pyiceberg_update_schema_idiom(spark, catalog):
+    """PyIceberg's `with tbl.update_schema() as u:` shape, with the exact
+    op sequence of pyiceberg_feature_tests.py:343-350 (add → rename →
+    drop) and the type-promotion probe (:371-375)."""
+    from iceberg_matrix_spark.tables.table import _type_str
+
+    t = catalog.create_table("ns.evo", "id bigint, val float")
+    versions_before = t.version
+
+    with t.update_schema() as update:
+        update.add_column("new_col", "string")
+    with t.update_schema() as update:
+        update.rename_column("new_col", "renamed_col")
+    with t.update_schema() as update:
+        update.delete_column("renamed_col")
+    col_names = [f.name for f in t.schema().fields]
+    assert "renamed_col" not in col_names and "new_col" not in col_names
+
+    with t.update_schema() as update:
+        update.update_column("val", "double")
+    assert t.schema().find_field("val").field_type == "double"
+
+    # batched ops land as ONE commit; chained form works without `with`
+    v = t.version
+    t.update_schema().add_column("a", "string").add_column("b", "int").commit()
+    assert t.version == v + 1
+    assert t.schema().find_field("b").field_type == "int"
+
+    # an exception inside the block commits nothing
+    v = t.version
+    with pytest.raises(RuntimeError, match="boom"):
+        with t.update_schema() as update:
+            update.add_column("never", "string")
+            raise RuntimeError("boom")
+    assert t.version == v and "never" not in t.schema().names()
+
+    # a bad op fails the whole batch atomically
+    with pytest.raises(KeyError):
+        t.update_schema().add_column("c", "string").rename_column("nope", "x").commit()
+    assert "c" not in t.schema().names()
+
+    # *Type()-object spellings coerce (PyIceberg passes StringType() etc.)
+    assert _type_str("BIGINT") == "bigint"
+
+    class StringType:  # the PyIceberg spelling, structurally
+        pass
+
+    class LongType:
+        pass
+
+    assert _type_str(StringType()) == "string"
+    assert _type_str(LongType()) == "bigint"
+    assert versions_before < t.version
+
+
+def test_pyiceberg_update_spec_and_manage_snapshots(spark, catalog):
+    """update_spec().add_field with transform objects
+    (pyiceberg_feature_tests.py:450-455) and the manage_snapshots()
+    builder (:522,552-556) — snapshot_id-first argument order."""
+    from iceberg_matrix_spark.tables import DayTransform, HourTransform
+
+    t = catalog.create_table(
+        "ns.pevo", "id bigint, ts timestamp", partition_by=["day(ts)"]
+    )
+    with t.update_spec() as update:
+        update.add_field("ts", HourTransform(), "ts_hour")
+    assert "ts_hour" in [f.name for f in t.spec().fields]
+    assert "ts_day" in [f.name for f in t.spec().fields]
+
+    # wrong custom name → loud rejection (we derive Iceberg's default)
+    with pytest.raises(ValueError, match="derived name"):
+        t.update_spec().add_field("id", "bucket(4)", "my_bucket").commit()
+
+    # remove by partition-field name, add in the same single commit
+    v = t.version
+    with t.update_spec() as update:
+        update.remove_field("ts_day")
+        update.add_field("id", "bucket(4)")
+    assert t.version == v + 1
+    names = [f.name for f in t.spec().fields]
+    assert "ts_day" not in names and "id_bucket" in names
+
+    # DayTransform round-trips through transform_spec
+    from iceberg_matrix_spark.tables.transforms import transform_spec
+
+    assert transform_spec("ts", DayTransform()) == "day(ts)"
+
+    t.append(
+        spark.createDataFrame([(1, "2024-01-01 00:00:00")], "id bigint, ts string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    snap_id = t.current_snapshot().snapshot_id
+    t.manage_snapshots().create_branch(snap_id, "dev_branch").commit()
+    t.manage_snapshots().create_tag(snap_id, "v1_tag").commit()
+    refs = t.metadata.refs
+    assert "dev_branch" in refs and "v1_tag" in refs
+    assert len(t.metadata.snapshots) == 1
+
+    t.manage_snapshots().remove_branch("dev_branch").remove_tag("v1_tag").commit()
+    assert "dev_branch" not in t.metadata.refs and "v1_tag" not in t.metadata.refs
+
+
+def test_pyiceberg_schema_as_arrow_append_cast(spark, catalog):
+    """The reference's append idiom: tbl.append(df.cast(tbl.schema()
+    .as_arrow())) (pyiceberg_feature_tests.py:519)."""
+    import pyarrow as pa
+
+    t = catalog.create_table("ns.arrcast", "id bigint, name string, value double")
+    df = pa.table(
+        {
+            "id": pa.array([1], type=pa.int32()),  # narrower than the table
+            "name": pa.array(["row_1"]),
+            "value": pa.array([1.5], type=pa.float32()),
+        }
+    )
+    t.append_arrow(df.cast(t.schema().as_arrow()))
+    got = t.scan().to_arrow()
+    assert got.column("id").to_pylist() == [1]
+    assert t.schema().as_arrow().field("id").type == pa.int64()
