@@ -103,11 +103,14 @@ def main() -> None:
         _branch_sql_setup,
         _merge_sql_exec,
         _merge_sql_setup,
+        _zorder_effect_exec,
+        _zorder_effect_setup,
     )
 
     SPLIT_DML = {
         "q_merge_sql": (_merge_sql_setup, _merge_sql_exec),
         "q_branch_read_sql": (_branch_sql_setup, _branch_sql_exec),
+        "q_zorder_effect": (_zorder_effect_setup, _zorder_effect_exec),
     }
 
     timings: dict[str, float] = {}

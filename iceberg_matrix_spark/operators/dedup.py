@@ -79,6 +79,49 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).drop("__fp")
 
 
+def incremental_dedup_exact(
+    batch: DataFrame, index: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Dedup a NEW document batch against an EXISTING corpus fingerprint
+    index — the incremental-corpus-update shape. At 100 TB you never
+    re-dedup the whole corpus per ingest; you keep a fingerprint index
+    table (16-byte rows, ~1/1000 of corpus bytes) and check each batch
+    against it.
+
+    ``index`` needs a ``fingerprint`` column (e.g. the output of
+    :func:`exact_dedup_groups` on the existing corpus, or an IceLite
+    fingerprint table maintained across ingests). Returns one row per
+    batch document: (doc_id, fingerprint, verdict) with verdict ∈
+    {'kept', 'dup_of_corpus', 'dup_in_batch'} — 'kept' rows are the ones
+    to append to both the corpus and the index.
+
+    Scale: batch-side work shuffles ∝ |batch| (one fingerprint agg +
+    joins on fingerprint); the index side ships only its fingerprint
+    column, and AQE broadcasts it when a partition-pruned index slice
+    fits. For co-located repeat ingests, bucket the index table by
+    fingerprint so this join never reshuffles the index. The MinHash
+    index composes the same way (signatures stored per corpus doc; batch
+    band-buckets joined against the stored buckets).
+    """
+    fp = batch.select(
+        F.col(id_col).alias("doc_id"), md5_fingerprint(text_col).alias("fingerprint")
+    )
+    firsts = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("__first_id"))
+    known = index.select("fingerprint").distinct().withColumn("__in_corpus", F.lit(1))
+    return (
+        fp.join(firsts, "fingerprint")
+        .join(known, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("__in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") != F.col("__first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (inverted-index join; SQL-oracle-able)
 # ---------------------------------------------------------------------------
@@ -447,6 +490,38 @@ _DOC_SHINGLES_CAPPED_SQL = f"""
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ),
+    batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+    idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0),
+    firsts AS (SELECT fingerprint, MIN(doc_id) AS first_id FROM batch GROUP BY 1)
+    SELECT b.doc_id, b.fingerprint,
+           CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+                ELSE 'kept' END AS verdict
+    FROM batch b
+    LEFT JOIN idx i ON i.fingerprint = b.fingerprint
+    JOIN firsts f ON f.fingerprint = b.fingerprint
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: documents with doc_id % 5 == 0 play the
+    incoming batch; the rest are the already-ingested corpus whose
+    fingerprint index the batch is checked against (deterministic split
+    so the oracle reproduces it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    index = exact_dedup_groups(corpus, "doc_id", "text").select("fingerprint")
+    return incremental_dedup_exact(batch, index, "doc_id", "text")
 
 
 @register(

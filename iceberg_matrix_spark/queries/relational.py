@@ -1028,10 +1028,14 @@ def q_zorder_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     count / global key bounds (must equal the raw data's). Boundaries
     themselves are sampling-dependent, so only these deterministic
     aggregates are output."""
+    return _zorder_effect_exec(_zorder_effect_setup(spark, sf_dir))
+
+
+def _zorder_effect_setup(spark: SparkSession, sf_dir: str):
+    """The table-build phase of q_zorder_effect — split out so bench.py
+    reports setup and the rewrite-under-test separately."""
     import tempfile  # noqa: PLC0415
 
-    from iceberg_matrix_spark.tables import maintenance as maint  # noqa: PLC0415
-    from iceberg_matrix_spark.tables import metadata_tables as mt  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
     wh = tempfile.mkdtemp(prefix="icelite_zeff_")
@@ -1042,6 +1046,14 @@ def q_zorder_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-scatter into 8 files: every file covers nearly the full key
     # range (worst case for pruning) — the state the rewrite must fix
     t.append(base.repartition(8, "o_orderkey"))
+    return t
+
+
+def _zorder_effect_exec(t) -> DataFrame:
+    """The measured phase: sort rewrite + files-metadata disjointness audit."""
+    from iceberg_matrix_spark.tables import maintenance as maint  # noqa: PLC0415
+    from iceberg_matrix_spark.tables import metadata_tables as mt  # noqa: PLC0415
+
     maint.rewrite_data_files(
         t, strategy="sort", columns=["o_orderkey"], target_partitions=4
     )

@@ -64,3 +64,39 @@ def test_simhash_finds_injected_neardups(spark, sf_dir):
     # near clones differ by 3 tokens → low hamming, should mostly appear
     near_hits = sum(1 for i in range(5, 10) if (i, i + 200000) in pairs)
     assert near_hits >= 3
+
+
+def test_incremental_dedup_verdicts(spark, sf_dir):
+    """Batch-vs-index dedup: corpus clones → dup_of_corpus, in-batch
+    clones → dup_in_batch, fresh docs → kept; kept+index covers exactly
+    the distinct fingerprints."""
+    from iceberg_matrix_spark.operators.dedup import (
+        exact_dedup_groups,
+        incremental_dedup_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200).cache()
+    corpus = docs.filter(F.col("doc_id") < 100)
+    # batch: 5 corpus clones, 2×3 in-batch clone pairs, the rest fresh
+    fresh = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "doc_id", F.col("doc_id") + 500000
+    )
+    corpus_clones = corpus.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 600000
+    )
+    batch_clones = fresh.filter(F.col("doc_id") < 500103).withColumn(
+        "doc_id", F.col("doc_id") + 700000
+    )
+    batch = fresh.unionByName(corpus_clones).unionByName(batch_clones)
+
+    index = exact_dedup_groups(corpus, "doc_id", "text").select("fingerprint")
+    out = incremental_dedup_exact(batch, index, "doc_id", "text")
+    by_verdict = {r["verdict"]: r["n"] for r in out.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
+    assert by_verdict.get("dup_of_corpus", 0) == 5
+    assert by_verdict.get("dup_in_batch", 0) == 3
+    rows = {r.doc_id: r.verdict for r in out.collect()}
+    # clone of corpus doc 0 → flagged against the index
+    assert rows[600000] == "dup_of_corpus"
+    # in-batch clone keeps the min-id copy
+    assert rows[500100] == "kept" and rows[1200100] == "dup_in_batch"
+    docs.unpersist()
