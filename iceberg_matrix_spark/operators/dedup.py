@@ -199,6 +199,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_ngram_neardup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN an incoming batch and the existing corpus
+    (batch_id, corpus_id, common, jaccard) — the n-gram companion to
+    :func:`incremental_dedup_exact`. Both sides share ONE inverted index
+    (side-tagged postings, one shuffle); per shingle only cross-side
+    pairs are emitted, so in-corpus pairs — already adjudicated by past
+    ingests — cost nothing. The doc-frequency cap counts batch+corpus
+    occurrences together, same as the one-sided operator's semantics at
+    100 TB: a stop-shingle is a stop-shingle regardless of which side
+    it appears on."""
+    sb = shingle_sets(batch, id_col, text_col, k)
+    sc_ = shingle_sets(corpus, id_col, text_col, k)
+
+    def _explode(side: DataFrame, flag: int) -> DataFrame:
+        return side.select(
+            F.explode("shingles").alias("shingle"),
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.col("n_sh").alias("n"),
+                F.lit(flag).alias("b"),
+            ).alias("e"),
+        )
+
+    ex = _explode(sb, 1).unionByName(_explode(sc_, 0))
+    postings = (
+        ex.groupBy("shingle")
+        .agg(F.collect_list("e").alias("es"))
+        .select(
+            F.expr("filter(es, x -> x.b = 1)").alias("bids"),
+            F.expr("filter(es, x -> x.b = 0)").alias("cids"),
+            F.size("es").alias("df_total"),
+        )
+        .filter((F.size("bids") > 0) & (F.size("cids") > 0))
+    )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.col("df_total") <= max_doc_freq)
+    pair_expr = F.expr(
+        "flatten(transform(bids, x -> transform(cids, "
+        "y -> struct(x.id AS batch_id, x.n AS n1, y.id AS corpus_id, y.n AS n2))))"
+    )
+    common = (
+        postings.select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.batch_id").alias("batch_id"),
+            F.col("p.corpus_id").alias("corpus_id"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.n2").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "common", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -522,6 +589,52 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     index = exact_dedup_groups(corpus, "doc_id", "text").select("fingerprint")
     return incremental_dedup_exact(batch, index, "doc_id", "text")
+
+
+@register(
+    "q_dedup_incremental_ngram",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\\\\s+', ' ', 'g')), ' ') toks
+      FROM documents
+    ),
+    sets_ AS (
+      SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, len(toks)-2),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) shingles
+      FROM docs WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, len(shingles) n_sh FROM sets_),
+    sh AS (SELECT doc_id, unnest(shingles) shingle FROM sets_),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DOC_FREQ}
+    ),
+    sh_capped AS (SELECT sh.* FROM sh JOIN kept USING (shingle)),
+    pairs AS (
+      SELECT a.doc_id batch_id, b.doc_id corpus_id, count(*) common
+      FROM sh_capped a JOIN sh_capped b ON a.shingle = b.shingle
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT batch_id, corpus_id, common,
+           CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = batch_id
+    JOIN sizes s2 ON s2.doc_id = corpus_id
+    WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.05
+    """,
+)
+def q_dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-side near-dup check for the same batch/corpus split as
+    q_dedup_incremental: which incoming docs are ≥ 0.05 3-shingle Jaccard
+    similar to an already-ingested doc (doc-frequency cap ON, counted
+    across both sides — the oracle applies the identical cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_ngram_neardup(
+        batch, corpus, "doc_id", "text", k=3, threshold=0.05, max_doc_freq=MAX_DOC_FREQ
+    )
 
 
 @register(
