@@ -386,11 +386,6 @@ def q_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     Matched rows double their balance; unmatched source rows (key-offset
     twins of the high-balance customers) insert. The oracle recomputes the
     final state relationally over the raw parquet."""
-    import tempfile  # noqa: PLC0415
-
-    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
-    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
-
     return _merge_sql_exec(_merge_sql_setup(spark, sf_dir))
 
 
@@ -959,11 +954,6 @@ def q_branch_read_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     string, then read BOTH refs via suffix identifiers. Branch sees all
     rows; main must still see only the even half — branch isolation is
     the value under test, hash-checked row-for-row by the oracle."""
-    import tempfile  # noqa: PLC0415
-
-    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
-    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
-
     return _branch_sql_exec(_branch_sql_setup(spark, sf_dir))
 
 

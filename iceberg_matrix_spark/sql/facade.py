@@ -276,24 +276,30 @@ class IceLiteSQL:
         passes — O(#referenced tables × |stmt|), not
         O(|catalog| × |stmt|); a thousand-table catalog costs one set
         lookup per token, not a thousand regex scans."""
+        # lowercase → canonical spelling, so NS.T / ns.t both resolve (the
+        # substitution passes below are compiled with re.I; the gate must
+        # be case-insensitive too)
         known = {
-            f"{ns}.{tbl}"
+            f"{ns}.{tbl}".lower(): f"{ns}.{tbl}"
             for ns in self.catalog.list_namespaces()
             for tbl in self.catalog.list_tables(ns)
         }
         tops = {i for i, _c, _d, quoted in _scan_top(text) if not quoted}
         referenced: set[str] = set()
-        for m in re.finditer(r"\b[A-Za-z_][\w$]*(?:\.[A-Za-z_$][\w$]*)+", text):
+        # trailing segments may start with a digit (ns.2024data); the
+        # leading segment's letter-start anchor keeps numeric literals
+        # (1.5) from matching
+        for m in re.finditer(r"\b[A-Za-z_][\w$]*(?:\.[\w$]+)+", text):
             if m.start() not in tops:
                 continue
             # cut a Trino-style $metadata suffix before matching (tbl$snapshots)
             parts = m.group(0).split("$")[0].split(".")
-            if parts[0] == self.name:
+            if parts[0].lower() == self.name.lower():
                 parts = parts[1:]
             for k in range(2, len(parts) + 1):
-                prefix = ".".join(parts[:k])
+                prefix = ".".join(parts[:k]).lower()
                 if prefix in known:
-                    referenced.add(prefix)
+                    referenced.add(known[prefix])
         for ident in sorted(referenced):
                 base = rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}"
 
@@ -411,7 +417,7 @@ class IceLiteSQL:
                     return view
 
                 text = self._sub_unquoted(
-                    text, re.compile(base + r"\b"), _plain_view
+                    text, re.compile(base + r"\b", re.I), _plain_view
                 )
         return text
 
@@ -724,6 +730,17 @@ class IceLiteSQL:
         else:
             df = self._run_select(body)
         table = self.catalog.load_table(ident)
+        if branch != "main":
+            # the append path would auto-create an unknown branch — a
+            # typo'd branch name must fail loudly (like the read path and
+            # Iceberg itself), not land data on a ghost branch
+            ref = table.meta.refs.get(branch)
+            if ref is None:
+                raise UnsupportedSQLError(f"unknown branch {branch!r} on {ident}")
+            if ref.type != "branch":
+                raise UnsupportedSQLError(
+                    f"cannot write to a tag: {branch!r} on {ident} (tags are immutable)"
+                )
         aligned = self._aligned(table, df, cols)
         if mode == "OVERWRITE":
             if branch != "main":
@@ -944,6 +961,16 @@ class IceLiteSQL:
             raise UnsupportedSQLError(f"CALL {proc} needs table => '...'")
         t = self.table(str(self._call_value(table_arg)))
 
+        def _req(name: str) -> str:
+            # a missing required argument is a user error → typed rejection,
+            # not a raw KeyError escaping the facade
+            try:
+                return args.pop(name)
+            except KeyError:
+                raise UnsupportedSQLError(
+                    f"CALL {proc} needs {name} => ..."
+                ) from None
+
         if proc == "rewrite_data_files":
             strategy = str(self._call_value(args.pop("strategy", "'binpack'"))).lower()
             columns = None
@@ -987,26 +1014,26 @@ class IceLiteSQL:
             )
         elif proc == "rollback_to_snapshot":
             prev = t.meta.current_snapshot_id
-            sid = int(self._call_value(args.pop("snapshot_id")))
+            sid = int(self._call_value(_req("snapshot_id")))
             t.rollback_to_snapshot(sid)
             result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
         elif proc == "rollback_to_timestamp":
             prev = t.meta.current_snapshot_id
-            ts = self._call_value(args.pop("timestamp"))
+            ts = self._call_value(_req("timestamp"))
             sid = t.rollback_to_timestamp(int(ts))
             result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
         elif proc == "set_current_snapshot":
             prev = t.meta.current_snapshot_id
-            sid = int(self._call_value(args.pop("snapshot_id")))
+            sid = int(self._call_value(_req("snapshot_id")))
             t.set_current_snapshot(sid)
             result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
         elif proc == "cherrypick_snapshot":
-            src = int(self._call_value(args.pop("snapshot_id")))
+            src = int(self._call_value(_req("snapshot_id")))
             new = t.cherrypick_snapshot(src)
             result = {"source_snapshot_id": src, "current_snapshot_id": new}
         elif proc == "fast_forward":
-            branch = str(self._call_value(args.pop("branch")))
-            to = str(self._call_value(args.pop("to")))
+            branch = str(self._call_value(_req("branch")))
+            to = str(self._call_value(_req("to")))
             prev, new = t.fast_forward(branch, to)
             result = {"branch_updated": branch, "previous_ref": prev, "updated_ref": new}
         elif proc == "ancestors_of":
@@ -1018,7 +1045,7 @@ class IceLiteSQL:
                 self.spark, chain, "snapshot_id long, timestamp long"
             )
         elif proc == "add_files":
-            src_tbl = str(self._call_value(args.pop("source_table")))
+            src_tbl = str(self._call_value(_req("source_table")))
             pm = re.match(r"`?parquet`?\s*\.\s*`([^`]+)`\s*$", src_tbl, re.I)
             if not pm:
                 raise UnsupportedSQLError(

@@ -45,7 +45,14 @@ def _zorder_expr(live, columns: list[str], bits: int | None = None):
     # under Java shift semantics, silently colliding bits). Scale the
     # per-dimension width down so the widest bit lands at <= 62.
     if bits is None:
-        bits = max(1, min(16, 62 // max(1, len(columns))))
+        bits = min(16, 62 // max(1, len(columns)))
+        if bits < 1:
+            # 63+ columns can't get even 1 bit each without touching the
+            # sign bit / wrapping shifts — reject instead of silently
+            # corrupting the code (no real table z-orders this wide)
+            raise ValueError(
+                f"zorder supports at most 62 columns, got {len(columns)}"
+            )
 
     dtypes = dict(live.dtypes)
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}

@@ -15,20 +15,15 @@ import json
 
 from pyspark.sql import DataFrame
 
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.table import IceLiteTable
 
 
 def _local_df(table: IceLiteTable, rows, schema: str) -> DataFrame:
-    """Driver-built metadata rows → 1-slice DataFrame. The default
-    createDataFrame parallelizes into defaultParallelism (32) Python-
-    backed partitions, so every downstream op on a 10-row metadata frame
-    spins 32 Python workers — seconds of overhead per touch. Metadata is
-    manifest-scale (files, snapshots — thousands of rows, not data
-    rows), so one slice is the right layout."""
-    if not rows:
-        return table.spark.createDataFrame([], schema)
-    rdd = table.spark.sparkContext.parallelize(rows, 1)
-    return table.spark.createDataFrame(rdd, schema)
+    """Driver-built metadata rows → 1-slice DataFrame (metadata is
+    manifest-scale — thousands of rows, not data rows; see
+    session.local_df for why one slice)."""
+    return local_df(table.spark, rows, schema)
 
 
 def snapshots(table: IceLiteTable) -> DataFrame:

@@ -1601,7 +1601,9 @@ class IceLiteTable:
             )
 
         self._commit(mutate)
-        return target[0]
+        # [-1]: _commit re-runs mutate on conflict retry; only the LAST
+        # attempt's value is the committed one
+        return target[-1]
 
     def fast_forward(self, branch: str, to: str) -> tuple[int | None, int]:
         """Fast-forward ``branch`` to another ref's head (Iceberg's
@@ -1637,7 +1639,7 @@ class IceLiteTable:
             return meta
 
         self._commit(mutate)
-        return out[0]
+        return out[-1]
 
     def cherrypick_snapshot(self, snapshot_id: int) -> int:
         """Re-apply an APPEND snapshot's added files on top of the current
@@ -1677,7 +1679,7 @@ class IceLiteTable:
             return m2
 
         self._commit(mutate)
-        return out[0]
+        return out[-1]
 
     def ancestors_of(self, snapshot_id: int | None = None) -> list[tuple[int, int]]:
         """(snapshot_id, timestamp_ms) for the parent chain starting at

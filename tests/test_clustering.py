@@ -191,3 +191,18 @@ def test_sort_rewrite_applies_and_drops_mor_deletes(spark, catalog):
     assert not snap.delete_files
     got = sorted(r["id"] for r in t.df().collect())
     assert got == [i for i in range(100) if i % 10 != 0]
+
+
+def test_zorder_rejects_over_62_columns(spark):
+    """63+ dimensions can't fit even 1 bit each below the sign bit —
+    loud rejection, not silent bit collision."""
+    import pytest as _pytest
+
+    from iceberg_matrix_spark.tables.maintenance import _zorder_expr
+
+    import pyspark.sql.functions as F
+
+    cols = [f"c{i}" for i in range(63)]
+    df = spark.range(1).select(*[F.col("id").alias(c) for c in cols])
+    with _pytest.raises(ValueError, match="at most 62"):
+        _zorder_expr(df, cols)

@@ -694,3 +694,55 @@ def test_call_positional_arguments(sql):
     # too many positionals → loud rejection
     with pytest.raises(UnsupportedSQLError, match="at most"):
         sql.sql("CALL local.system.rewrite_manifests('nsPOS.t', 'x')")
+
+
+def test_case_insensitive_identifiers(sql):
+    """Spark SQL resolves table names case-insensitively; the
+    identifier-extraction gate must too (NS.T.snapshots, LOCAL.NS.T
+    VERSION AS OF ... all resolved before this regression test)."""
+    sql.sql("CREATE NAMESPACE nsCase")
+    _seed(sql, "nsCase.t")
+    assert sql.sql("SELECT count(*) FROM NSCASE.T").collect()[0][0] == 3
+    assert sql.sql("SELECT count(*) FROM LOCAL.NSCASE.T").collect()[0][0] == 3
+    sql.sql("INSERT INTO nsCase.t VALUES (4,'d')")
+    assert sql.sql("SELECT count(*) FROM NsCase.T.snapshots").collect()[0][0] == 2
+    snaps = [
+        r[0]
+        for r in sql.sql(
+            "SELECT snapshot_id FROM nsCase.t.snapshots ORDER BY committed_at"
+        ).collect()
+    ]
+    assert (
+        sql.sql(f"SELECT count(*) FROM NSCASE.T VERSION AS OF {snaps[0]}").collect()[0][0]
+        == 3
+    )
+
+
+def test_insert_unknown_branch_rejected(sql):
+    """A typo'd branch must fail loudly, not auto-create a ghost branch
+    holding only the inserted rows."""
+    sql.sql("CREATE NAMESPACE nsBr")
+    _seed(sql, "nsBr.t")
+    sql.sql("ALTER TABLE nsBr.t CREATE BRANCH `dev`")
+    sql.sql("INSERT INTO nsBr.t.branch_dev VALUES (4,'d')")  # real branch: ok
+    with pytest.raises(UnsupportedSQLError, match="unknown branch"):
+        sql.sql("INSERT INTO nsBr.t.branch_duv VALUES (5,'e')")
+    t = sql.catalog.load_table("nsBr.t")
+    assert "duv" not in t.meta.refs
+    # a tag referenced through the branch_ spelling is also a write error
+    sql.sql("ALTER TABLE nsBr.t CREATE TAG `v1`")
+    with pytest.raises(UnsupportedSQLError, match="tag"):
+        sql.sql("INSERT INTO nsBr.t.branch_v1 VALUES (6,'f')")
+
+
+def test_call_missing_required_arg_typed_error(sql):
+    """Omitting a required CALL argument raises UnsupportedSQLError (the
+    facade's typed rejection), never a raw KeyError."""
+    sql.sql("CREATE NAMESPACE nsReq")
+    _seed(sql, "nsReq.t", rows="(1,'a')")
+    with pytest.raises(UnsupportedSQLError, match="needs snapshot_id"):
+        sql.sql("CALL local.system.rollback_to_snapshot(table => 'nsReq.t')")
+    with pytest.raises(UnsupportedSQLError, match="needs branch"):
+        sql.sql("CALL local.system.fast_forward(table => 'nsReq.t')")
+    with pytest.raises(UnsupportedSQLError, match="needs timestamp"):
+        sql.sql("CALL local.system.rollback_to_timestamp(table => 'nsReq.t')")
