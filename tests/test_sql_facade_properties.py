@@ -228,3 +228,26 @@ def test_insert_values_roundtrip(fz, spark, rows, data):
         fz.sql(f"INSERT INTO local.{ident} ({', '.join(cols)}) VALUES {vals}")
     got = _rows(fz.sql(f"SELECT id, val, num FROM local.{ident}"))
     assert got == sorted(rows)
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), pred=predicates(), seed=st.integers(min_value=0, max_value=2**31))
+def test_select_case_mangled_identifier(fz, spark, rows, pred, seed):
+    """Spark SQL is case-insensitive on identifiers; the facade's
+    identifier-extraction gate and substitution passes must be too —
+    a randomly case-mangled spelling of the table name (with and
+    without the catalog prefix) must resolve identically."""
+    import random as _random
+
+    ident = _fresh_table(fz, rows)
+    view = _view_of(spark, rows)
+    rng = _random.Random(seed)
+    spelled = "".join(c.upper() if rng.random() < 0.5 else c.lower() for c in ident)
+    if rng.random() < 0.5:
+        prefix = "".join(
+            c.upper() if rng.random() < 0.5 else c.lower() for c in "local"
+        )
+        spelled = f"{prefix}.{spelled}"
+    got = _rows(fz.sql(f"SELECT id, val, num FROM {spelled} WHERE {pred}"))
+    want = _rows(spark.sql(f"SELECT id, val, num FROM {view} WHERE {pred}"))
+    assert got == want, spelled
