@@ -707,12 +707,19 @@ def t_partition_pruning(ctx: Ctx) -> str:
 
 @conformance_test("partition-evolution")
 def t_partition_evolution(ctx: Ctx) -> str:
+    # driven through PyIceberg's `with tbl.update_spec()` idiom with a
+    # transform object (pyiceberg_feature_tests.py:450-455)
+    from iceberg_matrix_spark.tables import BucketTransform  # noqa: PLC0415
+
     t = ctx.create("id bigint, cat string")
     t.append(ctx.spark.createDataFrame([(1, "a")], "id bigint, cat string"))
-    t.add_partition_field("bucket(4, cat)")
+    with t.update_spec() as update:
+        update.add_field("cat", BucketTransform(4), "cat_bucket")
+    assert "cat_bucket" in [f.name for f in t.spec().fields]
     t.append(ctx.spark.createDataFrame([(2, "b")], "id bigint, cat string"))
     assert t.df().count() == 2  # old + new spec files coexist
-    t.drop_partition_field("bucket(4, cat)")
+    with t.update_spec() as update:
+        update.remove_field("cat_bucket")
     return "pass"
 
 
@@ -729,14 +736,21 @@ def t_multi_arg_transforms(ctx: Ctx) -> str:
 
 @conformance_test("schema-evolution")
 def t_schema_evolution(ctx: Ctx) -> str:
+    # driven through PyIceberg's literal `with tbl.update_schema()` idiom
+    # (pyiceberg_feature_tests.py:343-350) on top of the same add/rename/
+    # drop machinery the direct verbs use
     t = ctx.create("id bigint, a string")
     t.append(ctx.spark.createDataFrame([(1, "x")], "id bigint, a string"))
-    t.add_columns({"age": "int"})
+    with t.update_schema() as update:
+        update.add_column("age", "int")
     assert t.df().filter("age IS NULL").count() == 1  # NULL back-fill
-    t.rename_column("a", "b")
+    with t.update_schema() as update:
+        update.rename_column("a", "b")
     assert "b" in t.df().columns and "a" not in t.df().columns
-    t.drop_column("b")
+    with t.update_schema() as update:
+        update.delete_column("b")
     assert t.df().columns == ["id", "age"]
+    assert "b" not in [f.name for f in t.schema().fields]
     return "pass"
 
 
@@ -773,8 +787,13 @@ def t_time_travel(ctx: Ctx) -> str:
 def t_branching(ctx: Ctx) -> str:
     t = ctx.create("id bigint")
     t.append(ctx.spark.range(3))
-    t.create_tag("v1")
-    t.create_branch("dev")
+    # PyIceberg's builder idiom, snapshot_id first
+    # (pyiceberg_feature_tests.py:552-553)
+    snap_id = t.current_snapshot().snapshot_id
+    t.manage_snapshots().create_tag(snap_id, "v1").create_branch(
+        snap_id, "dev"
+    ).commit()
+    assert "dev" in t.metadata.refs and "v1" in t.metadata.refs
     t.append(ctx.spark.range(3, 10), branch="dev")
     t.refresh()
     assert t.df(ref="main").count() == 3
