@@ -260,3 +260,22 @@ def test_corpus_pipeline_single_dag_with_span_gate(spark, sf_dir):
     # join); span gate adds its ≤5; final rollup 1 — keep a hard ceiling
     # so a regression to corpus-wide shuffling fails loudly
     assert shuffle_count(df) <= 10
+
+
+def test_incremental_dedup_plan_shape(spark, sf_dir):
+    """The incremental-ingest contract: both queries scan only (doc_id,
+    text), keep the whole pipeline JVM-side, and never go cartesian —
+    batch-vs-index work is equi-joins on fingerprint / shingle only."""
+    from iceberg_matrix_spark.plans import explain_formatted
+
+    for name, budget in (
+        ("q_dedup_incremental", 5),
+        ("q_dedup_incremental_ngram", 8),
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_formatted(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        for cols in scan_columns(df):
+            assert cols <= {"doc_id", "text"}
+        assert shuffle_count(df) <= budget, name
