@@ -73,6 +73,11 @@ HEADLINE = [
     # metadata self-check — end-to-end by design, like q_merge_sql)
     "q_branch_read_sql",
     "q_zorder_effect",
+    # round 4, second wave: incremental ingest dedup — the
+    # batch-vs-fingerprint-index verdicts and the cross-side shared
+    # inverted index (shuffle ∝ batch, never the corpus)
+    "q_dedup_incremental",
+    "q_dedup_incremental_ngram",
 ]
 
 
