@@ -118,7 +118,60 @@ FEATURES = [
     ("write-distribution", "write.distribution-mode hash/range", "write"),
     ("cdc-apply", "Changelog replication (CDC apply)", "snapshots"),
     ("nested-types", "struct/array/map columns", "types"),
+    ("hadoop-catalog", "Filesystem (Hadoop-style) path catalog", "catalog"),
 ]
+
+# Crosswalk: every feature id the reference's engine suites emit
+# (TestResult("<id>", ...) across tests/*.py) → the finer-grained rows of
+# OUR catalog that cover it. Makes the feature-by-feature parity check
+# mechanical: a reference id is covered iff every mapped row probes green
+# (or is a registered honest skip). Kept exhaustive by
+# tests/test_conformance.py::test_reference_feature_crosswalk.
+REFERENCE_FEATURE_MAP: dict[str, list[str]] = {
+    "read-support": ["read-support"],
+    "write-insert": ["insert-into", "insert-overwrite", "ctas"],
+    "write-merge-update-delete": [
+        "merge-into", "row-update", "row-delete-cow", "sql-dml",
+    ],
+    "position-deletes": ["position-deletes"],
+    "equality-deletes": ["equality-deletes"],
+    "deletion-vectors": ["deletion-vectors"],
+    "merge-on-read": ["row-delete-mor"],
+    "copy-on-write": ["row-delete-cow"],
+    "schema-evolution": ["schema-evolution"],
+    "type-promotion": ["type-widening"],
+    "column-default-values": ["column-default-values"],
+    "hidden-partitioning": ["hidden-partitioning", "partition-pruning"],
+    "partition-evolution": ["partition-evolution"],
+    "multi-arg-transforms": ["multi-arg-transforms"],
+    "time-travel": ["time-travel", "incremental-read"],
+    "table-creation": ["ctas", "table-properties", "drop-table-purge"],
+    "table-maintenance": [
+        "compaction", "snapshot-expiry", "orphan-cleanup", "manifest-rewrite",
+        "rewrite-position-deletes", "sql-call-procedures",
+        "sort-order-rewrite", "zorder-clustering",
+    ],
+    "branching-tagging": [
+        "branching-tagging", "sql-refs", "wap-publish", "snapshot-rollback",
+    ],
+    "statistics": ["table-statistics", "column-stats"],
+    "bloom-filters": ["bloom-filter-props"],
+    "variant-type": ["variant-type"],
+    "shredded-variant": ["variant-shredding"],
+    "nanosecond-timestamps": ["timestamp-ns"],
+    "lineage": ["row-lineage"],
+    "geometry-type": ["geospatial-types"],
+    "catalog-integration": ["sqlite-catalog", "rest-catalog", "jdbc-catalog"],
+    "hadoop-catalog": ["hadoop-catalog"],
+    "rest-catalog": ["rest-catalog"],
+    "jdbc-catalog": ["jdbc-catalog"],
+    "aws-glue-catalog": ["glue-catalog"],
+    "hive-metastore": ["hive-catalog"],
+    "nessie": ["nessie-catalog"],
+    "polaris": ["polaris-catalog"],
+    "unity-catalog": ["unity-catalog"],
+    "snowflake-horizon-catalog": ["horizon-catalog"],
+}
 
 # Support matrix: (feature_id, version) -> level. Everything unlisted is
 # "full". 'none' cells are negative-capability probes.
@@ -1421,6 +1474,35 @@ def t_sqlite_catalog(ctx: Ctx) -> str:
     assert cat.load_table("db2.renamed").df().count() == 2
     cat.drop_table("db2.renamed", purge=True)
     assert not cat.table_exists("db2.renamed")
+    return "pass"
+
+
+@conformance_test("hadoop-catalog")
+def t_hadoop_catalog(ctx: Ctx) -> str:
+    """The reference's hadoop-catalog row (pyiceberg_feature_tests.py:
+    548-554): a pure filesystem-path catalog — no service, table identity
+    IS the warehouse-relative path, metadata versioning via numbered
+    metadata files. IceLiteCatalog is exactly this shape; the probe pins
+    the on-disk contract (namespace dir, table dir, version chain) plus
+    path-based load with no catalog service involved."""
+    import os as _os
+    import tempfile
+
+    from iceberg_matrix_spark.tables import IceLiteCatalog, IceLiteTable
+
+    wh = tempfile.mkdtemp(prefix="conf-hadoopcat-")
+    cat = IceLiteCatalog(ctx.spark, wh)
+    cat.create_namespace("db")
+    t = cat.create_table("db.t", "id bigint, v string", properties=ctx.props())
+    t.append(ctx.spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    # identity == path: the table lives at <warehouse>/db/t with the
+    # numbered-metadata version chain
+    loc = _os.path.join(wh, "db", "t")
+    assert _os.path.isdir(loc)
+    assert any("metadata" in f for f in _os.listdir(loc))
+    # path-based open without the catalog (Iceberg's HadoopTables shape)
+    assert IceLiteTable(ctx.spark, loc).df().count() == 2
+    assert cat.load_table("db.t").df().count() == 2
     return "pass"
 
 

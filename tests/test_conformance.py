@@ -60,3 +60,27 @@ def test_conformance_run_is_clean(spark):
     for r in report["results"]:
         if r["verdict"] == "skip":
             assert r["detail"], f"skip row {r['feature_id']} must carry a reason"
+
+
+def test_reference_feature_crosswalk():
+    """Every feature id the reference suites emit maps to existing rows
+    of OUR catalog (and the map stays exhaustive as the reference set —
+    extracted from TestResult("<id>") across /root/reference/tests/*.py
+    — is frozen)."""
+    import glob
+    import re
+
+    from iceberg_matrix_spark.conformance import REFERENCE_FEATURE_MAP
+
+    ref_ids = set()
+    for path in glob.glob("/root/reference/tests/*.py"):
+        ref_ids |= set(re.findall(r'TestResult\("([a-z0-9-]+)"', open(path).read()))
+    assert ref_ids == set(REFERENCE_FEATURE_MAP), (
+        sorted(ref_ids - set(REFERENCE_FEATURE_MAP)),
+        sorted(set(REFERENCE_FEATURE_MAP) - ref_ids),
+    )
+    ours = {f[0] for f in FEATURES}
+    for ref_id, mapped in REFERENCE_FEATURE_MAP.items():
+        assert mapped, ref_id
+        missing = [m for m in mapped if m not in ours]
+        assert not missing, (ref_id, missing)
