@@ -118,6 +118,28 @@ def _lit_type(v) -> str:
 
 _IDENT = r"[A-Za-z_][\w.$]*|`[^`]+`(?:\.`?[^`.]+`?)*"
 
+# Engine-dialect type spellings → Spark logical types, so the reference's
+# Flink/Redshift/DuckDB ALTER statements run unchanged (VARCHAR,
+# flink :975; FLOAT8, redshift :1034).
+_TYPE_ALIASES = {
+    "varchar": "string",
+    "text": "string",
+    "float8": "double",
+    "float4": "float",
+    "real": "float",
+    "int8": "bigint",
+    "int4": "int",
+    "int2": "smallint",
+    "integer": "int",
+    "long": "bigint",
+    "bool": "boolean",
+}
+
+
+def _norm_type(t: str) -> str:
+    tl = t.strip().lower()
+    return _TYPE_ALIASES.get(tl, tl)
+
 # Recognized named arguments per CALL procedure. Checked up front so a
 # typo'd argument fails BEFORE the procedure executes (Iceberg validates
 # named args at parse time; expire_snapshots must never run first).
@@ -579,22 +601,31 @@ class IceLiteSQL:
         t = self.catalog.load_table(self._resolve(m.group(1)))
         body = m.group(2).strip()
 
-        am = re.match(r"ADD\s+COLUMNS?\s*(.*)$", body, re.I | re.S)
+        # ADD COLUMN(S) — plus Flink's keyword-less parenthesized form
+        # ``ALTER TABLE t ADD (age INT)`` (flink_feature_tests.py:975) and
+        # DuckDB's ``ADD COLUMN region VARCHAR DEFAULT 'eu'``
+        # (duckdb_feature_tests.py:718)
+        am = re.match(r"ADD\s+COLUMNS?\s*(.*)$", body, re.I | re.S) or re.match(
+            r"ADD\s*(\(.*)$", body, re.I | re.S
+        )
         if am:
             cols_text = am.group(1).strip()
             if cols_text.startswith("("):
                 cols_text, rest = _take_parens(cols_text)
                 if rest.strip():
                     raise UnsupportedSQLError(f"trailing ALTER text: {rest!r}")
+            cols_text, defaults = self._strip_column_defaults(cols_text)
             cols = {}
             for part in _split_top(cols_text):
                 name, _, typ = part.strip().partition(" ")
                 if not typ.strip():
                     raise UnsupportedSQLError(f"bad column def: {part!r}")
-                cols[name.strip("`")] = typ.strip().lower()
-            t.add_columns(cols)
+                cols[name.strip("`")] = _norm_type(typ)
+            t.add_columns(cols, defaults=defaults or None)
             return
-        rm = re.match(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", body, re.I)
+        # RENAME COLUMN a TO b — COLUMN keyword optional (Flink dialect,
+        # flink_feature_tests.py:976)
+        rm = re.match(r"RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*$", body, re.I)
         if rm:
             t.rename_column(rm.group(1), rm.group(2))
             return
@@ -602,11 +633,29 @@ class IceLiteSQL:
         if dm:
             t.drop_column(dm.group(1))
             return
-        cm = re.match(r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*$", body, re.I)
+        # ALTER COLUMN c TYPE T — engine type aliases normalize (Redshift's
+        # FLOAT8, redshift_feature_tests.py:1034); MODIFY c T is Flink's
+        # spelling of the same verb (flink_feature_tests.py:1011-1012)
+        cm = re.match(r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*$", body, re.I) or re.match(
+            r"MODIFY\s+(\w+)\s+(\w+)\s*$", body, re.I
+        )
         if cm:
-            t.alter_column_type(cm.group(1), cm.group(2).lower())
+            t.alter_column_type(cm.group(1), _norm_type(cm.group(2)))
             return
-        pm = re.match(r"SET\s+TBLPROPERTIES\s*(.*)$", body, re.I | re.S)
+        # SET PARTITIONED BY (...) — whole-spec replacement (DuckDB suite,
+        # duckdb_feature_tests.py:505); must match before the generic SET
+        fm = re.match(r"SET\s+PARTITIONED\s+BY\s*(.*)$", body, re.I | re.S)
+        if fm:
+            inner, rest = _take_parens(fm.group(1))
+            if rest.strip():
+                raise UnsupportedSQLError(f"trailing ALTER text: {rest!r}")
+            t.set_partition_fields(_split_top(inner))
+            return
+        # SET TBLPROPERTIES (...) — plus Flink's keyword-less
+        # ``SET ('k'='v')`` (flink_feature_tests.py:994)
+        pm = re.match(r"SET\s+TBLPROPERTIES\s*(.*)$", body, re.I | re.S) or re.match(
+            r"SET\s*(\(.*)$", body, re.I | re.S
+        )
         if pm:
             inner, _rest = _take_parens(pm.group(1))
             t.set_properties(self._parse_tblproperties(inner))
@@ -666,6 +715,13 @@ class IceLiteSQL:
             t.set_identifier_fields(
                 [c.strip().strip("`") for c in _split_top(im.group(1))]
             )
+            return
+        # Flink's keyword-less column drop (``ALTER TABLE t DROP age``,
+        # flink_feature_tests.py:977) — LAST, so the worded DROP
+        # COLUMN / DROP PARTITION FIELD forms above are never shadowed
+        dm = re.match(r"DROP\s+(\w+)\s*$", body, re.I)
+        if dm and dm.group(1).upper() not in ("COLUMN", "PARTITION"):
+            t.drop_column(dm.group(1))
             return
         raise UnsupportedSQLError(f"unsupported ALTER TABLE clause: {body[:60]!r}")
 

@@ -1482,6 +1482,20 @@ class IceLiteTable:
         self.drop_partition_field(old)
         self.add_partition_field(new)
 
+    def set_partition_fields(self, specs: list[str]) -> None:
+        """Replace the ENTIRE partition spec in one metadata commit — the
+        DuckDB suite's ``ALTER TABLE ... SET PARTITIONED BY (bucket(8,
+        id))`` (duckdb_feature_tests.py:505). Existing files keep their
+        old layout, like any spec evolution."""
+        for s in specs:
+            parse_transform(s)  # validate all before committing any
+
+        def mutate(meta: TableMetadata) -> TableMetadata:
+            meta.partition_spec = list(specs)
+            return meta
+
+        self._commit(mutate)
+
     # ------------------------------------------------------- sort order
 
     def replace_sort_order(self, columns: list[str]) -> None:

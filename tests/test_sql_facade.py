@@ -746,3 +746,52 @@ def test_call_missing_required_arg_typed_error(sql):
         sql.sql("CALL local.system.fast_forward(table => 'nsReq.t')")
     with pytest.raises(UnsupportedSQLError, match="needs timestamp"):
         sql.sql("CALL local.system.rollback_to_timestamp(table => 'nsReq.t')")
+
+
+def test_alter_dialect_spellings(sql, spark):
+    """The other engines' ALTER spellings the reference suites run:
+    Flink's ADD (age INT) / RENAME a TO b / DROP col / SET ('k'='v') /
+    MODIFY c T (flink_feature_tests.py:975-977,994,1011), Redshift's
+    FLOAT8 alias (redshift_feature_tests.py:1034), DuckDB's ADD COLUMN
+    ... DEFAULT and SET PARTITIONED BY (duckdb_feature_tests.py:505,718).
+    """
+    sql.sql("CREATE NAMESPACE nsDia")
+    sql.sql(
+        "CREATE TABLE nsDia.t (id INT, name STRING, ratio FLOAT) USING iceberg"
+    )
+    sql.sql("INSERT INTO nsDia.t VALUES (1, 'a', 0.5)")
+
+    sql.sql("ALTER TABLE nsDia.t ADD (age INT)")
+    sql.sql("ALTER TABLE nsDia.t RENAME name TO full_name")
+    sql.sql("ALTER TABLE nsDia.t DROP age")
+    t = sql.catalog.load_table("nsDia.t")
+    names = t.meta.current_schema.names()
+    assert "full_name" in names and "age" not in names and "name" not in names
+
+    sql.sql("ALTER TABLE nsDia.t MODIFY id BIGINT")
+    sql.sql("ALTER TABLE nsDia.t ALTER COLUMN ratio TYPE FLOAT8")
+    t.refresh()
+    types = {f.name: f.type for f in t.meta.current_schema.fields}
+    assert types["id"] == "bigint" and types["ratio"] == "double"
+
+    sql.sql("ALTER TABLE nsDia.t SET ('read.split.target-size'='134217728')")
+    t.refresh()
+    assert t.properties["read.split.target-size"] == "134217728"
+
+    sql.sql("ALTER TABLE nsDia.t SET PARTITIONED BY (bucket(8, id))")
+    t.refresh()
+    assert t.meta.partition_spec == ["bucket(8, id)"]
+    # whole-spec replacement, not append
+    sql.sql("ALTER TABLE nsDia.t SET PARTITIONED BY (full_name)")
+    t.refresh()
+    assert t.meta.partition_spec == ["full_name"]
+
+    # DuckDB's V3 ADD COLUMN ... DEFAULT
+    sql.sql(
+        "CREATE TABLE nsDia.t3 (id BIGINT) USING iceberg"
+        " TBLPROPERTIES ('format-version'='3')"
+    )
+    sql.sql("INSERT INTO nsDia.t3 VALUES (1)")
+    sql.sql("ALTER TABLE nsDia.t3 ADD COLUMN region VARCHAR DEFAULT 'eu'")
+    got = sql.sql("SELECT id, region FROM nsDia.t3").collect()
+    assert [(r["id"], r["region"]) for r in got] == [(1, "eu")]
