@@ -546,6 +546,18 @@ class IceLiteSQL:
             properties = self._parse_tblproperties(inner)
             rest = rest[: tm.start()] + after
 
+        # Flink's property spelling: CREATE TABLE t (...) WITH ('k'='v')
+        # (flink_feature_tests.py:561). Search only BEFORE any top-level
+        # AS so a CTAS body's CTE (`AS WITH x AS (...) SELECT`) is never
+        # mistaken for a property list.
+        as_pos = _find_top_keyword(rest, "AS")
+        head_text = rest if as_pos < 0 else rest[:as_pos]
+        wm = re.search(r"\bWITH\b", head_text, re.I)
+        if wm:
+            inner, after = _take_parens(rest[wm.end() :])
+            properties = {**(properties or {}), **self._parse_tblproperties(inner)}
+            rest = rest[: wm.start()] + after
+
         rest = re.sub(r"\bUSING\s+\w+\b", "", rest, flags=re.I).strip()
         am = re.match(r"AS\s+(.*)$", rest, re.I | re.S)
         if am:
@@ -557,9 +569,43 @@ class IceLiteSQL:
         if schema_ddl is None:
             raise UnsupportedSQLError("CREATE TABLE needs (schema) or AS SELECT")
         schema_ddl, defaults = self._strip_column_defaults(schema_ddl)
-        self.catalog.create_table(
+        schema_ddl, pk_cols = self._normalize_schema_ddl(schema_ddl)
+        t = self.catalog.create_table(
             ident, schema_ddl, partition_by, properties, defaults=defaults or None
         )
+        if pk_cols:
+            # Flink's PRIMARY KEY (id) NOT ENFORCED column-list clause maps
+            # to Iceberg identifier fields (flink_feature_tests.py:769)
+            t.set_identifier_fields(pk_cols)
+
+    @staticmethod
+    def _normalize_schema_ddl(schema_ddl: str) -> tuple[str, list[str]]:
+        """Engine-dialect column lists → Spark DDL: extract a ``PRIMARY
+        KEY (...) [NOT ENFORCED]`` clause (Flink's upsert-key spelling)
+        and normalize single-word dialect types (VARCHAR, FLOAT8,
+        TIMESTAMP(6)). Multi-word type tails pass through untouched."""
+        pk: list[str] = []
+        cleaned = []
+        for coldef in _split_top(schema_ddl):
+            cd = coldef.strip()
+            pm = re.match(r"PRIMARY\s+KEY\s*(\(.*)$", cd, re.I | re.S)
+            if pm:
+                inner, tail = _take_parens(pm.group(1))
+                if tail.strip() and not re.match(
+                    r"NOT\s+ENFORCED\s*$", tail.strip(), re.I
+                ):
+                    raise UnsupportedSQLError(f"bad PRIMARY KEY clause: {cd!r}")
+                pk = [c.strip().strip("`") for c in _split_top(inner)]
+                continue
+            name, _, typ = cd.partition(" ")
+            typ = typ.strip()
+            if typ and re.fullmatch(r"timestamp\s*\(\d+\)", typ, re.I):
+                # Flink's TIMESTAMP(6) = timestamp without time zone
+                cd = f"{name} timestamp_ntz"
+            elif typ and re.fullmatch(r"\w+", typ):
+                cd = f"{name} {_norm_type(typ)}"
+            cleaned.append(cd)
+        return ", ".join(cleaned), pk
 
     @staticmethod
     def _strip_column_defaults(schema_ddl: str) -> tuple[str, dict[str, object]]:

@@ -795,3 +795,31 @@ def test_alter_dialect_spellings(sql, spark):
     sql.sql("ALTER TABLE nsDia.t3 ADD COLUMN region VARCHAR DEFAULT 'eu'")
     got = sql.sql("SELECT id, region FROM nsDia.t3").collect()
     assert [(r["id"], r["region"]) for r in got] == [(1, "eu")]
+
+
+def test_create_flink_dialect(sql):
+    """Flink's CREATE spellings (flink_feature_tests.py:533-534,561,769):
+    WITH ('k'='v') properties, TIMESTAMP(6), and PRIMARY KEY (id) NOT
+    ENFORCED mapping to Iceberg identifier fields."""
+    sql.sql("CREATE NAMESPACE nsFl")
+    sql.sql(
+        """CREATE TABLE nsFl.t (id BIGINT, name STRING, amount DOUBLE, ts TIMESTAMP(6))
+           WITH ('format-version'='2')"""
+    )
+    t = sql.catalog.load_table("nsFl.t")
+    assert t.format_version == 2
+    assert {f.name: f.type for f in t.meta.current_schema.fields}["ts"] == "timestamp_ntz"
+    sql.sql(
+        """CREATE TABLE nsFl.up (id BIGINT, val STRING, PRIMARY KEY (id) NOT ENFORCED)
+           WITH ('format-version'='2', 'write.upsert.enabled'='true')"""
+    )
+    up = sql.catalog.load_table("nsFl.up")
+    assert up.identifier_fields() == ["id"]
+    assert up.properties["write.upsert.enabled"] == "true"
+    # a CTAS whose body leads with a CTE must not trip the WITH pass
+    sql.sql("INSERT INTO nsFl.t VALUES (1,'a',1.0,TIMESTAMP '2024-01-01 00:00:00')")
+    sql.sql(
+        "CREATE TABLE nsFl.c USING iceberg AS WITH x AS "
+        "(SELECT id FROM nsFl.t) SELECT * FROM x"
+    )
+    assert sql.sql("SELECT count(*) FROM nsFl.c").collect()[0][0] == 1
