@@ -358,6 +358,70 @@ class IceLiteSQL:
                     _meta_view,
                 )
 
+                # Flink's read-hint spelling: FROM tbl /*+ OPTIONS(
+                # 'snapshot-id'='N' | 'branch'='b' | 'tag'='t' |
+                # 'start-tag'='a','end-tag'='b') */
+                # (flink_feature_tests.py:1082,1185,1209-1211)
+                def _hint_view(m: re.Match, _ident=ident) -> str:
+                    opts = dict(
+                        re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(1))
+                    )
+                    t = self.catalog.load_table(_ident)
+                    unknown = set(opts) - {
+                        "snapshot-id", "branch", "tag", "start-tag", "end-tag",
+                    }
+                    if unknown:
+                        raise UnsupportedSQLError(
+                            f"unsupported OPTIONS hint keys: {sorted(unknown)}"
+                        )
+                    if "start-tag" in opts or "end-tag" in opts:
+                        if not ("start-tag" in opts and "end-tag" in opts):
+                            raise UnsupportedSQLError(
+                                "incremental hint needs BOTH start-tag and end-tag"
+                            )
+                        ref_map = t.meta.refs
+                        for k in ("start-tag", "end-tag"):
+                            if opts[k] not in ref_map:
+                                raise UnsupportedSQLError(
+                                    f"unknown tag {opts[k]!r} on {_ident}"
+                                )
+                        start = ref_map[opts["start-tag"]].snapshot_id
+                        end = ref_map[opts["end-tag"]].snapshot_id
+                        view = self._view_name(_ident, f"_inc{start}_{end}")
+                        t.read_incremental(start, end).createOrReplaceTempView(view)
+                        return view
+                    if "snapshot-id" in opts:
+                        sid = int(opts["snapshot-id"])
+                        view = self._view_name(_ident, f"_v{sid}")
+                        t.df(snapshot_id=sid).createOrReplaceTempView(view)
+                        return view
+                    if not opts:
+                        raise UnsupportedSQLError("empty OPTIONS hint")
+                    kind = "branch" if "branch" in opts else "tag"
+                    refname = opts[kind]
+                    r = t.meta.refs.get(refname)
+                    if refname != "main":
+                        if r is None:
+                            raise UnsupportedSQLError(
+                                f"unknown {kind} {refname!r} on {_ident}"
+                            )
+                        if r.type != kind:
+                            raise UnsupportedSQLError(
+                                f"{refname!r} on {_ident} is a {r.type}, "
+                                f"hinted as {kind}"
+                            )
+                    view = self._view_name(_ident, f"_r_{kind}_{refname}")
+                    t.df(ref=refname).createOrReplaceTempView(view)
+                    return view
+
+                text = self._sub_unquoted(
+                    text,
+                    re.compile(
+                        base + r"\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/", re.I
+                    ),
+                    _hint_view,
+                )
+
                 # branch/tag suffix reads — the reference's
                 # SELECT ... FROM {tbl}.branch_<name> / {tbl}.tag_<name>
                 # idiom (iceberg_feature_tests.py:895-898). Must run before

@@ -823,3 +823,45 @@ def test_create_flink_dialect(sql):
         "(SELECT id FROM nsFl.t) SELECT * FROM x"
     )
     assert sql.sql("SELECT count(*) FROM nsFl.c").collect()[0][0] == 1
+
+
+def test_flink_options_hints(sql):
+    """Flink's /*+ OPTIONS(...) */ read hints (flink_feature_tests.py:
+    1082,1185,1209-1211): snapshot-id time travel, branch/tag reads, and
+    the start-tag/end-tag incremental scan."""
+    sql.sql("CREATE NAMESPACE nsH")
+    sql.sql("CREATE TABLE nsH.t (id BIGINT, val STRING) USING iceberg")
+    sql.sql("INSERT INTO nsH.t VALUES (1,'a')")
+    sql.sql("INSERT INTO nsH.t VALUES (2,'b')")
+    t = sql.catalog.load_table("nsH.t")
+    snaps = [s.snapshot_id for s in t.meta.snapshots]
+    t.create_tag("tag1", snaps[0])
+    t.create_tag("tag2", snaps[1])
+
+    q = "SELECT count(*) FROM nsH.t /*+ OPTIONS('snapshot-id'='{}') */"
+    assert sql.sql(q.format(snaps[0])).collect()[0][0] == 1
+    assert (
+        sql.sql("SELECT count(*) FROM nsH.t /*+ OPTIONS('branch'='main') */")
+        .collect()[0][0]
+        == 2
+    )
+    assert (
+        sql.sql("SELECT count(*) FROM nsH.t /*+ OPTIONS('tag'='tag1') */")
+        .collect()[0][0]
+        == 1
+    )
+    inc = sql.sql(
+        "SELECT val FROM nsH.t /*+ OPTIONS('start-tag'='tag1','end-tag'='tag2') */"
+    ).collect()
+    assert [r["val"] for r in inc] == ["b"]
+
+    with pytest.raises(UnsupportedSQLError, match="unknown tag"):
+        sql.sql("SELECT * FROM nsH.t /*+ OPTIONS('tag'='nope') */")
+    with pytest.raises(UnsupportedSQLError, match="hint keys"):
+        sql.sql("SELECT * FROM nsH.t /*+ OPTIONS('streaming'='true') */")
+    with pytest.raises(UnsupportedSQLError, match="BOTH"):
+        sql.sql("SELECT * FROM nsH.t /*+ OPTIONS('start-tag'='tag1') */")
+
+    # Flink's backticked $-suffix metadata spelling: `tbl$refs`
+    refs = sql.sql("SELECT name, type FROM `nsH.t$refs`").collect()
+    assert {(r["name"], r["type"]) for r in refs} >= {("tag1", "tag"), ("tag2", "tag")}
