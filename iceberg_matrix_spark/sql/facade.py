@@ -358,6 +358,86 @@ class IceLiteSQL:
                     _meta_view,
                 )
 
+                # DuckDB's table-function spellings
+                # (duckdb_feature_tests.py:346,449): iceberg_metadata(t)
+                # — per-file rows with content 'EXISTING' /
+                # 'POSITION_DELETES' / 'EQUALITY_DELETES', lowercase
+                # file_format, record_count — and iceberg_snapshots(t)
+                def _func_view(m: re.Match, _ident=ident) -> str:
+                    func = m.group(1).lower()
+                    t = self.catalog.load_table(_ident)
+                    view = self._view_name(_ident, f"_f_{func}")
+                    if func == "iceberg_snapshots":
+                        from iceberg_matrix_spark.tables import (  # noqa: PLC0415
+                            metadata_tables as mt,
+                        )
+
+                        mt.snapshots(t).createOrReplaceTempView(view)
+                        return view
+                    snap = t._current_snapshot()
+                    rows = []
+                    if snap is not None:
+                        for f in snap.data_files:
+                            rows.append(
+                                (f.path, "EXISTING", "parquet", f.record_count)
+                            )
+                        for d in snap.delete_files:
+                            content = (
+                                "POSITION_DELETES"
+                                if d.content == 1
+                                else "EQUALITY_DELETES"
+                            )
+                            rows.append(
+                                (d.path, content, d.file_format.lower(), d.record_count)
+                            )
+                    local_df(
+                        self.spark,
+                        rows,
+                        "file_path string, content string, "
+                        "file_format string, record_count long",
+                    ).createOrReplaceTempView(view)
+                    return view
+
+                text = self._sub_unquoted(
+                    text,
+                    re.compile(
+                        r"(iceberg_metadata|iceberg_snapshots)\s*\(\s*"
+                        rf"(?:{re.escape(self.name)}\.)?{re.escape(ident)}\s*\)",
+                        re.I,
+                    ),
+                    _func_view,
+                )
+
+                # DuckDB's AT (VERSION => N) / AT (TIMESTAMP => 'ts')
+                # time-travel spelling (duckdb_feature_tests.py:453)
+                def _at_view(m: re.Match, _ident=ident) -> str:
+                    kind, val = m.group(1).upper(), m.group(2).strip()
+                    t = self.catalog.load_table(_ident)
+                    if kind == "VERSION":
+                        sid = int(val)
+                        view = self._view_name(_ident, f"_v{sid}")
+                        t.df(snapshot_id=sid).createOrReplaceTempView(view)
+                        return view
+                    from datetime import datetime, timezone  # noqa: PLC0415
+
+                    dt = datetime.fromisoformat(val.strip("'"))
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=timezone.utc)
+                    ms = int(dt.timestamp() * 1000)
+                    view = self._view_name(_ident, f"_t{ms}")
+                    t.df(as_of_timestamp_ms=ms).createOrReplaceTempView(view)
+                    return view
+
+                text = self._sub_unquoted(
+                    text,
+                    re.compile(
+                        base
+                        + r"\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>\s*([^)]+)\)",
+                        re.I,
+                    ),
+                    _at_view,
+                )
+
                 # Flink's read-hint spelling: FROM tbl /*+ OPTIONS(
                 # 'snapshot-id'='N' | 'branch'='b' | 'tag'='t' |
                 # 'start-tag'='a','end-tag'='b') */

@@ -865,3 +865,36 @@ def test_flink_options_hints(sql):
     # Flink's backticked $-suffix metadata spelling: `tbl$refs`
     refs = sql.sql("SELECT name, type FROM `nsH.t$refs`").collect()
     assert {(r["name"], r["type"]) for r in refs} >= {("tag1", "tag"), ("tag2", "tag")}
+
+
+def test_duckdb_dialect_reads(sql):
+    """DuckDB's read spellings (duckdb_feature_tests.py:346,449,453,530):
+    iceberg_metadata(t) with content codes and lowercase file_format,
+    iceberg_snapshots(t), and AT (VERSION => N) time travel."""
+    sql.sql("CREATE NAMESPACE nsDk")
+    sql.sql("CREATE TABLE nsDk.t (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO nsDk.t VALUES (1),(2),(3)")
+    sql.sql("ALTER TABLE nsDk.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    sql.sql("DELETE FROM nsDk.t WHERE id=2")
+
+    meta = sql.sql(
+        "SELECT content, file_format FROM iceberg_metadata(nsDk.t)"
+    ).collect()
+    assert any(
+        r["content"] == "POSITION_DELETES" and r["file_format"] == "parquet"
+        for r in meta
+    ), meta
+    total = sql.sql(
+        "SELECT sum(record_count) FROM iceberg_metadata(nsDk.t) WHERE content='EXISTING'"
+    ).collect()[0][0]
+    assert total == 3  # record_count counts written rows, pre-delete
+
+    snaps = sql.sql(
+        "SELECT snapshot_id FROM iceberg_snapshots(local.nsDk.t) ORDER BY sequence_number"
+    ).collect()
+    assert len(snaps) == 2
+    first = snaps[0][0]
+    old = sql.sql(
+        f"SELECT count(*) FROM nsDk.t AT (VERSION => {first})"
+    ).collect()[0][0]
+    assert old == 3
