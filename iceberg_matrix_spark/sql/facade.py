@@ -228,7 +228,62 @@ class IceLiteSQL:
             return self._describe(stmt)
         if verb == "SHOW":
             return self._show(stmt)
+        if verb in ("VACUUM", "OPTIMIZE", "ANALYZE"):
+            return self._maintenance_verb(verb, stmt)
+        if verb == "EXPLAIN":
+            return self._explain(stmt)
         raise UnsupportedSQLError(f"unsupported statement: {stmt[:60]!r}")
+
+    def _maintenance_verb(self, verb: str, stmt: str) -> DataFrame:
+        """The engine-survey maintenance spellings
+        (redshift_feature_tests.py:1136-1139): ``VACUUM t`` → orphan-file
+        cleanup, ``OPTIMIZE [TABLE] t`` → binpack compaction (also
+        ClickHouse's spelling), ``ANALYZE [TABLE] t [COMPUTE
+        STATISTICS]`` → NDV statistics — each the same operation its
+        CALL system.* procedure runs."""
+        from iceberg_matrix_spark.tables import maintenance as maint  # noqa: PLC0415
+
+        m = re.match(
+            rf"{verb}\s+(?:TABLE\s+)?({_IDENT})(\s+COMPUTE\s+STATISTICS)?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        t = self.table(m.group(1))
+        if verb == "VACUUM":
+            removed = maint.remove_orphan_files(t, dry_run=False)
+            result: dict = {"orphan_file_location_count": len(removed)}
+        elif verb == "OPTIMIZE":
+            result = dict(maint.rewrite_data_files(t))
+        else:
+            result = dict(maint.compute_table_statistics(t))
+        row = {
+            k: (v if isinstance(v, (bool, int, float, str)) or v is None else json.dumps(v))
+            for k, v in sorted(result.items())
+        }
+        return local_df(
+            self.spark,
+            [tuple(row.values())],
+            ", ".join(f"`{k}` {_lit_type(v)}" for k, v in row.items()),
+        )
+
+    def _explain(self, stmt: str) -> DataFrame:
+        """EXPLAIN SELECT ... — the Redshift suite's planner probe
+        (redshift_feature_tests.py:1386). Returns Spark's plan as a
+        1-column frame, after the same identifier substitution as any
+        read."""
+        m = re.match(r"EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+)?(.*)$", stmt, re.I | re.S)
+        body = m.group(2).strip()
+        if not re.match(r"(SELECT|WITH|VALUES)\b", body, re.I):
+            raise UnsupportedSQLError(f"EXPLAIN supports queries only: {body[:40]!r}")
+        mode = (m.group(1) or "simple").strip().lower()
+        df = self._run_select(body)
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            {"extended": "extended", "formatted": "formatted"}.get(mode, "simple")
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        return local_df(self.spark, [(plan,)], "plan string")
 
     # -------------------------------------------------------- identifiers
 

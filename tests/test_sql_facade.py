@@ -898,3 +898,26 @@ def test_duckdb_dialect_reads(sql):
         f"SELECT count(*) FROM nsDk.t AT (VERSION => {first})"
     ).collect()[0][0]
     assert old == 3
+
+
+def test_maintenance_verb_spellings(sql):
+    """The engine-survey maintenance verbs (redshift_feature_tests.py:
+    1136-1139): VACUUM / OPTIMIZE TABLE / ANALYZE as statement spellings
+    of the CALL procedures, plus EXPLAIN SELECT (:1386)."""
+    sql.sql("CREATE NAMESPACE nsMv")
+    _seed(sql, "nsMv.t")
+    sql.sql("INSERT INTO nsMv.t VALUES (4,'d')")
+
+    res = sql.sql("OPTIMIZE TABLE nsMv.t").collect()[0]
+    assert res["rewritten_data_files_count"] >= 1
+    res = sql.sql("VACUUM nsMv.t").collect()[0]
+    assert res["orphan_file_location_count"] >= 0
+    res = sql.sql("ANALYZE nsMv.t")
+    assert res.count() == 1
+    t = sql.catalog.load_table("nsMv.t")
+    assert t.meta.statistics  # ANALYZE registered a statistics entry
+
+    plan = sql.sql("EXPLAIN SELECT COUNT(*) FROM nsMv.t WHERE id > 2").collect()[0][0]
+    assert "Physical Plan" in plan or "Aggregate" in plan
+    with pytest.raises(UnsupportedSQLError, match="queries only"):
+        sql.sql("EXPLAIN DROP TABLE nsMv.t")
