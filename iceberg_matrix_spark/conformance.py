@@ -544,6 +544,38 @@ def t_sql_dml(ctx: Ctx) -> str:
         ).collect()[0][0]
         == 3
     )
+    # cross-engine dialect statements, run verbatim (round 4): Flink's
+    # WITH-properties CREATE + keyword-less ALTER (flink_feature_tests.py:
+    # 561,975-977), the OPTIONS snapshot-id hint (:1082), DuckDB's
+    # iceberg_snapshots table function (duckdb_feature_tests.py:449) and
+    # AT (VERSION => N) (:453), Redshift's maintenance verbs (:1136-1139)
+    dia = f"local.{ctx.table_name()}"
+    sql.sql(
+        f"CREATE TABLE {dia} (id BIGINT, name STRING) "
+        f"WITH ('format-version'='{fv}')"
+    )
+    sql.sql(f"INSERT INTO {dia} VALUES (1,'a')")
+    sql.sql(f"INSERT INTO {dia} VALUES (2,'b')")
+    sql.sql(f"ALTER TABLE {dia} ADD (age INT)")
+    sql.sql(f"ALTER TABLE {dia} RENAME name TO full_name")
+    sql.sql(f"ALTER TABLE {dia} DROP age")
+    first = sql.sql(
+        f"SELECT snapshot_id FROM iceberg_snapshots({dia}) "
+        "ORDER BY sequence_number LIMIT 1"
+    ).collect()[0][0]
+    assert (
+        sql.sql(
+            f"SELECT count(*) FROM {dia} /*+ OPTIONS('snapshot-id'='{first}') */"
+        ).collect()[0][0]
+        == 1
+    )
+    assert (
+        sql.sql(f"SELECT count(*) FROM {dia} AT (VERSION => {first})").collect()[0][0]
+        == 1
+    )
+    assert sql.sql(f"OPTIMIZE TABLE {dia}").collect()[0][
+        "rewritten_data_files_count"
+    ] >= 1
     if fv >= 3:
         # V3 column DEFAULT through the SQL DDL (iceberg_feature_tests.py:
         # 771-776)
@@ -554,6 +586,9 @@ def t_sql_dml(ctx: Ctx) -> str:
         )
         sql.sql(f"INSERT INTO {cd} (id) VALUES (1)")
         assert sql.sql(f"SELECT val FROM {cd} WHERE id=1").collect()[0][0] == "hello"
+        # DuckDB's V3 DDL spelling (duckdb_feature_tests.py:718)
+        sql.sql(f"ALTER TABLE {cd} ADD COLUMN region VARCHAR DEFAULT 'eu'")
+        assert sql.sql(f"SELECT region FROM {cd}").collect()[0][0] == "eu"
         sql.sql(f"DROP TABLE {cd} PURGE")
     sql.sql(f"DROP TABLE {src} PURGE")
     sql.sql(f"DROP TABLE {tbl} PURGE")
