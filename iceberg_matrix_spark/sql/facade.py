@@ -250,6 +250,12 @@ class IceLiteSQL:
         )
         if not m:
             raise UnsupportedSQLError(stmt)
+        if m.group(2) and verb != "ANALYZE":
+            # "VACUUM t COMPUTE STATISTICS" reads as a stats request — it
+            # must never silently run a destructive file cleanup
+            raise UnsupportedSQLError(
+                f"COMPUTE STATISTICS is an ANALYZE clause, not {verb}"
+            )
         t = self.table(m.group(1))
         if verb == "VACUUM":
             removed = maint.remove_orphan_files(t, dry_run=False)
@@ -258,6 +264,12 @@ class IceLiteSQL:
             result = dict(maint.rewrite_data_files(t))
         else:
             result = dict(maint.compute_table_statistics(t))
+        return self._result_df(result)
+
+    def _result_df(self, result: dict) -> DataFrame:
+        """One-row frame from a procedure result dict (shared by the CALL
+        surface and the VACUUM/OPTIMIZE/ANALYZE verb spellings, so both
+        spellings of an operation return identically-shaped rows)."""
         row = {
             k: (v if isinstance(v, (bool, int, float, str)) or v is None else json.dumps(v))
             for k, v in sorted(result.items())
@@ -274,6 +286,8 @@ class IceLiteSQL:
         1-column frame, after the same identifier substitution as any
         read."""
         m = re.match(r"EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+)?(.*)$", stmt, re.I | re.S)
+        if not m:
+            raise UnsupportedSQLError(stmt)
         body = m.group(2).strip()
         if not re.match(r"(SELECT|WITH|VALUES)\b", body, re.I):
             raise UnsupportedSQLError(f"EXPLAIN supports queries only: {body[:40]!r}")
@@ -295,17 +309,26 @@ class IceLiteSQL:
 
     def _resolve(self, ident: str) -> str:
         parts = [p.strip("`") for p in ident.strip().split(".")]
-        if len(parts) >= 3 and parts[0] == self.name:
+        if len(parts) >= 3 and parts[0].lower() == self.name.lower():
             parts = parts[1:]
         if len(parts) < 2:
             raise UnsupportedSQLError(
                 f"identifier must be [{self.name}.]namespace.table: {ident!r}"
             )
-        return ".".join(parts)
+        joined = ".".join(parts)
+        if not self.catalog.table_exists(joined):
+            # identifiers are case-insensitive everywhere in the facade
+            # (Spark SQL semantics) — canonicalize against the catalog
+            lower = joined.lower()
+            for ns in self.catalog.list_namespaces():
+                for tbl in self.catalog.list_tables(ns):
+                    if f"{ns}.{tbl}".lower() == lower:
+                        return f"{ns}.{tbl}"
+        return joined
 
     def _resolve_ns(self, ident: str) -> str:
         parts = [p.strip("`") for p in ident.strip().split(".")]
-        if len(parts) >= 2 and parts[0] == self.name:
+        if len(parts) >= 2 and parts[0].lower() == self.name.lower():
             parts = parts[1:]
         return ".".join(parts)
 
@@ -321,6 +344,53 @@ class IceLiteSQL:
 
         digest = hashlib.md5((identifier + suffix).encode()).hexdigest()[:8]
         return "icelite_" + re.sub(r"\W", "_", identifier + suffix) + "_" + digest
+
+    # Shared snapshot/timestamp/ref view builders: every dialect spelling
+    # of the same read (VERSION AS OF / AT (VERSION =>) / OPTIONS hint /
+    # suffix identifier) must resolve through ONE implementation so the
+    # semantics and error contract can't drift between spellings.
+
+    def _snapshot_view(self, ident: str, val: str) -> str:
+        try:
+            sid = int(str(val).strip().strip("'"))
+        except ValueError:
+            raise UnsupportedSQLError(
+                f"snapshot id must be an integer: {val!r}"
+            ) from None
+        view = self._view_name(ident, f"_v{sid}")
+        self.catalog.load_table(ident).df(snapshot_id=sid).createOrReplaceTempView(view)
+        return view
+
+    def _timestamp_view(self, ident: str, val: str) -> str:
+        try:
+            dt = datetime.fromisoformat(str(val).strip().strip("'"))
+        except ValueError:
+            raise UnsupportedSQLError(
+                f"time-travel timestamp must be ISO format: {val!r}"
+            ) from None
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        ms = int(dt.timestamp() * 1000)
+        view = self._view_name(ident, f"_t{ms}")
+        self.catalog.load_table(ident).df(
+            as_of_timestamp_ms=ms
+        ).createOrReplaceTempView(view)
+        return view
+
+    def _ref_read_view(self, ident: str, kind: str, refname: str) -> str:
+        t = self.catalog.load_table(ident)
+        r = t.meta.refs.get(refname)
+        # "main" is implicitly a branch even before refs materialize
+        if not (kind == "branch" and refname == "main"):
+            if r is None:
+                raise UnsupportedSQLError(f"unknown {kind} {refname!r} on {ident}")
+            if r.type != kind:
+                raise UnsupportedSQLError(
+                    f"{refname!r} on {ident} is a {r.type}, referenced as {kind}"
+                )
+        view = self._view_name(ident, f"_r_{kind}_{refname}")
+        t.df(ref=refname).createOrReplaceTempView(view)
+        return view
 
     def _sub_unquoted(self, text: str, pat: re.Pattern, repl) -> str:
         """re.sub that skips matches inside string literals — substituting
@@ -467,21 +537,9 @@ class IceLiteSQL:
                 # time-travel spelling (duckdb_feature_tests.py:453)
                 def _at_view(m: re.Match, _ident=ident) -> str:
                     kind, val = m.group(1).upper(), m.group(2).strip()
-                    t = self.catalog.load_table(_ident)
                     if kind == "VERSION":
-                        sid = int(val)
-                        view = self._view_name(_ident, f"_v{sid}")
-                        t.df(snapshot_id=sid).createOrReplaceTempView(view)
-                        return view
-                    from datetime import datetime, timezone  # noqa: PLC0415
-
-                    dt = datetime.fromisoformat(val.strip("'"))
-                    if dt.tzinfo is None:
-                        dt = dt.replace(tzinfo=timezone.utc)
-                    ms = int(dt.timestamp() * 1000)
-                    view = self._view_name(_ident, f"_t{ms}")
-                    t.df(as_of_timestamp_ms=ms).createOrReplaceTempView(view)
-                    return view
+                        return self._snapshot_view(_ident, val)
+                    return self._timestamp_view(_ident, val)
 
                 text = self._sub_unquoted(
                     text,
@@ -516,9 +574,18 @@ class IceLiteSQL:
                             )
                         ref_map = t.meta.refs
                         for k in ("start-tag", "end-tag"):
-                            if opts[k] not in ref_map:
+                            r = ref_map.get(opts[k])
+                            if r is None:
                                 raise UnsupportedSQLError(
                                     f"unknown tag {opts[k]!r} on {_ident}"
+                                )
+                            if r.type != "tag":
+                                # a branch head MOVES — an incremental
+                                # range between branches is not the
+                                # tag-to-tag contract; reject, don't guess
+                                raise UnsupportedSQLError(
+                                    f"{opts[k]!r} on {_ident} is a "
+                                    f"{r.type}, hinted as tag"
                                 )
                         start = ref_map[opts["start-tag"]].snapshot_id
                         end = ref_map[opts["end-tag"]].snapshot_id
@@ -526,28 +593,11 @@ class IceLiteSQL:
                         t.read_incremental(start, end).createOrReplaceTempView(view)
                         return view
                     if "snapshot-id" in opts:
-                        sid = int(opts["snapshot-id"])
-                        view = self._view_name(_ident, f"_v{sid}")
-                        t.df(snapshot_id=sid).createOrReplaceTempView(view)
-                        return view
+                        return self._snapshot_view(_ident, opts["snapshot-id"])
                     if not opts:
                         raise UnsupportedSQLError("empty OPTIONS hint")
                     kind = "branch" if "branch" in opts else "tag"
-                    refname = opts[kind]
-                    r = t.meta.refs.get(refname)
-                    if refname != "main":
-                        if r is None:
-                            raise UnsupportedSQLError(
-                                f"unknown {kind} {refname!r} on {_ident}"
-                            )
-                        if r.type != kind:
-                            raise UnsupportedSQLError(
-                                f"{refname!r} on {_ident} is a {r.type}, "
-                                f"hinted as {kind}"
-                            )
-                    view = self._view_name(_ident, f"_r_{kind}_{refname}")
-                    t.df(ref=refname).createOrReplaceTempView(view)
-                    return view
+                    return self._ref_read_view(_ident, kind, opts[kind])
 
                 text = self._sub_unquoted(
                     text,
@@ -564,21 +614,7 @@ class IceLiteSQL:
                 # base name and silently read `main` — wrong DATA, not an
                 # error.
                 def _ref_view(m: re.Match, _ident=ident) -> str:
-                    kind, refname = m.group(1).lower(), m.group(2)
-                    t = self.catalog.load_table(_ident)
-                    ref = t.meta.refs.get(refname)
-                    if ref is None:
-                        raise UnsupportedSQLError(
-                            f"unknown {kind} {refname!r} on {_ident}"
-                        )
-                    if ref.type != kind:
-                        raise UnsupportedSQLError(
-                            f"{refname!r} on {_ident} is a {ref.type}, "
-                            f"referenced as {kind}_"
-                        )
-                    view = self._view_name(_ident, f"_r_{kind}_{refname}")
-                    t.df(ref=refname).createOrReplaceTempView(view)
-                    return view
+                    return self._ref_read_view(_ident, m.group(1).lower(), m.group(2))
 
                 text = self._sub_unquoted(
                     text,
@@ -587,12 +623,7 @@ class IceLiteSQL:
                 )
 
                 def _tt_view(m: re.Match, _ident=ident) -> str:
-                    sid = int(m.group(1))
-                    view = self._view_name(_ident, f"_v{sid}")
-                    self.catalog.load_table(_ident).df(
-                        snapshot_id=sid
-                    ).createOrReplaceTempView(view)
-                    return view
+                    return self._snapshot_view(_ident, m.group(1))
 
                 # VERSION AS OF plus the Redshift/engine-survey spellings
                 # FOR [SYSTEM_]VERSION AS OF (redshift_feature_tests.py:
@@ -608,17 +639,7 @@ class IceLiteSQL:
                 )
 
                 def _ts_view(m: re.Match, _ident=ident) -> str:
-                    from datetime import datetime, timezone  # noqa: PLC0415
-
-                    dt = datetime.fromisoformat(m.group(1))
-                    if dt.tzinfo is None:
-                        dt = dt.replace(tzinfo=timezone.utc)
-                    ms = int(dt.timestamp() * 1000)
-                    view = self._view_name(_ident, f"_t{ms}")
-                    self.catalog.load_table(_ident).df(
-                        as_of_timestamp_ms=ms
-                    ).createOrReplaceTempView(view)
-                    return view
+                    return self._timestamp_view(_ident, m.group(1))
 
                 # TIMESTAMP AS OF plus FOR [SYSTEM_TIME|TIMESTAMP] AS OF
                 text = self._sub_unquoted(
@@ -1360,11 +1381,7 @@ class IceLiteSQL:
             result = {"added_files_count": n}
         else:  # pragma: no cover — _PROC_ARGS gate rejects unknown procs above
             raise UnsupportedSQLError(f"unknown procedure: system.{proc}")
-        row = {
-            k: (v if isinstance(v, (bool, int, float, str)) or v is None else json.dumps(v))
-            for k, v in sorted(result.items())
-        }
-        return local_df(self.spark, [tuple(row.values())], ", ".join(f"`{k}` {_lit_type(v)}" for k, v in row.items()))
+        return self._result_df(result)
 
     @staticmethod
     def _call_bool(text: str, param: str) -> bool:

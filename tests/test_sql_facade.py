@@ -921,3 +921,32 @@ def test_maintenance_verb_spellings(sql):
     assert "Physical Plan" in plan or "Aggregate" in plan
     with pytest.raises(UnsupportedSQLError, match="queries only"):
         sql.sql("EXPLAIN DROP TABLE nsMv.t")
+
+
+def test_dialect_error_contract(sql):
+    """Malformed dialect values raise typed UnsupportedSQLError, the
+    module's fail-loudly contract: bad AT values, branch-typed tags in
+    hints, COMPUTE STATISTICS on a destructive verb, bare EXPLAIN, and
+    case-mangled identifiers on the verb surface."""
+    sql.sql("CREATE NAMESPACE nsEc")
+    _seed(sql, "nsEc.t")
+    with pytest.raises(UnsupportedSQLError, match="integer"):
+        sql.sql("SELECT * FROM nsEc.t AT (VERSION => 'abc')")
+    with pytest.raises(UnsupportedSQLError, match="ISO"):
+        sql.sql("SELECT * FROM nsEc.t AT (TIMESTAMP => 'nope')")
+    with pytest.raises(UnsupportedSQLError, match="integer"):
+        sql.sql("SELECT * FROM nsEc.t /*+ OPTIONS('snapshot-id'='abc') */")
+    sql.sql("ALTER TABLE nsEc.t CREATE BRANCH devb")
+    with pytest.raises(UnsupportedSQLError, match="hinted as tag"):
+        sql.sql(
+            "SELECT * FROM nsEc.t /*+ OPTIONS('start-tag'='devb','end-tag'='devb') */"
+        )
+    with pytest.raises(UnsupportedSQLError, match="is a branch"):
+        sql.sql("SELECT * FROM nsEc.t /*+ OPTIONS('tag'='main') */")
+    with pytest.raises(UnsupportedSQLError, match="ANALYZE clause"):
+        sql.sql("VACUUM nsEc.t COMPUTE STATISTICS")
+    with pytest.raises(UnsupportedSQLError):
+        sql.sql("EXPLAIN")
+    # the verb surface honors facade-wide identifier case-insensitivity
+    res = sql.sql("OPTIMIZE TABLE LOCAL.NSEC.T")
+    assert "rewritten_data_files_count" in res.columns
