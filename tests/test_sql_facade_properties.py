@@ -251,3 +251,30 @@ def test_select_case_mangled_identifier(fz, spark, rows, pred, seed):
     got = _rows(fz.sql(f"SELECT id, val, num FROM {spelled} WHERE {pred}"))
     want = _rows(spark.sql(f"SELECT id, val, num FROM {view} WHERE {pred}"))
     assert got == want, spelled
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_time_travel_spellings_agree(fz, spark, rows, data):
+    """Every dialect spelling of the same snapshot read — VERSION AS OF,
+    FOR SYSTEM_VERSION AS OF, AT (VERSION => N), and the OPTIONS
+    snapshot-id hint — must return identical rows (they now share one
+    _snapshot_view helper; this pins the equivalence against drift)."""
+    ident = _fresh_table(fz, rows[: len(rows) // 2 or 1])
+    fz.sql(f"INSERT INTO local.{ident} VALUES {_values_sql(rows[len(rows) // 2 or 1:])}"
+           ) if rows[len(rows) // 2 or 1:] else None
+    snaps = [
+        r[0]
+        for r in fz.sql(
+            f"SELECT snapshot_id FROM local.{ident}.snapshots ORDER BY committed_at"
+        ).collect()
+    ]
+    sid = data.draw(st.sampled_from(snaps))
+    spellings = [
+        f"SELECT id, val, num FROM local.{ident} VERSION AS OF {sid}",
+        f"SELECT id, val, num FROM local.{ident} FOR SYSTEM_VERSION AS OF {sid}",
+        f"SELECT id, val, num FROM local.{ident} AT (VERSION => {sid})",
+        f"SELECT id, val, num FROM local.{ident} /*+ OPTIONS('snapshot-id'='{sid}') */",
+    ]
+    results = [_rows(fz.sql(q)) for q in spellings]
+    assert all(r == results[0] for r in results[1:]), (sid, results)
