@@ -416,6 +416,62 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_lsh(emb, threshold=0.4)
 
 
+def semantic_dedup_verdicts(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): one row per embedding with ``keep`` = false when a
+    LOWER-id embedding is cosine-similar at ≥ threshold — the
+    deterministic min-id representative rule the exact-dedup family uses.
+
+    Scale path: candidate pairs come from the banded hyperplane LSH join
+    (:func:`embedding_neardup_lsh` — shuffle ∝ bucket collisions, never a
+    theta join), then exact-cosine verification. SemDeDup's k-means
+    cluster-scoping is the same shape with learned buckets
+    (:func:`ivf_build_centroids` supplies those); the hyperplane buckets
+    are used here because they are deterministic, which keeps the verdict
+    column exactly reproducible by the all-pairs oracle."""
+    pairs = embedding_neardup_lsh(df, id_col, vec_col, threshold=threshold)
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
+        "__dup", F.lit(True)
+    )
+    return (
+        df.select(id_col)
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+@register(
+    "q_dedup_semantic",
+    oracle="""
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a
+      JOIN embeddings b
+        ON a.vec_id < b.vec_id
+       AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
+    )
+    SELECT e.vec_id, (d.vec_id IS NULL) AS keep
+    FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup verdict per embedding: drop every row with a
+    lower-id cosine-≥0.4 neighbor, keep the rest. Computed via LSH
+    candidates + exact verify; the oracle recomputes the same verdicts
+    from the all-pairs join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_verdicts(emb, "vec_id", "embedding", threshold=0.4)
+
+
 @register(
     "q_ann_lsh_topk",
     oracle=f"""
