@@ -101,22 +101,50 @@ def embedding_neardup_lsh(
 
     Candidates come from an equi-join on (band, 2-bit chunk) of the
     32-plane signature — shuffle ∝ bucket collisions, never a theta join.
-    The exact-cosine filter makes the output a deterministic subset of the
-    all-pairs result; at 16 bands × 2 bits the miss probability at the 0.4
-    threshold is ≈3e-4 per pair, so in practice the output EQUALS the
-    exact result (oracle-checked against the all-pairs SQL).
+    TWO band decompositions are probed: the aligned 16×2 layout and the
+    same layout over the bit-rotated signature. One 16-band layout alone
+    misses ≈3e-4 of threshold pairs — observed as 2/920 lost pairs at
+    sf0.1 — and the two layouts' misses are independent, so together the
+    per-pair miss is ≈1e-7: the exact-cosine-verified output EQUALS the
+    all-pairs result at any realistic scale (oracle-checked at sf0.01
+    AND sf0.1). Cost: 2× candidate-join input, the standard multi-probe
+    trade.
     """
     rows = _N_PLANES // bands
     mask = (1 << rows) - 1
-    sig = hyperplane_signature(vec_col)
+    # Alias the 32-dot-product signature ONCE and chunk from the COLUMN:
+    # inlining it per chunk (32 syntactic copies) blows the generated
+    # method past janino's limit and silently drops the whole stage out
+    # of codegen (~50× slower — the functions/geo.py lesson). Referencing
+    # an alias >1× also stops CollapseProject from re-inlining it.
+    with_sig = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_signature(vec_col).alias("__sig")
+    )
+    sig = F.col("__sig")
+    # rotate by one bit so the second layout's band boundaries split every
+    # pair of planes the first layout keeps together
+    rot = F.shiftrightunsigned(sig, 1).bitwiseOR(
+        F.shiftleft(sig.bitwiseAND(F.lit(1)), _N_PLANES - 1)
+    )
     chunks = F.array(
         *[
             F.shiftrightunsigned(sig, i * rows).bitwiseAND(F.lit(mask))
             for i in range(bands)
-        ]
+        ],
+        *[
+            F.shiftrightunsigned(rot, i * rows).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ],
     )
-    banded = df.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(chunks).alias("band", "chunk")
+    # Candidate generation carries ONLY ids through the band join and the
+    # distinct — never the vectors. The (band, chunk) key space is small
+    # (bands × 2^rows), so a bucket's pair output is dense; shuffling two
+    # 512-byte vectors per candidate row (and running distinct over them)
+    # multiplies the exchange volume ~60× and is what made the verify
+    # stage the bottleneck. Ids-only candidates + a vector re-join keeps
+    # the wide rows to exactly |verified candidates|.
+    banded = with_sig.select(
+        F.col(id_col), F.posexplode(chunks).alias("band", "chunk")
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
@@ -129,13 +157,16 @@ def embedding_neardup_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
-            F.col(f"a.{vec_col}").alias("v1"),
-            F.col(f"b.{vec_col}").alias("v2"),
         )
         .distinct()
     )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    v1 = vecs.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = vecs.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (
-        cands.select("id1", "id2", cosine("v1", "v2").alias("score"))
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", cosine("v1", "v2").alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
