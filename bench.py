@@ -78,6 +78,10 @@ HEADLINE = [
     # inverted index (shuffle ∝ batch, never the corpus)
     "q_dedup_incremental",
     "q_dedup_incremental_ngram",
+    # round 4, third wave: SemDeDup-style verdicts over the multi-probe
+    # LSH candidate join (ids-only dedup + vector re-join — the widest
+    # candidate fan-out in the suite, kept honest here)
+    "q_dedup_semantic",
 ]
 
 

@@ -111,6 +111,7 @@ FEATURES = [
     ("horizon-catalog", "Horizon catalog", "catalog"),
     ("metadata-location-sink", "Metadata-location sink (S3/boto3)", "write"),
     ("interop-duckdb-read", "Second-engine read (DuckDB over live files)", "read"),
+    ("path-read-dialect", "Path table-function read (icebergLocal/iceberg_scan)", "read"),
     ("add-files", "add_files adoption of foreign parquet", "write"),
     ("sort-order-rewrite", "Sort-order clustering compaction", "maintenance"),
     ("zorder-clustering", "Z-order multi-dimension clustering", "maintenance"),
@@ -128,7 +129,7 @@ FEATURES = [
 # (or is a registered honest skip). Kept exhaustive by
 # tests/test_conformance.py::test_reference_feature_crosswalk.
 REFERENCE_FEATURE_MAP: dict[str, list[str]] = {
-    "read-support": ["read-support"],
+    "read-support": ["read-support", "path-read-dialect"],
     "write-insert": ["insert-into", "insert-overwrite", "ctas"],
     "write-merge-update-delete": [
         "merge-into", "row-update", "row-delete-cow", "sql-dml",
@@ -644,6 +645,53 @@ def t_sql_refs(ctx: Ctx) -> str:
     except UnsupportedSQLError:
         pass
     sql.sql(f"DROP TABLE {tbl} PURGE")
+    return "pass"
+
+
+@conformance_test("path-read-dialect")
+def t_path_read_dialect(ctx: Ctx) -> str:
+    """ClickHouse's path table function, verbatim shape
+    (clickhouse_feature_tests.py:209 ``SELECT count(*) FROM
+    icebergLocal('<table dir>')``), plus DuckDB's ``iceberg_scan`` alias.
+    Asserts the same observables the reference's ClickHouse suite checks
+    through this spelling: plain read (:209), MoR position-delete read
+    (:255), equality-delete read (:317), and post-evolution read with
+    NULL backfill (:413)."""
+    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
+
+    sql = IceLiteSQL(ctx.spark, ctx.catalog)
+    t = ctx.create("id bigint, val string")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(
+        ctx.spark.sql("SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c') v(id, val)")
+        .coalesce(1)
+    )
+    loc = t.location
+    n = sql.sql(f"SELECT count(*) FROM icebergLocal('{loc}')").collect()[0][0]
+    assert n == 3, n
+    t.delete("id = 2")  # MoR: position deletes must apply through the path read
+    ids = [
+        r[0]
+        for r in sql.sql(
+            f"SELECT id FROM icebergLocal('{loc}') ORDER BY id"
+        ).collect()
+    ]
+    assert ids == [1, 3], ids
+    t.upsert(
+        ctx.spark.sql("SELECT * FROM VALUES (3,'c2') v(id, val)"), ["id"]
+    )  # equality delete + replacement row in one snapshot
+    got = {
+        r["id"]: r["val"]
+        for r in sql.sql(f"SELECT * FROM iceberg_scan('{loc}')").collect()
+    }
+    assert got == {1: "a", 3: "c2"}, got
+    t.add_columns({"age": "int"})
+    t.append(ctx.spark.sql("SELECT * FROM VALUES (4,'d',30) v(id, val, age)"))
+    rows = {
+        r["id"]: r["age"]
+        for r in sql.sql(f"SELECT id, age FROM icebergLocal('{loc}')").collect()
+    }
+    assert rows == {1: None, 3: None, 4: 30}, rows
     return "pass"
 
 

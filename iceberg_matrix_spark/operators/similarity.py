@@ -442,7 +442,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs at cosine ≥ 0.4, computed the
     scale-safe way: LSH band-join candidates + exact cosine verification
     (no theta join in the plan). The oracle is the all-pairs SQL — the
-    verified LSH output equals it (misses ≈3e-4/pair at the threshold)."""
+    verified multi-probe output equals it (per-pair miss ≈1e-7 at the
+    threshold; checked exact at sf0.01 and sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh(emb, threshold=0.4)
 

@@ -431,6 +431,29 @@ class IceLiteSQL:
             for ns in self.catalog.list_namespaces()
             for tbl in self.catalog.list_tables(ns)
         }
+        # ClickHouse's path table function (clickhouse_feature_tests.py:
+        # 189,209: SELECT ... FROM icebergLocal('<table dir>')) — the only
+        # engine dialect in the reference that addresses a table by
+        # LOCATION instead of catalog identifier. Resolved through the
+        # same read-only location ctor the path-based scan uses, so MoR
+        # deletes / schema evolution / type promotion behave identically
+        # to a catalog read (the exact features the reference's ClickHouse
+        # suite checks through this spelling, :243-470). DuckDB's
+        # path spelling ``iceberg_scan('<path>')``
+        # (duckdb_feature_tests.py:11) is the same shape.
+        def _path_func_view(m: re.Match) -> str:
+            path = m.group(1)
+            t = IceLiteTable(self.spark, path)
+            view = self._view_name(path, "_pathfn")
+            t.df().createOrReplaceTempView(view)
+            return view
+
+        text = self._sub_unquoted(
+            text,
+            re.compile(r"\biceberg(?:Local|_scan)?\s*\(\s*'([^']+)'\s*\)", re.I),
+            _path_func_view,
+        )
+
         tops = {i for i, _c, _d, quoted in _scan_top(text) if not quoted}
         referenced: set[str] = set()
         # trailing segments may start with a digit (ns.2024data); the

@@ -900,6 +900,40 @@ def test_duckdb_dialect_reads(sql):
     assert old == 3
 
 
+def test_clickhouse_path_function_reads(sql):
+    """ClickHouse's path table function (clickhouse_feature_tests.py:209
+    ``SELECT count(*) FROM icebergLocal('<dir>')``) and DuckDB's
+    ``iceberg_scan`` alias resolve through the read-only location ctor:
+    MoR deletes apply, joins against catalog identifiers compose, and a
+    literal that merely CONTAINS the spelling stays untouched."""
+    sql.sql("CREATE NAMESPACE nsCh")
+    sql.sql("CREATE TABLE nsCh.t (id BIGINT, val STRING) USING iceberg")
+    sql.sql("INSERT INTO nsCh.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql.sql("ALTER TABLE nsCh.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    sql.sql("DELETE FROM nsCh.t WHERE id=2")
+    loc = sql.catalog.load_table("nsCh.t").location
+
+    assert (
+        sql.sql(f"SELECT count(*) FROM icebergLocal('{loc}')").collect()[0][0] == 2
+    )
+    # case-insensitive spelling, and the alias composes with a catalog read
+    joined = sql.sql(
+        f"SELECT count(*) FROM iceberglocal('{loc}') p JOIN nsCh.t c ON p.id = c.id"
+    ).collect()[0][0]
+    assert joined == 2
+    assert (
+        sql.sql(f"SELECT sum(id) FROM iceberg_scan('{loc}')").collect()[0][0] == 4
+    )
+    # quote-awareness: the function written INSIDE a string literal is data
+    lit = sql.sql(
+        f"SELECT 'icebergLocal(''{loc}'')' AS s FROM nsCh.t WHERE id=1"
+    ).collect()[0][0]
+    assert lit == f"icebergLocal('{loc}')"
+    # missing table directory fails loudly
+    with pytest.raises(Exception, match="no table at"):
+        sql.sql("SELECT * FROM icebergLocal('/tmp/definitely-not-a-table-xyz')")
+
+
 def test_maintenance_verb_spellings(sql):
     """The engine-survey maintenance verbs (redshift_feature_tests.py:
     1136-1139): VACUUM / OPTIMIZE TABLE / ANALYZE as statement spellings
