@@ -21,6 +21,11 @@ parity can be checked feature by feature.
 """
 
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+from iceberg_matrix_spark.tables.daft_shape import (
+    from_pydict,
+    read_iceberg,
+    write_iceberg,
+)
 from iceberg_matrix_spark.tables.table import IceLiteTable
 from iceberg_matrix_spark.tables.transforms import (
     BucketTransform,
@@ -35,6 +40,9 @@ from iceberg_matrix_spark.tables.transforms import (
 __all__ = [
     "IceLiteCatalog",
     "IceLiteTable",
+    "read_iceberg",
+    "write_iceberg",
+    "from_pydict",
     "BucketTransform",
     "DayTransform",
     "HourTransform",
