@@ -109,6 +109,20 @@ def embedding_neardup_lsh(
     all-pairs result at any realistic scale (oracle-checked at sf0.01
     AND sf0.1). Cost: 2× candidate-join input, the standard multi-probe
     trade.
+
+    COST MODEL (be honest about what a 0.4 threshold costs): a band with
+    ``r`` bits splits n rows into 2^r buckets, so candidate volume is
+    ≈ 2·bands·n²/2^r id-pairs — the low threshold forces coarse buckets
+    (r=2 here; finer buckets lose recall at 63% per-bit match
+    probability), which makes global exact near-dup near-quadratic in
+    *16-byte id rows* (never in vectors — those join back only for the
+    |candidates| that survive dedup). At corpus scale the quadratic term
+    is removed by SCOPING, not by more bands: assign IVF cluster ids
+    first (:func:`ivf_build_centroids`) and run this within cluster —
+    SemDeDup's design (arXiv:2303.09540) — which this function supports
+    by being called per-partition of any upstream grouping. The global
+    form here is the oracle-reproducible variant for the registered
+    queries.
     """
     rows = _N_PLANES // bands
     mask = (1 << rows) - 1
