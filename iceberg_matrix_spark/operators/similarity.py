@@ -124,6 +124,10 @@ def embedding_neardup_lsh(
     form here is the oracle-reproducible variant for the registered
     queries.
     """
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
     rows = _N_PLANES // bands
     mask = (1 << rows) - 1
     # Alias the 32-dot-product signature ONCE and chunk from the COLUMN:
@@ -131,7 +135,11 @@ def embedding_neardup_lsh(
     # method past janino's limit and silently drops the whole stage out
     # of codegen (~50× slower — the functions/geo.py lesson). Referencing
     # an alias >1× also stops CollapseProject from re-inlining it.
-    with_sig = df.select(
+    # ensure_compute_parallelism: a single-file corpus otherwise plans
+    # the 32-dot-product projection AND the whole candidate join as ONE
+    # task (no-op at scale, where the scan already has ≥cores splits).
+    base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    with_sig = base.select(
         F.col(id_col), F.col(vec_col), hyperplane_signature(vec_col).alias("__sig")
     )
     sig = F.col("__sig")
@@ -150,17 +158,46 @@ def embedding_neardup_lsh(
             for i in range(bands)
         ],
     )
-    # Candidate generation carries ONLY ids through the band join and the
-    # distinct — never the vectors. The (band, chunk) key space is small
-    # (bands × 2^rows), so a bucket's pair output is dense; shuffling two
-    # 512-byte vectors per candidate row (and running distinct over them)
-    # multiplies the exchange volume ~60× and is what made the verify
-    # stage the bottleneck. Ids-only candidates + a vector re-join keeps
-    # the wide rows to exactly |verified candidates|.
+    # Candidate generation carries ONLY ids + the 8-byte signature through
+    # the band join — never the vectors (shuffling two 512-byte vectors
+    # per candidate row multiplied the exchange ~60× and made the verify
+    # stage the bottleneck). Pair dedup is SHUFFLE-FREE: a pair colliding
+    # in k bands is emitted k times by the join, but each copy can see,
+    # from the two signatures alone, every band the pair collides in —
+    # so keep exactly the copy whose band is the FIRST collision. That
+    # inline filter (bit ops on sig XOR, same codegen stage as the join)
+    # replaces a .distinct() exchange over the full candidate volume
+    # (16M rows at sf0.1) with zero data movement.
     banded = with_sig.select(
-        F.col(id_col), F.posexplode(chunks).alias("band", "chunk")
+        F.col(id_col), F.col("__sig"), F.posexplode(chunks).alias("band", "chunk")
     )
     a, b = banded.alias("a"), banded.alias("b")
+    x = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
+    # chunk j of layout L collides iff the XOR's j-th chunk is all-zero;
+    # rotation commutes with XOR, so layout 2's collisions read off
+    # rot(x). array_position gives the first colliding band (1-based;
+    # 0 = none).
+    xr = F.shiftrightunsigned(x, 1).bitwiseOR(
+        F.shiftleft(x.bitwiseAND(F.lit(1)), _N_PLANES - 1)
+    )
+
+    def _first_collision(z: F.Column) -> F.Column:
+        return F.array_position(
+            F.array(
+                *[
+                    F.shiftrightunsigned(z, j * rows).bitwiseAND(F.lit(mask))
+                    == F.lit(0)
+                    for j in range(bands)
+                ]
+            ),
+            F.lit(True),
+        )
+
+    band = F.col("a.band")
+    first1, first2 = _first_collision(x), _first_collision(xr)
+    is_first = F.when(band < bands, band == first1 - 1).otherwise(
+        (first1 == 0) & (band - bands == first2 - 1)
+    )
     cands = (
         a.join(
             b,
@@ -168,11 +205,11 @@ def embedding_neardup_lsh(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(is_first)
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
         )
-        .distinct()
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
     v1 = vecs.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
