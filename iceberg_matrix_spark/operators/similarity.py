@@ -31,11 +31,12 @@ _DIM = 64
 _N_PLANES = 32
 _rng = random.Random(7)
 # Deterministic random hyperplanes (module constants → identical on every
-# executor and every run). 32 planes banded as 16 bands × 2 bits: the
-# per-pair miss probability at cosine 0.4 is (1 - p²)¹⁶ ≈ 3e-4 with
-# p = 1 - arccos(0.4)/π ≈ 0.63 — low enough that LSH-candidates + exact
-# verification reproduces the exact result (asserted in tests and by the
-# DuckDB oracles below).
+# executor and every run). 32 planes banded as 16 bands × 2 bits: one
+# layout's per-pair miss probability at cosine 0.4 is (1 - p²)¹⁶ ≈ 3e-4
+# with p = 1 - arccos(0.4)/π ≈ 0.63; the near-dup path probes a SECOND,
+# bit-rotated band layout, driving the joint miss to ≈1e-7 — so
+# LSH-candidates + exact verification reproduces the exact result
+# (asserted in tests and by the DuckDB oracles below).
 _PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)]
 _BANDS = 16
 

@@ -587,3 +587,79 @@ def test_duplicate_spans_match_naive_model(spark, docs, k):
         ).collect()
     }
     assert got == _model_spans(rows, k)
+
+
+# ---------------------------------------------------------------- LSH dedup
+
+
+def _model_lsh_candidates(vecs: list[list[float]]) -> set[tuple[int, int]]:
+    """Python model of the multi-probe banded candidate set: pairs whose
+    signatures share ≥1 chunk in the aligned layout OR the bit-rotated
+    layout — the set embedding_neardup_lsh must emit EXACTLY ONCE each
+    (its first-colliding-band filter replaces a distinct)."""
+    from iceberg_matrix_spark.operators.similarity import (
+        _BANDS,
+        _N_PLANES,
+        _PLANES,
+    )
+
+    rows = _N_PLANES // _BANDS
+    mask = (1 << rows) - 1
+
+    def sig(v):
+        s = 0
+        for i, plane in enumerate(_PLANES):
+            d = 0.0
+            for a, b in zip(v, plane):
+                d += a * b
+            if d > 0:
+                s |= 1 << i
+        return s
+
+    def rot(s):
+        return ((s >> 1) | ((s & 1) << (_N_PLANES - 1))) & ((1 << _N_PLANES) - 1)
+
+    def chunks(s):
+        return [(s >> (j * rows)) & mask for j in range(_BANDS)]
+
+    sigs = [sig(v) for v in vecs]
+    out = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if any(x == y for x, y in zip(chunks(sigs[i]), chunks(sigs[j]))) or any(
+                x == y for x, y in zip(chunks(rot(sigs[i])), chunks(rot(sigs[j])))
+            ):
+                out.add((i, j))
+    return out
+
+
+_vec64 = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=64,
+    max_size=64,
+)
+
+
+@_settings
+@given(vecs=st.lists(_vec64, min_size=2, max_size=10))
+def test_lsh_candidates_match_model_and_dedup_exactly_once(spark, vecs):
+    """The first-colliding-band filter must emit every multi-probe
+    candidate pair EXACTLY once (no distinct in the plan): compare the
+    full candidate set (threshold -2 keeps every verified pair; zero
+    vectors excluded — NaN cosine has no candidate semantics) and assert
+    zero duplicate emissions."""
+    from hypothesis import assume
+
+    from iceberg_matrix_spark.operators.similarity import embedding_neardup_lsh
+
+    assume(all(any(x != 0.0 for x in v) for v in vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    got = [
+        (r["id1"], r["id2"])
+        for r in embedding_neardup_lsh(df, threshold=-2.0).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == _model_lsh_candidates(vecs)
