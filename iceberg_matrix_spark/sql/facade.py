@@ -442,7 +442,17 @@ class IceLiteSQL:
         # path spelling ``iceberg_scan('<path>')``
         # (duckdb_feature_tests.py:11) is the same shape.
         def _path_func_view(m: re.Match) -> str:
-            path = m.group(1)
+            path, extra = m.group(2), (m.group(3) or "").strip(" ,")
+            # DuckDB's allow_moved_paths flag is a no-op here (IceLite
+            # metadata stores absolute paths that are never relocated);
+            # any OTHER extra argument is rejected rather than silently
+            # dropped — dropping a read option would mis-execute.
+            if extra and not re.fullmatch(
+                r"allow_moved_paths\s*=>\s*(true|false)", extra, re.I
+            ):
+                raise UnsupportedSQLError(
+                    f"unsupported {m.group(1)} argument(s): {extra!r}"
+                )
             t = IceLiteTable(self.spark, path)
             view = self._view_name(path, "_pathfn")
             t.df().createOrReplaceTempView(view)
@@ -450,7 +460,10 @@ class IceLiteSQL:
 
         text = self._sub_unquoted(
             text,
-            re.compile(r"\biceberg(?:Local|_scan)?\s*\(\s*'([^']+)'\s*\)", re.I),
+            re.compile(
+                r"\b(icebergLocal|iceberg_scan)\s*\(\s*'([^']+)'\s*(,[^)]*)?\)",
+                re.I,
+            ),
             _path_func_view,
         )
 

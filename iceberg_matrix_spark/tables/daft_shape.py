@@ -52,6 +52,8 @@ def from_pydict(spark: SparkSession, data: dict[str, list]) -> DataFrame:
     Driver-built rows are driver-scale by definition, so the frame is
     ONE slice (session.local_df rationale): 32 Python-backed partitions
     for a 2-row literal costs seconds per downstream touch."""
+    from iceberg_matrix_spark.session import local_df  # noqa: PLC0415
+
     cols = list(data)
     lens = {c: len(v) for c, v in data.items()}
     if len(set(lens.values())) > 1:
@@ -60,6 +62,12 @@ def from_pydict(spark: SparkSession, data: dict[str, list]) -> DataFrame:
     rows = [tuple(data[c][i] for c in cols) for i in range(n)]
     if not rows:
         raise ValueError("from_pydict needs at least one row to infer types")
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema=cols
-    )
+    all_none = [c for c in cols if all(v is None for v in data[c])]
+    if all_none:
+        # Spark's sampling inference would otherwise fail deep inside
+        # createDataFrame with "Some of types cannot be determined"
+        raise ValueError(
+            f"from_pydict cannot infer a type for all-None column(s) {all_none}; "
+            "build the frame with an explicit schema instead"
+        )
+    return local_df(spark, rows, cols)

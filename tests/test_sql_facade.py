@@ -932,6 +932,16 @@ def test_clickhouse_path_function_reads(sql):
     # missing table directory fails loudly
     with pytest.raises(Exception, match="no table at"):
         sql.sql("SELECT * FROM icebergLocal('/tmp/definitely-not-a-table-xyz')")
+    # DuckDB's allow_moved_paths flag is accepted (no-op: IceLite never
+    # relocates); any other extra argument is rejected, not dropped
+    assert (
+        sql.sql(
+            f"SELECT count(*) FROM iceberg_scan('{loc}', allow_moved_paths => true)"
+        ).collect()[0][0]
+        == 2
+    )
+    with pytest.raises(UnsupportedSQLError, match="argument"):
+        sql.sql(f"SELECT * FROM iceberg_scan('{loc}', union_by_name => true)")
 
 
 def test_maintenance_verb_spellings(sql):
