@@ -279,3 +279,23 @@ def test_incremental_dedup_plan_shape(spark, sf_dir):
         for cols in scan_columns(df):
             assert cols <= {"doc_id", "text"}
         assert shuffle_count(df) <= budget, name
+
+
+def test_neardup_lsh_dedup_is_shuffle_free(spark, sf_dir):
+    """The multi-probe candidate stage's scale contract: pair dedup is the
+    inline first-colliding-band filter, NOT a distinct — so the plan has
+    no aggregate over (id1, id2) and the only exchanges are the
+    parallelism repartition, the band join sides, and the vector
+    re-joins. Python never appears; both vector joins broadcast."""
+    from iceberg_matrix_spark.plans import explain_formatted
+    from iceberg_matrix_spark.queries import QUERIES
+
+    df = QUERIES["q_dedup_semantic"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # a regression back to .distinct() shows up as HashAggregate keyed by
+    # the candidate ids
+    assert "HashAggregate(keys=[id1" not in plan.replace("#", "").replace(
+        " ", ""
+    ).replace("L", "")
+    assert shuffle_count(df) <= 5
