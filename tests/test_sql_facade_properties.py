@@ -278,3 +278,31 @@ def test_time_travel_spellings_agree(fz, spark, rows, data):
     ]
     results = [_rows(fz.sql(q)) for q in spellings]
     assert all(r == results[0] for r in results[1:]), (sid, results)
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), pred=predicates())
+def test_path_function_spellings_agree(fz, spark, rows, pred):
+    """Every path-function spelling of the same table — ClickHouse's
+    icebergLocal('<dir>'), DuckDB's iceberg_scan('<dir>') with and
+    without allow_moved_paths — must return exactly the catalog-name
+    read's rows under an arbitrary predicate, including when row values
+    themselves contain 'icebergLocal(...)' text (quote-aware
+    substitution must not fire inside literals)."""
+    trap = [(900, "icebergLocal('/tmp/x')", 1), (901, "iceberg_scan('/a')", 2)]
+    ident = _fresh_table(fz, rows + trap)
+    loc = fz.catalog.load_table(ident).location
+    spellings = [
+        f"SELECT id, val, num FROM local.{ident} WHERE {pred}",
+        f"SELECT id, val, num FROM icebergLocal('{loc}') WHERE {pred}",
+        f"SELECT id, val, num FROM iceberg_scan('{loc}') WHERE {pred}",
+        f"SELECT id, val, num FROM iceberg_scan('{loc}', allow_moved_paths => true) "
+        f"WHERE {pred}",
+    ]
+    results = [_rows(fz.sql(q)) for q in spellings]
+    assert all(r == results[0] for r in results[1:]), results
+    # a literal containing the spelling is data, not a table reference
+    got = fz.sql(
+        f"SELECT val FROM local.{ident} WHERE val = 'icebergLocal(''/tmp/x'')'"
+    ).collect()
+    assert [r[0] for r in got] == ["icebergLocal('/tmp/x')"]
