@@ -80,8 +80,11 @@ HEADLINE = [
     "q_dedup_incremental_ngram",
     # round 4, third wave: SemDeDup-style verdicts over the multi-probe
     # LSH candidate join (ids-only dedup + vector re-join — the widest
-    # candidate fan-out in the suite, kept honest here)
+    # candidate fan-out in the suite, kept honest here) and its
+    # batch-vs-corpus incremental form (two cross-side candidate joins
+    # against the reusable banded-signature index)
     "q_dedup_semantic",
+    "q_dedup_semantic_incremental",
 ]
 
 

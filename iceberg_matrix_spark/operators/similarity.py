@@ -125,27 +125,37 @@ def embedding_neardup_lsh(
     form here is the oracle-reproducible variant for the registered
     queries.
     """
+    banded = _banded_signatures(df, id_col, vec_col, bands)
+    cands = _lsh_candidate_pairs(banded, banded, bands, ordered=True, id_col=id_col)
+    return _verify_cosine(cands, df, id_col, vec_col, threshold)
+
+
+def _banded_signatures(
+    df: DataFrame, id_col: str, vec_col: str, bands: int = _BANDS
+) -> DataFrame:
+    """(id, __sig, band, chunk) — one row per (row × multi-probe band).
+
+    The 32-dot-product signature is aliased ONCE and chunked from the
+    COLUMN: inlining it per chunk (32 syntactic copies) blows the
+    generated method past janino's limit and silently drops the whole
+    stage out of codegen (~50× slower — the functions/geo.py lesson).
+    ensure_compute_parallelism: a single-file corpus otherwise plans the
+    32-dot-product projection AND the downstream candidate join as ONE
+    task (no-op at scale, where the scan already has ≥cores splits).
+    Bands [0, bands) are the aligned layout; bands [bands, 2·bands) chunk
+    the bit-rotated signature, so the second layout's band boundaries
+    split every pair of planes the first keeps together."""
     from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
         ensure_compute_parallelism,
     )
 
     rows = _N_PLANES // bands
     mask = (1 << rows) - 1
-    # Alias the 32-dot-product signature ONCE and chunk from the COLUMN:
-    # inlining it per chunk (32 syntactic copies) blows the generated
-    # method past janino's limit and silently drops the whole stage out
-    # of codegen (~50× slower — the functions/geo.py lesson). Referencing
-    # an alias >1× also stops CollapseProject from re-inlining it.
-    # ensure_compute_parallelism: a single-file corpus otherwise plans
-    # the 32-dot-product projection AND the whole candidate join as ONE
-    # task (no-op at scale, where the scan already has ≥cores splits).
     base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col)))
     with_sig = base.select(
-        F.col(id_col), F.col(vec_col), hyperplane_signature(vec_col).alias("__sig")
+        F.col(id_col), hyperplane_signature(vec_col).alias("__sig")
     )
     sig = F.col("__sig")
-    # rotate by one bit so the second layout's band boundaries split every
-    # pair of planes the first layout keeps together
     rot = F.shiftrightunsigned(sig, 1).bitwiseOR(
         F.shiftleft(sig.bitwiseAND(F.lit(1)), _N_PLANES - 1)
     )
@@ -159,30 +169,42 @@ def embedding_neardup_lsh(
             for i in range(bands)
         ],
     )
-    # Candidate generation carries ONLY ids + the 8-byte signature through
-    # the band join — never the vectors (shuffling two 512-byte vectors
-    # per candidate row multiplied the exchange ~60× and made the verify
-    # stage the bottleneck). Pair dedup is SHUFFLE-FREE: a pair colliding
-    # in k bands is emitted k times by the join, but each copy can see,
-    # from the two signatures alone, every band the pair collides in —
-    # so keep exactly the copy whose band is the FIRST collision. That
-    # inline filter (bit ops on sig XOR, same codegen stage as the join)
-    # replaces a .distinct() exchange over the full candidate volume
-    # (16M rows at sf0.1) with zero data movement.
-    banded = with_sig.select(
+    return with_sig.select(
         F.col(id_col), F.col("__sig"), F.posexplode(chunks).alias("band", "chunk")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+
+
+def _lsh_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    bands: int,
+    ordered: bool,
+    id_col: str,
+) -> DataFrame:
+    """Distinct candidate (id1, id2) pairs from two banded-signature
+    frames, WITHOUT a distinct: a pair colliding in k bands is emitted k
+    times by the equi-join, but each copy can see, from the two 8-byte
+    signatures alone, every band the pair collides in — so the inline
+    filter keeps exactly the copy whose band is the FIRST collision
+    (bit ops on sig XOR in the join's own codegen stage; rotation
+    commutes with XOR, so layout 2's collisions read off rot(x)).
+    This replaces a .distinct() exchange over the full candidate volume
+    (16M rows at sf0.1) with zero data movement. Candidates carry ONLY
+    ids — never vectors (shuffling two 512-byte vectors per candidate
+    row multiplied the exchange ~60×).
+
+    ``ordered=True`` restricts to id1 < id2 (self-join near-dup);
+    ``ordered=False`` keeps every cross pair once (batch × corpus)."""
+    rows = _N_PLANES // bands
+    mask = (1 << rows) - 1
+    a, b = left.alias("a"), right.alias("b")
     x = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
-    # chunk j of layout L collides iff the XOR's j-th chunk is all-zero;
-    # rotation commutes with XOR, so layout 2's collisions read off
-    # rot(x). array_position gives the first colliding band (1-based;
-    # 0 = none).
     xr = F.shiftrightunsigned(x, 1).bitwiseOR(
         F.shiftleft(x.bitwiseAND(F.lit(1)), _N_PLANES - 1)
     )
 
     def _first_collision(z: F.Column) -> F.Column:
+        # 1-based index of the first all-zero XOR chunk; 0 = none
         return F.array_position(
             F.array(
                 *[
@@ -199,22 +221,36 @@ def embedding_neardup_lsh(
     is_first = F.when(band < bands, band == first1 - 1).otherwise(
         (first1 == 0) & (band - bands == first2 - 1)
     )
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.chunk") == F.col("b.chunk")
+    )
+    if ordered:
+        cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (
+        a.join(b, cond)
         .filter(is_first)
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
         )
     )
-    vecs = df.select(F.col(id_col), F.col(vec_col))
-    v1 = vecs.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    v2 = vecs.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+
+
+def _verify_cosine(
+    cands: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    vectors2: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-cosine verification of (id1, id2) candidates: re-join the
+    vectors (id1 from ``vectors``, id2 from ``vectors2`` or ``vectors``)
+    so the wide rows number exactly |candidates|."""
+    v1 = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = (vectors2 if vectors2 is not None else vectors).select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
     return (
         cands.join(v1, "id1")
         .join(v2, "id2")
@@ -554,6 +590,109 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the all-pairs join."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_verdicts(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def incremental_semantic_verdicts(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Incremental-ingest SemDeDup: verdict per BATCH embedding —
+    ``dup_of_corpus`` when a cosine-≥threshold neighbor already exists in
+    the ingested corpus, else ``dup_in_batch`` when a LOWER-id batch
+    embedding is similar (the same min-id representative rule the exact
+    incremental dedup uses, dedup.py:incremental_dedup_exact), else
+    ``kept``.
+
+    Scale contract (mirrors the exact/ngram incremental family): the
+    corpus side's banded signatures are the REUSABLE INDEX — in a real
+    pipeline they are computed once at ingest and persisted; per batch,
+    the work is batch signatures + two candidate joins whose output is
+    ∝ batch bucket collisions, never corpus × corpus. Both joins dedup
+    candidates with the shuffle-free first-colliding-band filter and
+    verify with exact cosine, so the verdicts equal the all-pairs
+    oracle's."""
+    bb = _banded_signatures(batch, id_col, vec_col, _BANDS)
+    cb = _banded_signatures(corpus, id_col, vec_col, _BANDS)
+    # batch × corpus: every cross pair once (no id ordering)
+    of_corpus = _verify_cosine(
+        _lsh_candidate_pairs(bb, cb, _BANDS, ordered=False, id_col=id_col),
+        batch,
+        id_col,
+        vec_col,
+        threshold,
+        vectors2=corpus,
+    )
+    dup_corpus = (
+        of_corpus.select(F.col("id1").alias(id_col))
+        .distinct()
+        .withColumn("__of_corpus", F.lit(True))
+    )
+    # batch × batch: lower-id representative rule
+    in_batch = _verify_cosine(
+        _lsh_candidate_pairs(bb, bb, _BANDS, ordered=True, id_col=id_col),
+        batch,
+        id_col,
+        vec_col,
+        threshold,
+    )
+    dup_batch = (
+        in_batch.select(F.col("id2").alias(id_col))
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(dup_corpus, id_col, "left")
+        .join(dup_batch, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__of_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("__in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
+@register(
+    "q_dedup_semantic_incremental",
+    oracle="""
+    WITH batch AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+    corpus AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+    ofc AS (
+      SELECT DISTINCT b.vec_id FROM batch b JOIN corpus c
+        ON list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) >= 0.4
+    ),
+    ibb AS (
+      SELECT DISTINCT b.vec_id FROM batch b JOIN batch a
+        ON a.vec_id < b.vec_id
+       AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
+    )
+    SELECT e.vec_id,
+           CASE WHEN o.vec_id IS NOT NULL THEN 'dup_of_corpus'
+                WHEN i.vec_id IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'kept' END AS verdict
+    FROM batch e
+    LEFT JOIN ofc o ON o.vec_id = e.vec_id
+    LEFT JOIN ibb i ON i.vec_id = e.vec_id
+    """,
+)
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup: embeddings with vec_id % 5 == 0 play
+    the incoming batch, the rest the already-ingested corpus whose banded
+    signature index the batch is checked against (deterministic split so
+    the all-pairs oracle reproduces it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    return incremental_semantic_verdicts(
+        batch, corpus, "vec_id", "embedding", threshold=0.4
+    )
 
 
 @register(
