@@ -119,10 +119,22 @@ def main() -> None:
         _zorder_effect_setup,
     )
 
+    from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+        _semantic_incremental_exec,
+        _semantic_incremental_setup,
+    )
+
     SPLIT_DML = {
         "q_merge_sql": (_merge_sql_setup, _merge_sql_exec),
         "q_branch_read_sql": (_branch_sql_setup, _branch_sql_exec),
         "q_zorder_effect": (_zorder_effect_setup, _zorder_effect_exec),
+        # not DML, same amortization honesty: setup = corpus signature
+        # index build (ingest-side, persisted across batches in a real
+        # pipeline), query = per-batch dedup against the warm index
+        "q_dedup_semantic_incremental": (
+            _semantic_incremental_setup,
+            _semantic_incremental_exec,
+        ),
     }
 
     timings: dict[str, float] = {}
