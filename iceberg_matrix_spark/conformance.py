@@ -1256,7 +1256,14 @@ def t_orphans(ctx: Ctx) -> str:
     os.makedirs(orphan_dir)
     with open(os.path.join(orphan_dir, "junk.parquet"), "w") as f:
         f.write("x")
-    removed = remove_orphan_files(t)
+    import time as _time
+
+    # young files are protected by the 3-day grace default (in-flight
+    # pre-commit writes); an explicit cutoff reclaims the fresh orphan
+    assert remove_orphan_files(t, dry_run=True) == []
+    removed = remove_orphan_files(
+        t, older_than_ms=int(_time.time() * 1000) + 60_000
+    )
     assert any("c-orphan" in p for p in removed)
     assert t.df().count() == 3
     return "pass"

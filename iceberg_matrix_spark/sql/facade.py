@@ -146,7 +146,7 @@ def _norm_type(t: str) -> str:
 _PROC_ARGS: dict[str, set[str]] = {
     "rewrite_data_files": {"table", "strategy", "sort_order", "target_partitions"},
     "expire_snapshots": {"table", "older_than", "retain_last"},
-    "remove_orphan_files": {"table", "dry_run"},
+    "remove_orphan_files": {"table", "older_than", "dry_run"},
     "rewrite_manifests": {"table"},
     "rewrite_position_delete_files": {"table"},
     "compute_table_stats": {"table", "columns"},
@@ -166,7 +166,7 @@ _PROC_ARGS: dict[str, set[str]] = {
 _PROC_POSITIONAL: dict[str, list[str]] = {
     "rewrite_data_files": ["table", "strategy", "sort_order"],
     "expire_snapshots": ["table", "older_than", "retain_last"],
-    "remove_orphan_files": ["table", "dry_run"],
+    "remove_orphan_files": ["table", "older_than", "dry_run"],
     "rewrite_manifests": ["table"],
     "rewrite_position_delete_files": ["table"],
     "compute_table_stats": ["table", "columns"],
@@ -1357,8 +1357,11 @@ class IceLiteSQL:
                 retain_last=int(self._call_value(args.pop("retain_last", "1"))),
             )
         elif proc == "remove_orphan_files":
+            older = args.pop("older_than", None)
             removed = maint.remove_orphan_files(
-                t, dry_run=self._call_bool(args.pop("dry_run", "false"), "dry_run")
+                t,
+                dry_run=self._call_bool(args.pop("dry_run", "false"), "dry_run"),
+                older_than_ms=self._call_value(older) if older else None,
             )
             result = {"orphan_file_location_count": len(removed)}
         elif proc == "rewrite_manifests":

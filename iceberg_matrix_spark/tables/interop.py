@@ -38,6 +38,31 @@ def _expand(entry_path: str) -> list[str]:
     return [entry_path]
 
 
+_DUCK_TYPES = {
+    "boolean": "BOOLEAN",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "date": "DATE",
+    "string": "VARCHAR",
+    "binary": "BLOB",
+    "uuid": "UUID",
+}
+
+
+def _duck_type(t: str) -> str:
+    """IceLite field type → DuckDB type (zero-row typed projections)."""
+    tl = str(t).strip().lower()
+    if tl.startswith("decimal"):
+        return tl.upper()
+    if tl.startswith("timestamp"):  # timestamp / timestamptz / timestamp_ns
+        return "TIMESTAMP"
+    return _DUCK_TYPES.get(tl, "VARCHAR")
+
+
 def _duck_lit(v) -> str:
     """Python value → DuckDB literal (V3 initial_default backfill)."""
     if v is None:
@@ -54,6 +79,12 @@ def _norm(path: str) -> str:
     while path.startswith("file:/") :
         path = "/" + path[len("file:/"):].lstrip("/")
     return path
+
+
+def _duck_path(path: str) -> str:
+    """Path → quoted DuckDB string literal (a directory like /o'brien/
+    would otherwise terminate the literal early)."""
+    return "'" + path.replace("'", "''") + "'"
 
 
 def live_file_manifest(table: IceLiteTable, ref: str = "main") -> dict:
@@ -157,7 +188,13 @@ def duckdb_scan_sql(table: IceLiteTable, ref: str = "main") -> str:
     """DuckDB SQL reconstructing the table's current rows from raw files."""
     manifest = live_file_manifest(table, ref=ref)
     if not manifest["data"]:
-        return "SELECT 1 WHERE false"
+        # zero rows but the REAL schema: cross-engine comparisons check
+        # column names/types, not just counts
+        typed = ", ".join(
+            f'CAST(NULL AS {_duck_type(f.type)}) AS "{f.name}"'
+            for f in table.meta.current_schema.fields
+        )
+        return f"SELECT {typed} WHERE false"
     cols = ", ".join(f'"{c}"' for c in table.meta.current_schema.names())
     # Spark records URIs as file:/... (sometimes file:///...); DuckDB's
     # filename column is a bare path — normalize both to bare paths.
@@ -167,7 +204,7 @@ def duckdb_scan_sql(table: IceLiteTable, ref: str = "main") -> str:
     # UNION ALL coerces widened numeric types to the common widest
     group_sql: list[str] = []
     for g in manifest["scan_groups"]:
-        paths = ", ".join(f"'{p}'" for p in g["paths"])
+        paths = ", ".join(_duck_path(p) for p in g["paths"])
         sel = ", ".join(
             (
                 f'"{s["src"]}" AS "{s["dst"]}"'
@@ -176,17 +213,22 @@ def duckdb_scan_sql(table: IceLiteTable, ref: str = "main") -> str:
             )
             for s in g["select"]
         )
+        # union_by_name even within one schema group: V3 variant shredding
+        # appends a per-commit __typed_value sibling column whose struct
+        # shape is inferred per write, so files sharing a schema_id can
+        # still diverge physically (table.py:_write_data_files)
         group_sql.append(
             f"SELECT {sel}, {norm.format(x='filename')} AS __fname, "
             f"file_row_number AS __pos "
-            f"FROM read_parquet([{paths}], filename=true, file_row_number=true)"
+            f"FROM read_parquet([{paths}], filename=true, "
+            f"file_row_number=true, union_by_name=true)"
         )
     scan = " UNION ALL ".join(group_sql)
     ctes = [f"data AS ({scan})"]
     live = "data"
 
     if manifest["position_deletes"]:
-        del_list = ", ".join(f"'{p}'" for p in manifest["position_deletes"])
+        del_list = ", ".join(_duck_path(p) for p in manifest["position_deletes"])
         ctes.append(
             f"pdels AS (SELECT {norm.format(x='file_path')} AS __fname, "
             f"pos AS __pos FROM read_parquet([{del_list}]))"
@@ -203,7 +245,7 @@ def duckdb_scan_sql(table: IceLiteTable, ref: str = "main") -> str:
         # to rows written BEFORE the delete (data_seq < delete_seq) — the
         # same scoping tables/table.py applies on its own MoR read
         seq_rows = ", ".join(
-            f"('{_norm(p)}', {e['seq']})"
+            f"({_duck_path(_norm(p))}, {e['seq']})"
             for e in manifest["data_entries"]
             for p in e["paths"]
         )
@@ -214,7 +256,7 @@ def duckdb_scan_sql(table: IceLiteTable, ref: str = "main") -> str:
         )
         live = "seq_live"
         for i, e in enumerate(manifest["equality_deletes"]):
-            paths = ", ".join(f"'{p}'" for p in e["paths"])
+            paths = ", ".join(_duck_path(p) for p in e["paths"])
             sel = ", ".join(
                 f'"{fc}" AS "__k_{j}"' for j, fc in enumerate(e["file_cols"])
             )

@@ -9,6 +9,7 @@ The CALL-procedure surface: ``rewrite_data_files`` (compaction,
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from iceberg_matrix_spark.tables.metadata import TableMetadata
@@ -58,19 +59,25 @@ def _zorder_expr(live, columns: list[str], bits: int | None = None):
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
     def num_expr(c: str):
-        """Column as DOUBLE, or None for non-numeric. DATE can't cast to
-        DOUBLE under ANSI — route through unix_date (TIMESTAMP casts
-        fine)."""
+        """(column as DOUBLE, is_floating), or (None, False) for
+        non-numeric. DATE can't cast to DOUBLE under ANSI — route through
+        unix_date (TIMESTAMP casts fine). Floating columns route through
+        nanvl: one NaN would otherwise poison min/max → span=NaN → every
+        row's scaled value NaN (an ANSI cast error, or a silent
+        constant-0 dimension)."""
         t = dtypes.get(c, "").split("(")[0]
         if t == "date":
-            return F.unix_date(F.col(c)).cast("double")
+            return F.unix_date(F.col(c)).cast("double"), False
+        if t in ("float", "double"):
+            e = F.col(c).cast("double")
+            return F.nanvl(e, F.lit(None).cast("double")), True
         if t in numeric or t in ("decimal", "timestamp", "timestamp_ntz"):
-            return F.col(c).cast("double")
-        return None
+            return F.col(c).cast("double"), False
+        return None, False
 
     aggs = []
     for c in columns:
-        e = num_expr(c)
+        e, _fl = num_expr(c)
         if e is not None:
             aggs += [F.min(e).alias(f"__mn_{c}"), F.max(e).alias(f"__mx_{c}")]
     bounds = live.agg(*aggs).collect()[0].asDict() if aggs else {}
@@ -78,14 +85,19 @@ def _zorder_expr(live, columns: list[str], bits: int | None = None):
     mask = (1 << bits) - 1
     scaled = []
     for c in columns:
-        e = num_expr(c)
+        e, floating = num_expr(c)
         if e is not None and bounds.get(f"__mn_{c}") is not None:
             mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
             span = (mx - mn) or 1.0
             s = F.round((e - F.lit(mn)) / F.lit(span) * F.lit(mask)).cast("long")
             s = F.least(F.greatest(s, F.lit(0)), F.lit(mask))
+            if floating:
+                # NaN sorts greater than every value in Spark — cluster it
+                # into the top bucket to mirror that ordering
+                s = F.when(F.isnan(F.col(c)), F.lit(mask).cast("long")).otherwise(s)
         else:
-            # non-numeric (or all-NULL): hash into the same code space
+            # non-numeric (or all-NULL/all-NaN): hash into the same code
+            # space
             s = F.pmod(F.xxhash64(F.col(c)), F.lit(mask + 1))
         scaled.append(F.coalesce(s, F.lit(0)))
 
@@ -203,9 +215,20 @@ def rewrite_data_files(
             head = _head(meta)
             if any(d.sequence_number > base_seq for d in head.delete_files):
                 raise _RewriteRestart()
+            # a concurrent COPY-ON-WRITE delete/update (or another rewrite)
+            # REPLACES victim files without adding delete files — if any
+            # victim vanished from the head, committing our rewritten copy
+            # of it would resurrect its deleted rows and duplicate its
+            # survivors. Restart against the new head.
+            if victims - {f.path for f in head.data_files}:
+                raise _RewriteRestart()
             meta.last_sequence_number += 1
             for e in entries:
                 e.sequence_number = meta.last_sequence_number
+                # a failed attempt's _snapshot may have assigned V3 row-id
+                # ranges that a concurrent winner also consumed; reset so
+                # the retry draws fresh ids from the refreshed metadata
+                e.first_row_id = None
             keep = [f for f in head.data_files if f.path not in victims]
             # the delete-conflict guard above means every surviving delete
             # file targeted only victim files — all dead after the rewrite
@@ -226,19 +249,37 @@ def rewrite_data_files(
             table._commit(mutate)
             break
         except _RewriteRestart:
+            # this attempt's rewritten files were never committed —
+            # reclaim them now instead of leaving a full table copy per
+            # restart for remove_orphan_files
+            for d in {_commit_dir_of(e.path, table.location) for e in entries}:
+                shutil.rmtree(d, ignore_errors=True)
             continue
     else:
         raise CommitConflictError(
             "rewrite_data_files gave up after 5 restarts: concurrent "
-            "row-level deletes kept landing mid-rewrite (uncommitted "
-            "rewrite output is reclaimed by remove_orphan_files)"
+            "row-level changes kept landing mid-rewrite (the final "
+            "attempt's uncommitted output is reclaimed by "
+            "remove_orphan_files)"
         )
 
     snap = table._current_snapshot()
     return {
         "rewritten_data_files_count": int(snap.summary["rewritten-data-files"]),
-        "added_data_files_count": len(snap.data_files),
+        # NOT len(snap.data_files): concurrent appends merged past this
+        # commit also live in the snapshot
+        "added_data_files_count": int(snap.summary["added-data-files-compact"]),
     }
+
+
+def _commit_dir_of(path: str, location: str) -> str:
+    """The data/c-<uuid> commit dir containing ``path`` (entry paths are
+    part files, possibly under partition subdirectories)."""
+    droot = os.path.join(location, "data")
+    p = os.path.dirname(path)
+    while os.path.dirname(p) != droot and os.path.dirname(p) != p:
+        p = os.path.dirname(p)
+    return p
 
 
 def expire_snapshots(
@@ -295,9 +336,30 @@ def expire_snapshots(
     return {"deleted_data_files_count": deleted}
 
 
-def remove_orphan_files(table: IceLiteTable, dry_run: bool = False) -> list[str]:
+def remove_orphan_files(
+    table: IceLiteTable, dry_run: bool = False, older_than_ms: int | None = None
+) -> list[str]:
     """Delete data/delete files not referenced by ANY snapshot (e.g. from
-    failed commits)."""
+    failed commits).
+
+    Two guards against deleting files that are about to BECOME
+    referenced (the same hazards Iceberg's procedure guards):
+
+    - the handle is refreshed first, so files committed since the handle
+      was loaded are seen as referenced, not orphaned;
+    - only files last modified before ``older_than_ms`` are removed —
+      default 3 days ago, Iceberg's default — because DML and rewrites
+      deliberately write parquet BEFORE their optimistic-commit loop;
+      an in-flight writer's pre-commit output is young, not orphaned.
+    """
+    import time as _time
+
+    table.refresh()
+    cutoff_ms = (
+        older_than_ms
+        if older_than_ms is not None
+        else int(_time.time() * 1000) - 3 * 86400 * 1000
+    )
     referenced: set[str] = set()
     for s in table.meta.snapshots:
         referenced.update(f.path for f in s.data_files)
@@ -311,11 +373,17 @@ def remove_orphan_files(table: IceLiteTable, dry_run: bool = False) -> list[str]
         for entry in os.scandir(root):
             # commit dirs under data/, delete dirs under deletes/
             if entry.is_dir():
-                files_in = []
+                files_in, newest_ms = [], entry.stat().st_mtime * 1000
                 for r, _d, names in os.walk(entry.path):
-                    files_in += [os.path.join(r, n) for n in names if n.endswith(".parquet")]
+                    for n in names:
+                        p = os.path.join(r, n)
+                        newest_ms = max(newest_ms, os.path.getmtime(p) * 1000)
+                        if n.endswith(".parquet"):
+                            files_in.append(p)
                 if entry.path in referenced:
                     continue
+                if newest_ms >= cutoff_ms:
+                    continue  # young enough to be an in-flight write
                 if not any(p in referenced for p in files_in):
                     orphans.append(entry.path)
     if not dry_run:
@@ -325,14 +393,32 @@ def remove_orphan_files(table: IceLiteTable, dry_run: bool = False) -> list[str]
 
 
 def rewrite_manifests(table: IceLiteTable) -> dict:
-    """Compact the metadata chain: keep only the latest version file (the
-    manifest-rewrite analog; older versions are superseded)."""
+    """Compact the metadata chain: reclaim every version file below the
+    current head (the manifest-rewrite analog; older versions are
+    superseded).
+
+    Old version files are TRUNCATED to zero bytes, never unlinked: the
+    commit protocol detects conflicts by exclusive-create of
+    v{N}.metadata.json (metadata.py:commit_metadata), so a writer holding
+    a stale version k must keep colliding with the existing v{k+1} — if
+    it were removed, that writer's commit would "succeed" at a version
+    below head and be silently invisible (a lost update). Truncation
+    reclaims the bytes while keeping the name as a tombstone; head
+    resolution (max version number) and the embedded metadata_log are
+    unaffected. Versions STRICTLY BELOW the refreshed head are compacted,
+    so a commit racing this procedure (which always lands above head) is
+    never touched."""
+    head = table.refresh().version
     mdir = os.path.join(table.location, "metadata")
-    latest = f"v{table.version}.metadata.json"
     removed = 0
     for name in os.listdir(mdir):
-        if name != latest and name.endswith(".metadata.json"):
-            os.remove(os.path.join(mdir, name))
+        m = re.match(r"v(\d+)\.metadata\.json$", name)
+        if not m or int(m.group(1)) >= head:
+            continue
+        p = os.path.join(mdir, name)
+        if os.path.getsize(p) > 0:
+            with open(p, "w"):
+                pass  # truncate in place
             removed += 1
     return {"rewritten_manifests_count": removed}
 

@@ -354,7 +354,13 @@ def test_remove_orphan_files(spark, catalog, tmp_path):
     # fabricate an orphan commit dir (a failed write)
     orphan = f"{t.location}/data/c-deadbeef"
     _kv_df(spark, [(9, "z")]).write.parquet(orphan)
-    removed = maint.remove_orphan_files(t)
+    # the default 3-day grace treats the fresh dir as a possible
+    # in-flight write (DML writes parquet before its commit loop)
+    assert maint.remove_orphan_files(t, dry_run=True) == []
+    import time as _time
+
+    future = int(_time.time() * 1000) + 60_000
+    removed = maint.remove_orphan_files(t, older_than_ms=future)
     assert removed == [orphan]
     assert t.df().count() == 1
 
