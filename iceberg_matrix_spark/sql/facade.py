@@ -95,13 +95,24 @@ def _take_parens(s: str) -> tuple[str, str]:
 
 
 def _rewrite_aliases(expr: str, mapping: dict[str, str]) -> str:
-    """Rewrite ``alias.`` qualifiers simultaneously (handles t/s swaps)."""
+    """Rewrite ``alias.`` qualifiers simultaneously (handles t/s swaps).
+    Quote-aware: a literal like ``'tgt.archived'`` is data, not a
+    qualifier — rewriting inside it would corrupt the written value."""
     if not mapping:
         return expr
     pat = re.compile(
         r"\b(" + "|".join(re.escape(a) for a in mapping) + r")\s*\.", re.IGNORECASE
     )
-    return pat.sub(lambda m: mapping[m.group(1).lower()] + ".", expr)
+    tops = {i for i, _c, _d, quoted in _scan_top(expr) if not quoted}
+    out, last = [], 0
+    for m in pat.finditer(expr):
+        if m.start() not in tops:
+            continue
+        out.append(expr[last : m.start()])
+        out.append(mapping[m.group(1).lower()] + ".")
+        last = m.end()
+    out.append(expr[last:])
+    return "".join(out)
 
 
 def _lit_type(v) -> str:
@@ -138,6 +149,12 @@ _TYPE_ALIASES = {
 
 def _norm_type(t: str) -> str:
     tl = t.strip().lower()
+    # Flink's TIMESTAMP(n) = timestamp without time zone — normalized
+    # here so EVERY DDL path (CREATE and ALTER ADD/MODIFY) maps it; a raw
+    # 'timestamp(6)' committed to metadata makes the table unreadable at
+    # the next scan's StructType.fromDDL
+    if re.fullmatch(r"timestamp\s*\(\d+\)", tl):
+        return "timestamp_ntz"
     return _TYPE_ALIASES.get(tl, tl)
 
 # Recognized named arguments per CALL procedure. Checked up front so a
@@ -788,33 +805,38 @@ class IceLiteSQL:
         if rest.startswith("("):
             schema_ddl, rest = _take_parens(rest)
 
+        # Every clause (PARTITIONED BY / TBLPROPERTIES / WITH / USING)
+        # belongs to the statement HEAD, before any top-level AS — search
+        # only there, so a CTAS body's literals ('PARTITIONED BY',
+        # 'USING parquet') and CTEs (`AS WITH x AS (...)`) are never
+        # touched.
+        as_pos = _find_top_keyword(rest, "AS")
+        head, body = (rest, "") if as_pos < 0 else (rest[:as_pos], rest[as_pos:])
+
         partition_by = None
-        pm = re.search(r"\bPARTITIONED\s+BY\b", rest, re.I)
+        pm = re.search(r"\bPARTITIONED\s+BY\b", head, re.I)
         if pm:
-            inner, after = _take_parens(rest[pm.end() :])
+            inner, after = _take_parens(head[pm.end() :])
             partition_by = _split_top(inner)
-            rest = rest[: pm.start()] + after
+            head = head[: pm.start()] + after
 
         properties = None
-        tm = re.search(r"\bTBLPROPERTIES\b", rest, re.I)
+        tm = re.search(r"\bTBLPROPERTIES\b", head, re.I)
         if tm:
-            inner, after = _take_parens(rest[tm.end() :])
+            inner, after = _take_parens(head[tm.end() :])
             properties = self._parse_tblproperties(inner)
-            rest = rest[: tm.start()] + after
+            head = head[: tm.start()] + after
 
         # Flink's property spelling: CREATE TABLE t (...) WITH ('k'='v')
-        # (flink_feature_tests.py:561). Search only BEFORE any top-level
-        # AS so a CTAS body's CTE (`AS WITH x AS (...) SELECT`) is never
-        # mistaken for a property list.
-        as_pos = _find_top_keyword(rest, "AS")
-        head_text = rest if as_pos < 0 else rest[:as_pos]
-        wm = re.search(r"\bWITH\b", head_text, re.I)
+        # (flink_feature_tests.py:561)
+        wm = re.search(r"\bWITH\b", head, re.I)
         if wm:
-            inner, after = _take_parens(rest[wm.end() :])
+            inner, after = _take_parens(head[wm.end() :])
             properties = {**(properties or {}), **self._parse_tblproperties(inner)}
-            rest = rest[: wm.start()] + after
+            head = head[: wm.start()] + after
 
-        rest = re.sub(r"\bUSING\s+\w+\b", "", rest, flags=re.I).strip()
+        head = re.sub(r"\bUSING\s+\w+\b", "", head, flags=re.I).strip()
+        rest = (head + " " + body).strip() if body else head
         am = re.match(r"AS\s+(.*)$", rest, re.I | re.S)
         if am:
             df = self._run_select(am.group(1))
@@ -922,7 +944,19 @@ class IceLiteSQL:
                 name, _, typ = part.strip().partition(" ")
                 if not typ.strip():
                     raise UnsupportedSQLError(f"bad column def: {part!r}")
-                cols[name.strip("`")] = _norm_type(typ)
+                norm = _norm_type(typ)
+                # validate BEFORE committing: a type Spark can't parse
+                # would make every subsequent scan of the table fail at
+                # StructType.fromDDL — fail the DDL, not the reads
+                try:
+                    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+                    StructType.fromDDL(f"`{name.strip('`')}` {norm}")
+                except Exception:
+                    raise UnsupportedSQLError(
+                        f"unsupported column type in ADD COLUMN: {typ!r}"
+                    ) from None
+                cols[name.strip("`")] = norm
             t.add_columns(cols, defaults=defaults or None)
             return
         # RENAME COLUMN a TO b — COLUMN keyword optional (Flink dialect,
@@ -1179,6 +1213,14 @@ class IceLiteSQL:
 
         # IceLiteTable.merge hard-codes aliases t/s (tables/table.py:670);
         # rewrite the user's qualifiers simultaneously so swaps are safe.
+        if t_alias == s_alias:
+            # e.g. MERGE INTO ns.items USING staging.items — both default
+            # aliases are 'items'; one amap key would rewrite EVERY
+            # qualifier to one side and silently mis-match
+            raise UnsupportedSQLError(
+                f"ambiguous MERGE: target and source both answer to "
+                f"{t_alias!r}; give explicit aliases"
+            )
         amap = {t_alias: "t", s_alias: "s"}
         on = _rewrite_aliases(on_text.strip(), amap)
 
@@ -1228,6 +1270,14 @@ class IceLiteSQL:
                 insert_when_not_matched = True
                 continue
             raise UnsupportedSQLError(f"unsupported MERGE clause: WHEN {clause[:60]!r}")
+
+        if matched_update is not None and matched_delete:
+            # merge() can apply only one matched action; honoring DELETE
+            # and dropping the UPDATE would mis-execute silently
+            raise UnsupportedSQLError(
+                "MERGE with both WHEN MATCHED UPDATE and WHEN MATCHED "
+                "DELETE is not supported (no conditional WHEN MATCHED AND)"
+            )
 
         if reshape:
             # The reshaped source carries target column names; rewrite the

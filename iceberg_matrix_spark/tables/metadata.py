@@ -67,6 +67,10 @@ class Snapshot:
     data_files: list[DataFileEntry]
     delete_files: list[DeleteFileEntry]
     summary: dict[str, object] = field(default_factory=dict)
+    # the TABLE schema current when this snapshot committed: time-travel
+    # reads project to it, like Iceberg (None on pre-upgrade snapshots →
+    # readers fall back to the current schema)
+    schema_id: int | None = None
 
 
 @dataclass

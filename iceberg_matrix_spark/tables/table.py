@@ -30,7 +30,7 @@ import uuid
 from dataclasses import replace
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StructType
 
 from iceberg_matrix_spark.session import local_df
@@ -650,6 +650,7 @@ class IceLiteTable:
             data_files=data_files,
             delete_files=delete_files,
             summary=summary,
+            schema_id=meta.current_schema_id,
         )
         existing = meta.refs.get(branch)
         if existing is not None and existing.type == "tag":
@@ -896,8 +897,19 @@ class IceLiteTable:
         columns ``_row_id`` and ``_last_updated_sequence_number``
         (iceberg_feature_tests.py:1483-1487)."""
         snap = self._resolve_snapshot(snapshot_id, as_of_timestamp_ms, ref)
+        # Iceberg time-travel semantics: a snapshot/timestamp-pinned read
+        # returns the SNAPSHOT's schema (a later drop_column must not
+        # erase history; later adds must not appear). Branch/ref reads
+        # keep the current schema, also like Iceberg.
+        project_to = None
+        if (
+            (snapshot_id is not None or as_of_timestamp_ms is not None)
+            and snap is not None
+            and snap.schema_id is not None
+        ):
+            project_to = self.meta.schema_by_id(snap.schema_id)
         if not with_lineage:
-            return self._read_snapshot(snap, filters=filters)
+            return self._read_snapshot(snap, filters=filters, project_to=project_to)
         if self.format_version < 3:
             raise ValueError("row lineage requires format-version 3")
         out = self._read_snapshot(snap, filters=filters, with_meta=True)
@@ -920,10 +932,27 @@ class IceLiteTable:
     def read_incremental(self, start_snapshot_id: int, end_snapshot_id: int) -> DataFrame:
         """Append-only incremental read of rows added in (start, end] —
         Spark's start-snapshot-id/end-snapshot-id options (flink's
-        start-tag/end-tag hints, :1208-1211)."""
+        start-tag/end-tag hints, :1208-1211).
+
+        The range must contain only appends, and that is VALIDATED:
+        a CoW rewrite inside the range re-sequences pre-existing
+        surviving rows, which would surface as "newly added" — Iceberg
+        likewise raises on non-append snapshots in an incremental scan.
+        Use :meth:`snapshot_changes` for ranges with row-level changes."""
         start = self.meta.snapshot_by_id(start_snapshot_id)
         end = self.meta.snapshot_by_id(end_snapshot_id)
         lo, hi = start.sequence_number, end.sequence_number
+        non_append = [
+            s.operation
+            for s in self.meta.snapshots
+            if lo < s.sequence_number <= hi and s.operation != "append"
+        ]
+        if non_append:
+            raise ValueError(
+                f"incremental read range contains non-append operation(s) "
+                f"{sorted(set(non_append))}; rewritten files would surface "
+                f"old rows as new — use snapshot_changes for CDC"
+            )
         files = [f for f in end.data_files if lo < f.sequence_number <= hi]
         return self._read_files(files, with_meta=False)
 
@@ -941,8 +970,11 @@ class IceLiteTable:
         its delete+insert pair. Scale: two MoR-resolved scans + two
         hash-distinct-style shuffles on the full row, the same cost
         class as the DISTINCT the diff semantics require."""
-        before = self.df(snapshot_id=start_snapshot_id)
-        after = self.df(snapshot_id=end_snapshot_id)
+        # both states project to the CURRENT schema (not each snapshot's
+        # own, as time travel now does): the diff needs ONE row shape,
+        # and a changelog feeds a replica of the current table
+        before = self._read_snapshot(self.meta.snapshot_by_id(start_snapshot_id))
+        after = self._read_snapshot(self.meta.snapshot_by_id(end_snapshot_id))
         return after.exceptAll(before).withColumn(
             "_change_type", F.lit("insert")
         ).unionAll(
@@ -955,10 +987,15 @@ class IceLiteTable:
         return prune_files(files, filters, self._transforms())
 
     def _read_files(
-        self, files: list[DataFileEntry], with_meta: bool
+        self,
+        files: list[DataFileEntry],
+        with_meta: bool,
+        project_to: "TableSchema | None" = None,
     ) -> DataFrame:
-        """Read a data-file list, resolving schema evolution by field ID."""
-        current = self.meta.current_schema
+        """Read a data-file list, resolving schema evolution by field ID.
+        ``project_to`` overrides the projection target (time-travel reads
+        use the SNAPSHOT's schema, like Iceberg's VERSION AS OF)."""
+        current = project_to if project_to is not None else self.meta.current_schema
         if not files:
             base = self.spark.createDataFrame([], self._spark_schema(current))
             if with_meta:
@@ -1016,13 +1053,14 @@ class IceLiteTable:
         snap: Snapshot | None,
         with_meta: bool = False,
         filters: list[tuple] | None = None,
+        project_to: "TableSchema | None" = None,
     ) -> DataFrame:
         if snap is None:
-            return self._read_files([], with_meta)
+            return self._read_files([], with_meta, project_to=project_to)
         files = snap.data_files
         if filters:
             files = self._prune_files(files, filters)
-        df = self._read_files(files, with_meta=True)
+        df = self._read_files(files, with_meta=True, project_to=project_to)
 
         pos_deletes = [d for d in snap.delete_files if d.content == 1]
         if pos_deletes:
@@ -1036,7 +1074,8 @@ class IceLiteTable:
             # delete was written still target the right column; the
             # parquet delete file itself carries the write-time names
             if d.equality_ids:
-                by_id = {f.id: f.name for f in self.meta.current_schema.fields}
+                proj = project_to if project_to is not None else self.meta.current_schema
+                by_id = {f.id: f.name for f in proj.fields}
                 missing = [i for i in d.equality_ids if i not in by_id]
                 if missing:
                     raise ValueError(
@@ -1107,6 +1146,17 @@ class IceLiteTable:
                     F.col(_META_FILE).alias("file_path"), F.col(_META_POS).alias("pos")
                 )
                 entry = self._write_delete_file(hits, content=1, sequence_number=seq)
+                if entry.record_count == 0:
+                    # Iceberg never commits empty delete files — each one
+                    # would tax EVERY future read with a no-op anti-join
+                    # (an idempotent cleanup job could accrete hundreds)
+                    import shutil as _shutil  # noqa: PLC0415
+
+                    _shutil.rmtree(entry.path, ignore_errors=True)
+                    return self._snapshot(
+                        meta, "delete", parent.data_files, parent.delete_files,
+                        parent, branch,
+                    )
                 return self._snapshot(
                     meta,
                     "delete",
@@ -1342,12 +1392,20 @@ class IceLiteTable:
         key_columns: list[str] | None = None,
         branch: str = "main",
         extra_summary: dict | None = None,
+        order_by: str | None = None,
     ) -> None:
         """Streaming-style PK upsert via equality deletes + append in ONE
         snapshot (flink write.upsert.enabled, :764-784): new rows carry
         the same sequence number as the delete, so the equality delete
         only affects older files. ``key_columns`` defaults to the
-        table's identifier fields (set_identifier_fields)."""
+        table's identifier fields (set_identifier_fields).
+
+        Same-batch duplicate keys: a DataFrame has no inherent row order,
+        so "last" is ill-defined without one — pass ``order_by`` (a
+        column whose max identifies the winner, e.g. an event timestamp)
+        for deterministic last-writer-wins; without it ONE ARBITRARY row
+        per key is kept (dropDuplicates), matching what Flink's upsert
+        gives only when the batch carries at most one row per key."""
         if key_columns is None:
             key_columns = self.identifier_fields()
             if not key_columns:
@@ -1360,8 +1418,17 @@ class IceLiteTable:
             parent = _head(meta, branch)
             meta.last_sequence_number += 1
             seq = meta.last_sequence_number
-            # same-batch duplicates: last-writer-wins within the batch
-            dedup = source.dropDuplicates(key_columns)
+            if order_by is not None:
+                w = Window.partitionBy(*key_columns).orderBy(
+                    F.col(order_by).desc()
+                )
+                dedup = (
+                    source.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                dedup = source.dropDuplicates(key_columns)
             keys = dedup.select(*key_columns)
             dentry = self._write_delete_file(
                 keys, content=2, sequence_number=seq, equality_columns=key_columns
@@ -1846,12 +1913,20 @@ def _coerce(a, b):
 
 
 def _partition_from_path(rel_path: str) -> dict[str, object]:
-    """Parse hive-style dirs (``name=value/...``) into partition values."""
+    """Parse hive-style dirs (``name=value/...``) into partition values.
+
+    Directory values are Hive-ESCAPED by the writer (':' → '%3A' etc.);
+    unescape them, or prune_files would compare the escaped string
+    against the raw filter literal and silently skip matching files
+    (e.g. every identity partition on a timestamp-like string)."""
+    from urllib.parse import unquote  # noqa: PLC0415
+
     out: dict[str, object] = {}
     for seg in rel_path.split(os.sep)[:-1]:
         if "=" not in seg:
             continue
         name, _, raw = seg.partition("=")
+        raw = unquote(raw)
         if name.startswith("__p_"):
             name = name[4:]
         if raw == "__HIVE_DEFAULT_PARTITION__":

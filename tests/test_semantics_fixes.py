@@ -1,0 +1,168 @@
+"""Regressions for silent-mis-execution findings: each test pins the
+behavior a review found could corrupt data or return wrong rows without
+erroring (facade alias handling, DDL normalization, Hive-escaped
+partition pruning, time-travel schemas, MoR no-op deletes, upsert
+ordering, incremental-read validation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_matrix_spark.session import local_df
+from iceberg_matrix_spark.sql import IceLiteSQL, UnsupportedSQLError
+from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    c = IceLiteCatalog(spark, str(tmp_path / "wh"))
+    c.create_namespace("ns")
+    return c
+
+
+@pytest.fixture()
+def sql(spark, catalog):
+    s = IceLiteSQL(spark, catalog)
+    return s
+
+
+def test_merge_same_default_alias_rejected(sql):
+    """MERGE INTO ns.items USING ns2.items — both default aliases are
+    'items'; rewriting every qualifier to one side would match-all and
+    corrupt the table. Must raise, not mis-execute."""
+    sql.sql("CREATE NAMESPACE ns2")
+    sql.sql("CREATE TABLE ns.items (id BIGINT, qty BIGINT) USING iceberg")
+    sql.sql("CREATE TABLE ns2.items (id BIGINT, qty BIGINT) USING iceberg")
+    sql.sql("INSERT INTO ns.items VALUES (1, 10), (2, 20)")
+    sql.sql("INSERT INTO ns2.items VALUES (1, 99)")
+    with pytest.raises(UnsupportedSQLError, match="ambiguous"):
+        sql.sql(
+            "MERGE INTO ns.items USING ns2.items ON items.id = items.id "
+            "WHEN MATCHED THEN UPDATE SET qty = items.qty"
+        )
+    # explicit aliases work
+    sql.sql(
+        "MERGE INTO ns.items t USING ns2.items s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty"
+    )
+    got = {r["id"]: r["qty"] for r in sql.sql("SELECT * FROM ns.items").collect()}
+    assert got == {1: 99, 2: 20}
+
+
+def test_merge_update_plus_delete_rejected(sql):
+    sql.sql("CREATE TABLE ns.t (id BIGINT, v BIGINT) USING iceberg")
+    sql.sql("CREATE TABLE ns.s (id BIGINT, v BIGINT) USING iceberg")
+    sql.sql("INSERT INTO ns.t VALUES (1, 1)")
+    sql.sql("INSERT INTO ns.s VALUES (1, 2)")
+    with pytest.raises(UnsupportedSQLError, match="UPDATE and WHEN MATCHED DELETE"):
+        sql.sql(
+            "MERGE INTO ns.t t USING ns.s s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN MATCHED THEN DELETE"
+        )
+    assert sql.sql("SELECT v FROM ns.t").collect()[0][0] == 1  # untouched
+
+
+def test_ctas_body_literals_survive_clause_stripping(sql):
+    """'USING parquet' / 'PARTITIONED BY' as DATA in a CTAS body must not
+    be eaten by the head-clause passes."""
+    sql.sql(
+        "CREATE TABLE ns.notes USING iceberg AS "
+        "SELECT 'USING parquet' AS note, 'PARTITIONED BY (x)' AS note2"
+    )
+    row = sql.sql("SELECT note, note2 FROM ns.notes").collect()[0]
+    assert row["note"] == "USING parquet"
+    assert row["note2"] == "PARTITIONED BY (x)"
+
+
+def test_merge_set_literal_with_alias_prefix_survives(sql):
+    """A string literal like 'tgt.archived' in a SET expression is data;
+    the alias rewriter must not rewrite inside it."""
+    sql.sql("CREATE TABLE ns.m (id BIGINT, note STRING) USING iceberg")
+    sql.sql("CREATE TABLE ns.msrc (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO ns.m VALUES (1, 'old')")
+    sql.sql("INSERT INTO ns.msrc VALUES (1)")
+    sql.sql(
+        "MERGE INTO ns.m AS tgt USING ns.msrc AS src ON tgt.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET note = 'tgt.archived'"
+    )
+    assert sql.sql("SELECT note FROM ns.m").collect()[0][0] == "tgt.archived"
+
+
+def test_alter_add_column_normalizes_and_validates_types(sql):
+    sql.sql("CREATE TABLE ns.ty (id BIGINT) USING iceberg")
+    sql.sql("ALTER TABLE ns.ty ADD (ts TIMESTAMP(6))")
+    # the committed type must be readable — a raw 'timestamp(6)' would
+    # make every subsequent scan fail at StructType.fromDDL
+    assert sql.sql("SELECT id, ts FROM ns.ty").count() == 0
+    with pytest.raises(UnsupportedSQLError, match="unsupported column type"):
+        sql.sql("ALTER TABLE ns.ty ADD (bad WIBBLE)")
+
+
+def test_time_travel_returns_snapshot_schema(spark, catalog):
+    """VERSION AS OF semantics: a later drop_column must not erase the
+    column from history; a later add must not appear in it."""
+    t = catalog.create_table("ns.tt", "id bigint, payload string")
+    t.append(local_df(spark, [(1, "p1")], "id bigint, payload string"))
+    snap1 = t.meta.current_snapshot_id
+    t.drop_column("payload")
+    t.add_columns({"extra": "bigint"})
+    t.append(local_df(spark, [(2, 9)], "id bigint, extra bigint"))
+
+    pinned = t.df(snapshot_id=snap1)
+    assert pinned.columns == ["id", "payload"]
+    assert pinned.collect()[0]["payload"] == "p1"
+    assert t.df().columns == ["id", "extra"]  # current read: current schema
+
+
+def test_mor_delete_with_no_matches_commits_no_delete_file(spark, catalog):
+    t = catalog.create_table("ns.nomatch", "id bigint")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(spark.range(5).coalesce(1))
+    for _ in range(3):
+        t.delete("id = -1")  # idempotent cleanup matching nothing
+    assert t._current_snapshot().delete_files == []
+    assert t.df().count() == 5
+
+
+def test_upsert_order_by_makes_last_writer_deterministic(spark, catalog):
+    t = catalog.create_table("ns.ups", "id bigint, v string, ts bigint")
+    batch = local_df(
+        spark,
+        [(1, "v1", 10), (1, "v2", 20), (2, "x", 5)],
+        "id bigint, v string, ts bigint",
+    )
+    t.upsert(batch, ["id"], order_by="ts")
+    got = {r["id"]: r["v"] for r in t.df().collect()}
+    assert got == {1: "v2", 2: "x"}
+
+
+def test_partition_prune_unescapes_hive_values(spark, catalog):
+    """Identity-partition values containing ':' are Hive-escaped in the
+    directory name; pruning must compare the UNESCAPED value or matching
+    files silently vanish from scans."""
+    t = catalog.create_table(
+        "ns.esc", "ts string, v bigint", partition_by=["ts"]
+    )
+    t.append(
+        local_df(
+            spark,
+            [("2024-01-01 00:00:00", 1), ("2024-01-02 00:00:00", 2)],
+            "ts string, v bigint",
+        )
+    )
+    rows = t.df(filters=[("ts", "=", "2024-01-01 00:00:00")]).collect()
+    assert [r["v"] for r in rows] == [1]
+
+
+def test_read_incremental_rejects_cow_rewrites_in_range(spark, catalog):
+    t = catalog.create_table("ns.incr", "id bigint")
+    t.append(spark.range(10).coalesce(1))
+    start = t.meta.current_snapshot_id
+    t.delete("id = 3")  # CoW rewrite re-sequences survivors
+    end = t.meta.current_snapshot_id
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(start, end)
+    # append-only ranges still work
+    t.append(spark.range(100, 103))
+    assert t.read_incremental(end, t.meta.current_snapshot_id).count() == 3
