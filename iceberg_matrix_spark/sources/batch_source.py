@@ -80,12 +80,64 @@ def _arrow_type(ddl: str):
         "timestamp": pa.timestamp("us", tz="UTC"),
         "timestamp_ntz": pa.timestamp("us"),
     }
+    prim.update(
+        {
+            "smallint": pa.int16(),
+            "short": pa.int16(),
+            "tinyint": pa.int8(),
+            "byte": pa.int8(),
+        }
+    )
     if ddl in prim:
         return prim[ddl]
     if ddl.startswith("decimal"):
         p, s = ddl[ddl.index("(") + 1 : ddl.index(")")].split(",")
         return pa.decimal128(int(p), int(s))
+    # char(n)/varchar(n) store as strings; array<T> recurses. This map
+    # must stay self-contained: it runs in executor Python workers where
+    # no SparkSession exists, so StructType.fromDDL is unavailable.
+    if ddl.startswith(("char(", "varchar(")):
+        return pa.string()
+    if ddl.startswith("array<") and ddl.endswith(">"):
+        return pa.list_(_arrow_type(ddl[len("array<") : -1]))
     raise NotImplementedError(f"icelite batch source: unsupported type {ddl!r}")
+
+
+def _project_schema(meta: TableMetadata, options: dict):
+    """Projection target: the SNAPSHOT's schema for a pinned read (the
+    same time-travel semantics IceLiteTable.df implements), else the
+    current schema."""
+    sid = options.get("snapshot_id")
+    if sid is not None:
+        snap = meta.snapshot_by_id(int(sid))
+        if snap is not None and snap.schema_id is not None:
+            return meta.schema_by_id(snap.schema_id)
+    return meta.current_schema
+
+
+def project_arrow_table(table, file_schema, target_schema):
+    """Field-ID projection of a raw parquet arrow table to a target
+    schema: rename (by id), cast (widening), back-fill added columns
+    (V3 initial-default, else NULL). Shared by the batch and streaming
+    sources so evolution semantics can't drift between them."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    by_id = {f.id: f for f in file_schema.fields}
+    cols, names = [], []
+    for cf in target_schema.fields:
+        typ = _arrow_type(_physical_type(cf.type))
+        old = by_id.get(cf.id)
+        if old is not None and old.name in table.column_names:
+            col = table[old.name]
+            if col.type != typ:
+                col = pc.cast(col, typ)
+        else:
+            fill = cf.initial_default
+            col = pa.array([fill] * table.num_rows, type=typ)
+        cols.append(col)
+        names.append(cf.name)
+    return pa.table(dict(zip(names, cols)))
 
 
 class _ScanPartition(InputPartition):
@@ -94,7 +146,7 @@ class _ScanPartition(InputPartition):
         self.seq = seq
         self.schema_id = schema_id
         self.pos_delete_dirs = pos_delete_dirs  # [dir, ...]
-        self.eq_deletes = eq_deletes  # [(dir, [col, ...], seq), ...]
+        self.eq_deletes = eq_deletes  # [(dir, file_cols, proj_cols, seq), ...]
 
 
 def _resolve_snapshot(meta: TableMetadata, options: dict):
@@ -128,11 +180,29 @@ class IceLiteBatchReader(DataSourceReader):
         transforms = [parse_transform(s) for s in meta.partition_spec]
         files = prune_files(snap.data_files, self.filters, transforms)
         pos_dirs = [d.path for d in snap.delete_files if d.content == 1]
-        eq = [
-            (d.path, list(d.equality_columns), d.sequence_number)
-            for d in snap.delete_files
-            if d.content == 2
-        ]
+        # equality keys resolved by FIELD ID to the projection target's
+        # names (table.py:_read_snapshot's mechanism): the delete parquet
+        # carries WRITE-TIME names; matching by that name after a RENAME
+        # would miss (KeyError) or hit an unrelated re-added column
+        target = _project_schema(meta, self.options)
+        by_fid = {f.id: f.name for f in target.fields}
+        eq = []
+        for d in snap.delete_files:
+            if d.content != 2:
+                continue
+            if d.equality_ids:
+                missing = [i for i in d.equality_ids if i not in by_fid]
+                if missing:
+                    raise ValueError(
+                        f"equality delete {d.path} references dropped field "
+                        f"id(s) {missing}; cannot apply it correctly"
+                    )
+                proj_cols = [by_fid[i] for i in d.equality_ids]
+            else:  # legacy name-addressed entries
+                proj_cols = list(d.equality_columns)
+            eq.append(
+                (d.path, list(d.equality_columns), proj_cols, d.sequence_number)
+            )
         return [
             _ScanPartition(f.path, f.sequence_number, f.schema_id, pos_dirs, eq)
             for f in files
@@ -145,7 +215,7 @@ class IceLiteBatchReader(DataSourceReader):
 
         meta, _ = load_metadata(self.location)
         file_schema = meta.schema_by_id(partition.schema_id)
-        current = meta.current_schema
+        current = _project_schema(meta, self.options)
         table = pq.read_table(partition.path)
 
         # position deletes scoped to this file (file_path matches the
@@ -162,31 +232,19 @@ class IceLiteBatchReader(DataSourceReader):
             mask = [i not in drop for i in range(table.num_rows)]
             table = table.filter(pa.array(mask))
 
-        # field-ID projection to the current schema (+ V3 initial-defaults)
-        by_id = {f.id: f for f in file_schema.fields}
-        cols, names = [], []
-        for cf in current.fields:
-            typ = _arrow_type(_physical_type(cf.type))
-            old = by_id.get(cf.id)
-            if old is not None and old.name in table.column_names:
-                col = table[old.name]
-                if col.type != typ:
-                    col = pc.cast(col, typ)
-            else:
-                fill = cf.initial_default
-                col = pa.array([fill] * table.num_rows, type=typ)
-            cols.append(col)
-            names.append(cf.name)
-        out = pa.table(dict(zip(names, cols)))
+        # field-ID projection to the target schema (+ V3 initial-defaults)
+        out = project_arrow_table(table, file_schema, current)
 
-        # equality deletes apply to rows written BEFORE the delete commit
-        for ddir, key_cols, dseq in partition.eq_deletes:
-            if partition.seq >= dseq or not key_cols:
+        # equality deletes apply to rows written BEFORE the delete commit;
+        # the delete parquet is read by its WRITE-TIME column names, the
+        # projected table matched by the field-id-resolved target names
+        for ddir, file_cols, proj_cols, dseq in partition.eq_deletes:
+            if partition.seq >= dseq or not file_cols:
                 continue
-            keys = pq.read_table(ddir, columns=key_cols)
+            keys = pq.read_table(ddir, columns=file_cols)
             mask = None
-            for kc in key_cols:
-                hit = pc.is_in(out[kc], value_set=keys[kc].combine_chunks())
+            for fc, kc in zip(file_cols, proj_cols):
+                hit = pc.is_in(out[kc], value_set=keys[fc].combine_chunks())
                 mask = hit if mask is None else pc.and_(mask, hit)
             out = out.filter(pc.invert(pc.fill_null(mask, False)))
 
@@ -203,8 +261,9 @@ class IceLiteBatchDataSource(DataSource):
     def schema(self) -> str:
         location = self.options.get("path") or self.options["location"]
         meta, _ = load_metadata(location)
+        target = _project_schema(meta, dict(self.options))
         return ", ".join(
-            f"{f.name} {_physical_type(f.type)}" for f in meta.current_schema.fields
+            f"{f.name} {_physical_type(f.type)}" for f in target.fields
         )
 
     def reader(self, schema) -> IceLiteBatchReader:

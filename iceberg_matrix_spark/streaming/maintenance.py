@@ -65,6 +65,20 @@ class CompactionScheduler:
         self._thread.start()
         return self
 
-    def stop(self, timeout: float = 30.0) -> None:
+    def stop(self, timeout: float = 30.0, raise_errors: bool = True) -> None:
+        """Stop the loop and SURFACE accumulated failures: a compaction
+        loop that errored every interval must not look like it worked.
+        Pass ``raise_errors=False`` to inspect ``self.errors`` manually
+        (e.g. when some failed attempts are expected under contention)."""
         self._stop.set()
         self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError(
+                f"compaction thread did not stop within {timeout}s"
+            )
+        if raise_errors and self.errors and self.rewrites == 0:
+            # every attempt failed — nothing was ever compacted
+            raise RuntimeError(
+                f"compaction never succeeded: {len(self.errors)} failure(s); "
+                f"last: {self.errors[-1]!r}"
+            ) from self.errors[-1]

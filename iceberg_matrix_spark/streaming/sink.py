@@ -38,15 +38,34 @@ def last_committed_batch(table: IceLiteTable, query_id: str) -> int:
     return best
 
 
-def _epoch_writer(location: str, query_id: str, commit):
+def _checkpoint_query_id(checkpoint_dir: str) -> str:
+    """The query id Spark stores in ``<checkpoint>/metadata`` — the same
+    id Iceberg's sink keys its idempotence on. It lives WITH the
+    checkpoint: clearing the checkpoint (which restarts batch ids at 0)
+    produces a fresh id, so old high batch ids in the table can never
+    shadow the new run's epochs."""
+    import json
+    import os
+
+    with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+        return str(json.load(fh)["id"])
+
+
+def _epoch_writer(location: str, query_id: str | None, checkpoint_dir: str, commit):
     """foreachBatch body: skip replayed epochs, commit data + batch id
-    atomically."""
+    atomically. ``query_id=None`` (the default) resolves to the
+    checkpoint-scoped id at first batch — a STATIC default here would
+    silently drop every epoch up to the historical max batch id after a
+    checkpoint reset."""
+    resolved = {"qid": query_id}
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if resolved["qid"] is None:
+            resolved["qid"] = _checkpoint_query_id(checkpoint_dir)
         table = IceLiteTable(batch_df.sparkSession, location)
-        if batch_id <= last_committed_batch(table, query_id):
+        if batch_id <= last_committed_batch(table, resolved["qid"]):
             return  # replay of an epoch that already committed
-        commit(table, batch_df, {_QID: query_id, _BID: int(batch_id)})
+        commit(table, batch_df, {_QID: resolved["qid"], _BID: int(batch_id)})
 
     return write
 
@@ -55,7 +74,7 @@ def append_stream(
     stream_df: DataFrame,
     location: str,
     checkpoint_dir: str,
-    query_id: str = "append-stream",
+    query_id: str | None = None,
     trigger: dict | None = None,
     query_name: str | None = None,
 ) -> StreamingQuery:
@@ -68,6 +87,7 @@ def append_stream(
         _epoch_writer(
             location,
             query_id,
+            checkpoint_dir,
             lambda t, df, summary: t.append(df, extra_summary=summary),
         )
     ).option("checkpointLocation", checkpoint_dir)
@@ -83,7 +103,7 @@ def upsert_stream(
     location: str,
     key_columns: list[str],
     checkpoint_dir: str,
-    query_id: str = "upsert-stream",
+    query_id: str | None = None,
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Streaming PK upsert: each epoch commits equality deletes + new rows
@@ -92,6 +112,7 @@ def upsert_stream(
         _epoch_writer(
             location,
             query_id,
+            checkpoint_dir,
             lambda t, df, summary: t.upsert(df, key_columns, extra_summary=summary),
         )
     ).option("checkpointLocation", checkpoint_dir)

@@ -34,9 +34,9 @@ SOURCE_NAME = "icelite_stream"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(self, path: str, schema_id: int):
         self.path = path
-        self.columns = columns
+        self.schema_id = schema_id
 
 
 def _main_lineage(meta):
@@ -55,6 +55,13 @@ class IceLiteStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.location = options["location"]
         self.starting = options.get("starting", "earliest")
+        # Spark captures the stream's schema ONCE at start; pin the
+        # matching schema id so every micro-batch projects files (old or
+        # new) to exactly that shape — reading raw files by current-name
+        # selection crashes the stream permanently at the first
+        # add/rename/widen in its history
+        meta, _version = load_metadata(self.location)
+        self.target_schema_id = meta.current_schema_id
 
     def _meta(self):
         meta, _version = load_metadata(self.location)
@@ -73,7 +80,6 @@ class IceLiteStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         meta = self._meta()
-        columns = meta.current_schema.names()
         parts: list[InputPartition] = []
         for s in _main_lineage(meta):
             if not (start["seq"] < s.sequence_number <= end["seq"]):
@@ -83,17 +89,26 @@ class IceLiteStreamReader(DataSourceStreamReader):
             for f in s.data_files:
                 # files *added* by this snapshot carry its sequence number
                 if f.sequence_number == s.sequence_number:
-                    parts.append(_FilePartition(f.path, columns))
+                    parts.append(_FilePartition(f.path, f.schema_id))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
+        from iceberg_matrix_spark.sources.batch_source import (  # noqa: PLC0415
+            project_arrow_table,
+        )
+
+        meta = self._meta()
         # identity-transform partition values live in the data file too
-        # (table.py _write_data_files aliases them), so a column-ordered
-        # projection is complete.
-        table = table.select(partition.columns)
+        # (table.py _write_data_files aliases them); field-ID projection
+        # renames/casts/back-fills older files to the stream's pinned
+        # schema — the batch source's exact mechanism, shared.
+        table = project_arrow_table(
+            pq.read_table(partition.path),
+            meta.schema_by_id(partition.schema_id),
+            meta.schema_by_id(self.target_schema_id),
+        )
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -109,7 +124,14 @@ class IceLiteStreamDataSource(DataSource):
 
     def schema(self) -> str:
         meta, _version = load_metadata(self.options["location"])
-        return meta.current_schema.spark_ddl()
+        # PHYSICAL types: V3 logical types (timestamp_ns, variant) are not
+        # valid Spark DDL — the batch source's exact rule
+        from iceberg_matrix_spark.tables.table import _physical_type  # noqa: PLC0415
+
+        return ", ".join(
+            f"{f.name} {_physical_type(f.type)}"
+            for f in meta.current_schema.fields
+        )
 
     def streamReader(self, schema) -> IceLiteStreamReader:
         return IceLiteStreamReader(dict(self.options))

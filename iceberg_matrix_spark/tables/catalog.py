@@ -120,11 +120,14 @@ class IceLiteCatalog:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         defaults: dict[str, object] | None = None,
+        location: str | None = None,
     ) -> IceLiteTable:
         """``defaults`` maps column → V3 DEFAULT literal (used both as
         initial-default and write-default — the CREATE TABLE ... DEFAULT
-        surface, iceberg_feature_tests.py:771-776)."""
-        location = self._location(identifier)
+        surface, iceberg_feature_tests.py:771-776). ``location``
+        overrides the identifier-derived directory (a pointer catalog
+        like SqlCatalog allocates fresh dirs for re-created names)."""
+        location = location or self._location(identifier)
         if current_version(location) > 0:
             raise TableAlreadyExistsError(identifier)
         version = int((properties or {}).get("format-version", "2"))

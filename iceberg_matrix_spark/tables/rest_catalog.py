@@ -39,7 +39,7 @@ import threading
 import urllib.error
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import urlparse
+from urllib.parse import quote, unquote, urlparse
 
 from pyspark.sql import SparkSession
 
@@ -79,7 +79,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self) -> tuple[str, list[str], dict]:
         parsed = urlparse(self.path)
-        parts = [p for p in parsed.path.split("/") if p]
+        parts = [unquote(p) for p in parsed.path.split("/") if p]
         query = dict(
             kv.split("=", 1) if "=" in kv else (kv, "")
             for kv in parsed.query.split("&")
@@ -209,6 +209,14 @@ class RestCatalogServer:
 # ------------------------------------------------------------------- client
 
 
+
+def _seg(name: str) -> str:
+    """Percent-encode one URL path segment — a table named "my table"
+    would otherwise split the HTTP request line (and '#'/'?' would
+    truncate the path to the wrong resource)."""
+    return quote(str(name), safe="")
+
+
 class RestCatalogError(Exception):
     pass
 
@@ -260,17 +268,17 @@ class RestCatalog:
         )
 
     def drop_namespace(self, name: str) -> None:
-        self._request("DELETE", f"/v1/namespaces/{name}")
+        self._request("DELETE", f"/v1/namespaces/{_seg(name)}")
 
     def list_namespaces(self) -> list[str]:
         out = self._request("GET", "/v1/namespaces")
         return [ns[0] for ns in out["namespaces"]]
 
     def namespace_properties(self, name: str) -> dict:
-        return self._request("GET", f"/v1/namespaces/{name}")["properties"]
+        return self._request("GET", f"/v1/namespaces/{_seg(name)}")["properties"]
 
     def list_tables(self, namespace: str) -> list[str]:
-        out = self._request("GET", f"/v1/namespaces/{namespace}/tables")
+        out = self._request("GET", f"/v1/namespaces/{_seg(namespace)}/tables")
         return [ident["name"] for ident in out["identifiers"]]
 
     # table surface
@@ -285,7 +293,7 @@ class RestCatalog:
         ns, tbl = self._split(identifier)
         out = self._request(
             "POST",
-            f"/v1/namespaces/{ns}/tables",
+            f"/v1/namespaces/{_seg(ns)}/tables",
             {
                 "name": tbl,
                 "schema-ddl": schema_ddl,
@@ -299,19 +307,19 @@ class RestCatalog:
         ns, tbl = self._split(identifier)
         out = self._request(
             "POST",
-            f"/v1/namespaces/{ns}/register",
+            f"/v1/namespaces/{_seg(ns)}/register",
             {"name": tbl, "metadata-location": metadata_location},
         )
         return self._table_from_load(out)
 
     def load_table(self, identifier: str) -> IceLiteTable:
         ns, tbl = self._split(identifier)
-        out = self._request("GET", f"/v1/namespaces/{ns}/tables/{tbl}")
+        out = self._request("GET", f"/v1/namespaces/{_seg(ns)}/tables/{_seg(tbl)}")
         return self._table_from_load(out)
 
     def metadata_location(self, identifier: str) -> str:
         ns, tbl = self._split(identifier)
-        out = self._request("GET", f"/v1/namespaces/{ns}/tables/{tbl}")
+        out = self._request("GET", f"/v1/namespaces/{_seg(ns)}/tables/{_seg(tbl)}")
         return out["metadata-location"]
 
     def table_exists(self, identifier: str) -> bool:
@@ -337,7 +345,7 @@ class RestCatalog:
         ns, tbl = self._split(identifier)
         self._request(
             "DELETE",
-            f"/v1/namespaces/{ns}/tables/{tbl}?purgeRequested={'true' if purge else 'false'}",
+            f"/v1/namespaces/{_seg(ns)}/tables/{_seg(tbl)}?purgeRequested={'true' if purge else 'false'}",
         )
 
     def _table_from_load(self, out: dict) -> IceLiteTable:

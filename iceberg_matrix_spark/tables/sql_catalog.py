@@ -149,7 +149,21 @@ class DbApiCatalog:
         except self._integrity_error as exc:
             if self._is_fk_violation(exc):
                 raise
-            # already exists — idempotent like CREATE NAMESPACE IF NOT EXISTS
+            # re-creating with IDENTICAL properties is idempotent (CREATE
+            # NAMESPACE IF NOT EXISTS); different properties must conflict
+            # loudly — answering success while the stored properties stay
+            # unchanged would silently diverge (the REST server surfaces
+            # this as the spec's 409 AlreadyExistsException)
+            existing = self.namespace_properties(name)
+            if existing != (properties or {}):
+                from iceberg_matrix_spark.tables.catalog import (  # noqa: PLC0415
+                    TableAlreadyExistsError,
+                )
+
+                raise TableAlreadyExistsError(
+                    f"namespace {name} exists with different properties "
+                    f"{existing}"
+                ) from exc
 
     def namespace_properties(self, name: str) -> dict[str, str]:
         with self._conn() as con:
@@ -226,13 +240,27 @@ class DbApiCatalog:
     ) -> IceLiteTable:
         ns, tbl = self._split(identifier)
         location = os.path.join(self.warehouse, ns, tbl)
+        if current_version(location) != 0:
+            # the deterministic dir is occupied by a previously dropped
+            # (non-purge) or renamed-away table's files — the catalog row
+            # is the identity, so allocate a fresh location rather than
+            # failing the re-create forever (Iceberg's non-purge DROP
+            # likewise leaves files behind and re-creates elsewhere)
+            import uuid as _uuid  # noqa: PLC0415
+
+            location = f"{location}-{_uuid.uuid4().hex[:8]}"
         # claim the identifier FIRST: the primary key makes concurrent
         # creates race-free (exactly one INSERT succeeds)
         self._claim(ns, tbl, location, identifier)
         try:
             os.makedirs(os.path.dirname(location), exist_ok=True)
             table = self._fs.create_table(
-                identifier, schema, partition_by, properties, defaults=defaults
+                identifier,
+                schema,
+                partition_by,
+                properties,
+                defaults=defaults,
+                location=location,
             )
         except Exception:
             with self._conn() as con:  # roll back the claim on failure

@@ -101,3 +101,53 @@ def test_pushed_filters_prune_partitions(spark, cat):
     # and the end-to-end read still returns exactly the right rows
     got = _read(spark, t.location).filter("k > 1")
     assert _ids(got) == [2, 5, 8]
+
+
+def test_equality_deletes_apply_after_key_rename(spark, cat):
+    """Equality keys resolve by FIELD ID: renaming the key column after
+    the delete was written must not detach (or mis-target) the delete."""
+    t = cat.create_table("b.eqren", "k bigint, v bigint")
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint"))
+    t.upsert(spark.createDataFrame([(2, 21)], "k bigint, v bigint"), ["k"])
+    t.rename_column("k", "key")
+
+    from iceberg_matrix_spark.sources.batch_source import register_batch_source
+
+    register_batch_source(spark)
+    got = {
+        (r["key"], r["v"])
+        for r in spark.read.format("icelite").load(t.location).collect()
+    }
+    assert got == {(1, 10), (2, 21)}
+
+
+def test_snapshot_id_read_uses_snapshot_schema(spark, cat):
+    """option('snapshot_id') returns the SNAPSHOT's columns — the same
+    time-travel semantics as IceLiteTable.df."""
+    t = cat.create_table("b.ttschema", "id bigint, payload string")
+    t.append(spark.createDataFrame([(1, "p")], "id bigint, payload string"))
+    snap1 = t.meta.current_snapshot_id
+    t.drop_column("payload")
+
+    from iceberg_matrix_spark.sources.batch_source import register_batch_source
+
+    register_batch_source(spark)
+    pinned = (
+        spark.read.format("icelite").option("snapshot_id", snap1).load(t.location)
+    )
+    assert pinned.columns == ["id", "payload"]
+    assert pinned.collect()[0]["payload"] == "p"
+    assert spark.read.format("icelite").load(t.location).columns == ["id"]
+
+
+def test_smallint_column_reads(spark, cat):
+    """Types outside the fast-path arrow map fall through to PySpark's
+    own DDL→arrow mapping instead of crashing the scan."""
+    t = cat.create_table("b.short", "id bigint, s smallint")
+    t.append(spark.sql("SELECT 1L AS id, CAST(7 AS SMALLINT) AS s"))
+
+    from iceberg_matrix_spark.sources.batch_source import register_batch_source
+
+    register_batch_source(spark)
+    row = spark.read.format("icelite").load(t.location).collect()[0]
+    assert (row["id"], row["s"]) == (1, 7)

@@ -81,3 +81,25 @@ def test_partitioned_create_over_http(spark, rest):
         )
     )
     assert rest.load_table("db.part").df().count() == 2
+
+
+def test_names_with_url_metacharacters(spark, rest):
+    """Namespace/table names containing spaces or '#' must round-trip:
+    unencoded they would split the HTTP request line or truncate the
+    path."""
+    rest.create_namespace("my ns")
+    t = rest.create_table("my ns.my table#1", "id bigint")
+    t.append(spark.range(3))
+    assert rest.list_tables("my ns") == ["my table#1"]
+    assert rest.load_table("my ns.my table#1").df().count() == 3
+    rest.drop_table("my ns.my table#1", purge=True)
+    rest.drop_namespace("my ns")
+
+
+def test_duplicate_namespace_conflicts_over_http(rest):
+    from iceberg_matrix_spark.tables.catalog import TableAlreadyExistsError
+
+    rest.create_namespace("dup", {"k": "1"})
+    rest.create_namespace("dup", {"k": "1"})  # idempotent
+    with pytest.raises(TableAlreadyExistsError):
+        rest.create_namespace("dup", {"k": "2"})

@@ -180,3 +180,33 @@ def test_sql_facade_composes_over_sql_catalog(spark, cat):
     assert "rewritten_data_files_count" in res.columns
     sql.sql("DROP TABLE local.fc.t PURGE")
     assert not cat.table_exists("fc.t")
+
+
+def test_recreate_after_drop_and_rename(spark, cat):
+    """Non-purge DROP and RENAME leave files at the deterministic dir;
+    re-creating the identifier must allocate a fresh location instead of
+    failing forever on the leftover metadata."""
+    cat.create_namespace("db")
+    t = cat.create_table("db.t", "id bigint")
+    t.append(spark.range(3))
+    cat.drop_table("db.t")  # purge=False: files stay behind
+    t2 = cat.create_table("db.t", "id bigint")
+    t2.append(spark.range(5))
+    assert cat.load_table("db.t").df().count() == 5
+
+    cat.create_table("db.a", "id bigint").append(spark.range(2))
+    cat.rename_table("db.a", "db.b")
+    a2 = cat.create_table("db.a", "id bigint")  # old dir still holds db.b
+    a2.append(spark.range(7))
+    assert cat.load_table("db.a").df().count() == 7
+    assert cat.load_table("db.b").df().count() == 2
+
+
+def test_create_namespace_conflict_on_different_properties(cat):
+    from iceberg_matrix_spark.tables.catalog import TableAlreadyExistsError
+
+    cat.create_namespace("dbp", {"a": "1"})
+    cat.create_namespace("dbp", {"a": "1"})  # identical → idempotent
+    with pytest.raises(TableAlreadyExistsError, match="different properties"):
+        cat.create_namespace("dbp", {"a": "2"})
+    assert cat.namespace_properties("dbp") == {"a": "1"}

@@ -95,7 +95,7 @@ def test_epoch_replay_is_skipped(spark, warehouse):
     """Replaying an already-committed batch id is a no-op (exactly-once)."""
     t = warehouse.create_table("stream.replay", "id bigint")
     write = _epoch_writer(
-        t.location, "q1", lambda tb, df, s: tb.append(df, extra_summary=s)
+        t.location, "q1", "/nonexistent-ckpt", lambda tb, df, s: tb.append(df, extra_summary=s)
     )
     one = spark.range(3)
     write(one, 0)
@@ -374,3 +374,61 @@ def test_foreachbatch_idempotent_sink_exactly_once_across_crash_replay(spark):
     run_once()
     assert calls == [0, 0, 1]
     assert result() == list(range(5)) + list(range(100, 103))
+
+
+def test_checkpoint_scoped_query_id_survives_reset(spark, warehouse, tmp_path):
+    """A cleared/fresh checkpoint restarts batch ids at 0; the sink's
+    idempotence key must reset WITH it, or every epoch up to the old max
+    batch id is silently dropped."""
+    import json as _json
+
+    from iceberg_matrix_spark.streaming.sink import _epoch_writer
+
+    t = warehouse.create_table("stream.ckptreset", "id bigint")
+
+    def ckpt(name, qid):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "metadata").write_text(_json.dumps({"id": qid}))
+        return str(d)
+
+    one = spark.range(2)
+    w1 = _epoch_writer(t.location, None, ckpt("c1", "run-1"),
+                       lambda tb, df, s: tb.append(df, extra_summary=s))
+    w1(one, 0)
+    w1(one, 1)
+    # checkpoint cleared → new query id, batch numbering restarts at 0
+    w2 = _epoch_writer(t.location, None, ckpt("c2", "run-2"),
+                       lambda tb, df, s: tb.append(df, extra_summary=s))
+    w2(one, 0)  # MUST commit, not be shadowed by run-1's batch 1
+    table = IceLiteTable(spark, t.location)
+    assert table.df().count() == 6
+    assert len(table.meta.snapshots) == 3
+
+
+def test_stream_tail_survives_schema_evolution(spark, warehouse):
+    """Files written before an add/rename are field-ID projected to the
+    stream's pinned schema instead of crashing the micro-batch."""
+    t = warehouse.create_table("stream.evolve", "id bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    t.rename_column("v", "val")
+    t.add_columns({"extra": "bigint"})
+    t.append(
+        spark.createDataFrame([(2, "b", 9)], "id bigint, val string, extra bigint")
+    )
+    from iceberg_matrix_spark.streaming.source import read_stream
+
+    q = (
+        read_stream(spark, t.location, starting="earliest")
+        .writeStream.format("memory")
+        .queryName("evolve_tail")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{t.location}/_ckpt_evolve")
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        (r["id"], r["val"], r["extra"])
+        for r in spark.sql("SELECT * FROM evolve_tail").collect()
+    }
+    assert rows == {(1, "a", None), (2, "b", 9)}
