@@ -47,7 +47,17 @@ def _asof_carry(
     farther row — matching DuckDB ASOF / pandas merge_asof semantics for
     nullable payloads."""
     l_tag = left.withColumn("__side", F.lit(1))
-    r_tag = right.select(*by, on, *value_cols).withColumn("__side", F.lit(0))
+    # NULL by-keys never match in SQL equality (DuckDB ASOF ... ON l.k =
+    # r.k; pandas merge_asof likewise) — but Window.partitionBy groups
+    # NULLs together, so a NULL-key right row would wrongly carry onto
+    # NULL-key left rows. Dropping those right rows yields exactly the
+    # no-match (NULL payload) result for NULL-key left rows.
+    null_key = None
+    for b in by:
+        c = F.col(b).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    r_src = right.filter(~null_key) if null_key is not None else right
+    r_tag = r_src.select(*by, on, *value_cols).withColumn("__side", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     order = F.col(on).desc() if descending else F.col(on).asc()
     w = (

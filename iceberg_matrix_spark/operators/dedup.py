@@ -514,7 +514,7 @@ _DOC_SHINGLES_SQL = """
 # (the HAVING mirrors Spark's `size(ids) <= MAX_DOC_FREQ` postings filter).
 _DOC_SHINGLES_CAPPED_SQL = f"""
   docs AS (
-    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\\\\s+', ' ', 'g')), ' ') toks
+    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks
     FROM documents
   ),
   sets_ AS (
@@ -595,7 +595,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_incremental_ngram",
     oracle=f"""
     WITH docs AS (
-      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\\\\s+', ' ', 'g')), ' ') toks
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks
       FROM documents
     ),
     sets_ AS (

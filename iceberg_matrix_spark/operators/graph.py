@@ -82,6 +82,14 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # min-label propagation needs one round per graph-diameter hop;
+        # returning the intermediate labels would silently split one
+        # cluster into several "canonical" components
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds max_iter — raise it)"
+        )
     return labels
 
 

@@ -153,7 +153,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 # stage should take): window sums via reshape, windows
                 # past the payload end read as zero like the slice sum.
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                window = max(1, len(arr) // _FEATURE_DIM)
+                # ceil-sized: floor would TRUNCATE the trailing
+                # len % _FEATURE_DIM bytes (two payloads differing only
+                # in the tail would collide) instead of zero-padding
+                window = max(1, -(-len(arr) // _FEATURE_DIM))
                 buf = np.zeros(_FEATURE_DIM * window, dtype=np.int64)
                 n = min(len(arr), buf.size)
                 buf[:n] = arr[:n]

@@ -240,6 +240,14 @@ def token_shards(
     d = docs.select(
         "doc_id", F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("n_tokens")
     ).repartitionByRange(partitions, "doc_id")
+    # PIN the range partitioning before branching: the local-cumsum and
+    # per-partition-offset subplans below both consume this exchange, and
+    # __pid is only consistent between them if they share ONE execution —
+    # RangePartitioner bounds come from a reservoir SAMPLE, so two
+    # independent executions (exchange reuse disabled, or a refactor that
+    # de-canonicalizes the subplans) could split rows differently and
+    # join a row's cumsum to the wrong partition's offset.
+    d = d.localCheckpoint(eager=False)
     d = d.withColumn("__pid", F.spark_partition_id())
     from pyspark.sql import Window
 

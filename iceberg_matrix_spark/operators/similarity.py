@@ -304,32 +304,40 @@ def ann_lsh_topk(
     rows = _N_PLANES // bands
     mask = (1 << rows) - 1
 
-    def banded(df: DataFrame, idc: str, vc: str, out_prefix: str) -> DataFrame:
-        sig = hyperplane_signature(vc)
+    def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        # alias the 32-dot-product signature ONCE and chunk from the
+        # COLUMN (the _banded_signatures janino lesson: 16 inlined copies
+        # silently drop the stage out of codegen); candidates then carry
+        # ONLY ids — the distinct over rows with two ~512-byte vectors
+        # multiplied the exchange ~60× (the _lsh_candidate_pairs lesson)
+        with_sig = df.select(F.col(idc), hyperplane_signature(vc).alias("__sig"))
+        sig = F.col("__sig")
         chunks = F.array(
             *[
                 F.shiftrightunsigned(sig, i * rows).bitwiseAND(F.lit(mask))
                 for i in range(bands)
             ]
         )
-        return df.select(
-            F.col(idc), F.col(vc), F.posexplode(chunks).alias("band", "chunk")
-        )
+        return with_sig.select(F.col(idc), F.posexplode(chunks).alias("band", "chunk"))
 
-    cb = banded(corpus, id_col, vec_col, "c")
-    qb = banded(queries, query_id_col, query_vec_col, "q")
+    cb = banded(corpus, id_col, vec_col)
+    qb = banded(queries, query_id_col, query_vec_col)
     cands = (
         cb.join(
             F.broadcast(qb),
             (cb.band == qb.band) & (cb.chunk == qb.chunk) & (F.col(id_col) != F.col(query_id_col)),
         )
-        .select(query_id_col, query_vec_col, id_col, vec_col)
+        .select(query_id_col, id_col)
         .distinct()
     )
-    scored = cands.select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine(vec_col, query_vec_col).alias("score"),
+    scored = (
+        cands.join(F.broadcast(queries), query_id_col)
+        .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            cosine(vec_col, query_vec_col).alias("score"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -807,7 +815,9 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
     """Per-dimension int8 quantization: codes = floor((x - min_d) · 255 /
     (max_d - min_d)), clamped to [0, 255], with (min_d, max_d) computed
     per dimension over the corpus — the storage-compression step an
@@ -820,7 +830,7 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     on both engines, so codes are bit-identical cross-engine.
     """
     ex = df.select(
-        "vec_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
     stats = ex.groupBy("pos").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
@@ -842,7 +852,7 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             )
         ),
     )
-    return coded.groupBy("vec_id").agg(
+    return coded.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dims"),
         F.sum("code").alias("sum_codes"),
         F.min("code").alias("min_code"),
