@@ -286,8 +286,11 @@ def folder_name_expr(id_col: Column, prefix_col: Column) -> Column:
     has_prefix = prefix_col.isNotNull() & id_col.startswith(
         F.concat(prefix_col, F.lit("-"))
     )
+    # built from the PASSED columns (an F.expr string would hardcode the
+    # names 'id'/'vendor_prefix' and ignore the parameters)
     return F.when(
-        has_prefix, F.expr("substring(id, length(vendor_prefix) + 2)")
+        has_prefix,
+        id_col.substr(F.length(prefix_col) + F.lit(2), F.length(id_col)),
     ).otherwise(id_col)
 
 

@@ -16,17 +16,52 @@ from pyspark.sql import DataFrame
 
 def explain_formatted(df: DataFrame) -> str:
     """The formatted physical plan as a string (what
-    df.explain("formatted") prints)."""
-    jvm = df.sparkSession._jvm
-    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    df.explain("formatted") prints).
+
+    maxMetadataStringLength is raised for the call: the 100-char default
+    truncates ReadSchema to "... N more fields", which would make
+    negative pruning assertions ("l_comment not read") pass vacuously."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try:
+        jvm = spark._jvm
+        return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set(key, old)
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a filter list on commas outside BOTH parens and brackets —
+    In(col, [1,3,5]) must stay one entry."""
+    out, start, pd, bd = [], 0, 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            pd += 1
+        elif ch == ")":
+            pd -= 1
+        elif ch == "[":
+            bd += 1
+        elif ch == "]":
+            bd -= 1
+        elif ch == "," and pd == 0 and bd == 0:
+            out.append(body[start:i].strip())
+            start = i + 1
+    tail = body[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def pushed_filters(df: DataFrame) -> list[list[str]]:
-    """Per-scan PushedFilters lists, in plan order."""
+    """Per-scan PushedFilters lists, in plan order. Bracket-aware: an
+    In(col, [v1,v2,...]) filter contains ']' and commas, so the list is
+    taken to the line's LAST bracket and split at top level only."""
     out = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_formatted(df)):
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", explain_formatted(df)):
         body = m.group(1).strip()
-        out.append([] if not body else re.split(r",\s*(?![^()]*\))", body))
+        out.append([] if not body else _split_top_level(body))
     return out
 
 
@@ -60,7 +95,8 @@ def data_shuffle_count(df: DataFrame) -> int:
     """
     plan = explain_formatted(df)
     rr = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
-    return shuffle_count(df) - rr
+    total = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
+    return total - rr  # one planning pass, not a second via shuffle_count
 
 
 def broadcast_join_count(df: DataFrame) -> int:

@@ -845,7 +845,7 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT
-      CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+      CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT) AS k,
       COUNT(*) AS n_events
     FROM events
     GROUP BY 1
@@ -855,13 +855,15 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction from the JSON props column — the VARIANT /
     parse_json surface (/root/reference/tests/iceberg_feature_tests.py:1304-1308)
     over plain JSON strings (no VARIANT type without the Iceberg runtime);
-    regexp_extract keeps Spark & DuckDB semantics identical."""
+    regexp_extract keeps Spark & DuckDB semantics identical. Both engines
+    NULLIF the no-match empty string before the cast: a props row without
+    "k" groups under NULL instead of throwing the ANSI empty-string cast
+    error (CAST_INVALID_INPUT on Spark 4, Conversion Error on DuckDB)."""
+    extracted = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
     return (
         load_table(spark, sf_dir, "events")
         .select(
-            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
-            .cast("bigint")
-            .alias("k")
+            F.nullif(extracted, F.lit("")).cast("bigint").alias("k")
         )
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -26,6 +26,28 @@ from iceberg_matrix_spark.streaming.windows import (
 )
 
 
+def _run_to_memory(df, prefix: str, mode: str):
+    """Shared availableNow → memory-sink harness for the registered
+    streaming queries: one copy of the sink/checkpoint/timeout protocol
+    so a fix (or the 120s budget) can't drift between them. Returns the
+    sink table name; fails LOUDLY on timeout (a hung stream must read as
+    a red driver row, not a silent partial result)."""
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("availableNow streaming query did not finish in 120s")
+    return sink
+
+
+
 @register(
     "q_stream_window_agg",
     oracle="""
@@ -57,18 +79,7 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         to="timestamp",
     )
     agg = tumbling_window_counts(stream, window="1 hour", watermark="1 hour")
-    sink = f"stream_window_agg_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("availableNow streaming query did not finish in 120s")
+    sink = _run_to_memory(agg, "stream_window_agg", "complete")
     return spark.table(sink).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -81,16 +92,24 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window_batch",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      -- CAST normalizes a TIMESTAMP_NS physical unit (round-1 testdata
+      -- generation) to the microsecond values Spark's loader produces;
+      -- the boundary stays STRICT '>' — probed empirically: Spark's
+      -- session_window keeps an event at exactly ts+gap in the session
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
     sessions AS (
+      -- the running sum MUST order exactly like the lag CTE (event_id
+      -- tiebreak): tied timestamps would otherwise be numbered
+      -- nondeterministically across the two windows
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM ordered
     )
@@ -146,18 +165,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("availableNow streaming query did not finish in 120s")
+    sink = _run_to_memory(deduped, "stream_dedup", "append")
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -243,18 +251,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     )
-    sink = f"stream_stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("availableNow streaming query did not finish in 120s")
+    sink = _run_to_memory(joined, "stream_stream_join", "append")
     return spark.table(sink).select(
         F.col("p_event_id").alias("purchase_event_id"),
         F.col("c_event_id").alias("click_event_id"),
@@ -304,18 +301,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         to="timestamp",
     ).filter(F.col("value") > 50)
     joined = stream.join(F.broadcast(static_totals), "event_type")
-    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("availableNow streaming query did not finish in 120s")
+    sink = _run_to_memory(joined, "stream_static", "append")
     return (
         spark.table(sink)
         .groupBy("event_type", "type_total")
