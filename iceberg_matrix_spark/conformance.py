@@ -94,6 +94,7 @@ FEATURES = [
     ("variant-shredding", "Shredded VARIANT storage (V3)", "types"),
     ("drop-table-purge", "DROP TABLE PURGE blast-radius gate", "lifecycle"),
     ("sql-refs", "Branch/tag SQL identifiers (tbl.branch_x / tbl.tag_x)", "snapshots"),
+    ("sql-replay", "Verbatim replay of the reference suite's 200 SQL statements", "dml"),
     ("wap-publish", "Write-audit-publish: fast_forward + cherrypick procedures", "snapshots"),
     # Catalog integrations: registered skip rows with honest reasons, the
     # reference's own pattern for environment-blocked features
@@ -645,6 +646,39 @@ def t_sql_refs(ctx: Ctx) -> str:
     except UnsupportedSQLError:
         pass
     sql.sql(f"DROP TABLE {tbl} PURGE")
+    return "pass"
+
+
+@conformance_test("sql-replay")
+def t_sql_replay(ctx: Ctx) -> str:
+    """Mechanical statement-level parity: AST-extract the reference
+    suite's literal ``spark.sql(...)`` statements (sql/replay.py) and
+    run this format-version's pass of every test function through the
+    facade. Pass iff every statement lands its golden outcome — all
+    'ok' except the multi-arg-transform negative probe ('rejected').
+    V2 replays the parameterized functions only, mirroring the
+    reference's ``_v3_only_skip`` gating."""
+    import os  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql.replay import (  # noqa: PLC0415
+        EXPECTED_OUTCOMES,
+        REFERENCE_SUITE,
+        _versions_for,
+        extract_ops,
+        replay_function,
+    )
+
+    if not os.path.exists(REFERENCE_SUITE):
+        return ("skip", "reference suite not present")
+    ext = extract_ops(REFERENCE_SUITE)
+    bad = []
+    for func, ops in ext.groups.items():
+        if ctx.version not in _versions_for(ops):
+            continue
+        for o in replay_function(ctx.spark, ctx.catalog, func, ops, ctx.version):
+            if o.status != EXPECTED_OUTCOMES.get(o.key(), "ok"):
+                bad.append((func, o.index, o.status, o.detail))
+    assert not bad, f"statements off golden outcome: {bad[:5]}"
     return "pass"
 
 

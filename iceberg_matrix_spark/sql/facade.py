@@ -708,7 +708,19 @@ class IceLiteSQL:
 
                 def _plain_view(_m: re.Match, _ident=ident) -> str:
                     view = self._view_name(_ident)
-                    self.catalog.load_table(_ident).df().createOrReplaceTempView(view)
+                    t = self.catalog.load_table(_ident)
+                    # Hidden-column semantics for V3 row lineage: _row_id /
+                    # _last_updated_sequence_number resolve only when the
+                    # statement references them (Spark's metadata-column
+                    # rule; the reference reads them with a plain SELECT,
+                    # iceberg_feature_tests.py:1575-1580) — SELECT * stays
+                    # lineage-free. V2 leaves them out, so the reference's
+                    # V2 expectation (unresolved column) holds too.
+                    wants_lineage = t.format_version >= 3 and any(
+                        re.search(rf"\b{c}\b", text)
+                        for c in ("_row_id", "_last_updated_sequence_number")
+                    )
+                    t.df(with_lineage=wants_lineage).createOrReplaceTempView(view)
                     return view
 
                 text = self._sub_unquoted(

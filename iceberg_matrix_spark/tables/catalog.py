@@ -81,11 +81,20 @@ class IceLiteCatalog:
         os.makedirs(os.path.join(self.warehouse, name), exist_ok=True)
 
     def drop_namespace(self, name: str) -> None:
+        """Drop an empty namespace. Emptiness means no REGISTERED tables
+        (live metadata chain) — catalog semantics, like Iceberg, where
+        the reference's `_drop_table(tbl)` + `DROP NAMESPACE` teardown
+        succeeds even though the non-purged table's data files linger
+        (iceberg_feature_tests.py:221-230,433-434). Those unregistered
+        leftovers are removed with the namespace directory: the purge
+        gate defers data deletion to table-drop time, and an explicit
+        namespace drop is the user's stated intent to discard what
+        remains under it."""
         path = os.path.join(self.warehouse, name)
         if os.path.isdir(path):
-            if any(os.scandir(path)):
+            if self.list_tables(name):
                 raise ValueError(f"namespace {name} is not empty")
-            os.rmdir(path)
+            shutil.rmtree(path)
 
     def list_namespaces(self) -> list[str]:
         return sorted(

@@ -41,6 +41,9 @@ class DataFileEntry:
     lower_bounds: dict[str, object] = field(default_factory=dict)
     upper_bounds: dict[str, object] = field(default_factory=dict)
     null_counts: dict[str, int] = field(default_factory=dict)
+    # Iceberg's value_counts: total values per column incl. nulls — the
+    # reference reads it off `.files` (iceberg_feature_tests.py:1056-1068)
+    value_counts: dict[str, int] = field(default_factory=dict)
 
 
 @dataclass

@@ -60,6 +60,7 @@ def files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
             {k: str(v) for k, v in f.lower_bounds.items()},
             {k: str(v) for k, v in f.upper_bounds.items()},
             {k: int(v) for k, v in f.null_counts.items()},
+            {k: int(v) for k, v in f.value_counts.items()},
         )
         for f in entries
     ]
@@ -69,7 +70,7 @@ def files(table: IceLiteTable, snapshot_id: int | None = None) -> DataFrame:
         "file_path string, record_count long, file_size_in_bytes long, "
         "schema_id int, sequence_number long, partition map<string,string>, "
         "lower_bounds map<string,string>, upper_bounds map<string,string>, "
-        "null_value_counts map<string,long>",
+        "null_value_counts map<string,long>, value_counts map<string,long>",
     )
 
 

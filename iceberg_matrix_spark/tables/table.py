@@ -561,6 +561,7 @@ class IceLiteTable:
                     lower_bounds=st["lower"],
                     upper_bounds=st["upper"],
                     null_counts=st["nulls"],
+                    value_counts=st["values"],
                 )
             )
         return entries
@@ -795,6 +796,7 @@ class IceLiteTable:
                     lower_bounds=stats[p]["lower"],
                     upper_bounds=stats[p]["upper"],
                     null_counts=stats[p]["nulls"],
+                    value_counts=stats[p]["values"],
                 )
                 for p in adopted
             ]
@@ -1133,6 +1135,11 @@ class IceLiteTable:
             raise ValueError("delete needs a predicate (where= or delete_filter=)")
         cond = F.expr(where)
         mode = self._dml_mode("delete")
+        if self._current_snapshot(branch) is None:
+            # Iceberg semantics: DELETE on a table with no snapshots
+            # matches nothing and commits nothing (the reference runs
+            # DELETE right after CREATE in its MoR probes).
+            return
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             parent = _head(meta, branch)
@@ -1200,6 +1207,8 @@ class IceLiteTable:
         """UPDATE ... SET ... WHERE (iceberg_feature_tests.py:512)."""
         cond = F.expr(where)
         mode = self._dml_mode("update")
+        if self._current_snapshot(branch) is None:
+            return  # no snapshots → nothing to update, nothing committed
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             parent = _head(meta, branch)
@@ -1960,11 +1969,15 @@ def _collect_file_stats(spark: SparkSession, paths: list[str]) -> dict[str, dict
             lower: dict = {}
             upper: dict = {}
             nulls: dict = {}
+            values: dict = {}
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
                     col = row_group.column(ci)
                     name = col.path_in_schema
+                    # parquet num_values counts every value incl. nulls —
+                    # exactly Iceberg's value_counts semantics
+                    values[name] = values.get(name, 0) + col.num_values
                     st = col.statistics
                     if st is None:
                         continue
@@ -1983,6 +1996,7 @@ def _collect_file_stats(spark: SparkSession, paths: list[str]) -> dict[str, dict
                     "lower": lower,
                     "upper": upper,
                     "nulls": nulls,
+                    "values": values,
                 },
             )
 

@@ -1,0 +1,88 @@
+"""Verbatim replay of the reference suite's SQL statements through the
+facade (sql/replay.py): every literal ``spark.sql(...)`` from
+/root/reference/tests/iceberg_feature_tests.py, executed in order per
+test function × format version, must match the golden outcome map —
+everything 'ok' except the multi-arg-transform negative probe."""
+
+import os
+import tempfile
+
+import pytest
+
+from iceberg_matrix_spark.sql.replay import (
+    EXPECTED_OUTCOMES,
+    REFERENCE_SUITE,
+    extract_ops,
+    replay_all,
+    replay_function,
+)
+from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REFERENCE_SUITE),
+    reason="reference suite not present on this machine",
+)
+
+
+def test_extraction_covers_the_whole_suite():
+    ext = extract_ops()
+    sql = sum(sum(o.kind == "sql" for o in ops) for ops in ext.groups.values())
+    appends = sum(
+        sum(o.kind == "append" for o in ops) for ops in ext.groups.values()
+    )
+    drops = sum(
+        sum(o.kind == "drop_table" for o in ops) for ops in ext.groups.values()
+    )
+    # the suite's literal statement surface: 200 sql statements across 29
+    # test functions, 2 seed writes, and the _drop_table teardown calls;
+    # exactly one statement is non-literal (the _drop_table helper body).
+    # If the reference changes, these counts flag it for re-audit.
+    assert len(ext.groups) == 29
+    assert sql == 200
+    assert appends == 2
+    assert drops >= 25
+    assert ext.skipped_nonliteral == 1
+
+
+def test_full_replay_matches_golden(spark):
+    cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="replay-wh-"))
+    summary = replay_all(spark, cat)
+    assert summary["error"] == 0, summary["unexpected"]
+    assert summary["unexpected"] == [], [
+        (o.func, o.version, o.index, o.status, o.detail)
+        for o in summary["unexpected"]
+    ]
+    # the one expected rejection — the reference's negative probe
+    assert summary["rejected"] == len(EXPECTED_OUTCOMES) * 1
+    assert summary["ok"] == summary["replayed"] - summary["rejected"]
+
+
+def test_branching_replay_values(spark):
+    """Beyond acceptance: the branching pass's captured count(*) values
+    must be the reference's own asserted numbers — main=1, branch=2
+    (branch insert landed there, not on main), tag=1
+    (iceberg_feature_tests.py:890-898)."""
+    cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="replay-wh-"))
+    ops = extract_ops().groups["test_branching_tagging"]
+    outs = replay_function(spark, cat, "test_branching_tagging", ops, 2)
+    assert all(o.status == "ok" for o in outs)
+    counts = [
+        o.scalar for o in outs if o.statement.startswith("SELECT count(*)")
+    ]
+    assert counts == [1, 2, 1]  # main, branch_test_branch, tag_v1_release
+
+
+def test_dml_replay_values(spark):
+    """The MERGE function's captured scalars: count drops to 2 after
+    DELETE, returns to 3 after MERGE inserts the unmatched row, and the
+    matched row's val reads back 'merged' (iceberg_feature_tests.py's
+    own asserts at :512-535)."""
+    cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="replay-wh-"))
+    ops = extract_ops().groups["test_write_merge_update_delete"]
+    outs = replay_function(
+        spark, cat, "test_write_merge_update_delete", ops, 2
+    )
+    assert all(o.status == "ok" for o in outs)
+    scalars = [o.scalar for o in outs if o.scalar is not None]
+    # SELECT val (='updated'), count(*) (=2), count(*) (=3), val (='merged')
+    assert scalars == ["updated", 2, 3, "merged"]
