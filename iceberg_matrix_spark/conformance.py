@@ -95,6 +95,7 @@ FEATURES = [
     ("drop-table-purge", "DROP TABLE PURGE blast-radius gate", "lifecycle"),
     ("sql-refs", "Branch/tag SQL identifiers (tbl.branch_x / tbl.tag_x)", "snapshots"),
     ("sql-replay", "Verbatim replay of the reference suite's 200 SQL statements", "dml"),
+    ("sql-replay-clickhouse", "Verbatim replay of the ClickHouse suite (Spark fixtures + icebergLocal reads)", "read"),
     ("wap-publish", "Write-audit-publish: fast_forward + cherrypick procedures", "snapshots"),
     # Catalog integrations: registered skip rows with honest reasons, the
     # reference's own pattern for environment-blocked features
@@ -679,6 +680,37 @@ def t_sql_replay(ctx: Ctx) -> str:
             if o.status != EXPECTED_OUTCOMES.get(o.key(), "ok"):
                 bad.append((func, o.index, o.status, o.detail))
     assert not bad, f"statements off golden outcome: {bad[:5]}"
+    return "pass"
+
+
+@conformance_test("sql-replay-clickhouse")
+def t_sql_replay_clickhouse(ctx: Ctx) -> str:
+    """The ClickHouse suite's statements verbatim: Spark fixture DDL/DML
+    (CREATE ... LOCATION, MoR deletes, ALTERs) plus the icebergLocal()
+    path reads with FORMAT TSV / SETTINGS iceberg_snapshot_id, checked
+    against the reference's own literal expected values
+    (clickhouse_feature_tests.py:188-672 via sql/replay_clickhouse.py).
+    The suite is not format-version parameterized (one engine config),
+    so the replay runs once on the v3 pass; v2 measures the per-feature
+    behavior through the regular probes instead."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql.replay_clickhouse import (  # noqa: PLC0415
+        REFERENCE_SUITE,
+        replay_all,
+    )
+
+    if not os.path.exists(REFERENCE_SUITE):
+        return ("skip", "reference suite not present")
+    if ctx.version == 2:
+        return (
+            "skip",
+            "suite is not format-version parameterized; replayed once (v3 pass)",
+        )
+    summary = replay_all(ctx.spark, tempfile.mkdtemp(prefix="ch-replay-wh-"))
+    assert summary["mismatches"] == [], summary["mismatches"][:5]
+    assert summary["ch_statements"] == 11, summary
     return "pass"
 
 

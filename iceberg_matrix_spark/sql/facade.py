@@ -458,7 +458,40 @@ class IceLiteSQL:
         # suite checks through this spelling, :243-470). DuckDB's
         # path spelling ``iceberg_scan('<path>')``
         # (duckdb_feature_tests.py:11) is the same shape.
+        # ClickHouse's trailing output-format clause (``... FORMAT TSV``,
+        # clickhouse_feature_tests.py:255). Wire formatting only — it
+        # never changes WHICH rows come back, so accepting-and-ignoring
+        # cannot mis-execute; the caller renders the DataFrame however it
+        # likes. Restricted to known ClickHouse format names so another
+        # dialect's FORMAT keyword is never silently swallowed.
+        fm = re.search(r"\bFORMAT\s+(\w+)\s*$", text, re.I)
+        if fm and fm.group(1).upper() in {
+            "TSV", "TABSEPARATED", "CSV", "CSVWITHNAMES", "JSON",
+            "JSONEACHROW", "PRETTY", "VALUES", "VERTICAL",
+        }:
+            text = text[: fm.start()].rstrip()
+
+        # ClickHouse's time-travel spelling for path reads: a trailing
+        # ``SETTINGS iceberg_snapshot_id=<id>`` clause
+        # (clickhouse_feature_tests.py:601-604). Parsed here, applied to
+        # the path-function views below; any other SETTINGS key — or a
+        # pin on a statement with no path read — is rejected rather than
+        # silently ignored (ignoring a time-travel request would return
+        # CURRENT data labeled as historical). The end anchor keeps
+        # string literals safe: a quoted literal always ends in a quote.
+        snapshot_pin: int | None = None
+        sm = re.search(r"\bSETTINGS\s+(\w+)\s*=\s*(\d+)\s*$", text, re.I)
+        if sm:
+            if sm.group(1).lower() != "iceberg_snapshot_id":
+                raise UnsupportedSQLError(
+                    f"unsupported SETTINGS key: {sm.group(1)!r}"
+                )
+            snapshot_pin = int(sm.group(2))
+            text = text[: sm.start()].rstrip()
+        pin_used = False
+
         def _path_func_view(m: re.Match) -> str:
+            nonlocal pin_used
             path, extra = m.group(2), (m.group(3) or "").strip(" ,")
             # DuckDB's allow_moved_paths flag is a no-op here (IceLite
             # metadata stores absolute paths that are never relocated);
@@ -472,7 +505,8 @@ class IceLiteSQL:
                 )
             t = IceLiteTable(self.spark, path)
             view = self._view_name(path, "_pathfn")
-            t.df().createOrReplaceTempView(view)
+            t.df(snapshot_id=snapshot_pin).createOrReplaceTempView(view)
+            pin_used = snapshot_pin is not None
             return view
 
         text = self._sub_unquoted(
@@ -483,6 +517,11 @@ class IceLiteSQL:
             ),
             _path_func_view,
         )
+        if snapshot_pin is not None and not pin_used:
+            raise UnsupportedSQLError(
+                "SETTINGS iceberg_snapshot_id applies to "
+                "icebergLocal()/iceberg_scan() path reads only"
+            )
 
         tops = {i for i, _c, _d, quoted in _scan_top(text) if not quoted}
         referenced: set[str] = set()
@@ -832,6 +871,16 @@ class IceLiteSQL:
             partition_by = _split_top(inner)
             head = head[: pm.start()] + after
 
+        # Explicit table location — the ClickHouse suite's fixture DDL
+        # (clickhouse_feature_tests.py:202-206: CREATE TABLE ... USING
+        # iceberg LOCATION '<dir>'), so the path table function can
+        # address the same table by directory afterwards.
+        location = None
+        lm = re.search(r"\bLOCATION\s+'([^']+)'", head, re.I)
+        if lm:
+            location = lm.group(1)
+            head = head[: lm.start()] + head[lm.end() :]
+
         properties = None
         tm = re.search(r"\bTBLPROPERTIES\b", head, re.I)
         if tm:
@@ -851,6 +900,10 @@ class IceLiteSQL:
         rest = (head + " " + body).strip() if body else head
         am = re.match(r"AS\s+(.*)$", rest, re.I | re.S)
         if am:
+            if location is not None:
+                raise UnsupportedSQLError(
+                    "LOCATION is not supported on CREATE TABLE ... AS SELECT"
+                )
             df = self._run_select(am.group(1))
             self.catalog.create_table_as_select(ident, df, partition_by, properties)
             return
@@ -860,8 +913,21 @@ class IceLiteSQL:
             raise UnsupportedSQLError("CREATE TABLE needs (schema) or AS SELECT")
         schema_ddl, defaults = self._strip_column_defaults(schema_ddl)
         schema_ddl, pk_cols = self._normalize_schema_ddl(schema_ddl)
+        kwargs = {"defaults": defaults or None}
+        if location is not None:
+            # Iceberg semantics: custom table locations are a POINTER-
+            # catalog capability (SQL/REST/Glue track a location column);
+            # a path catalog derives location from the identifier, and
+            # HadoopCatalog likewise rejects LOCATION rather than writing
+            # a table its own load path can never find again.
+            if not getattr(self.catalog, "SUPPORTS_CUSTOM_LOCATION", False):
+                raise UnsupportedSQLError(
+                    "LOCATION requires a pointer catalog (SqlCatalog); the "
+                    "path-based catalog derives table locations from names"
+                )
+            kwargs["location"] = location
         t = self.catalog.create_table(
-            ident, schema_ddl, partition_by, properties, defaults=defaults or None
+            ident, schema_ddl, partition_by, properties, **kwargs
         )
         if pk_cols:
             # Flink's PRIMARY KEY (id) NOT ENFORCED column-list clause maps
@@ -1102,6 +1168,14 @@ class IceLiteSQL:
         return df.select(*out)
 
     def _insert(self, stmt: str) -> None:
+        if re.match(r"INSERT\s+(?:INTO|OVERWRITE)\s+FUNCTION\b", stmt, re.I):
+            # ClickHouse's INSERT INTO FUNCTION icebergLocal(...) — the
+            # reference's read-only negative probe
+            # (clickhouse_feature_tests.py:657-659): path table functions
+            # never write (no catalog to commit through)
+            raise UnsupportedSQLError(
+                "path table functions (icebergLocal/iceberg_scan) are read-only"
+            )
         m = re.match(
             rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*(.*)$",
             stmt,

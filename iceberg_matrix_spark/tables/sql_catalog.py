@@ -59,6 +59,11 @@ class DbApiCatalog:
     """Catalog façade storing identifiers in ANY DB-API database; table IO
     delegates to the same IceLite machinery as the directory catalog."""
 
+    # pointer catalogs can bind a name to ANY directory (the location
+    # column is the identity map), so CREATE TABLE ... LOCATION works here
+    # where the path-based catalog must reject it
+    SUPPORTS_CUSTOM_LOCATION = True
+
     def __init__(
         self,
         spark: SparkSession,
@@ -237,18 +242,30 @@ class DbApiCatalog:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         defaults: dict[str, object] | None = None,
+        location: str | None = None,
     ) -> IceLiteTable:
+        """``location`` pins a custom table directory — the pointer-
+        catalog capability behind ``CREATE TABLE ... LOCATION '<dir>'``
+        (the reference's ClickHouse fixture DDL,
+        clickhouse_feature_tests.py:202-206, creates by name at an
+        explicit path so the path table function can read it back)."""
         ns, tbl = self._split(identifier)
-        location = os.path.join(self.warehouse, ns, tbl)
-        if current_version(location) != 0:
-            # the deterministic dir is occupied by a previously dropped
-            # (non-purge) or renamed-away table's files — the catalog row
-            # is the identity, so allocate a fresh location rather than
-            # failing the re-create forever (Iceberg's non-purge DROP
-            # likewise leaves files behind and re-creates elsewhere)
-            import uuid as _uuid  # noqa: PLC0415
+        if location is not None:
+            if current_version(location) != 0:
+                raise TableAlreadyExistsError(
+                    f"table files already present at LOCATION {location!r}"
+                )
+        else:
+            location = os.path.join(self.warehouse, ns, tbl)
+            if current_version(location) != 0:
+                # the deterministic dir is occupied by a previously dropped
+                # (non-purge) or renamed-away table's files — the catalog row
+                # is the identity, so allocate a fresh location rather than
+                # failing the re-create forever (Iceberg's non-purge DROP
+                # likewise leaves files behind and re-creates elsewhere)
+                import uuid as _uuid  # noqa: PLC0415
 
-            location = f"{location}-{_uuid.uuid4().hex[:8]}"
+                location = f"{location}-{_uuid.uuid4().hex[:8]}"
         # claim the identifier FIRST: the primary key makes concurrent
         # creates race-free (exactly one INSERT succeeds)
         self._claim(ns, tbl, location, identifier)

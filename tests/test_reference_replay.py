@@ -72,6 +72,29 @@ def test_branching_replay_values(spark):
     assert counts == [1, 2, 1]  # main, branch_test_branch, tag_v1_release
 
 
+def test_clickhouse_replay_matches_reference_asserts(spark):
+    """The ClickHouse suite verbatim (sql/replay_clickhouse.py): Spark
+    fixture statements + icebergLocal() reads, every output matching the
+    reference's own literal asserts — 10 statement-bearing functions,
+    11 ClickHouse statements, incl. the read-only INSERT rejection and
+    the SETTINGS iceberg_snapshot_id time-travel pin
+    (clickhouse_feature_tests.py:188-672)."""
+    from iceberg_matrix_spark.sql.replay_clickhouse import (
+        GOLDEN,
+        extract_ops,
+        replay_all,
+    )
+
+    groups = extract_ops()
+    # tripwire: statement-bearing functions must equal the golden map —
+    # a changed reference flags for re-audit instead of silently passing
+    assert set(groups) == set(GOLDEN)
+    summary = replay_all(spark, tempfile.mkdtemp(prefix="ch-replay-wh-"))
+    assert summary["mismatches"] == []
+    assert summary["functions"] == 10
+    assert summary["ch_statements"] == 11
+
+
 def test_dml_replay_values(spark):
     """The MERGE function's captured scalars: count drops to 2 after
     DELETE, returns to 3 after MERGE inserts the unmatched row, and the

@@ -994,3 +994,66 @@ def test_dialect_error_contract(sql):
     # the verb surface honors facade-wide identifier case-insensitivity
     res = sql.sql("OPTIMIZE TABLE LOCAL.NSEC.T")
     assert "rewritten_data_files_count" in res.columns
+
+
+def test_clickhouse_dialect_round4b(sql, spark, tmp_path):
+    """ClickHouse statement shapes beyond the path read: CREATE TABLE ...
+    LOCATION (pointer-catalog only), FORMAT TSV tails, the SETTINGS
+    iceberg_snapshot_id time-travel pin, and read-only INSERT INTO
+    FUNCTION rejection (clickhouse_feature_tests.py:202-206,255,601-604,
+    657-659)."""
+    from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
+
+    # the PATH catalog must reject LOCATION loudly (HadoopCatalog
+    # semantics: a derived-location catalog can't re-find a custom dir)
+    sql.sql("CREATE NAMESPACE nsch")
+    with pytest.raises(UnsupportedSQLError, match="pointer catalog"):
+        sql.sql(
+            f"CREATE TABLE nsch.t (id INT) USING iceberg LOCATION '{tmp_path}/x'"
+        )
+
+    wh = str(tmp_path / "chwh")
+    shim = IceLiteSQL(spark, SqlCatalog(spark, wh), name="local")
+    shim.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    tdir = f"{wh}/custom_dir"
+    shim.sql(
+        f"CREATE TABLE local.default.cht (id INT, name STRING) "
+        f"USING iceberg LOCATION '{tdir}'"
+    )
+    shim.sql("INSERT INTO local.default.cht VALUES (1,'a'),(2,'b')")
+    # the custom location really is the table directory, name-addressable
+    assert shim.sql("SELECT count(*) FROM local.default.cht").collect()[0][0] == 2
+    import os
+
+    assert os.path.isdir(os.path.join(tdir, "metadata"))
+
+    # FORMAT tail is wire formatting — identical rows with and without
+    got = shim.sql(
+        f"SELECT id FROM icebergLocal('{tdir}') ORDER BY id FORMAT TSV"
+    ).collect()
+    assert [r[0] for r in got] == [1, 2]
+
+    snap = shim.sql(
+        "SELECT snapshot_id FROM local.default.cht.snapshots "
+        "ORDER BY committed_at LIMIT 1"
+    ).collect()[0][0]
+    shim.sql("INSERT INTO local.default.cht VALUES (3,'c')")
+    pinned = shim.sql(
+        f"SELECT count(*) FROM icebergLocal('{tdir}') "
+        f"SETTINGS iceberg_snapshot_id={snap}"
+    ).collect()[0][0]
+    assert pinned == 2
+    assert shim.sql(f"SELECT count(*) FROM icebergLocal('{tdir}')").collect()[0][0] == 3
+
+    with pytest.raises(UnsupportedSQLError, match="read-only"):
+        shim.sql(f"INSERT INTO FUNCTION icebergLocal('{tdir}') VALUES (9,'x')")
+    with pytest.raises(UnsupportedSQLError, match="SETTINGS key"):
+        shim.sql(f"SELECT count(*) FROM icebergLocal('{tdir}') SETTINGS max_threads=4")
+    with pytest.raises(UnsupportedSQLError, match="path reads only"):
+        shim.sql(
+            f"SELECT count(*) FROM local.default.cht SETTINGS iceberg_snapshot_id={snap}"
+        )
+    # a FORMAT-looking tail that is NOT a ClickHouse format name must not
+    # be swallowed (it would silently drop user SQL)
+    with pytest.raises(Exception):
+        shim.sql(f"SELECT count(*) FROM icebergLocal('{tdir}') FORMAT banana")
