@@ -96,6 +96,7 @@ FEATURES = [
     ("sql-refs", "Branch/tag SQL identifiers (tbl.branch_x / tbl.tag_x)", "snapshots"),
     ("sql-replay", "Verbatim replay of the reference suite's 200 SQL statements", "dml"),
     ("sql-replay-clickhouse", "Verbatim replay of the ClickHouse suite (Spark fixtures + icebergLocal reads)", "read"),
+    ("sql-replay-flink", "Verbatim replay of the Flink suite's batch statements with its own marker asserts", "dml"),
     ("wap-publish", "Write-audit-publish: fast_forward + cherrypick procedures", "snapshots"),
     # Catalog integrations: registered skip rows with honest reasons, the
     # reference's own pattern for environment-blocked features
@@ -711,6 +712,43 @@ def t_sql_replay_clickhouse(ctx: Ctx) -> str:
     summary = replay_all(ctx.spark, tempfile.mkdtemp(prefix="ch-replay-wh-"))
     assert summary["mismatches"] == [], summary["mismatches"][:5]
     assert summary["ch_statements"] == 11, summary
+    return "pass"
+
+
+@conformance_test("sql-replay-flink")
+def t_sql_replay_flink(ctx: Ctx) -> str:
+    """This format-version's pass of the Flink suite's batch statements
+    (sql/replay_flink.py): the bracketed ``_run_sql`` statement lists
+    verbatim — Flink DDL dialect, OPTIONS hints, backticked metadata —
+    checked with the suite's OWN marker matcher against its own expected
+    values. Streaming/upsert-runtime functions are excluded with reasons
+    (replay_flink.EXCLUDED); where Flink itself fails (row-level DML,
+    transform DDL) this engine takes the suite's primary path and the
+    golden map asserts acceptance."""
+    import os  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql.replay_flink import (  # noqa: PLC0415
+        GOLDEN,
+        REFERENCE_SUITE,
+        check_function,
+        extract_batches,
+        replay_function,
+    )
+
+    if not os.path.exists(REFERENCE_SUITE):
+        return ("skip", "reference suite not present")
+    groups = extract_batches()
+    bad = []
+    ran = 0
+    for func, spec in GOLDEN.items():
+        versions = [2, 3] if spec["versions"] == "both" else [3]
+        if ctx.version not in versions:
+            continue
+        outs = replay_function(ctx.spark, ctx.catalog, func, groups[func], ctx.version)
+        ran += len(outs)
+        bad.extend(check_function(func, outs))
+    assert not bad, bad[:5]
+    assert ran > 0
     return "pass"
 
 

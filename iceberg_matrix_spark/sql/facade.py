@@ -149,12 +149,22 @@ _TYPE_ALIASES = {
 
 def _norm_type(t: str) -> str:
     tl = t.strip().lower()
-    # Flink's TIMESTAMP(n) = timestamp without time zone — normalized
-    # here so EVERY DDL path (CREATE and ALTER ADD/MODIFY) maps it; a raw
-    # 'timestamp(6)' committed to metadata makes the table unreadable at
-    # the next scan's StructType.fromDDL
-    if re.fullmatch(r"timestamp\s*\(\d+\)", tl):
-        return "timestamp_ntz"
+    # Flink's TIMESTAMP(p) = timestamp without time zone for p<=6;
+    # TIMESTAMP(9) is the V3 nanosecond type (flink_feature_tests.py:
+    # 1482-1487); other precisions must not silently truncate to micros.
+    # Normalized here so EVERY DDL path (CREATE and ALTER ADD/MODIFY)
+    # maps it; a raw 'timestamp(6)' committed to metadata makes the table
+    # unreadable at the next scan's StructType.fromDDL
+    tm = re.fullmatch(r"timestamp\s*\((\d+)\)", tl)
+    if tm:
+        p = int(tm.group(1))
+        if p <= 6:
+            return "timestamp_ntz"
+        if p == 9:
+            return "timestamp_ns"
+        raise UnsupportedSQLError(
+            f"unsupported TIMESTAMP precision {p} (use <=6 or 9)"
+        )
     return _TYPE_ALIASES.get(tl, tl)
 
 # Recognized named arguments per CALL procedure. Checked up front so a
@@ -210,6 +220,11 @@ class IceLiteSQL:
         self.spark = spark
         self.catalog = catalog
         self.name = name
+        # session current namespace, set by USE <ns> — the Flink/Spark
+        # session idiom (flink_feature_tests.py:345-348: USE CATALOG
+        # test_catalog; USE test_db; then bare table names throughout).
+        # None = bare names are rejected, the pre-round-4 behavior.
+        self.default_ns: str | None = None
 
     # ----------------------------------------------------------- dispatch
 
@@ -221,10 +236,12 @@ class IceLiteSQL:
         two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
         if verb == "ALTER":
             return self._alter_table(stmt)
-        if two == "CREATE NAMESPACE":
+        if two in ("CREATE NAMESPACE", "CREATE DATABASE", "CREATE SCHEMA"):
             return self._create_namespace(stmt)
-        if two == "DROP NAMESPACE":
+        if two in ("DROP NAMESPACE", "DROP DATABASE", "DROP SCHEMA"):
             return self._drop_namespace(stmt)
+        if verb == "USE":
+            return self._use(stmt)
         if two == "CREATE TABLE":
             return self._create_table(stmt)
         if two == "DROP TABLE":
@@ -328,6 +345,10 @@ class IceLiteSQL:
         parts = [p.strip("`") for p in ident.strip().split(".")]
         if len(parts) >= 3 and parts[0].lower() == self.name.lower():
             parts = parts[1:]
+        if len(parts) == 1 and self.default_ns:
+            # bare names resolve in the USE'd namespace (Flink/Spark
+            # session semantics, flink_feature_tests.py:345-348)
+            parts = [self.default_ns, parts[0]]
         if len(parts) < 2:
             raise UnsupportedSQLError(
                 f"identifier must be [{self.name}.]namespace.table: {ident!r}"
@@ -539,8 +560,29 @@ class IceLiteSQL:
                 prefix = ".".join(parts[:k]).lower()
                 if prefix in known:
                     referenced.add(known[prefix])
+        if self.default_ns:
+            # bare names after USE <ns> (Flink session idiom): only
+            # tokens that name an actual table in the current namespace
+            # count — keywords/columns can't collide unless the user
+            # names a column after a table, the same ambiguity Spark's
+            # own current-database resolution has
+            ns_tables = {
+                t.lower(): f"{self.default_ns}.{t}"
+                for t in self.catalog.list_tables(self.default_ns)
+            }
+            for m in re.finditer(r"\b[A-Za-z_]\w*", text):
+                if m.start() in tops and m.group(0).lower() in ns_tables:
+                    referenced.add(ns_tables[m.group(0).lower()])
         for ident in sorted(referenced):
-                base = rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}"
+                spellings = [
+                    rf"\b(?:{re.escape(self.name)}\.)?{re.escape(ident)}"
+                ]
+                ns_part, _, tbl_part = ident.rpartition(".")
+                if self.default_ns and ns_part.lower() == self.default_ns.lower():
+                    # the bare spelling; the lookbehind keeps it from
+                    # matching the tail of some_other_ns.tbl
+                    spellings.append(rf"(?<![\w.$]){re.escape(tbl_part)}")
+                base = rf"(?:{'|'.join(spellings)})"
 
                 # metadata-table suffix FIRST (the plain-name pass below
                 # would otherwise swallow the base name out of
@@ -815,8 +857,12 @@ class IceLiteSQL:
     # --------------------------------------------------------------- DDL
 
     def _create_namespace(self, stmt: str) -> None:
+        # DATABASE/SCHEMA are the Flink/Spark synonyms for NAMESPACE
+        # (flink_feature_tests.py:347: CREATE DATABASE IF NOT EXISTS)
         m = re.match(
-            rf"CREATE\s+NAMESPACE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*$", stmt, re.I
+            rf"CREATE\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*$",
+            stmt,
+            re.I,
         )
         if not m:
             raise UnsupportedSQLError(stmt)
@@ -824,7 +870,9 @@ class IceLiteSQL:
 
     def _drop_namespace(self, stmt: str) -> None:
         m = re.match(
-            rf"DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$", stmt, re.I
+            rf"DROP\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            stmt,
+            re.I,
         )
         if not m:
             raise UnsupportedSQLError(stmt)
@@ -832,6 +880,26 @@ class IceLiteSQL:
         if m.group(1) and ns not in self.catalog.list_namespaces():
             return
         self.catalog.drop_namespace(ns)
+
+    def _use(self, stmt: str) -> None:
+        """``USE CATALOG <cat>`` / ``USE <ns>`` — session state, the
+        Flink SQL-client prelude (flink_feature_tests.py:345-348). After
+        ``USE <ns>``, bare table names resolve inside that namespace in
+        every statement path (DML, DDL and reads)."""
+        m = re.match(rf"USE\s+(CATALOG\s+)?({_IDENT})\s*$", stmt, re.I)
+        if not m:
+            raise UnsupportedSQLError(stmt)
+        token = m.group(2).strip().strip("`")
+        if m.group(1):
+            if token.lower() != self.name.lower():
+                raise UnsupportedSQLError(
+                    f"unknown catalog {token!r}; this session serves {self.name!r}"
+                )
+            return
+        ns = self._resolve_ns(token)
+        if ns not in self.catalog.list_namespaces():
+            raise UnsupportedSQLError(f"USE: no such namespace {ns!r}")
+        self.default_ns = ns
 
     def _parse_tblproperties(self, text: str) -> dict[str, str]:
         return {
@@ -956,8 +1024,8 @@ class IceLiteSQL:
             name, _, typ = cd.partition(" ")
             typ = typ.strip()
             if typ and re.fullmatch(r"timestamp\s*\(\d+\)", typ, re.I):
-                # Flink's TIMESTAMP(6) = timestamp without time zone
-                cd = f"{name} timestamp_ntz"
+                # precision-aware mapping shared with the ALTER paths
+                cd = f"{name} {_norm_type(typ)}"
             elif typ and re.fullmatch(r"\w+", typ):
                 cd = f"{name} {_norm_type(typ)}"
             cleaned.append(cd)
@@ -1157,10 +1225,19 @@ class IceLiteSQL:
                 f"table has {[f.name for f in fields]}"
             )
         by_pos = dict(zip(targets, df.columns))
+        dtypes = dict(df.dtypes)
         out = []
         for f in fields:
             if f.name in by_pos:
-                out.append(F.col(by_pos[f.name]).cast(_physical_type(f.type)).alias(f.name))
+                col = F.col(by_pos[f.name])
+                if f.type == "timestamp_ns" and dtypes.get(
+                    by_pos[f.name], ""
+                ).startswith("timestamp"):
+                    # timestamp→bigint casts to SECONDS; route through
+                    # micros to the nanos physical value (same rule as
+                    # IceLiteTable._align)
+                    col = F.unix_micros(col.cast("timestamp")) * F.lit(1000)
+                out.append(col.cast(_physical_type(f.type)).alias(f.name))
             else:
                 out.append(
                     F.lit(f.write_default).cast(_physical_type(f.type)).alias(f.name)
@@ -1204,7 +1281,12 @@ class IceLiteSQL:
             cols = [c.strip().strip("`") for c in _split_top(inner)]
             body = body.strip()
         if re.match(r"VALUES\b", body, re.I):
-            df = self.spark.sql(f"SELECT * FROM {body}")
+            # a literal VALUES batch is tiny by construction — write it
+            # as ONE file, like every engine's SQL client does (the
+            # Flink suite reads record_count=3 off a single file after
+            # INSERT VALUES of 3 rows, flink_feature_tests.py:1583-1586);
+            # one file per value-row bloats the manifest for no gain
+            df = self.spark.sql(f"SELECT * FROM {body}").coalesce(1)
         else:
             df = self._run_select(body)
         table = self.catalog.load_table(ident)

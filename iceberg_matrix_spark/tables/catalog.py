@@ -160,7 +160,7 @@ class IceLiteCatalog:
                 by_name[col].initial_default = lit
                 by_name[col].write_default = lit
         for f in fields:
-            if f.type in ("timestamp_ns", "variant") and version < 3:
+            if f.type in ("timestamp_ns", "variant", "geometry") and version < 3:
                 raise ValueError(
                     f"type {f.type!r} requires format-version 3 (column {f.name!r})"
                 )

@@ -458,10 +458,19 @@ class IceLiteTable:
         missing column takes its V3 write-default (falling back to the
         initial-default, then NULL)."""
         cols = []
+        dtypes = dict(df.dtypes)
         for f in ts.fields:
             pt = _physical_type(f.type)
             if f.name in df.columns:
-                cols.append(F.col(f.name).cast(pt).alias(f.name))
+                col = F.col(f.name)
+                if f.type == "timestamp_ns" and dtypes.get(f.name, "").startswith(
+                    "timestamp"
+                ):
+                    # a plain cast timestamp→bigint yields SECONDS —
+                    # silently destroying sub-second precision; convert
+                    # through microseconds to the nanos physical value
+                    col = F.unix_micros(col.cast("timestamp")) * F.lit(1000)
+                cols.append(col.cast(pt).alias(f.name))
             else:
                 dflt = f.write_default if f.write_default is not None else f.initial_default
                 cols.append(F.lit(dflt).cast(pt).alias(f.name))
@@ -1819,7 +1828,13 @@ def _head(meta: TableMetadata, ref: str = "main") -> Snapshot | None:
 
 
 # V3 logical types → physical storage type (Spark simpleString).
-_PHYSICAL_TYPES = {"timestamp_ns": "bigint", "variant": "string"}
+_PHYSICAL_TYPES = {
+    "timestamp_ns": "bigint",
+    "variant": "string",
+    # V3 geometry: WKB bytes physically (functions/geo.py is the codec);
+    # the typed column is the Flink-DDL surface, flink_feature_tests.py:1459
+    "geometry": "binary",
+}
 
 
 def _physical_type(logical: str) -> str:

@@ -95,6 +95,23 @@ def test_clickhouse_replay_matches_reference_asserts(spark):
     assert summary["ch_statements"] == 11
 
 
+def test_flink_replay_matches_marker_asserts(spark):
+    """The Flink suite's batch statements verbatim (sql/replay_flink.py):
+    16 functions x format versions = 43 batches, every reference-asserted
+    marker present (MARKROW=a:1.5, MARKWIDE=9999999999, MARKTAG=1,
+    MARKT2T=b, MARKLIN row ids, value_counts cardinality ...), with the
+    streaming/upsert-runtime functions excluded for stated reasons and
+    zero unaccounted statement-bearing functions."""
+    from iceberg_matrix_spark.sql.replay_flink import replay_all
+
+    cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="flink-replay-wh-"))
+    summary = replay_all(spark, cat)
+    assert summary["mismatches"] == []
+    assert summary["unaccounted"] == []
+    assert summary["functions"] == 16
+    assert summary["batches_replayed"] == 43
+
+
 def test_dml_replay_values(spark):
     """The MERGE function's captured scalars: count drops to 2 after
     DELETE, returns to 3 after MERGE inserts the unmatched row, and the

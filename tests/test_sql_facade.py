@@ -1057,3 +1057,47 @@ def test_clickhouse_dialect_round4b(sql, spark, tmp_path):
     # be swallowed (it would silently drop user SQL)
     with pytest.raises(Exception):
         shim.sql(f"SELECT count(*) FROM icebergLocal('{tdir}') FORMAT banana")
+
+
+def test_use_and_flink_session_idiom(sql, spark):
+    """USE CATALOG / CREATE DATABASE / USE <ns> / bare table names — the
+    Flink SQL-client session idiom (flink_feature_tests.py:345-348), plus
+    TIMESTAMP(9) -> V3 timestamp_ns (not a silent micros truncation) and
+    the V3 GEOMETRY column type (:1459,1482-1487)."""
+    with pytest.raises(UnsupportedSQLError, match="unknown catalog"):
+        sql.sql("USE CATALOG nope")
+    sql.sql("USE CATALOG local")
+    with pytest.raises(UnsupportedSQLError, match="no such namespace"):
+        sql.sql("USE ghost_db")
+    sql.sql("CREATE DATABASE IF NOT EXISTS sess_db")
+    sql.sql("USE sess_db")
+    sql.sql("CREATE TABLE bare_t (id BIGINT, val STRING) WITH ('format-version'='2')")
+    sql.sql("INSERT INTO bare_t VALUES (1,'a'),(2,'b')")
+    assert sql.sql("SELECT count(*) FROM bare_t").collect()[0][0] == 2
+    # bare + backticked $metadata spelling
+    snaps = sql.sql("SELECT count(*) FROM `bare_t$snapshots`").collect()[0][0]
+    assert snaps == 1
+    sql.sql("UPDATE bare_t SET val='x' WHERE id=1")
+    assert sql.sql("SELECT val FROM bare_t WHERE id=1").collect()[0][0] == "x"
+    sql.sql("DROP TABLE bare_t")
+
+    # TIMESTAMP(9) must map to timestamp_ns (V3) — and stay rejected on v2
+    with pytest.raises(ValueError, match="format-version 3"):
+        sql.sql("CREATE TABLE sess_db.ns9 (ts TIMESTAMP(9)) WITH ('format-version'='2')")
+    sql.sql("CREATE TABLE sess_db.ns9 (ts TIMESTAMP(9)) WITH ('format-version'='3')")
+    t = sql.table("sess_db.ns9")
+    assert [f.type for f in t.meta.current_schema.fields] == ["timestamp_ns"]
+    # a timestamp value converts through micros to nanos, not to seconds
+    sql.sql("INSERT INTO sess_db.ns9 VALUES (TIMESTAMP '2026-01-01 00:00:00.123456')")
+    nanos = sql.table("sess_db.ns9").df().collect()[0][0]
+    assert nanos % 1_000_000_000 == 123_456_000
+    with pytest.raises(UnsupportedSQLError, match="precision"):
+        sql.sql("CREATE TABLE sess_db.ns7 (ts TIMESTAMP(7)) WITH ('format-version'='3')")
+
+    # V3 GEOMETRY column type (WKB bytes physically)
+    with pytest.raises(ValueError, match="format-version 3"):
+        sql.sql("CREATE TABLE sess_db.geo2 (g GEOMETRY) WITH ('format-version'='2')")
+    sql.sql("CREATE TABLE sess_db.geo3 (id BIGINT, g GEOMETRY) WITH ('format-version'='3')")
+    gt = sql.table("sess_db.geo3")
+    assert [f.type for f in gt.meta.current_schema.fields] == ["bigint", "geometry"]
+    assert dict(gt.df().dtypes)["g"] == "binary"
