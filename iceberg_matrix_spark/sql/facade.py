@@ -1308,8 +1308,28 @@ class IceLiteSQL:
                     "INSERT OVERWRITE to a branch is not supported"
                 )
             table.overwrite(aligned)
-        else:
-            table.append(aligned, branch=branch)
+            return
+        upsert_on = (
+            str(table.meta.properties.get("write.upsert.enabled", "")).lower()
+            == "true"
+        )
+        if upsert_on:
+            # Flink's upsert-mode INSERT (flink_feature_tests.py:764-784):
+            # with write.upsert.enabled and a PK, INSERT replaces by key —
+            # equality delete + append in one snapshot. A missing PK must
+            # fail (Flink requires one), never silently append duplicates.
+            if not table.identifier_fields():
+                raise UnsupportedSQLError(
+                    "write.upsert.enabled needs identifier fields "
+                    "(PRIMARY KEY ... NOT ENFORCED or SET IDENTIFIER FIELDS)"
+                )
+            if branch != "main":
+                raise UnsupportedSQLError(
+                    "upsert-mode INSERT to a branch is not supported"
+                )
+            table.upsert(aligned)
+            return
+        table.append(aligned, branch=branch)
 
     def _update(self, stmt: str) -> None:
         m = re.match(rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$", stmt, re.I | re.S)

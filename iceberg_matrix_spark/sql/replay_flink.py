@@ -31,10 +31,15 @@ What "golden" means here — and what it deliberately does not:
 Excluded functions (honest scope, each with the replacement evidence):
 
 * the ``_upsert_delete_evidence`` family (equality/position deletes,
-  CoW, deletion vectors, :744-784) — built on Flink's STREAMING-runtime
-  PK-upsert INSERT semantics (SET runtime-mode + write.upsert.enabled);
-  this engine's upsert surface is measured by conf ``streaming-upsert``,
-  ``equality-deletes`` and ``deletion-vectors`` instead.
+  CoW, deletion vectors, :744-784) — the statement lists are built
+  inside a helper with control flow (conditional ``SET`` runtime-mode
+  switches, same-batch branches), so mechanical extraction can't
+  reproduce one faithful list.  The SEMANTICS are served: upsert-mode
+  INSERT (write.upsert.enabled + PK → equality delete + append in one
+  snapshot) runs the reference's statements in
+  ``test_sql_facade.py::test_upsert_mode_insert``, and the delete-file
+  observables are conf ``equality-deletes`` / ``deletion-vectors`` /
+  ``streaming-upsert``.
 * ``test_table_maintenance`` (:1100) — an unbounded datagen streaming
   job polled for an in-job rewrite commit; served by
   ``streaming/compaction.py`` + its tests.
@@ -66,11 +71,11 @@ REFERENCE_SUITE = "/root/reference/tests/flink_feature_tests.py"
 # conformance report can show them; see module docstring for detail).
 EXCLUDED = {
     "test_write_insert": "streaming late-arrival probe (_submit_streaming)",
-    "test_equality_deletes": "Flink streaming PK-upsert INSERT semantics",
-    "test_position_deletes": "Flink streaming PK-upsert INSERT semantics",
-    "test_merge_on_read": "Flink streaming PK-upsert INSERT semantics",
-    "test_copy_on_write": "Flink streaming PK-upsert INSERT semantics",
-    "test_deletion_vectors": "Flink streaming PK-upsert INSERT semantics",
+    "test_equality_deletes": "helper-built statements with control flow; semantics in test_upsert_mode_insert",
+    "test_position_deletes": "helper-built statements with control flow; conf position-deletes/deletion-vectors",
+    "test_merge_on_read": "helper-built statements with control flow; conf row-delete-mor",
+    "test_copy_on_write": "helper-built statements with control flow; conf row-delete-cow",
+    "test_deletion_vectors": "helper-built statements with control flow; conf deletion-vectors",
     "test_table_maintenance": "unbounded streaming job + poll",
     "test_nanosecond_timestamps": "Spark SQL literals are microsecond-precision",
     "test_streaming_read": "unbounded streaming (_submit_streaming)",

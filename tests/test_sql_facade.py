@@ -1101,3 +1101,35 @@ def test_use_and_flink_session_idiom(sql, spark):
     gt = sql.table("sess_db.geo3")
     assert [f.type for f in gt.meta.current_schema.fields] == ["bigint", "geometry"]
     assert dict(gt.df().dtypes)["g"] == "binary"
+
+
+def test_upsert_mode_insert(sql):
+    """Flink's upsert-mode INSERT, the reference's statements nearly
+    verbatim (flink_feature_tests.py:769-784): a PK NOT ENFORCED table
+    with 'write.upsert.enabled'='true' replaces by key on INSERT —
+    equality delete + append in one snapshot — instead of appending a
+    duplicate; without a PK the property fails loudly."""
+    sql.sql("CREATE NAMESPACE nsUp")
+    sql.sql(
+        "CREATE TABLE nsUp.t (id BIGINT, name STRING, PRIMARY KEY (id) NOT ENFORCED) "
+        "WITH ('format-version'='2', 'write.upsert.enabled'='true')"
+    )
+    sql.sql("INSERT INTO nsUp.t VALUES (1,'first'),(2,'second')")
+    sql.sql("INSERT INTO nsUp.t VALUES (1,'updated')")
+    rows = {
+        r["id"]: r["name"]
+        for r in sql.sql("SELECT id, name FROM nsUp.t ORDER BY id").collect()
+    }
+    assert rows == {1: "updated", 2: "second"}
+    # the suite's MARKDEL observable: an equality delete file (content=2)
+    dels = sql.sql(
+        "SELECT content, file_format FROM nsUp.t.all_delete_files"
+    ).collect()
+    assert {(r["content"], r["file_format"].lower()) for r in dels} == {(2, "parquet")}
+
+    sql.sql(
+        "CREATE TABLE nsUp.nopk (id BIGINT, name STRING) "
+        "WITH ('format-version'='2', 'write.upsert.enabled'='true')"
+    )
+    with pytest.raises(UnsupportedSQLError, match="identifier fields"):
+        sql.sql("INSERT INTO nsUp.nopk VALUES (1,'a')")
