@@ -97,6 +97,7 @@ FEATURES = [
     ("sql-replay", "Verbatim replay of the reference suite's 200 SQL statements", "dml"),
     ("sql-replay-clickhouse", "Verbatim replay of the ClickHouse suite (Spark fixtures + icebergLocal reads)", "read"),
     ("sql-replay-flink", "Verbatim replay of the Flink suite's batch statements with its own marker asserts", "dml"),
+    ("sql-replay-redshift", "Verbatim replay of the Redshift suite's statement lists with its own substring asserts", "dml"),
     ("wap-publish", "Write-audit-publish: fast_forward + cherrypick procedures", "snapshots"),
     # Catalog integrations: registered skip rows with honest reasons, the
     # reference's own pattern for environment-blocked features
@@ -749,6 +750,37 @@ def t_sql_replay_flink(ctx: Ctx) -> str:
         bad.extend(check_function(func, outs))
     assert not bad, bad[:5]
     assert ran > 0
+    return "pass"
+
+
+@conformance_test("sql-replay-redshift")
+def t_sql_replay_redshift(ctx: Ctx) -> str:
+    """The Redshift suite's literal statement lists through the facade
+    (sql/replay_redshift.py): USING ICEBERG DDL, SHOW TABLE readback,
+    TABLE PROPERTIES, qualified-name MERGE, transform partitioning +
+    evolution, widening with narrowing refused, the multi-arg negative
+    probe — checked against the suite's own substring asserts. Redshift
+    is a V2-only engine (every function early-returns on v3), so the
+    replay is its own v2 pass; loop-variable and env-blocked functions
+    are excluded with reasons (replay_redshift.EXCLUDED)."""
+    import os  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql.replay_redshift import (  # noqa: PLC0415
+        REFERENCE_SUITE,
+        replay_all,
+    )
+
+    if not os.path.exists(REFERENCE_SUITE):
+        return ("skip", "reference suite not present")
+    if ctx.version == 3:
+        return (
+            "skip",
+            "Redshift is a V2-only engine; its suite early-returns every "
+            "v3 row (_v3_unsupported) — replayed once under the v2 pass",
+        )
+    summary = replay_all(ctx.spark, ctx.catalog)
+    assert summary["mismatches"] == [], summary["mismatches"][:5]
+    assert summary["unaccounted"] == [], summary["unaccounted"]
     return "pass"
 
 

@@ -100,8 +100,12 @@ def _rewrite_aliases(expr: str, mapping: dict[str, str]) -> str:
     qualifier — rewriting inside it would corrupt the written value."""
     if not mapping:
         return expr
+    # longest keys first: the full spelling 'schema.tbl' must win over
+    # the short default alias 'tbl' at the same position, or
+    # 'schema.tbl.id' would rewrite to 'schema.t.id'
+    keys = sorted(mapping, key=len, reverse=True)
     pat = re.compile(
-        r"\b(" + "|".join(re.escape(a) for a in mapping) + r")\s*\.", re.IGNORECASE
+        r"\b(" + "|".join(re.escape(a) for a in keys) + r")\s*\.", re.IGNORECASE
     )
     tops = {i for i, _c, _d, quoted in _scan_top(expr) if not quoted}
     out, last = [], 0
@@ -389,11 +393,26 @@ class IceLiteSQL:
     # semantics and error contract can't drift between spellings.
 
     def _snapshot_view(self, ident: str, val: str) -> str:
+        raw = str(val).strip()
+        bare = raw.strip("'")
         try:
-            sid = int(str(val).strip().strip("'"))
+            sid = int(bare)
         except ValueError:
+            if raw.startswith("'") and raw.endswith("'") and re.fullmatch(
+                r"[\w.-]+", bare
+            ):
+                # Iceberg Spark semantics: VERSION AS OF also takes a
+                # quoted REF name (branch or tag) — the Redshift suite's
+                # branch-read spelling, redshift_feature_tests.py:1172
+                t = self.catalog.load_table(ident)
+                r = t.meta.refs.get(bare)
+                if r is None:
+                    raise UnsupportedSQLError(
+                        f"unknown ref {bare!r} on {ident}"
+                    ) from None
+                return self._ref_read_view(ident, r.type, bare)
             raise UnsupportedSQLError(
-                f"snapshot id must be an integer: {val!r}"
+                f"snapshot id must be an integer or a quoted ref name: {val!r}"
             ) from None
         view = self._view_name(ident, f"_v{sid}")
         self.catalog.load_table(ident).df(snapshot_id=sid).createOrReplaceTempView(view)
@@ -761,12 +780,15 @@ class IceLiteSQL:
 
                 # VERSION AS OF plus the Redshift/engine-survey spellings
                 # FOR [SYSTEM_]VERSION AS OF (redshift_feature_tests.py:
-                # 1091-1097)
+                # 1091-1097); the value is a snapshot id OR a quoted ref
+                # name (Iceberg Spark semantics; the Redshift suite's
+                # branch-read spelling, :1172) — _snapshot_view dispatches
                 text = self._sub_unquoted(
                     text,
                     re.compile(
                         base
-                        + r"\s+(?:FOR\s+)?(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(\d+)",
+                        + r"\s+(?:FOR\s+)?(?:SYSTEM_)?VERSION\s+AS\s+OF\s+"
+                        r"(\d+|'[\w.-]+')",
                         re.I,
                     ),
                     _tt_view,
@@ -852,6 +874,30 @@ class IceLiteSQL:
                 sorted((k, str(v)) for k, v in props.items()),
                 "key string, value string",
             )
+        m = re.match(
+            rf"SHOW\s+(?:CREATE\s+)?TABLE\s+({_IDENT})\s*$", stmt, re.I
+        )
+        if m:
+            # DDL readback: Redshift's SHOW TABLE (the suite greps it for
+            # 'USING ICEBERG', 'format-version' and 'PARTITIONED BY',
+            # redshift_feature_tests.py:604-610,1260) / Spark's SHOW
+            # CREATE TABLE — one synthesized CREATE statement per row set
+            ident = self._resolve(m.group(1))
+            t = self.catalog.load_table(ident)
+            cols = ", ".join(
+                f"{f.name} {f.type}" for f in t.meta.current_schema.fields
+            )
+            ddl = f"CREATE TABLE {self.name}.{ident} ({cols}) USING ICEBERG"
+            if t.meta.partition_spec:
+                ddl += f" PARTITIONED BY ({', '.join(t.meta.partition_spec)})"
+            props = {
+                "format-version": str(t.format_version),
+                **{k: str(v) for k, v in t.properties.items()},
+            }
+            ddl += " TBLPROPERTIES (" + ", ".join(
+                f"'{k}'='{v}'" for k, v in sorted(props.items())
+            ) + ")"
+            return local_df(self.spark, [(ddl,)], "createtab_stmt string")
         raise UnsupportedSQLError(stmt)
 
     # --------------------------------------------------------------- DDL
@@ -963,6 +1009,14 @@ class IceLiteSQL:
             inner, after = _take_parens(head[wm.end() :])
             properties = {**(properties or {}), **self._parse_tblproperties(inner)}
             head = head[: wm.start()] + after
+
+        # Redshift's spelling: ... TABLE PROPERTIES ('k'='v')
+        # (redshift_feature_tests.py:938-941,1407-1408)
+        rp = re.search(r"\bTABLE\s+PROPERTIES\b", head, re.I)
+        if rp:
+            inner, after = _take_parens(head[rp.end() :])
+            properties = {**(properties or {}), **self._parse_tblproperties(inner)}
+            head = head[: rp.start()] + after
 
         head = re.sub(r"\bUSING\s+\w+\b", "", head, flags=re.I).strip()
         rest = (head + " " + body).strip() if body else head
@@ -1410,6 +1464,16 @@ class IceLiteSQL:
                 f"{t_alias!r}; give explicit aliases"
             )
         amap = {t_alias: "t", s_alias: "s"}
+        # an unaliased target may be referenced by its FULL spelling in
+        # ON/SET — the Redshift suite's MERGE does exactly this
+        # (redshift_feature_tests.py:685-689: ON schema.tbl.id = src.id)
+        full_t = m.group(1).strip().strip("`").lower()
+        if full_t not in amap:
+            amap[full_t] = "t"
+        if src_name:
+            full_s = src_name.strip().strip("`").lower()
+            if full_s not in amap:
+                amap[full_s] = "s"
         on = _rewrite_aliases(on_text.strip(), amap)
 
         matched_update: dict[str, str] | None = None

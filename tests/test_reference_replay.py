@@ -112,6 +112,25 @@ def test_flink_replay_matches_marker_asserts(spark):
     assert summary["batches_replayed"] == 43
 
 
+def test_redshift_replay_matches_substring_asserts(spark):
+    """The Redshift suite's literal statement lists verbatim
+    (sql/replay_redshift.py): 12 functions, 26 batches on the suite's
+    own v2 pass, every substring assert satisfied — SHOW TABLE DDL
+    readback, the qualified-name MERGE final-state check
+    ('updated'/'merged' present, 'third' absent), CoW honored with zero
+    delete files, narrowing refused, the multi-arg transform rejected —
+    with env-blocked/loop-variable functions excluded for stated
+    reasons and zero unaccounted statement-bearing functions."""
+    from iceberg_matrix_spark.sql.replay_redshift import replay_all
+
+    cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="rs-replay-wh-"))
+    summary = replay_all(spark, cat)
+    assert summary["mismatches"] == []
+    assert summary["unaccounted"] == []
+    assert summary["functions"] == 12
+    assert summary["batches_replayed"] == 26
+
+
 def test_dml_replay_values(spark):
     """The MERGE function's captured scalars: count drops to 2 after
     DELETE, returns to 3 after MERGE inserts the unmatched row, and the

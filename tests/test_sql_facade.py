@@ -974,7 +974,9 @@ def test_dialect_error_contract(sql):
     case-mangled identifiers on the verb surface."""
     sql.sql("CREATE NAMESPACE nsEc")
     _seed(sql, "nsEc.t")
-    with pytest.raises(UnsupportedSQLError, match="integer"):
+    # a quoted non-integer VERSION is now tried as a REF name (the
+    # Iceberg Spark semantics) — unknown refs still fail loudly
+    with pytest.raises(UnsupportedSQLError, match="unknown ref"):
         sql.sql("SELECT * FROM nsEc.t AT (VERSION => 'abc')")
     with pytest.raises(UnsupportedSQLError, match="ISO"):
         sql.sql("SELECT * FROM nsEc.t AT (TIMESTAMP => 'nope')")
