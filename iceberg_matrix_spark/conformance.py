@@ -98,6 +98,7 @@ FEATURES = [
     ("sql-replay-clickhouse", "Verbatim replay of the ClickHouse suite (Spark fixtures + icebergLocal reads)", "read"),
     ("sql-replay-flink", "Verbatim replay of the Flink suite's batch statements with its own marker asserts", "dml"),
     ("sql-replay-redshift", "Verbatim replay of the Redshift suite's statement lists with its own substring asserts", "dml"),
+    ("sql-replay-duckdb", "Verbatim replay of the DuckDB suite's statements with its own fetched-value asserts", "dml"),
     ("wap-publish", "Write-audit-publish: fast_forward + cherrypick procedures", "snapshots"),
     # Catalog integrations: registered skip rows with honest reasons, the
     # reference's own pattern for environment-blocked features
@@ -779,6 +780,41 @@ def t_sql_replay_redshift(ctx: Ctx) -> str:
             "v3 row (_v3_unsupported) — replayed once under the v2 pass",
         )
     summary = replay_all(ctx.spark, ctx.catalog)
+    assert summary["mismatches"] == [], summary["mismatches"][:5]
+    assert summary["unaccounted"] == [], summary["unaccounted"]
+    return "pass"
+
+
+@conformance_test("sql-replay-duckdb")
+def t_sql_replay_duckdb(ctx: Ctx) -> str:
+    """The DuckDB suite's literal con.execute statements through the
+    facade under the suite's own catalog name ``ib``
+    (sql/replay_duckdb.py): CREATE/CTAS/DML incl. the column-list-free
+    MERGE INSERT VALUES, iceberg_metadata()/iceberg_snapshots()/
+    duckdb_tables() functions, AT (VERSION =>) travel with the captured
+    snapshot id, transform DDL + SET PARTITIONED BY evolution, V3
+    GEOMETRY and column DEFAULTs — checked against the suite's own
+    fetched-value asserts; test_rest_catalog runs over the real
+    in-process REST server + client. The suite pins format versions
+    per function (no v2/v3 matrix), so the replay runs once on the v3
+    pass; MoR-default and DuckDB-introspection functions are excluded
+    with reasons (replay_duckdb.EXCLUDED)."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql.replay_duckdb import (  # noqa: PLC0415
+        REFERENCE_SUITE,
+        replay_all,
+    )
+
+    if not os.path.exists(REFERENCE_SUITE):
+        return ("skip", "reference suite not present")
+    if ctx.version == 2:
+        return (
+            "skip",
+            "suite pins format-version per function; replayed once (v3 pass)",
+        )
+    summary = replay_all(ctx.spark, tempfile.mkdtemp(prefix="dk-replay-wh-"))
     assert summary["mismatches"] == [], summary["mismatches"][:5]
     assert summary["unaccounted"] == [], summary["unaccounted"]
     return "pass"

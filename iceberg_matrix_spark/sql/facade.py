@@ -563,6 +563,26 @@ class IceLiteSQL:
                 "icebergLocal()/iceberg_scan() path reads only"
             )
 
+        # DuckDB's catalog introspection function duckdb_tables()
+        # (duckdb_feature_tests.py:275-277: count tables per schema_name)
+        def _duckdb_tables_view(_m: re.Match) -> str:
+            rows = [
+                (ns, t)
+                for ns in self.catalog.list_namespaces()
+                for t in self.catalog.list_tables(ns)
+            ]
+            view = self._view_name("__duckdb_tables__")
+            local_df(
+                self.spark, rows, "schema_name string, table_name string"
+            ).createOrReplaceTempView(view)
+            return view
+
+        text = self._sub_unquoted(
+            text,
+            re.compile(r"\bduckdb_tables\s*\(\s*\)", re.I),
+            _duckdb_tables_view,
+        )
+
         tops = {i for i, _c, _d, quoted in _scan_top(text) if not quoted}
         referenced: set[str] = set()
         # trailing segments may start with a digit (ns.2024data); the
@@ -1502,6 +1522,36 @@ class IceLiteSQL:
                 clause,
                 re.I | re.S,
             )
+            if im is None:
+                # DuckDB's column-list-free form: INSERT VALUES (a, b) —
+                # positional against the target schema
+                # (duckdb_feature_tests.py:318-324)
+                bm = re.match(
+                    r"NOT\s+MATCHED\s+THEN\s+INSERT\s+VALUES\s*\((.*)\)\s*$",
+                    clause,
+                    re.I | re.S,
+                )
+                if bm:
+                    tgt_cols = [
+                        f.name
+                        for f in self.catalog.load_table(target_id)
+                        .meta.current_schema.fields
+                    ]
+                    vals = _split_top(bm.group(1))
+                    if len(vals) != len(tgt_cols):
+                        raise UnsupportedSQLError(
+                            f"MERGE INSERT VALUES supplies {len(vals)} values, "
+                            f"target has {len(tgt_cols)} columns"
+                        )
+                    im = re.match(
+                        r"NOT\s+MATCHED\s+THEN\s+INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*$",
+                        "NOT MATCHED THEN INSERT ("
+                        + ", ".join(tgt_cols)
+                        + ") VALUES ("
+                        + bm.group(1)
+                        + ")",
+                        re.I | re.S,
+                    )
             if im:
                 cols = [c.strip().strip("`") for c in _split_top(im.group(1))]
                 exprs = [_rewrite_aliases(e, amap) for e in _split_top(im.group(2))]

@@ -289,7 +289,14 @@ class RestCatalog:
         schema_ddl: str,
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        defaults: dict | None = None,
     ) -> IceLiteTable:
+        if defaults:
+            # the REST create body has no defaults field yet — refuse
+            # rather than silently dropping a declared DEFAULT
+            raise ValueError(
+                "column DEFAULTs are not supported through the REST catalog"
+            )
         ns, tbl = self._split(identifier)
         out = self._request(
             "POST",

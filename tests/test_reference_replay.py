@@ -131,6 +131,24 @@ def test_redshift_replay_matches_substring_asserts(spark):
     assert summary["batches_replayed"] == 26
 
 
+def test_duckdb_replay_matches_fetched_values(spark):
+    """The DuckDB suite's literal statements verbatim
+    (sql/replay_duckdb.py): 13 functions, 53 statements under the
+    suite's own catalog name 'ib', every in-code assert satisfied —
+    MERGE final state [(1,'J'),(3,'Sarah')], DESCRIBE column lists
+    after evolution, AT (VERSION =>) with the captured snapshot id,
+    duckdb_tables() counts, record_count sums, GEOMETRY/DEFAULT V3
+    columns — with test_rest_catalog running over the real in-process
+    REST server + client."""
+    from iceberg_matrix_spark.sql.replay_duckdb import replay_all
+
+    summary = replay_all(spark, tempfile.mkdtemp(prefix="dk-replay-wh-"))
+    assert summary["mismatches"] == []
+    assert summary["unaccounted"] == []
+    assert summary["functions"] == 13
+    assert summary["statements_replayed"] == 53
+
+
 def test_dml_replay_values(spark):
     """The MERGE function's captured scalars: count drops to 2 after
     DELETE, returns to 3 after MERGE inserts the unmatched row, and the
