@@ -306,3 +306,39 @@ def test_path_function_spellings_agree(fz, spark, rows, pred):
         f"SELECT val FROM local.{ident} WHERE val = 'icebergLocal(''/tmp/x'')'"
     ).collect()
     assert [r[0] for r in got] == ["icebergLocal('/tmp/x')"]
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), pred=predicates(), data=st.data())
+def test_bare_name_session_differential(fz, spark, rows, pred, data):
+    """USE <ns> + bare table names (the Flink session idiom) must agree
+    with the fully-qualified spelling on every path — reads, the
+    backticked bare `t$snapshots` metadata suffix, and DML — including
+    a predicate that embeds the TABLE NAME ITSELF as a string literal,
+    the trap for quote-unaware bare-name substitution."""
+    ident = _fresh_table(fz, rows)
+    bare = ident.split(".")[1]
+    fz.sql("USE fz")
+    try:
+        trap = f"({pred}) OR val = '{bare}'"
+        q = "SELECT id, val, num FROM {t} WHERE " + trap
+        got = _rows(fz.sql(q.format(t=bare)))
+        want = _rows(fz.sql(q.format(t=f"local.{ident}")))
+        assert got == want, trap
+        n_bare = fz.sql(f"SELECT count(*) FROM `{bare}$snapshots`").collect()[0][0]
+        n_full = fz.sql(
+            f"SELECT count(*) FROM local.{ident}.snapshots"
+        ).collect()[0][0]
+        assert n_bare == n_full
+        fz.sql(f"DELETE FROM {bare} WHERE {pred}")
+        got2 = _rows(fz.sql(f"SELECT id, val, num FROM local.{ident}"))
+        view = _view_of(spark, rows)
+        want2 = _rows(
+            spark.sql(
+                f"SELECT id, val, num FROM {view} "
+                f"WHERE NOT coalesce(({pred}), false)"
+            )
+        )
+        assert got2 == want2, pred
+    finally:
+        fz.default_ns = None
