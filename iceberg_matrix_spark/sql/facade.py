@@ -395,22 +395,24 @@ class IceLiteSQL:
     def _snapshot_view(self, ident: str, val: str) -> str:
         raw = str(val).strip()
         bare = raw.strip("'")
+        if raw.startswith("'") and raw.endswith("'") and re.fullmatch(
+            r"[\w.-]+", bare
+        ):
+            # Iceberg Spark semantics: a QUOTED VERSION AS OF value is a
+            # REF name first (branch or tag — the Redshift suite's
+            # branch-read spelling, redshift_feature_tests.py:1172); a
+            # ref literally named '123' wins over snapshot id 123. Only
+            # when no such ref exists does an all-digit string fall back
+            # to a snapshot id.
+            t = self.catalog.load_table(ident)
+            r = t.meta.refs.get(bare)
+            if r is not None:
+                return self._ref_read_view(ident, r.type, bare)
+            if not bare.isdigit():
+                raise UnsupportedSQLError(f"unknown ref {bare!r} on {ident}")
         try:
             sid = int(bare)
         except ValueError:
-            if raw.startswith("'") and raw.endswith("'") and re.fullmatch(
-                r"[\w.-]+", bare
-            ):
-                # Iceberg Spark semantics: VERSION AS OF also takes a
-                # quoted REF name (branch or tag) — the Redshift suite's
-                # branch-read spelling, redshift_feature_tests.py:1172
-                t = self.catalog.load_table(ident)
-                r = t.meta.refs.get(bare)
-                if r is None:
-                    raise UnsupportedSQLError(
-                        f"unknown ref {bare!r} on {ident}"
-                    ) from None
-                return self._ref_read_view(ident, r.type, bare)
             raise UnsupportedSQLError(
                 f"snapshot id must be an integer or a quoted ref name: {val!r}"
             ) from None
@@ -839,9 +841,16 @@ class IceLiteSQL:
                     # iceberg_feature_tests.py:1575-1580) — SELECT * stays
                     # lineage-free. V2 leaves them out, so the reference's
                     # V2 expectation (unresolved column) holds too.
+                    # quote-aware like every other scan pass: a string
+                    # literal mentioning _row_id must not change the
+                    # SELECT * result shape
+                    lineage_tops = {
+                        i for i, _c, _d, q in _scan_top(text) if not q
+                    }
                     wants_lineage = t.format_version >= 3 and any(
-                        re.search(rf"\b{c}\b", text)
+                        mm.start() in lineage_tops
                         for c in ("_row_id", "_last_updated_sequence_number")
+                        for mm in re.finditer(rf"\b{c}\b", text)
                     )
                     t.df(with_lineage=wants_lineage).createOrReplaceTempView(view)
                     return view
@@ -1167,11 +1176,18 @@ class IceLiteSQL:
                 norm = _norm_type(typ)
                 # validate BEFORE committing: a type Spark can't parse
                 # would make every subsequent scan of the table fail at
-                # StructType.fromDDL — fail the DDL, not the reads
+                # StructType.fromDDL — fail the DDL, not the reads. The
+                # PHYSICAL type is what scans parse (logical V3 types
+                # like timestamp_ns/geometry store as bigint/binary —
+                # same rule as the CREATE path, tables/catalog.py)
                 try:
                     from pyspark.sql.types import StructType  # noqa: PLC0415
 
-                    StructType.fromDDL(f"`{name.strip('`')}` {norm}")
+                    from iceberg_matrix_spark.tables.table import (  # noqa: PLC0415
+                        _physical_type,
+                    )
+
+                    StructType.fromDDL(f"`{name.strip('`')}` {_physical_type(norm)}")
                 except Exception:
                     raise UnsupportedSQLError(
                         f"unsupported column type in ADD COLUMN: {typ!r}"

@@ -59,6 +59,7 @@ from datetime import datetime, timezone
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
+from iceberg_matrix_spark.sql._replay_common import fstring_template
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/iceberg_feature_tests.py"
@@ -117,18 +118,7 @@ def extract_ops(path: str = REFERENCE_SUITE) -> Extraction:
     groups: dict[str, list[Op]] = {}
     skipped = 0
 
-    def template(node: ast.expr) -> str | None:
-        if isinstance(node, ast.Constant) and isinstance(node.value, str):
-            return node.value
-        if isinstance(node, ast.JoinedStr):
-            parts = []
-            for v in node.values:
-                if isinstance(v, ast.Constant):
-                    parts.append(str(v.value))
-                elif isinstance(v, ast.FormattedValue):
-                    parts.append("{" + ast.unparse(v.value) + "}")
-            return "".join(parts)
-        return None
+    template = fstring_template
 
     class Visitor(ast.NodeVisitor):
         def __init__(self):

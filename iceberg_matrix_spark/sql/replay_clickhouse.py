@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
+from iceberg_matrix_spark.sql._replay_common import fstring_template
 from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/clickhouse_feature_tests.py"
@@ -103,18 +104,7 @@ def extract_ops(path: str = REFERENCE_SUITE) -> dict[str, list[Op]]:
         tree = ast.parse(fh.read())
     groups: dict[str, list[Op]] = {}
 
-    def template(node: ast.expr) -> str | None:
-        if isinstance(node, ast.Constant) and isinstance(node.value, str):
-            return node.value
-        if isinstance(node, ast.JoinedStr):
-            parts = []
-            for v in node.values:
-                if isinstance(v, ast.Constant):
-                    parts.append(str(v.value))
-                elif isinstance(v, ast.FormattedValue):
-                    parts.append("{" + ast.unparse(v.value) + "}")
-            return "".join(parts)
-        return None
+    template = fstring_template
 
     class Visitor(ast.NodeVisitor):
         def __init__(self):

@@ -45,6 +45,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
+from iceberg_matrix_spark.sql._replay_common import fstring_template
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/duckdb_feature_tests.py"
@@ -142,18 +143,7 @@ def extract_statements(path: str = REFERENCE_SUITE) -> dict[str, list[Stmt]]:
         tree = ast.parse(fh.read())
     groups: dict[str, list[Stmt]] = {}
 
-    def template(node: ast.expr) -> str | None:
-        if isinstance(node, ast.Constant) and isinstance(node.value, str):
-            return node.value
-        if isinstance(node, ast.JoinedStr):
-            parts = []
-            for v in node.values:
-                if isinstance(v, ast.Constant):
-                    parts.append(str(v.value))
-                elif isinstance(v, ast.FormattedValue):
-                    parts.append("{" + ast.unparse(v.value) + "}")
-            return "".join(parts)
-        return None
+    template = fstring_template
 
     class Visitor(ast.NodeVisitor):
         def __init__(self):

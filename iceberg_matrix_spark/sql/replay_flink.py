@@ -63,6 +63,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
+from iceberg_matrix_spark.sql._replay_common import fstring_template
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/flink_feature_tests.py"
@@ -227,18 +228,7 @@ def extract_batches(path: str = REFERENCE_SUITE) -> dict[str, list[Batch]]:
         tree = ast.parse(fh.read())
     groups: dict[str, list[Batch]] = {}
 
-    def template(node: ast.expr) -> str | None:
-        if isinstance(node, ast.Constant) and isinstance(node.value, str):
-            return node.value
-        if isinstance(node, ast.JoinedStr):
-            parts = []
-            for v in node.values:
-                if isinstance(v, ast.Constant):
-                    parts.append(str(v.value))
-                elif isinstance(v, ast.FormattedValue):
-                    parts.append("{" + ast.unparse(v.value) + "}")
-            return "".join(parts)
-        return None
+    template = fstring_template
 
     def flatten(node: ast.expr, env: dict) -> list[str]:
         if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
@@ -366,10 +356,19 @@ def replay_function(
         outcomes.append(BatchOutcome(func, version, index, status, out, detail))
         if hook == "set_tags" and status == "ok":
             # the suite's catalog-side step (_rest_set_tags,
-            # flink_feature_tests.py:1206): tag the first two snapshots
-            t = catalog.load_table(f"{ns}.{tbl_for_hook[0]}")
-            t.create_tag("tag1", snapshot_id=int(snaps[0]))
-            t.create_tag("tag2", snapshot_id=int(snaps[1]))
+            # flink_feature_tests.py:1206): tag the first two snapshots.
+            # A failed hook is a classified outcome, not a harness crash.
+            try:
+                if len(snaps) < 2:
+                    raise RuntimeError(f"expected >=2 MARKSNAP captures, got {snaps}")
+                t = catalog.load_table(f"{ns}.{tbl_for_hook[0]}")
+                t.create_tag("tag1", snapshot_id=int(snaps[0]))
+                t.create_tag("tag2", snapshot_id=int(snaps[1]))
+            except Exception as exc:  # noqa: BLE001 — harness classification
+                outcomes[-1] = BatchOutcome(
+                    func, version, index, "error", out,
+                    f"set_tags hook: {type(exc).__name__}: {exc}"[:250],
+                )
     return outcomes
 
 

@@ -94,6 +94,17 @@ class IceLiteCatalog:
         if os.path.isdir(path):
             if self.list_tables(name):
                 raise ValueError(f"namespace {name} is not empty")
+            # an entry with a metadata/ directory but no committed version
+            # is a CREATE in flight (commit_metadata hasn't landed yet),
+            # not a dropped table's leftovers — a non-purge drop removes
+            # the whole metadata dir, so leftovers never carry one.
+            # Deleting an in-flight create would corrupt a concurrent
+            # writer; refuse instead.
+            for e in os.scandir(path):
+                if e.is_dir() and os.path.isdir(os.path.join(e.path, "metadata")):
+                    raise ValueError(
+                        f"namespace {name} has a table create in flight: {e.name}"
+                    )
             shutil.rmtree(path)
 
     def list_namespaces(self) -> list[str]:

@@ -96,7 +96,12 @@ class DbApiCatalog:
                 con,
                 "CREATE TABLE IF NOT EXISTS tables ("
                 " namespace TEXT NOT NULL, name TEXT NOT NULL,"
-                " location TEXT NOT NULL, metadata_location TEXT,"
+                # UNIQUE location closes the custom-LOCATION race: two
+                # concurrent CREATE ... LOCATION '<same dir>' would both
+                # see an empty directory and each claim a different
+                # identifier over the same files — the row claim, not a
+                # filesystem check, must be the arbiter for locations too
+                " location TEXT NOT NULL UNIQUE, metadata_location TEXT,"
                 " PRIMARY KEY (namespace, name),"
                 " FOREIGN KEY (namespace) REFERENCES namespaces(namespace))",
             )

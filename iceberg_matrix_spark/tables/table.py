@@ -144,6 +144,14 @@ class _UpdateSchema:
         dtype = _type_str(field_type)
         if default is not None and self._table.format_version < 3:
             raise ValueError("column DEFAULT values require format-version 3")
+        if dtype in ("timestamp_ns", "variant", "geometry") and (
+            self._table.format_version < 3
+        ):
+            # same V3 gate as CREATE (catalog.py): adding a V3-only type
+            # to a v2 table would commit spec-invalid metadata
+            raise ValueError(
+                f"type {dtype!r} requires format-version 3 (column {name!r})"
+            )
 
         def op(meta, fields):
             if any(f.name == name for f in fields):
@@ -1145,6 +1153,10 @@ class IceLiteTable:
         cond = F.expr(where)
         mode = self._dml_mode("delete")
         if self._current_snapshot(branch) is None:
+            if branch != "main" and branch not in self.meta.refs:
+                # a typo'd/never-created branch must fail loudly, never
+                # silently swallow the write as an empty-table no-op
+                raise ValueError(f"unknown branch {branch!r}")
             # Iceberg semantics: DELETE on a table with no snapshots
             # matches nothing and commits nothing (the reference runs
             # DELETE right after CREATE in its MoR probes).
@@ -1217,6 +1229,8 @@ class IceLiteTable:
         cond = F.expr(where)
         mode = self._dml_mode("update")
         if self._current_snapshot(branch) is None:
+            if branch != "main" and branch not in self.meta.refs:
+                raise ValueError(f"unknown branch {branch!r}")
             return  # no snapshots → nothing to update, nothing committed
 
         def mutate(meta: TableMetadata) -> TableMetadata:
@@ -1487,6 +1501,15 @@ class IceLiteTable:
         and :771-776 `val STRING DEFAULT 'hello'`)."""
         if defaults and self.format_version < 3:
             raise ValueError("column DEFAULT values require format-version 3")
+        for name, dtype in columns.items():
+            if dtype in ("timestamp_ns", "variant", "geometry") and (
+                self.format_version < 3
+            ):
+                # same V3 gate as CREATE (catalog.py): evolving a V3-only
+                # type onto a v2 table would commit spec-invalid metadata
+                raise ValueError(
+                    f"type {dtype!r} requires format-version 3 (column {name!r})"
+                )
 
         def build(meta, fields):
             for name, dtype in columns.items():

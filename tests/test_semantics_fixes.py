@@ -166,3 +166,101 @@ def test_read_incremental_rejects_cow_rewrites_in_range(spark, catalog):
     # append-only ranges still work
     t.append(spark.range(100, 103))
     assert t.read_incremental(end, t.meta.current_snapshot_id).count() == 3
+
+
+def test_v3_types_through_alter_add_and_gate(sql, catalog):
+    """Round-4 review findings: ALTER ADD COLUMNS must accept the V3
+    logical types on v3 tables (validation parses the PHYSICAL type,
+    like CREATE) and must reject them on v2 — including VARIANT, which
+    Spark can parse logically and previously slipped past the gate."""
+    sql.sql("CREATE TABLE ns.v3t (id BIGINT) WITH ('format-version'='3')")
+    sql.sql("ALTER TABLE ns.v3t ADD COLUMNS (ts TIMESTAMP(9))")
+    sql.sql("ALTER TABLE ns.v3t ADD COLUMNS (g GEOMETRY)")
+    sql.sql("ALTER TABLE ns.v3t ADD COLUMNS (v VARIANT)")
+    t = catalog.load_table("ns.v3t")
+    types = {f.name: f.type for f in t.meta.current_schema.fields}
+    assert types == {
+        "id": "bigint", "ts": "timestamp_ns", "g": "geometry", "v": "variant"
+    }
+    sql.sql("CREATE TABLE ns.v2t (id BIGINT) WITH ('format-version'='2')")
+    for coldef in ("v VARIANT", "ts TIMESTAMP(9)", "g GEOMETRY"):
+        with pytest.raises(ValueError, match="format-version 3"):
+            sql.sql(f"ALTER TABLE ns.v2t ADD COLUMNS ({coldef})")
+    # the PyIceberg updater path has the same gate
+    t2 = catalog.load_table("ns.v2t")
+    with pytest.raises(ValueError, match="format-version 3"):
+        with t2.update_schema() as u:
+            u.add_column("v", "variant")
+
+
+def test_dml_on_unknown_branch_fails_loudly(catalog):
+    """delete/update with a typo'd branch on a snapshotless table must
+    raise, not silently no-op (the empty-table early return must not
+    swallow the unknown-branch case)."""
+    t = catalog.create_table("ns.branchless", "id bigint")
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.delete(where="id > 0", branch="feature_typo")
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.update({"id": "1"}, where="id > 0", branch="never_created")
+
+
+def test_lineage_literal_does_not_change_shape(sql, spark, catalog):
+    """A string literal mentioning _row_id must not attach hidden
+    lineage columns to the view (quote-aware detection)."""
+    sql.sql("CREATE TABLE ns.lin (id BIGINT, note STRING) WITH ('format-version'='3')")
+    sql.sql("INSERT INTO ns.lin VALUES (1, 'see _row_id docs')")
+    cols = sql.sql("SELECT * FROM ns.lin WHERE note LIKE '%_row_id%'").columns
+    assert cols == ["id", "note"]
+    # a real reference still resolves
+    got = sql.sql("SELECT _row_id FROM ns.lin").collect()
+    assert [r[0] for r in got] == [0]
+
+
+def test_version_as_of_ref_precedence(sql, catalog):
+    """A quoted VERSION AS OF value is a ref name FIRST (Iceberg Spark
+    semantics): a tag literally named '123' wins over snapshot id 123;
+    with no such ref, an all-digit string still reads as a snapshot id."""
+    sql.sql("CREATE TABLE ns.prec (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO ns.prec VALUES (1)")
+    t = catalog.load_table("ns.prec")
+    first = t.meta.snapshots[0].snapshot_id
+    t.create_tag("123", snapshot_id=first)
+    sql.sql("INSERT INTO ns.prec VALUES (2)")
+    n_ref = sql.sql("SELECT count(*) FROM ns.prec VERSION AS OF '123'").collect()[0][0]
+    assert n_ref == 1  # the tag, not a snapshot-id miss
+    n_id = sql.sql(
+        f"SELECT count(*) FROM ns.prec VERSION AS OF '{first}'"
+    ).collect()[0][0]
+    assert n_id == 1  # digit string with no matching ref -> snapshot id
+
+
+def test_custom_location_claim_is_exclusive(spark, tmp_path):
+    """Two CREATE TABLE ... LOCATION on the same directory: the catalog
+    row (UNIQUE location), not a racy filesystem check, is the arbiter —
+    the second create must fail rather than share the directory."""
+    from iceberg_matrix_spark.tables.catalog import TableAlreadyExistsError
+    from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
+
+    cat = SqlCatalog(spark, str(tmp_path / "wh2"))
+    cat.create_namespace("n")
+    loc = str(tmp_path / "shared_dir")
+    cat.create_table("n.t1", "id bigint", location=loc)
+    with pytest.raises(TableAlreadyExistsError):
+        cat.create_table("n.t2", "id bigint", location=loc)
+
+
+def test_drop_namespace_refuses_inflight_create(catalog, tmp_path):
+    """A table directory with a metadata/ dir but no committed version is
+    a CREATE in flight, not dropped-table leftovers — drop_namespace must
+    refuse instead of rmtree-ing a concurrent writer's files."""
+    import os
+
+    catalog.create_namespace("inflight")
+    os.makedirs(os.path.join(catalog.warehouse, "inflight", "t_mid", "metadata"))
+    with pytest.raises(ValueError, match="in flight"):
+        catalog.drop_namespace("inflight")
+    # plain leftovers (no metadata dir) still drop fine
+    catalog.create_namespace("leftover")
+    os.makedirs(os.path.join(catalog.warehouse, "leftover", "t_old", "data"))
+    catalog.drop_namespace("leftover")
+    assert "leftover" not in catalog.list_namespaces()
