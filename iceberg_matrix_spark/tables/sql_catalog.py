@@ -96,12 +96,7 @@ class DbApiCatalog:
                 con,
                 "CREATE TABLE IF NOT EXISTS tables ("
                 " namespace TEXT NOT NULL, name TEXT NOT NULL,"
-                # UNIQUE location closes the custom-LOCATION race: two
-                # concurrent CREATE ... LOCATION '<same dir>' would both
-                # see an empty directory and each claim a different
-                # identifier over the same files — the row claim, not a
-                # filesystem check, must be the arbiter for locations too
-                " location TEXT NOT NULL UNIQUE, metadata_location TEXT,"
+                " location TEXT NOT NULL, metadata_location TEXT,"
                 " PRIMARY KEY (namespace, name),"
                 " FOREIGN KEY (namespace) REFERENCES namespaces(namespace))",
             )
@@ -227,9 +222,35 @@ class DbApiCatalog:
             raise NoSuchTableError(identifier)
         return row
 
-    def _claim(self, ns: str, tbl: str, location: str, identifier: str) -> None:
+    def _claim(
+        self,
+        ns: str,
+        tbl: str,
+        location: str,
+        identifier: str,
+        exclusive_location: bool = False,
+    ) -> None:
+        """``exclusive_location=True`` (custom-LOCATION creates) makes the
+        row claim the arbiter for the DIRECTORY too: two concurrent
+        CREATE ... LOCATION '<same dir>' would both see an empty
+        directory, so the guard runs in the SAME transaction as the
+        insert (the DB write lock serializes them). register_table stays
+        non-exclusive — adopting an existing table's metadata under a
+        second name is the spec's register shape."""
         try:
             with self._conn() as con:
+                if exclusive_location:
+                    cur = self._exec(
+                        con,
+                        "SELECT namespace, name FROM tables WHERE location = ?",
+                        (location,),
+                    )
+                    row = cur.fetchone()
+                    if row is not None:
+                        raise TableAlreadyExistsError(
+                            f"location {location!r} already claimed by "
+                            f"{row[0]}.{row[1]}"
+                        )
                 self._exec(
                     con,
                     "INSERT INTO tables (namespace, name, location) VALUES (?, ?, ?)",
@@ -272,8 +293,9 @@ class DbApiCatalog:
 
                 location = f"{location}-{_uuid.uuid4().hex[:8]}"
         # claim the identifier FIRST: the primary key makes concurrent
-        # creates race-free (exactly one INSERT succeeds)
-        self._claim(ns, tbl, location, identifier)
+        # creates race-free (exactly one INSERT succeeds); a CREATE's
+        # claim is location-exclusive too (see _claim)
+        self._claim(ns, tbl, location, identifier, exclusive_location=True)
         try:
             os.makedirs(os.path.dirname(location), exist_ok=True)
             table = self._fs.create_table(
