@@ -59,7 +59,7 @@ from datetime import datetime, timezone
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
-from iceberg_matrix_spark.sql._replay_common import fstring_template
+from iceberg_matrix_spark.sql._replay_common import TestFunctionVisitor, fstring_template
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/iceberg_feature_tests.py"
@@ -120,35 +120,29 @@ def extract_ops(path: str = REFERENCE_SUITE) -> Extraction:
 
     template = fstring_template
 
-    class Visitor(ast.NodeVisitor):
+    class Visitor(TestFunctionVisitor):
         def __init__(self):
-            self.func = None
-            self.sql_count = 0
+            super().__init__()
             self.last_frame: tuple[list, list] | None = None  # createDataFrame literal
 
-        def visit_FunctionDef(self, node):
-            prev, self.func = self.func, node.name
-            prev_n, self.sql_count = self.sql_count, 0
-            self.generic_visit(node)
-            self.func, self.sql_count = prev, prev_n
-
         def _ops(self) -> list[Op]:
-            return groups.setdefault(self.func, [])
+            return groups.setdefault(self.test_func(), [])
 
         def visit_Call(self, node):
             nonlocal skipped
             f = node.func
-            in_test = self.func and self.func.startswith("test_")
+            in_test = self.test_func() is not None
             if isinstance(f, ast.Attribute) and f.attr == "sql" and node.args:
                 t = template(node.args[0])
                 if t is None:
                     skipped += 1
                 elif in_test:
-                    self._ops().append(
-                        Op("sql", sql_index=self.sql_count,
+                    ops = self._ops()
+                    ops.append(
+                        Op("sql",
+                           sql_index=sum(o.kind == "sql" for o in ops),
                            template=" ".join(t.split()))
                     )
-                    self.sql_count += 1
             elif isinstance(f, ast.Attribute) and f.attr == "createDataFrame":
                 try:
                     rows = ast.literal_eval(node.args[0])

@@ -47,7 +47,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
-from iceberg_matrix_spark.sql._replay_common import fstring_template
+from iceberg_matrix_spark.sql._replay_common import TestFunctionVisitor, fstring_template
 from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/clickhouse_feature_tests.py"
@@ -106,27 +106,19 @@ def extract_ops(path: str = REFERENCE_SUITE) -> dict[str, list[Op]]:
 
     template = fstring_template
 
-    class Visitor(ast.NodeVisitor):
-        def __init__(self):
-            self.func = None
-
-        def visit_FunctionDef(self, node):
-            prev, self.func = self.func, node.name
-            self.generic_visit(node)
-            self.func = prev
-
+    class Visitor(TestFunctionVisitor):
         def visit_Call(self, node):
             f = node.func
-            in_test = self.func and self.func.startswith("test_")
-            if in_test and node.args:
+            func = self.test_func()
+            if func and node.args:
                 t = template(node.args[0])
                 if t is not None:
                     if isinstance(f, ast.Attribute) and f.attr == "sql":
-                        groups.setdefault(self.func, []).append(
+                        groups.setdefault(func, []).append(
                             Op("spark", " ".join(t.split()))
                         )
                     elif isinstance(f, ast.Name) and f.id == "_ch_query":
-                        groups.setdefault(self.func, []).append(
+                        groups.setdefault(func, []).append(
                             Op("ch", " ".join(t.split()))
                         )
             self.generic_visit(node)

@@ -45,7 +45,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
-from iceberg_matrix_spark.sql._replay_common import fstring_template
+from iceberg_matrix_spark.sql._replay_common import TestFunctionVisitor, fstring_template
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/duckdb_feature_tests.py"
@@ -135,33 +135,25 @@ class StmtOutcome:
     detail: str = ""
 
 
-def extract_statements(path: str = REFERENCE_SUITE) -> dict[str, list[Stmt]]:
+def extract_statements(
+    path: str = REFERENCE_SUITE,
+) -> tuple[dict[str, list[Stmt]], int]:
     """Per test function (statements inside the nested ``body`` closures
     attribute to their enclosing ``test_*``): each literal
-    ``con.execute(...)`` argument, in source order."""
+    ``con.execute(...)`` argument, in source order — plus a count of
+    skipped non-literal statements (variable-built SQL), so reference
+    drift that would shift GOLDEN indices is visible."""
     with open(path) as fh:
         tree = ast.parse(fh.read())
     groups: dict[str, list[Stmt]] = {}
+    skipped = 0
 
     template = fstring_template
 
-    class Visitor(ast.NodeVisitor):
-        def __init__(self):
-            self.stack: list[str] = []
-
-        def _test_func(self) -> str | None:
-            for name in self.stack:
-                if name.startswith("test_"):
-                    return name
-            return None
-
-        def visit_FunctionDef(self, node):
-            self.stack.append(node.name)
-            self.generic_visit(node)
-            self.stack.pop()
-
+    class Visitor(TestFunctionVisitor):
         def visit_Call(self, node):
-            func = self._test_func()
+            nonlocal skipped
+            func = self.test_func()
             f = node.func
             if (
                 func
@@ -170,13 +162,18 @@ def extract_statements(path: str = REFERENCE_SUITE) -> dict[str, list[Stmt]]:
                 and node.args
             ):
                 t = template(node.args[0])
-                if t is not None:
+                if t is None:
+                    # a non-literal statement (variable-built) would shift
+                    # GOLDEN indices invisibly — count it so the summary
+                    # and tests flag reference drift
+                    skipped += 1
+                else:
                     ops = groups.setdefault(func, [])
                     ops.append(Stmt(len(ops), " ".join(t.split())))
             self.generic_visit(node)
 
     Visitor().visit(tree)
-    return groups
+    return groups, skipped
 
 
 def replay_function(
@@ -210,7 +207,15 @@ def replay_function(
         try:
             result = shim.sql(stmt)
             rows = [list(r) for r in result.collect()] if result is not None else []
-            if re.search(r"iceberg_snapshots\(", stmt) and rows:
+            if (
+                re.match(r"SELECT\s+snapshot_id\b", stmt, re.I)
+                and re.search(r"iceberg_snapshots\(", stmt)
+                and rows
+            ):
+                # capture only when the select-list IS snapshot_id (the
+                # suite's own shape, :449-451) — any other projection
+                # would silently record the wrong value; an uncaptured
+                # {first} then fails with the clear RuntimeError below
                 first_snapshot[0] = rows[0][0]
             outcomes.append(StmtOutcome(func, op.index, stmt, "ok", rows=rows))
         except (UnsupportedSQLError, ValueError) as exc:
@@ -264,6 +269,9 @@ def _check(check: tuple, out: StmtOutcome) -> str | None:
 
 
 def check_function(func: str, outcomes: list[StmtOutcome]) -> list[tuple]:
+    idxs = [i for i, _c in GOLDEN[func]["checks"]]
+    # dict() below would silently drop all but the last check per index
+    assert len(idxs) == len(set(idxs)), f"duplicate check indices in {func}"
     checks = dict(GOLDEN[func]["checks"])
     bad: list[tuple] = []
     for out in outcomes:
@@ -278,7 +286,7 @@ def check_function(func: str, outcomes: list[StmtOutcome]) -> list[tuple]:
 
 
 def replay_all(spark: SparkSession, warehouse: str) -> dict:
-    groups = extract_statements()
+    groups, skipped = extract_statements()
     mismatches: list[tuple] = []
     replayed = 0
     unaccounted = [f for f in groups if f not in GOLDEN and f not in EXCLUDED]
@@ -310,6 +318,7 @@ def replay_all(spark: SparkSession, warehouse: str) -> dict:
         "functions": len(GOLDEN),
         "excluded": len(EXCLUDED),
         "unaccounted": unaccounted,
+        "skipped_nonliteral": skipped,
         "statements_replayed": replayed,
         "mismatches": mismatches,
     }

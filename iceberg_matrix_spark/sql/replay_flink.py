@@ -63,7 +63,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
-from iceberg_matrix_spark.sql._replay_common import fstring_template
+from iceberg_matrix_spark.sql._replay_common import TestFunctionVisitor, fstring_template
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/flink_feature_tests.py"
@@ -246,40 +246,38 @@ def extract_batches(path: str = REFERENCE_SUITE) -> dict[str, list[Batch]]:
             return []
         return []
 
-    class Visitor(ast.NodeVisitor):
+    class Visitor(TestFunctionVisitor):
         def __init__(self):
-            self.func = None
-            self.env: dict = {}
-            self.count = 0
+            super().__init__()
+            # local list-variable bindings, per enclosing function
+            self.envs: dict[str, dict] = {}
 
-        def visit_FunctionDef(self, node):
-            prev, self.func = self.func, node.name
-            prev_env, self.env = self.env, {}
-            prev_n, self.count = self.count, 0
-            self.generic_visit(node)
-            self.func, self.env, self.count = prev, prev_env, prev_n
+        def _env(self) -> dict:
+            key = self._stack[-1] if self._stack else ""
+            return self.envs.setdefault(key, {})
 
         def visit_Assign(self, node):
             if (
-                self.func
+                self._stack
                 and len(node.targets) == 1
                 and isinstance(node.targets[0], ast.Name)
             ):
-                self.env[node.targets[0].id] = flatten(node.value, self.env)
+                env = self._env()
+                env[node.targets[0].id] = flatten(node.value, env)
             self.generic_visit(node)
 
         def visit_Call(self, node):
+            func = self.test_func()
             if (
-                self.func
-                and self.func.startswith("test_")
+                func
                 and isinstance(node.func, ast.Name)
                 and node.func.id == "_run_sql"
                 and node.args
             ):
-                groups.setdefault(self.func, []).append(
-                    Batch(self.count, flatten(node.args[0], self.env))
+                batches = groups.setdefault(func, [])
+                batches.append(
+                    Batch(len(batches), flatten(node.args[0], self._env()))
                 )
-                self.count += 1
             self.generic_visit(node)
 
     Visitor().visit(tree)

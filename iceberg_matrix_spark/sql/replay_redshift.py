@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from iceberg_matrix_spark.sql.facade import IceLiteSQL, UnsupportedSQLError
-from iceberg_matrix_spark.sql._replay_common import fstring_template
+from iceberg_matrix_spark.sql._replay_common import TestFunctionVisitor, fstring_template
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 REFERENCE_SUITE = "/root/reference/tests/redshift_feature_tests.py"
@@ -181,21 +181,11 @@ def extract_batches(path: str = REFERENCE_SUITE) -> dict[str, list[Batch]]:
 
     template = fstring_template
 
-    class Visitor(ast.NodeVisitor):
-        def __init__(self):
-            self.func = None
-            self.count = 0
-
-        def visit_FunctionDef(self, node):
-            prev, self.func = self.func, node.name
-            prev_n, self.count = self.count, 0
-            self.generic_visit(node)
-            self.func, self.count = prev, prev_n
-
+    class Visitor(TestFunctionVisitor):
         def visit_Call(self, node):
+            func = self.test_func()
             if (
-                self.func
-                and self.func.startswith("test_")
+                func
                 and isinstance(node.func, ast.Name)
                 and node.func.id == "_run_sql"
                 and node.args
@@ -206,10 +196,8 @@ def extract_batches(path: str = REFERENCE_SUITE) -> dict[str, list[Batch]]:
                         t = template(el)
                         if t is not None:
                             templates.append(" ".join(t.split()))
-                groups.setdefault(self.func, []).append(
-                    Batch(self.count, templates)
-                )
-                self.count += 1
+                batches = groups.setdefault(func, [])
+                batches.append(Batch(len(batches), templates))
             self.generic_visit(node)
 
     Visitor().visit(tree)

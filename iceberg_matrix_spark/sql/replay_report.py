@@ -43,10 +43,12 @@ def run_replays(spark: SparkSession) -> dict:
         "statements": s["replayed"],
         "ok": s["ok"],
         "expected_rejections": s["rejected"],
+        "skipped_nonliteral": s["skipped_nonliteral"],
         "unexpected": [
             (o.func, o.version, o.index, o.status, o.detail)
             for o in s["unexpected"]
         ],
+        "unaccounted": [],
         "excluded": {},
     }
 
@@ -57,6 +59,7 @@ def run_replays(spark: SparkSession) -> dict:
         "functions": s["functions"],
         "statements": s["ch_statements"],
         "unexpected": s["mismatches"],
+        "unaccounted": [],
         "excluded": {},
     }
 
@@ -67,6 +70,7 @@ def run_replays(spark: SparkSession) -> dict:
         "functions": s["functions"],
         "statements": s["batches_replayed"],
         "unexpected": s["mismatches"],
+        "unaccounted": s["unaccounted"],
         "excluded": dict(replay_flink.EXCLUDED),
     }
 
@@ -77,6 +81,7 @@ def run_replays(spark: SparkSession) -> dict:
         "functions": s["functions"],
         "statements": s["batches_replayed"],
         "unexpected": s["mismatches"],
+        "unaccounted": s["unaccounted"],
         "excluded": dict(replay_redshift.EXCLUDED),
     }
 
@@ -85,10 +90,17 @@ def run_replays(spark: SparkSession) -> dict:
         "functions": s["functions"],
         "statements": s["statements_replayed"],
         "unexpected": s["mismatches"],
+        "unaccounted": s["unaccounted"],
+        "skipped_nonliteral": s["skipped_nonliteral"],
         "excluded": dict(replay_duckdb.EXCLUDED),
     }
 
-    ok = all(not v["unexpected"] for v in suites.values())
+    # the verdict covers COVERAGE too: a reference function that is
+    # neither replayed nor excluded-with-reason must fail the report —
+    # "on golden" may never mean "silently not replayed"
+    ok = all(
+        not v["unexpected"] and not v["unaccounted"] for v in suites.values()
+    )
     return {"ok": ok, "suites": suites}
 
 
@@ -96,13 +108,13 @@ def render_markdown(report: dict) -> str:
     lines = [
         "# Reference-suite verbatim replay",
         "",
-        "| Suite | Statements replayed | Off-golden | Excluded functions |",
-        "|---|---|---|---|",
+        "| Suite | Statements replayed | Off-golden | Unaccounted | Excluded functions |",
+        "|---|---|---|---|---|",
     ]
     for name, s in report["suites"].items():
         lines.append(
             f"| {name} | {s['statements']} | {len(s['unexpected'])} "
-            f"| {len(s['excluded'])} |"
+            f"| {len(s['unaccounted'])} | {len(s['excluded'])} |"
         )
     lines.append("")
     for name, s in report["suites"].items():
@@ -115,6 +127,11 @@ def render_markdown(report: dict) -> str:
             lines.append(f"## {name}: OFF GOLDEN")
             for row in s["unexpected"]:
                 lines.append(f"- {row}")
+            lines.append("")
+        if s["unaccounted"]:
+            lines.append(f"## {name}: UNACCOUNTED reference functions")
+            for func in s["unaccounted"]:
+                lines.append(f"- `{func}` — neither replayed nor excluded")
             lines.append("")
     lines.append("**" + ("ALL SUITES ON GOLDEN" if report["ok"] else "MISMATCHES PRESENT") + "**")
     return "\n".join(lines)

@@ -94,16 +94,24 @@ class IceLiteCatalog:
         if os.path.isdir(path):
             if self.list_tables(name):
                 raise ValueError(f"namespace {name} is not empty")
-            # an entry with a metadata/ directory but no committed version
-            # is a CREATE in flight (commit_metadata hasn't landed yet),
-            # not a dropped table's leftovers — a non-purge drop removes
-            # the whole metadata dir, so leftovers never carry one.
-            # Deleting an in-flight create would corrupt a concurrent
-            # writer; refuse instead.
+            # an entry whose metadata/ directory CONTAINS FILES but has no
+            # committed version is a CREATE mid-write (or corrupt metadata
+            # needing attention) — a non-purge drop removes the whole
+            # metadata dir, so leftovers never carry one. Deleting it
+            # would corrupt a concurrent writer; refuse instead. An EMPTY
+            # metadata dir is a crashed create's garbage (killed between
+            # makedirs and the first version write) — droppable, so one
+            # crash can't make the namespace permanently undroppable.
             for e in os.scandir(path):
-                if e.is_dir() and os.path.isdir(os.path.join(e.path, "metadata")):
+                meta_dir = os.path.join(e.path, "metadata")
+                if (
+                    e.is_dir()
+                    and os.path.isdir(meta_dir)
+                    and any(os.scandir(meta_dir))
+                ):
                     raise ValueError(
-                        f"namespace {name} has a table create in flight: {e.name}"
+                        f"namespace {name} has a table create in flight "
+                        f"(or corrupt metadata): {e.name}"
                     )
             shutil.rmtree(path)
 

@@ -230,32 +230,35 @@ class DbApiCatalog:
         identifier: str,
         exclusive_location: bool = False,
     ) -> None:
-        """``exclusive_location=True`` (custom-LOCATION creates) makes the
-        row claim the arbiter for the DIRECTORY too: two concurrent
-        CREATE ... LOCATION '<same dir>' would both see an empty
-        directory, so the guard runs in the SAME transaction as the
-        insert (the DB write lock serializes them). register_table stays
-        non-exclusive — adopting an existing table's metadata under a
-        second name is the spec's register shape."""
+        """``exclusive_location=True`` (CREATE claims) makes the row the
+        arbiter for the DIRECTORY too: two concurrent CREATE ... LOCATION
+        '<same dir>' would both see an empty directory, so the guard is a
+        single atomic ``INSERT ... SELECT ... WHERE NOT EXISTS`` — one
+        statement under the DB's write lock, never a separate racy SELECT
+        (stdlib sqlite3 runs bare SELECTs in autocommit). register_table
+        stays non-exclusive — adopting an existing table's metadata under
+        a second name is the spec's register shape."""
         try:
             with self._conn() as con:
                 if exclusive_location:
                     cur = self._exec(
                         con,
-                        "SELECT namespace, name FROM tables WHERE location = ?",
-                        (location,),
+                        "INSERT INTO tables (namespace, name, location) "
+                        "SELECT ?, ?, ? WHERE NOT EXISTS "
+                        "(SELECT 1 FROM tables WHERE location = ?)",
+                        (ns, tbl, location, location),
                     )
-                    row = cur.fetchone()
-                    if row is not None:
+                    if cur.rowcount == 0:
                         raise TableAlreadyExistsError(
-                            f"location {location!r} already claimed by "
-                            f"{row[0]}.{row[1]}"
+                            f"location {location!r} is already claimed"
                         )
-                self._exec(
-                    con,
-                    "INSERT INTO tables (namespace, name, location) VALUES (?, ?, ?)",
-                    (ns, tbl, location),
-                )
+                else:
+                    self._exec(
+                        con,
+                        "INSERT INTO tables (namespace, name, location) "
+                        "VALUES (?, ?, ?)",
+                        (ns, tbl, location),
+                    )
         except self._integrity_error as exc:
             if self._is_fk_violation(exc):
                 raise ValueError(f"no such namespace: {ns}") from exc

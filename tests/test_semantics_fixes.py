@@ -235,9 +235,10 @@ def test_version_as_of_ref_precedence(sql, catalog):
 
 
 def test_custom_location_claim_is_exclusive(spark, tmp_path):
-    """Two CREATE TABLE ... LOCATION on the same directory: the catalog
-    row (UNIQUE location), not a racy filesystem check, is the arbiter —
-    the second create must fail rather than share the directory."""
+    """Two CREATE TABLE ... LOCATION on the same directory: the claim
+    row (atomic INSERT..WHERE NOT EXISTS), not a racy filesystem check,
+    is the arbiter — the second create must fail rather than share the
+    directory; register_table may still adopt an existing location."""
     from iceberg_matrix_spark.tables.catalog import TableAlreadyExistsError
     from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
 
@@ -250,15 +251,25 @@ def test_custom_location_claim_is_exclusive(spark, tmp_path):
 
 
 def test_drop_namespace_refuses_inflight_create(catalog, tmp_path):
-    """A table directory with a metadata/ dir but no committed version is
-    a CREATE in flight, not dropped-table leftovers — drop_namespace must
-    refuse instead of rmtree-ing a concurrent writer's files."""
+    """A table directory whose metadata/ dir CONTAINS files but has no
+    committed version is a CREATE mid-write — drop_namespace must refuse
+    instead of rmtree-ing a concurrent writer's files. An EMPTY metadata
+    dir (crashed create) and plain leftovers stay droppable, so one
+    crash can't make the namespace permanently undroppable."""
     import os
 
     catalog.create_namespace("inflight")
-    os.makedirs(os.path.join(catalog.warehouse, "inflight", "t_mid", "metadata"))
+    meta = os.path.join(catalog.warehouse, "inflight", "t_mid", "metadata")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "v1.metadata.json.tmp"), "w") as f:
+        f.write("{}")
     with pytest.raises(ValueError, match="in flight"):
         catalog.drop_namespace("inflight")
+    # a crashed create (empty metadata dir) is recoverable garbage
+    catalog.create_namespace("crashed")
+    os.makedirs(os.path.join(catalog.warehouse, "crashed", "t_dead", "metadata"))
+    catalog.drop_namespace("crashed")
+    assert "crashed" not in catalog.list_namespaces()
     # plain leftovers (no metadata dir) still drop fine
     catalog.create_namespace("leftover")
     os.makedirs(os.path.join(catalog.warehouse, "leftover", "t_old", "data"))
