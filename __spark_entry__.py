@@ -27,22 +27,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(green, seen) query names across prior CORRECTNESS_r*.json files.
+def _driver_history() -> tuple[dict[str, int], set[str]]:
+    """(latest_green_round, seen) across prior CORRECTNESS_r*.json files.
 
     The driver samples ~50 of the registered queries per round following
-    dict order, so ``queries()`` front-loads everything that has never
-    earned a green driver row — formerly-red rows (seen but not green)
-    FIRST, then never-sampled rows — so each round certifies exactly the
-    rows that need it most.
+    dict order, so ``queries()`` orders by certification staleness:
+    formerly-red rows (seen but never green) FIRST, then never-sampled
+    rows, then green rows ascending by the LATEST round they were green —
+    so re-certification rotates through the registry instead of pinning
+    the same front block every round.
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    latest_green: dict[str, int] = {}
     seen: set[str] = set()
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -56,20 +60,27 @@ def _driver_history() -> tuple[set[str], set[str]]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    return green, seen
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    return latest_green, seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so never-driver-green queries come first, formerly-red ones
-    ahead of never-sampled ones (see _driver_history).
+    Ordered least-recently-certified first: formerly-red rows, then
+    never-sampled rows, then green rows by staleness (oldest green round
+    first; registry order breaks ties). See _driver_history.
     """
-    green, seen = _driver_history()
+    latest_green, seen = _driver_history()
     order = {n: i for i, n in enumerate(QUERIES)}
     names = sorted(
-        QUERIES, key=lambda n: (n in green, n not in seen, order[n])
+        QUERIES,
+        key=lambda n: (
+            n in latest_green,        # red/never-sampled before any green
+            n not in seen,            # formerly-red before never-sampled
+            latest_green.get(n, 0),   # stalest green first
+            order[n],
+        ),
     )
     return {n: QUERIES[n] for n in names}
 
