@@ -345,6 +345,28 @@ def t_equality_deletes(ctx: Ctx) -> str:
     assert any(d.content == 2 for d in dfs)
     got = {r["id"]: r["v"] for r in t.refresh().df().collect()}
     assert got == {1: 10, 2: 21}
+
+    # NULL-keyed equality delete: the spec reader matches null-safely
+    # (delete row carrying NULL deletes data rows with NULL in that
+    # column) — both on IceLite's own MoR read and the DuckDB interop.
+    from iceberg_matrix_spark.tables.interop import read_with_duckdb  # noqa: PLC0415
+
+    t2 = ctx.create("id bigint, v bigint")
+    t2.append(
+        ctx.spark.createDataFrame(
+            [(None, 1), (7, 2)], "id bigint, v bigint"
+        ).coalesce(1)
+    )
+    t2.upsert(
+        ctx.spark.createDataFrame([(None, 9)], "id bigint, v bigint"),
+        ["id"],
+    )
+    got2 = {r["id"]: r["v"] for r in t2.refresh().df().collect()}
+    assert got2 == {None: 9, 7: 2}, got2
+    duck = {
+        r["id"]: r["v"] for r in read_with_duckdb(t2).to_pylist()
+    }
+    assert duck == {None: 9, 7: 2}, duck
     return "pass"
 
 

@@ -261,8 +261,10 @@ def duckdb_scan_sql(table: IceLiteTable, ref: str = "main") -> str:
                 f'"{fc}" AS "__k_{j}"' for j, fc in enumerate(e["file_cols"])
             )
             ctes.append(f"ed_{i} AS (SELECT {sel} FROM read_parquet([{paths}]))")
+            # IS NOT DISTINCT FROM: spec equality deletes match null-safely
+            # (a delete row carrying NULL matches data rows with NULL)
             match = " AND ".join(
-                f'e."__k_{j}" = {live}."{kc}"'
+                f'e."__k_{j}" IS NOT DISTINCT FROM {live}."{kc}"'
                 for j, kc in enumerate(e["key_cols"])
             )
             eq_conds.append(

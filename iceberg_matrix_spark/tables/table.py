@@ -1110,10 +1110,20 @@ class IceLiteTable:
             keys = self.spark.read.parquet(d.path).select(
                 *d.equality_columns
             ).toDF(*cur_cols)
-            # equality deletes apply only to rows written BEFORE the delete
+            # equality deletes apply only to rows written BEFORE the
+            # delete, and match NULL-SAFELY: the Iceberg reader treats a
+            # delete row carrying NULL as matching data rows with NULL in
+            # that column (spec §Equality Delete Files; the reference's
+            # writers key on PK fields, flink_feature_tests.py:769-776,
+            # but the spec semantics are <=> not =)
+            cond = None
+            for c in cur_cols:
+                piece = F.col(f"__eqdata.{c}").eqNullSafe(F.col(f"__eqdel.{c}"))
+                cond = piece if cond is None else (cond & piece)
             doomed = (
                 df.filter(F.col(_META_SEQ) < F.lit(d.sequence_number))
-                .join(F.broadcast(keys), cur_cols, "left_semi")
+                .alias("__eqdata")
+                .join(F.broadcast(keys.alias("__eqdel")), cond, "left_semi")
                 .select(_META_FILE, _META_POS)
             )
             df = df.join(doomed, [_META_FILE, _META_POS], "left_anti")

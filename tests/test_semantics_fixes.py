@@ -275,3 +275,61 @@ def test_drop_namespace_refuses_inflight_create(catalog, tmp_path):
     os.makedirs(os.path.join(catalog.warehouse, "leftover", "t_old", "data"))
     catalog.drop_namespace("leftover")
     assert "leftover" not in catalog.list_namespaces()
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_null_keyed_equality_delete_matches_null_rows(spark, catalog, version):
+    """Spec equality-delete semantics are null-safe: a delete row carrying
+    NULL in a key column deletes data rows with NULL there (the reference's
+    writers key on PK fields, flink_feature_tests.py:769-776, so never hit
+    this — but upsert on a nullable key can). Both IceLite's MoR read and
+    the DuckDB reconstruction scan must agree."""
+    from iceberg_matrix_spark.tables.interop import read_with_duckdb
+
+    t = catalog.create_table(
+        f"ns.nulldel_v{version}",
+        "id bigint, v bigint",
+        properties={"format-version": str(version)},
+    )
+    t.append(
+        local_df(spark, [(None, 1), (5, 2), (None, 3)], "id bigint, v bigint")
+    )
+    # direct NULL-keyed equality delete file, committed via the same
+    # one-snapshot path upsert uses
+    t.upsert(local_df(spark, [(None, 99)], "id bigint, v bigint"), ["id"])
+
+    got = sorted(
+        ((r["id"], r["v"]) for r in t.refresh().df().collect()),
+        key=lambda p: (p[0] is None, p[0]),
+    )
+    assert got == [(5, 2), (None, 99)], got
+    duck = sorted(
+        ((r["id"], r["v"]) for r in read_with_duckdb(t).to_pylist()),
+        key=lambda p: (p[0] is None, p[0]),
+    )
+    assert duck == [(5, 2), (None, 99)], duck
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_null_keyed_composite_equality_delete(spark, catalog, version):
+    """Composite key with one NULL component: (NULL, 'a') must delete
+    exactly rows that are null-safely equal on BOTH columns — not every
+    NULL-id row, and not nothing."""
+    t = catalog.create_table(
+        f"ns.nulldel_comp_v{version}",
+        "id bigint, tag string, v bigint",
+        properties={"format-version": str(version)},
+    )
+    t.append(
+        local_df(
+            spark,
+            [(None, "a", 1), (None, "b", 2), (1, "a", 3)],
+            "id bigint, tag string, v bigint",
+        )
+    )
+    t.upsert(
+        local_df(spark, [(None, "a", 9)], "id bigint, tag string, v bigint"),
+        ["id", "tag"],
+    )
+    got = {(r["id"], r["tag"]): r["v"] for r in t.refresh().df().collect()}
+    assert got == {(None, "a"): 9, (None, "b"): 2, (1, "a"): 3}, got
