@@ -187,5 +187,46 @@ def main() -> None:
     spark.stop()
 
 
+def scale_sweep() -> None:
+    """Empirical 1×/10×/100× sweep of the dedup/ANN families
+    (operators/sweep.py): wall-clock + shuffle bytes + peak stage tasks
+    per (family, factor). Feeds SCALING.md; not part of the driver's
+    one-line bench contract (plain `python bench.py` is unchanged)."""
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    factors = tuple(
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SWEEP_FACTORS", "1,10,100").split(",")
+    )
+    spark = get_spark(
+        app_name="imx-scale-sweep",
+        adaptive=True,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from iceberg_matrix_spark.operators.sweep import run_scale_sweep  # noqa: PLC0415
+
+    with tempfile.TemporaryDirectory(prefix="imx-sweep-") as workdir:
+        rows = run_scale_sweep(spark, sf_dir, workdir, factors)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_sweep",
+                "unit": "mixed",
+                "sf": sf,
+                "factors": list(factors),
+                "rows": rows,
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale-sweep" in sys.argv[1:]:
+        scale_sweep()
+    else:
+        main()

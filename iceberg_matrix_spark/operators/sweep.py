@@ -1,0 +1,319 @@
+"""Empirical scale sweep for the LLM-pipeline operator families.
+
+The dedup/similarity operators carry *design* scale arguments (inverted
+indexes, banded LSH, skew caps — see each docstring). This module
+*measures* them: a deterministic corpus amplifier grows the test tables
+10× / 100×, and a sweep harness runs each family at every factor
+recording wall-clock, shuffle-write/read bytes, and peak stage task
+count from Spark's status REST API. Super-linear shuffle growth is the
+red flag the plan-pins can't see.
+
+Amplification must not change the *problem shape*: naive row replication
+makes every document an exact duplicate of its replicas, so the TRUE
+answer (duplicate pairs) grows quadratically in the factor and any
+algorithm would look quadratic. Instead each replica is re-keyed AND
+content-salted so within-replica structure is preserved exactly while
+cross-replica matches are destroyed:
+
+- documents: every whitespace token gets a replica suffix (an injective
+  token map, so token-shingle Jaccard within a replica is unchanged and
+  token sets across replicas are disjoint); doc_id → doc_id·factor + r.
+- embeddings: every vector is multiplied by a replica-specific
+  deterministic ±1 sign pattern (cosine within a replica is invariant
+  under a shared sign flip; cross-replica cosines become ≈random);
+  vec_id → vec_id·factor + r. Replica 0 is the identity, so factor=1
+  reproduces the source corpus bit-for-bit.
+
+  Caveat that shapes the sweep design: "≈random" in the test corpus'
+  dim=64 still leaves a background P(cos ≥ 0.4) ≈ 5e-4 (cos of random
+  unit vectors ~ N(0, 1/dim)); a SELF-JOIN near-dup over f replicas
+  therefore has Θ(f²·n²·5e-4) true cross-replica pairs — quadratic in
+  the factor for ANY correct algorithm, an artifact of the small test
+  dimensionality (at a real 768-dim the background is ~1e-28). The
+  semantic family is consequently swept in its production incremental
+  form (fixed batch × growing corpus — linear true output), and the
+  amplifier's job is only to keep within-replica structure exact.
+
+Everything is seed-free-deterministic (fixed integer mixing, no RNG), so
+sweeps are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_matrix_spark.session import local_df
+from iceberg_matrix_spark.sources.testdata import load_table
+
+__all__ = [
+    "amplify_documents",
+    "amplify_embeddings",
+    "amplify_corpus",
+    "StageMetrics",
+    "run_scale_sweep",
+]
+
+
+def _replicated(df: DataFrame, id_col: str, factor: int) -> DataFrame:
+    """factor copies of every row, re-keyed id·factor + replica (unique
+    and deterministic; replica 0 keeps the source ids' ORDER)."""
+    return df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r"), "*"
+    ).withColumn(id_col, F.col(id_col) * factor + F.col("__r"))
+
+
+def amplify_documents(docs: DataFrame, factor: int) -> DataFrame:
+    """Deterministically amplify a documents frame ``factor``×.
+
+    Token map t → t⁀"ᵣ<r>" is injective per replica (same suffix for all
+    tokens), so every token-level relation (shingles, k-gram spans,
+    minhash) within a replica is isomorphic to the source corpus; token
+    vocabularies of different replicas are disjoint.
+    """
+    if factor <= 1:
+        return docs
+    rep = _replicated(docs, "doc_id", factor)
+    salted = F.when(F.col("__r") == 0, F.col("text")).otherwise(
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1ᵣ"), F.col("__r").cast("string")),
+        )
+    )
+    return (
+        rep.withColumn("text", salted)
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .drop("__r")
+    )
+
+
+def _sign_rows(factor: int, dim: int) -> list[tuple[int, list[float]]]:
+    """Deterministic Rademacher ±1 pattern per (replica, dimension).
+
+    Fixed integer mixing (Knuth multiplicative constants) — no RNG, no
+    time dependence. Replica 0 is all +1 (identity)."""
+    rows = []
+    for r in range(factor):
+        if r == 0:
+            rows.append((0, [1.0] * dim))
+            continue
+        signs = [
+            1.0 if ((r * 2654435761 + i * 40503 + 12345) % 7919) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        rows.append((r, signs))
+    return rows
+
+
+def amplify_embeddings(
+    spark: SparkSession, emb: DataFrame, factor: int
+) -> DataFrame:
+    """Deterministically amplify an embeddings frame ``factor``×.
+
+    A shared sign-flip leaves every within-replica cosine exactly equal
+    to the source corpus' (cos(s⊙a, s⊙b) = cos(a, b)); cross-replica
+    cosines decorrelate, so near-dup structure scales linearly."""
+    if factor <= 1:
+        return emb
+    dim = len(emb.select("embedding").first()["embedding"])
+    signs = local_df(
+        spark,
+        _sign_rows(factor, dim),
+        "__r int, __signs array<float>",
+    )
+    rep = _replicated(emb, "vec_id", factor)
+    return (
+        rep.join(F.broadcast(signs), "__r")
+        .withColumn(
+            "embedding",
+            F.zip_with(
+                "embedding", "__signs", lambda a, b: (a * b).cast("float")
+            ),
+        )
+        .drop("__r", "__signs")
+    )
+
+
+def amplify_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str, factor: int
+) -> dict[str, str]:
+    """Write amplified documents+embeddings parquet under out_dir.
+
+    Returns {"documents": path, "embeddings": path} readable with
+    spark.read.parquet. Partition count scales with the factor so the
+    amplified corpus never degrades to single-task stages."""
+    paths = {}
+    n_parts = max(4, min(64, 4 * factor))
+    docs = amplify_documents(load_table(spark, sf_dir, "documents"), factor)
+    p = os.path.join(out_dir, f"documents_x{factor}.parquet")
+    docs.repartition(n_parts, "doc_id").write.mode("overwrite").parquet(p)
+    paths["documents"] = p
+    emb = amplify_embeddings(
+        spark, load_table(spark, sf_dir, "embeddings"), factor
+    )
+    p = os.path.join(out_dir, f"embeddings_x{factor}.parquet")
+    emb.repartition(n_parts, "vec_id").write.mode("overwrite").parquet(p)
+    paths["embeddings"] = p
+    return paths
+
+
+class StageMetrics:
+    """Shuffle/task metrics per measured block, from the status REST API.
+
+    Requires the session to run with spark.ui.enabled=true. Stage rows
+    expose shuffleWriteBytes / shuffleReadBytes / numCompleteTasks
+    (completed stages only; a measured block diffs the stage set before
+    vs after)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            raise RuntimeError(
+                "scale sweep needs the Spark UI (pass spark.ui.enabled=true)"
+            )
+        app_id = spark.sparkContext.applicationId
+        self.url = f"{base}/api/v1/applications/{app_id}/stages"
+
+    def _stages(self) -> list[dict]:
+        with urllib.request.urlopen(self.url + "?status=complete") as r:
+            return json.loads(r.read().decode())
+
+    def measure(self, fn) -> dict:
+        """Run fn() and return wall/shuffle/task metrics of the new
+        completed stages it produced."""
+        before = {(s["stageId"], s["attemptId"]) for s in self._stages()}
+        start = time.perf_counter()
+        fn()
+        wall = time.perf_counter() - start
+        new = [
+            s
+            for s in self._stages()
+            if (s["stageId"], s["attemptId"]) not in before
+        ]
+        return {
+            "wall_s": round(wall, 3),
+            "shuffle_write_bytes": sum(s["shuffleWriteBytes"] for s in new),
+            "shuffle_read_bytes": sum(s["shuffleReadBytes"] for s in new),
+            "peak_stage_tasks": max(
+                (s["numCompleteTasks"] for s in new), default=0
+            ),
+            "stages": len(new),
+        }
+
+
+def _family_frames(spark: SparkSession, paths: dict[str, str]):
+    docs = spark.read.parquet(paths["documents"])
+    emb = spark.read.parquet(paths["embeddings"])
+    return docs, emb
+
+
+def _fixed_queries(emb: DataFrame) -> DataFrame:
+    """16 fixed query vectors (lowest replica-0 ids) — the ANN sweep
+    holds query load constant and scales only the corpus."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def family_runners() -> dict:
+    """family → fn(spark, docs, emb) -> DataFrame (forced via noop)."""
+    from iceberg_matrix_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_neardup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+        ann_lsh_topk,
+        incremental_semantic_verdicts,
+    )
+    from iceberg_matrix_spark.operators.spans import (  # noqa: PLC0415
+        duplicate_spans,
+    )
+
+    def semantic(spark, docs, emb):
+        # the production semantic-dedup path: a FIXED-size ingest batch
+        # against the growing corpus (incremental form). The self-join
+        # form's candidate volume is near-quadratic by its documented
+        # cost model (similarity.py:embedding_neardup_lsh — coarse
+        # banding at threshold 0.4); per-batch cost is the quantity a
+        # 100 TB pipeline actually pays, and it must stay ∝ corpus, not
+        # corpus². Batch = 500 replica-0 vectors re-keyed out of the
+        # corpus id space, so every batch row has a corpus twin
+        # (guaranteed dup_of_corpus matches at any factor).
+        batch = (
+            emb.orderBy("vec_id")
+            .limit(500)
+            .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000_000))
+        )
+        return incremental_semantic_verdicts(
+            batch, emb, "vec_id", "embedding", threshold=0.4
+        )
+
+    return {
+        "ngram": lambda spark, docs, emb: ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=64
+        ),
+        "minhash": lambda spark, docs, emb: minhash_neardup_pairs(
+            docs, threshold=0.5
+        ),
+        "spans": lambda spark, docs, emb: duplicate_spans(
+            docs, "doc_id", "text"
+        ),
+        "semantic": semantic,
+        "ann": lambda spark, docs, emb: ann_lsh_topk(
+            emb, F.broadcast(_fixed_queries(emb)), k=10
+        ),
+    }
+
+
+def run_scale_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    factors: tuple[int, ...] = (1, 10, 100),
+    families: list[str] | None = None,
+) -> list[dict]:
+    """Measure every family at every amplification factor.
+
+    Returns one row per (family, factor) with wall-clock and stage
+    metrics; amplification time is excluded from family rows (recorded
+    separately as family="_amplify")."""
+    metrics = StageMetrics(spark)
+    runners = family_runners()
+    if families:
+        runners = {k: runners[k] for k in families}
+    out: list[dict] = []
+    for factor in factors:
+        t0 = time.perf_counter()
+        paths = amplify_corpus(spark, sf_dir, workdir, factor)
+        docs, emb = _family_frames(spark, paths)
+        n_docs, n_emb = docs.count(), emb.count()
+        out.append(
+            {
+                "family": "_amplify",
+                "factor": factor,
+                "docs": n_docs,
+                "embeddings": n_emb,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+        )
+        for fam, fn in runners.items():
+            row = metrics.measure(
+                lambda: fn(spark, docs, emb)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            row.update({"family": fam, "factor": factor, "docs": n_docs, "embeddings": n_emb})
+            out.append(row)
+    return out

@@ -75,3 +75,70 @@ def test_salted_join_equals_plain_join_under_skew(spark):
     assert salted == plain
     # salt column never leaks into the output
     assert "__salt" not in salted_join(left, right, on=["k"]).columns
+
+
+def test_amplifier_preserves_within_replica_structure(spark, sf_dir):
+    """The sweep amplifier (operators/sweep.py) must keep each replica
+    isomorphic to the source corpus while making replicas disjoint:
+    - replica 0 is the identity (amplify at factor=1 == source);
+    - within-replica shingle-Jaccard pairs replicate exactly per replica;
+    - embeddings: within-replica cosine is sign-flip invariant, so the
+      near-dup pair count scales exactly linearly."""
+    from iceberg_matrix_spark.operators.dedup import ngram_jaccard_pairs
+    from iceberg_matrix_spark.operators.similarity import embedding_neardup_pairs
+    from iceberg_matrix_spark.operators.sweep import (
+        amplify_documents,
+        amplify_embeddings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_pairs = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    amp = amplify_documents(docs, 3)
+    assert amp.count() == docs.count() * 3
+    # ids unique after re-key
+    assert amp.select("doc_id").distinct().count() == amp.count()
+    amp_pairs = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(amp, threshold=0.5).collect()
+    }
+    expect = {
+        (a * 3 + r, b * 3 + r) for (a, b) in base_pairs for r in range(3)
+    }
+    assert amp_pairs == expect
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    base_nd = {
+        (r["id1"], r["id2"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    amp_e = amplify_embeddings(spark, emb, 3)
+    assert amp_e.count() == 600
+    amp_nd = {
+        (r["id1"], r["id2"])
+        for r in embedding_neardup_pairs(amp_e, threshold=0.4).collect()
+    }
+    # within-replica pairs replicate EXACTLY (shared sign flip preserves
+    # cosine); cross-replica pairs are dim-64 background collisions —
+    # present by design (see sweep.py docstring), but each replica's
+    # internal structure must be isomorphic to the source corpus
+    same_replica = {
+        (a, b) for (a, b) in amp_nd if a % 3 == b % 3
+    }
+    expect_e = {
+        (a * 3 + r, b * 3 + r) for (a, b) in base_nd for r in range(3)
+    }
+    assert same_replica == expect_e
+
+
+def test_amplifier_is_deterministic(spark, sf_dir):
+    from iceberg_matrix_spark.operators.sweep import _sign_rows, amplify_documents
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = amplify_documents(docs, 4).orderBy("doc_id").collect()
+    b = amplify_documents(docs, 4).orderBy("doc_id").collect()
+    assert a == b
+    assert _sign_rows(5, 16) == _sign_rows(5, 16)
+    assert _sign_rows(5, 16)[0][1] == [1.0] * 16
