@@ -1711,6 +1711,39 @@ def t_variant_shredding(ctx: Ctx) -> str:
         .collect()[0]["s"]
     )
     assert got == 3
+
+    # heterogeneous shapes shred by the SUPERSET schema (fields union,
+    # long+double widened), inferred from a bounded multi-row sample in
+    # one job and cached in table properties — a later append with a NEW
+    # shape reuses the cached schema instead of re-inferring
+    t2 = ctx.create("id bigint, data variant")
+    t2.set_properties({"write.parquet.variant-shredding.enabled": "true"})
+    t2.refresh().append(
+        ctx.spark.createDataFrame(
+            [(1, '{"a": 1}'), (2, '{"a": 2.5, "b": "y"}')],
+            "id bigint, data string",
+        ).coalesce(1)
+    )
+    cached = t2.refresh().meta.properties.get(
+        "write.parquet.variant-shredding.schema.data"
+    )
+    assert cached == "struct<a:double,b:string>", cached
+    shred_t = pq.read_schema(
+        t2._current_snapshot().data_files[0].path
+    ).field("data__typed_value").type
+    leaf = {shred_t.field(i).name for i in range(shred_t.num_fields)}
+    assert leaf == {"a", "b"}, leaf
+    t2.append(
+        ctx.spark.createDataFrame(
+            [(3, '{"c": 9}')], "id bigint, data string"
+        ).coalesce(1)
+    )
+    assert (
+        t2.refresh().meta.properties[
+            "write.parquet.variant-shredding.schema.data"
+        ]
+        == cached
+    )
     return "pass"
 
 

@@ -31,6 +31,7 @@ from dataclasses import replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 from iceberg_matrix_spark.session import local_df
@@ -63,6 +64,66 @@ _WIDENINGS = {
     ("float", "double"),
     ("int", "double"),
 }
+
+
+# Variant shredding: bounded sample size for shred-schema inference and
+# the table-property prefix the inferred DDL is cached under (re-inferred
+# only when absent — one extra Spark job on the FIRST shredded append,
+# zero afterwards).
+_VARIANT_SAMPLE_ROWS = 256
+_VARIANT_SCHEMA_PROP = "write.parquet.variant-shredding.schema."
+
+
+def _py_json_type(v) -> "T.DataType":
+    """Spark type of one parsed JSON value (driver-side, no Spark jobs)."""
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):  # before int — bool subclasses int
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, list):
+        elem: T.DataType = T.NullType()
+        for x in v:
+            elem = _merge_json_type(elem, _py_json_type(x))
+        return T.ArrayType(elem if not isinstance(elem, T.NullType) else T.StringType())
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(k, _py_json_type(x)) for k, x in v.items()]
+        )
+    return T.StringType()
+
+
+def _merge_json_type(a: "T.DataType", b: "T.DataType") -> "T.DataType":
+    """Least-upper-bound of two inferred JSON shapes: struct fields
+    union-merge (the SUPERSET schema), long+double widen to double,
+    otherwise fall back to string — mirroring spark.read.json's merge
+    rules without running a Spark job."""
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    if a == b:
+        return a
+    if {type(a), type(b)} == {T.LongType, T.DoubleType}:
+        return T.DoubleType()
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields = {f.name: f.dataType for f in a.fields}
+        order = [f.name for f in a.fields]
+        for f in b.fields:
+            if f.name in fields:
+                fields[f.name] = _merge_json_type(fields[f.name], f.dataType)
+            else:
+                fields[f.name] = f.dataType
+                order.append(f.name)
+        return T.StructType([T.StructField(n, fields[n]) for n in order])
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_json_type(a.elementType, b.elementType))
+    return T.StringType()
 
 
 def _now_ms() -> int:
@@ -486,20 +547,60 @@ class IceLiteTable:
 
     # ---------------------------------------------------------------- writes
 
+    def _infer_variant_shred_schemas(
+        self, out: DataFrame, vcols: list[str]
+    ) -> dict[str, str]:
+        """Shred-schema DDL per variant column from ONE bounded-sample job
+        covering every column at once: up to _VARIANT_SAMPLE_ROWS rows
+        (filtered to rows where at least one variant column is non-null)
+        are collected, their JSON shapes parsed driver-side and merged to
+        the superset schema (struct fields union, long+double → double —
+        _merge_json_type). Columns whose merged shape is scalar are not
+        shreddable (from_json needs struct/array) and are skipped, as are
+        columns with no parseable sample."""
+        import json as _json  # noqa: PLC0415
+
+        cond = None
+        for c in vcols:
+            p = F.col(c).isNotNull()
+            cond = p if cond is None else (cond | p)
+        rows = out.select(*vcols).filter(cond).limit(_VARIANT_SAMPLE_ROWS).collect()
+        result: dict[str, str] = {}
+        for c in vcols:
+            merged: T.DataType = T.NullType()
+            for r in rows:
+                if r[c] is None:
+                    continue
+                try:
+                    merged = _merge_json_type(merged, _py_json_type(_json.loads(r[c])))
+                except ValueError:
+                    continue
+            if isinstance(merged, (T.StructType, T.ArrayType)):
+                result[c] = merged.simpleString()
+        return result
+
     def _write_data_files(
-        self, df: DataFrame, schema_id: int, sequence_number: int
+        self,
+        df: DataFrame,
+        schema_id: int,
+        sequence_number: int,
+        meta: "TableMetadata | None" = None,
     ) -> list[DataFileEntry]:
         """Write df as parquet data files; return manifest entries with
-        executor-collected footer stats."""
+        executor-collected footer stats. ``meta`` is the metadata object
+        the enclosing commit is mutating; inferred variant-shred schemas
+        are cached into its properties so they ride the same commit."""
         ts = self.meta.schema_by_id(schema_id)
         out = self._align(df, ts)
         # V3 shredded VARIANT (write.parquet.variant-shredding.enabled,
         # iceberg_feature_tests.py:1342-1348): materialize a typed sibling
         # column per variant field so engines can project/push down typed
-        # paths without re-parsing JSON. Schema inferred from one sampled
-        # value (driver sees one row, the shredding itself runs JVM-side);
-        # readers project by the table field list, so the sibling column
-        # is invisible to normal scans.
+        # paths without re-parsing JSON. The shred schema is inferred once
+        # from a bounded multi-row sample (superset shape across rows, ONE
+        # extra job for all variant columns together), cached in table
+        # properties, and only re-inferred when absent; the shredding
+        # itself runs JVM-side. Readers project by the table field list,
+        # so the sibling column is invisible to normal scans.
         if (
             self.format_version >= 3
             and str(
@@ -507,17 +608,23 @@ class IceLiteTable:
             ).lower()
             == "true"
         ):
-            for f_ in ts.fields:
-                if f_.type != "variant":
-                    continue
-                sample = out.select(f_.name).filter(F.col(f_.name).isNotNull()).limit(1).collect()
-                if not sample or sample[0][0] is None:
-                    continue
-                inferred = self.spark.range(1).select(
-                    F.schema_of_json(F.lit(sample[0][0])).alias("s")
-                ).collect()[0]["s"]
+            props = (meta or self.meta).properties
+            vcols = [f_.name for f_ in ts.fields if f_.type == "variant"]
+            shred = {
+                c: props[_VARIANT_SCHEMA_PROP + c]
+                for c in vcols
+                if _VARIANT_SCHEMA_PROP + c in props
+            }
+            missing = [c for c in vcols if c not in shred]
+            if missing:
+                inferred = self._infer_variant_shred_schemas(out, missing)
+                shred.update(inferred)
+                if meta is not None:
+                    for c, ddl in inferred.items():
+                        meta.properties[_VARIANT_SCHEMA_PROP + c] = ddl
+            for c, ddl in shred.items():
                 out = out.withColumn(
-                    f"{f_.name}__typed_value", F.from_json(F.col(f_.name), inferred)
+                    f"{c}__typed_value", F.from_json(F.col(c), ddl)
                 )
         commit_dir = os.path.join(self.location, "data", f"c-{uuid.uuid4().hex[:12]}")
         transforms = self._transforms()
@@ -727,7 +834,7 @@ class IceLiteTable:
         def mutate(meta: TableMetadata) -> TableMetadata:
             meta.last_sequence_number += 1
             entries = self._write_data_files(
-                df, meta.current_schema_id, meta.last_sequence_number
+                df, meta.current_schema_id, meta.last_sequence_number, meta=meta
             )
             parent = _head(meta, branch)
             data = (parent.data_files if parent else []) + entries
@@ -870,7 +977,7 @@ class IceLiteTable:
         def mutate(meta: TableMetadata) -> TableMetadata:
             meta.last_sequence_number += 1
             entries = self._write_data_files(
-                df, meta.current_schema_id, meta.last_sequence_number
+                df, meta.current_schema_id, meta.last_sequence_number, meta=meta
             )
             parent = _head(meta, branch)
             return self._snapshot(meta, "overwrite", entries, [], parent, branch)
@@ -1222,7 +1329,7 @@ class IceLiteTable:
             survivors = live.filter(
                 F.col(_META_FILE).isin(list(affected)) & ~(cond.eqNullSafe(F.lit(True)))
             ).drop(_META_FILE, _META_POS, _META_SEQ)
-            new_entries = self._write_data_files(survivors, meta.current_schema_id, seq)
+            new_entries = self._write_data_files(survivors, meta.current_schema_id, seq, meta=meta)
             return self._snapshot(
                 meta,
                 "delete",
@@ -1262,7 +1369,7 @@ class IceLiteTable:
                 )
                 dentry = self._write_delete_file(dels, content=1, sequence_number=seq)
                 updated = apply_set(matched.drop(_META_FILE, _META_POS, _META_SEQ))
-                added = self._write_data_files(updated, meta.current_schema_id, seq)
+                added = self._write_data_files(updated, meta.current_schema_id, seq, meta=meta)
                 return self._snapshot(
                     meta,
                     "overwrite",
@@ -1293,7 +1400,7 @@ class IceLiteTable:
                 )
                 .select(*schema_cols)
             )
-            new_entries = self._write_data_files(rewritten, meta.current_schema_id, seq)
+            new_entries = self._write_data_files(rewritten, meta.current_schema_id, seq, meta=meta)
             return self._snapshot(
                 meta, "overwrite", keep_files + new_entries, parent.delete_files, parent, branch
             )
@@ -1393,7 +1500,7 @@ class IceLiteTable:
                 out = out_parts[0]
                 for p in out_parts[1:]:
                     out = out.unionByName(p)
-                new_entries = self._write_data_files(out, meta.current_schema_id, seq)
+                new_entries = self._write_data_files(out, meta.current_schema_id, seq, meta=meta)
             return self._snapshot(
                 meta,
                 "merge",
@@ -1475,7 +1582,7 @@ class IceLiteTable:
             dentry = self._write_delete_file(
                 keys, content=2, sequence_number=seq, equality_columns=key_columns
             )
-            added = self._write_data_files(dedup, meta.current_schema_id, seq)
+            added = self._write_data_files(dedup, meta.current_schema_id, seq, meta=meta)
             return self._snapshot(
                 meta,
                 "overwrite",
