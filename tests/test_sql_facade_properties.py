@@ -342,3 +342,220 @@ def test_bare_name_session_differential(fz, spark, rows, pred, data):
         assert got2 == want2, pred
     finally:
         fz.default_ns = None
+
+
+# --------------------------------------------------------------- CALL fuzz
+#
+# VERDICT r4 #6: the one real CALL bug (arguments validated only after a
+# destructive procedure ran) lived on this surface. Three strategies:
+# fault-injected statements must be rejected with ZERO metadata change
+# (rejection-before-side-effect), and the named / permuted-named /
+# positional / quoted-boolean spellings of the same procedure must agree.
+
+_CALL_PROCS = [
+    "rewrite_data_files",
+    "expire_snapshots",
+    "remove_orphan_files",
+    "rewrite_manifests",
+    "rewrite_position_delete_files",
+    "compute_table_stats",
+    "rollback_to_snapshot",
+    "set_current_snapshot",
+    "cherrypick_snapshot",
+    "fast_forward",
+    "ancestors_of",
+]
+
+_CALL_FAULTS = [
+    "unknown_proc",
+    "unknown_arg",
+    "missing_table",
+    "too_many_positional",
+    "mixed_forms",
+    "bad_bool",
+]
+
+
+def _valid_call_args(proc: str, ident: str, snaps: list[int]) -> dict[str, str]:
+    """WOULD-EXECUTE argument sets: if validation ever ran after the
+    procedure body, the injected fault tests below would observe the
+    state change."""
+    t = f"'{ident}'"
+    return {
+        "rewrite_data_files": {"table": t},
+        "expire_snapshots": {"table": t, "retain_last": "1"},
+        "remove_orphan_files": {"table": t, "dry_run": "false"},
+        "rewrite_manifests": {"table": t},
+        "rewrite_position_delete_files": {"table": t},
+        "compute_table_stats": {"table": t},
+        "rollback_to_snapshot": {"table": t, "snapshot_id": str(snaps[0])},
+        "set_current_snapshot": {"table": t, "snapshot_id": str(snaps[0])},
+        "cherrypick_snapshot": {"table": t, "snapshot_id": str(snaps[-1])},
+        "fast_forward": {"table": t, "branch": "'main'", "to": "'main'"},
+        "ancestors_of": {"table": t},
+    }[proc]
+
+
+def _table_state(fz, ident):
+    t = fz.catalog.load_table(ident)
+    m = t.meta
+    return (
+        m.current_snapshot_id,
+        [s.snapshot_id for s in m.snapshots],
+        sorted(m.properties.items()),
+        sorted(f.path for f in (t._current_snapshot().data_files if t._current_snapshot() else [])),
+    )
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_call_fault_rejected_before_side_effect(fz, spark, rows, data):
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+
+    ident = _fresh_table(fz, rows[:2] or [(1, "a", 1)])
+    fz.sql(f"INSERT INTO local.{ident} VALUES (77, 'second-commit', 0)")
+    snaps = [
+        r[0]
+        for r in fz.sql(
+            f"SELECT snapshot_id FROM local.{ident}.snapshots ORDER BY committed_at"
+        ).collect()
+    ]
+    proc = data.draw(st.sampled_from(_CALL_PROCS))
+    fault = data.draw(st.sampled_from(_CALL_FAULTS))
+    args = _valid_call_args(proc, ident, snaps)
+
+    if fault == "unknown_proc":
+        proc_txt, arg_txt = proc + "_nope", ", ".join(
+            f"{k} => {v}" for k, v in args.items()
+        )
+    elif fault == "unknown_arg":
+        bogus = data.draw(st.sampled_from(["retention", "snapshotid", "älder", "t able"]))
+        items = [f"{k} => {v}" for k, v in args.items()]
+        items.insert(
+            data.draw(st.integers(min_value=0, max_value=len(items))),
+            f"{bogus.replace(' ', '')} => 1",
+        )
+        proc_txt, arg_txt = proc, ", ".join(items)
+    elif fault == "missing_table":
+        rest = {k: v for k, v in args.items() if k != "table"}
+        proc_txt, arg_txt = proc, ", ".join(f"{k} => {v}" for k, v in rest.items())
+    elif fault == "too_many_positional":
+        from iceberg_matrix_spark.sql.facade import _PROC_POSITIONAL
+
+        order = _PROC_POSITIONAL[proc]
+        vals = [args.get(k, "0") for k in order] + ["'overflow'", "1"]
+        proc_txt, arg_txt = proc, ", ".join(vals)
+    elif fault == "mixed_forms":
+        items = [f"{k} => {v}" for k, v in args.items() if k != "table"]
+        proc_txt, arg_txt = proc, ", ".join([args["table"]] + items) if items else (
+            args["table"] + ", extra => 1"
+        )
+        if not items:
+            arg_txt = f"{args['table']}, extra => 1"
+    else:  # bad_bool
+        proc_txt = "remove_orphan_files"
+        bad = data.draw(st.sampled_from(["'maybe'", "'yes'", "1", "'Faux'"]))
+        arg_txt = f"table => '{ident}', dry_run => {bad}"
+
+    before = _table_state(fz, ident)
+    with pytest.raises(UnsupportedSQLError):
+        fz.sql(f"CALL local.system.{proc_txt}({arg_txt})")
+    assert _table_state(fz, ident) == before, (proc_txt, arg_txt)
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_call_arg_spellings_agree(fz, spark, rows, data):
+    """Named (any permutation), positional, and quoted/unquoted-boolean
+    spellings of one procedure leave two identical tables in identical
+    states and return the same summary row."""
+    import random as _random
+
+    from iceberg_matrix_spark.sql.facade import _PROC_POSITIONAL
+
+    rows = rows[:3] or [(1, "a", 1)]
+    proc = data.draw(
+        st.sampled_from(
+            ["rollback_to_snapshot", "set_current_snapshot", "expire_snapshots",
+             "remove_orphan_files", "compute_table_stats"]
+        )
+    )
+    idents, snaps = [], []
+    for _ in range(2):
+        ident = _fresh_table(fz, rows)
+        fz.sql(f"INSERT INTO local.{ident} VALUES (88, 'c2', 2)")
+        idents.append(ident)
+        snaps.append(
+            [
+                r[0]
+                for r in fz.sql(
+                    f"SELECT snapshot_id FROM local.{ident}.snapshots "
+                    f"ORDER BY committed_at"
+                ).collect()
+            ]
+        )
+
+    def spell(ident, sids, form):
+        args = dict(_valid_call_args(proc, ident, sids))
+        if proc == "remove_orphan_files":
+            args["dry_run"] = data.draw(
+                st.sampled_from(["true", "'true'", "TRUE"])
+            ) if form == "named" else "true"
+        if form == "named":
+            items = [f"{k} => {v}" for k, v in args.items()]
+            _random.Random(data.draw(st.integers(0, 999))).shuffle(items)
+            return ", ".join(items)
+        order = _PROC_POSITIONAL[proc]
+        return ", ".join(args[k] for k in order if k in args)
+
+    out = []
+    for ident, sids, form in zip(idents, snaps, ["named", "positional"]):
+        df = fz.sql(f"CALL local.system.{proc}({spell(ident, sids, form)})")
+        out.append(sorted(tuple(r) for r in df.collect()))
+        # snapshot-id columns differ across tables; compare shapes there
+    assert [len(o) for o in out[0]] == [len(o) for o in out[1]]
+    s0, s1 = _table_state(fz, idents[0]), _table_state(fz, idents[1])
+    # same structural outcome: same # snapshots, same position of the
+    # current snapshot in the chain, same properties
+    assert s0[1].index(s0[0]) == s1[1].index(s1[0])
+    assert len(s0[1]) == len(s1[1])
+    assert s0[2] == s1[2]
+    assert _rows(fz.sql(f"SELECT id, val, num FROM local.{idents[0]}")) == _rows(
+        fz.sql(f"SELECT id, val, num FROM local.{idents[1]}")
+    )
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_timestamp_travel_spellings_agree(fz, spark, rows, data):
+    """All four TIMESTAMP time-travel spellings of the same instant match
+    the snapshot read that instant resolves to."""
+    from datetime import datetime, timezone
+
+    ident = _fresh_table(fz, rows[: len(rows) // 2 or 1])
+    rest = rows[len(rows) // 2 or 1 :]
+    if rest:
+        fz.sql(f"INSERT INTO local.{ident} VALUES {_values_sql(rest)}")
+    snaps = fz.sql(
+        f"SELECT snapshot_id, committed_at FROM local.{ident}.snapshots "
+        f"ORDER BY committed_at"
+    ).collect()
+    pick = data.draw(st.integers(min_value=0, max_value=len(snaps) - 1))
+    sid = snaps[pick]["snapshot_id"]
+    ts = snaps[pick]["committed_at"]
+    iso = (
+        ts.replace(tzinfo=timezone.utc)
+        if isinstance(ts, datetime)
+        else datetime.fromtimestamp(ts / 1000, tz=timezone.utc)
+    ).isoformat()
+    want = _rows(
+        fz.sql(f"SELECT id, val, num FROM local.{ident} VERSION AS OF {sid}")
+    )
+    spellings = [
+        f"SELECT id, val, num FROM local.{ident} TIMESTAMP AS OF '{iso}'",
+        f"SELECT id, val, num FROM local.{ident} FOR SYSTEM_TIME AS OF '{iso}'",
+        f"SELECT id, val, num FROM local.{ident} FOR TIMESTAMP AS OF TIMESTAMP '{iso}'",
+        f"SELECT id, val, num FROM local.{ident} AT (TIMESTAMP => '{iso}')",
+    ]
+    for q in spellings:
+        assert _rows(fz.sql(q)) == want, q
