@@ -997,6 +997,70 @@ def _branch_sql_exec(sql) -> DataFrame:
 
 
 @register(
+    "q_wap_publish",
+    oracle="""
+    SELECT 'staged-main' AS ref, c_custkey, c_acctbal FROM customer
+    WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'audit-branch' AS ref, c_custkey, c_acctbal FROM customer
+    UNION ALL
+    SELECT 'published-main' AS ref, c_custkey, c_acctbal FROM customer
+    """,
+)
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish as SQL strings end-to-end: stage the odd-key
+    half of customer on an `audit` branch (invisible to main readers —
+    the branch-isolation semantics of /root/reference/tests/
+    iceberg_feature_tests.py:888-898), audit the staged row count, then
+    publish via CALL system.fast_forward(main -> audit) and read main.
+    The result captures all three observable states (pre-publish main,
+    audit branch, post-publish main); the oracle is the deterministic
+    even-half/full/full split — a wrong publish (or a staged write that
+    leaked to main) hash-mismatches."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
+    from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
+
+    wh = tempfile.mkdtemp(prefix="icelite_wap_")
+    sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
+    sql.sql("CREATE NAMESPACE IF NOT EXISTS local.wap")
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    sql.catalog.create_table_as_select(
+        "wap.t", base.filter(F.col("c_custkey") % 2 == 0)
+    )
+    sql.catalog.create_table_as_select(
+        "wap.odd", base.filter(F.col("c_custkey") % 2 == 1)
+    )
+    sql.sql("ALTER TABLE local.wap.t CREATE BRANCH `audit`")
+    sql.sql(
+        "INSERT INTO local.wap.t.branch_audit "
+        "SELECT c_custkey, c_acctbal FROM local.wap.odd"
+    )
+    # both reads pin their snapshot's file list at statement time, so the
+    # staged-main frame stays the PRE-publish state even when evaluated
+    # after fast_forward
+    staged_main = sql.sql(
+        "SELECT 'staged-main' AS ref, c_custkey, c_acctbal FROM local.wap.t"
+    )
+    audit = sql.sql(
+        "SELECT 'audit-branch' AS ref, c_custkey, c_acctbal "
+        "FROM local.wap.t.branch_audit"
+    )
+    # the audit gate: publish only a branch whose staged state passes
+    if audit.count() != base.count():
+        raise AssertionError("WAP audit failed: staged branch incomplete")
+    sql.sql(
+        "CALL local.system.fast_forward(table => 'wap.t', "
+        "branch => 'main', to => 'audit')"
+    )
+    published = sql.sql(
+        "SELECT 'published-main' AS ref, c_custkey, c_acctbal FROM local.wap.t"
+    )
+    return staged_main.unionByName(audit).unionByName(published)
+
+
+@register(
     "q_zorder_effect",
     oracle="""
     SELECT CAST(4 AS BIGINT) AS n_files,
