@@ -29,6 +29,7 @@ executor Python workers on Arrow batches.
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator
 
 from pyspark.sql import SparkSession
@@ -270,9 +271,20 @@ class IceLiteBatchDataSource(DataSource):
         return IceLiteBatchReader(dict(self.options))
 
 
+_REGISTER_LOCK = threading.Lock()
+_REGISTERED: "set[int]" = set()
+
+
 def register_batch_source(spark: SparkSession) -> None:
     # pushFilters requires this conf (dynamic SQLConf — safe to set at
     # runtime); self-configure so the source works on any session, the
-    # same pattern as load_table's nanosAsLong
+    # same pattern as load_table's nanosAsLong.
+    # Once per session, under a lock: concurrent register() calls race to
+    # DATA_SOURCE_ALREADY_EXISTS (thread-pooled conformance probes).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(IceLiteBatchDataSource)
+    key = id(spark)
+    with _REGISTER_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(IceLiteBatchDataSource)
+        _REGISTERED.add(key)

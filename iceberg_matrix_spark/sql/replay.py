@@ -308,13 +308,24 @@ def replay_all(
     spark: SparkSession,
     catalog: IceLiteCatalog,
     path: str = REFERENCE_SUITE,
+    versions: list[int] | None = None,
 ) -> dict:
     """Replay every reference test function; summarize against the golden
-    outcome map.  ``unexpected`` empty == full verbatim parity."""
+    outcome map.  ``unexpected`` empty == full verbatim parity.
+
+    ``versions`` restricts each function's format-version matrix (CI-time
+    control: the default pytest pass replays every statement once on the
+    newest applicable version; the ``slow``-marked test runs the full
+    ×{v2,v3} matrix). A function whose own matrix doesn't intersect the
+    restriction still replays its LAST (newest) version, so every
+    statement is always exercised at least once."""
     ext = extract_ops(path)
     outcomes: list[Outcome] = []
     for func, ops in ext.groups.items():
-        for version in _versions_for(ops):
+        vs = _versions_for(ops)
+        if versions is not None:
+            vs = [v for v in vs if v in versions] or vs[-1:]
+        for version in vs:
             outcomes.extend(replay_function(spark, catalog, func, ops, version))
     unexpected = [
         o for o in outcomes if o.status != EXPECTED_OUTCOMES.get(o.key(), "ok")

@@ -23,6 +23,7 @@ decoding is executor-side pyarrow.
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,8 +138,21 @@ class IceLiteStreamDataSource(DataSource):
         return IceLiteStreamReader(dict(self.options))
 
 
+_REGISTER_LOCK = threading.Lock()
+_REGISTERED: "set[int]" = set()
+
+
 def register_stream_source(spark: SparkSession) -> None:
-    spark.dataSource.register(IceLiteStreamDataSource)
+    # Once per session, under a lock: re-registering is only a WARN when
+    # sequential, but two threads racing the same register() hit Spark's
+    # DATA_SOURCE_ALREADY_EXISTS (observed when conformance probes run on
+    # a thread pool).
+    key = id(spark)
+    with _REGISTER_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(IceLiteStreamDataSource)
+        _REGISTERED.add(key)
 
 
 def read_stream(

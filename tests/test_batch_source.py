@@ -11,6 +11,7 @@ from iceberg_matrix_spark.sources.batch_source import (
     IceLiteBatchReader,
     register_batch_source,
 )
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 
@@ -35,7 +36,7 @@ def _ids(df):
 
 def test_plain_read_matches_table_df(spark, cat):
     t = cat.create_table("b.t", "id bigint, v string")
-    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"))
     got = _read(spark, t.location)
     assert got.columns == ["id", "v"]
     assert _ids(got) == [1, 2, 3]
@@ -44,7 +45,7 @@ def test_plain_read_matches_table_df(spark, cat):
 def test_mor_position_deletes_applied(spark, cat):
     t = cat.create_table("b.mor", "id bigint, v bigint")
     t.set_properties({"write.delete.mode": "merge-on-read"})
-    t.refresh().append(spark.createDataFrame([(i, i * 10) for i in range(6)], "id bigint, v bigint"))
+    t.refresh().append(local_df(spark, [(i, i * 10) for i in range(6)], "id bigint, v bigint"))
     t.refresh().delete("v >= 30")
     assert len(t.refresh()._current_snapshot().delete_files) > 0  # really MoR
     assert _ids(_read(spark, t.location)) == [0, 1, 2]
@@ -52,10 +53,10 @@ def test_mor_position_deletes_applied(spark, cat):
 
 def test_equality_deletes_applied(spark, cat):
     t = cat.create_table("b.eq", "id bigint, v bigint")
-    t.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id bigint, v bigint"))
+    t.append(local_df(spark, [(1, 10), (2, 20), (3, 30)], "id bigint, v bigint"))
     # upsert replaces id=2 via equality delete + new data file
     t.refresh().upsert(
-        spark.createDataFrame([(2, 99), (4, 40)], "id bigint, v bigint"), key_columns=["id"]
+        local_df(spark, [(2, 99), (4, 40)], "id bigint, v bigint"), key_columns=["id"]
     )
     got = {r["id"]: r["v"] for r in _read(spark, t.location).collect()}
     assert got == {1: 10, 2: 99, 3: 30, 4: 40}
@@ -64,11 +65,11 @@ def test_equality_deletes_applied(spark, cat):
 def test_schema_evolution_and_default_backfill(spark, cat):
     t = cat.create_table("b.evo", "id bigint, v string",
                          properties={"format-version": "3"})
-    t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a")], "id bigint, v string"))
     t.refresh().rename_column("v", "w")
     t.refresh().add_columns({"tag": "string"}, defaults={"tag": "dflt"})
     t.refresh().append(
-        spark.createDataFrame([(2, "b", "x")], "id bigint, w string, tag string")
+        local_df(spark, [(2, "b", "x")], "id bigint, w string, tag string")
     )
     got = {r["id"]: (r["w"], r["tag"]) for r in _read(spark, t.location).collect()}
     assert got == {1: ("a", "dflt"), 2: ("b", "x")}
@@ -89,7 +90,7 @@ def test_pushed_filters_prune_partitions(spark, cat):
     from pyspark.sql.datasource import GreaterThan
 
     t = cat.create_table("b.pr", "id bigint, k int", partition_by=["k"])
-    t.append(spark.createDataFrame([(i, i % 3) for i in range(9)], "id bigint, k int"))
+    t.append(local_df(spark, [(i, i % 3) for i in range(9)], "id bigint, k int"))
     reader = IceLiteBatchReader({"path": t.location})
     before = reader.partitions()
     assert {p.path.split("__p_k=")[1][0] for p in before} == {"0", "1", "2"}
@@ -107,8 +108,8 @@ def test_equality_deletes_apply_after_key_rename(spark, cat):
     """Equality keys resolve by FIELD ID: renaming the key column after
     the delete was written must not detach (or mis-target) the delete."""
     t = cat.create_table("b.eqren", "k bigint, v bigint")
-    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint"))
-    t.upsert(spark.createDataFrame([(2, 21)], "k bigint, v bigint"), ["k"])
+    t.append(local_df(spark, [(1, 10), (2, 20)], "k bigint, v bigint"))
+    t.upsert(local_df(spark, [(2, 21)], "k bigint, v bigint"), ["k"])
     t.rename_column("k", "key")
 
     from iceberg_matrix_spark.sources.batch_source import register_batch_source
@@ -125,7 +126,7 @@ def test_snapshot_id_read_uses_snapshot_schema(spark, cat):
     """option('snapshot_id') returns the SNAPSHOT's columns — the same
     time-travel semantics as IceLiteTable.df."""
     t = cat.create_table("b.ttschema", "id bigint, payload string")
-    t.append(spark.createDataFrame([(1, "p")], "id bigint, payload string"))
+    t.append(local_df(spark, [(1, "p")], "id bigint, payload string"))
     snap1 = t.meta.current_snapshot_id
     t.drop_column("payload")
 

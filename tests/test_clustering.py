@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from iceberg_matrix_spark.tables import IceLiteCatalog
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.maintenance import rewrite_data_files
 
 
@@ -157,7 +158,7 @@ def test_zorder_expr_matches_python_interleave(spark, catalog):
 
     vals = [0, 1, 2, 3, 255, 256, 32767, 65535]
     rows = [(a, b) for a in vals for b in vals]
-    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    df = local_df(spark, rows, "x bigint, y bigint")
     got = {
         (r["x"], r["y"]): r["z"]
         for r in df.withColumn("z", _zorder_expr(df, ["x", "y"])).collect()

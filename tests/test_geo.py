@@ -21,6 +21,7 @@ from iceberg_matrix_spark.functions.geo import (
     wkb_x,
     wkb_y,
 )
+from iceberg_matrix_spark.session import local_df
 
 
 def _pack(x: float, y: float) -> bytes:
@@ -34,7 +35,7 @@ def test_wkb_point_fractional_coords(spark):
     """The reflect-based encoder handles arbitrary doubles, not just
     integer-valued coordinates."""
     vals = [(1.5, -2.25), (-123.456, 789.0001), (1e-300, 5e-324)]
-    df = spark.createDataFrame(vals, "x double, y double").select(
+    df = local_df(spark, vals, "x double, y double").select(
         "x", "y", wkb_point("x", "y").alias("g")
     )
     for r in df.collect():
@@ -42,7 +43,7 @@ def test_wkb_point_fractional_coords(spark):
 
 
 def test_wkb_point_bytes_match_struct_pack(spark):
-    df = spark.createDataFrame(COORDS, "x long, y long").select(
+    df = local_df(spark, COORDS, "x long, y long").select(
         "x", "y", wkb_point("x", "y").alias("g")
     )
     for r in df.collect():
@@ -50,7 +51,7 @@ def test_wkb_point_bytes_match_struct_pack(spark):
 
 
 def test_wkb_decode_roundtrip_integer_coords(spark):
-    df = spark.createDataFrame(COORDS, "x long, y long").select(
+    df = local_df(spark, COORDS, "x long, y long").select(
         "x", "y", wkb_point("x", "y").alias("g")
     )
     got = df.select("x", "y", wkb_x("g").alias("dx"), wkb_y("g").alias("dy")).collect()
@@ -69,7 +70,7 @@ def test_wkb_decode_arbitrary_doubles(spark):
         (5e-324, 2.2250738585072014e-308),  # subnormal min + normal min
     ]
     rows = [(i, bytearray(_pack(x, y))) for i, (x, y) in enumerate(vals)]
-    df = spark.createDataFrame(rows, "i int, g binary")
+    df = local_df(spark, rows, "i int, g binary")
     got = {r["i"]: (r["x"], r["y"]) for r in df.select(
         "i", wkb_x("g").alias("x"), wkb_y("g").alias("y")).collect()}
     for i, (x, y) in enumerate(vals):
@@ -78,7 +79,7 @@ def test_wkb_decode_arbitrary_doubles(spark):
 
 def test_bbox_contains_filters(spark):
     pts = [(i, i * 10 - 50, i * 7 - 20) for i in range(11)]  # x∈[-50,50], y∈[-20,50]
-    df = spark.createDataFrame(pts, "i long, x long, y long").select(
+    df = local_df(spark, pts, "i long, x long, y long").select(
         "i", "x", "y", wkb_point("x", "y").alias("g")
     )
     inside = df.filter(bbox_contains("g", -30.0, -10.0, 30.0, 25.0))
@@ -87,7 +88,7 @@ def test_bbox_contains_filters(spark):
 
 
 def test_bbox_plan_is_pure_catalyst(spark):
-    df = spark.createDataFrame([(1, 2)], "x long, y long").select(
+    df = local_df(spark, [(1, 2)], "x long, y long").select(
         wkb_point("x", "y").alias("g")
     )
     plan = df.filter(bbox_contains("g", 0.0, 0.0, 9.0, 9.0))._jdf.queryExecution().executedPlan().toString()
@@ -98,7 +99,7 @@ def test_native_geometry_roundtrip(spark):
     """WKB → native GEOMETRY(4326) → WKB through this build's st_* io
     (the reference's V3 GEOMETRY exercise, iceberg_feature_tests.py:1386)."""
     spark.conf.set("spark.sql.geospatial.enabled", "true")
-    df = spark.createDataFrame([(3, 4)], "x long, y long").select(
+    df = local_df(spark, [(3, 4)], "x long, y long").select(
         wkb_point("x", "y").alias("g")
     )
     native = df.select(to_geometry("g").alias("geom"))

@@ -8,12 +8,13 @@ from iceberg_matrix_spark.operators.graph import (
     connected_components,
     neardup_components,
 )
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.sources.testdata import load_table
 
 
 def _cc(spark, edges, nodes):
-    e = spark.createDataFrame(edges, "id1 bigint, id2 bigint")
-    n = spark.createDataFrame([(x,) for x in nodes], "node bigint")
+    e = local_df(spark, edges, "id1 bigint, id2 bigint")
+    n = local_df(spark, [(x,) for x in nodes], "node bigint")
     rows = connected_components(e, n).collect()
     return {r["node"]: r["component"] for r in rows}
 

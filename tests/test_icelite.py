@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from iceberg_matrix_spark.tables import IceLiteCatalog
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables import maintenance as maint
 from iceberg_matrix_spark.tables import metadata_tables as mt
 from iceberg_matrix_spark.tables.catalog import NoSuchTableError, TableAlreadyExistsError
@@ -21,11 +22,11 @@ def catalog(spark, tmp_path):
 
 
 def _basic_df(spark, rows=((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))):
-    return spark.createDataFrame(list(rows), "id bigint, name string, amount double")
+    return local_df(spark, list(rows), "id bigint, name string, amount double")
 
 
 def _kv_df(spark, rows=((1, "a"), (2, "b"), (3, "c"))):
-    return spark.createDataFrame(list(rows), "id bigint, val string")
+    return local_df(spark, list(rows), "id bigint, val string")
 
 
 # ---------------------------------------------------------------- lifecycle
@@ -166,7 +167,7 @@ def test_upsert_same_batch_and_cross_commit(spark, catalog):
     :744-808)."""
     t = catalog.create_table("ns.ups", "id bigint, name string")
     t.upsert(
-        spark.createDataFrame(
+        local_df(spark, 
             [(1, "first"), (1, "updated"), (2, "second")], "id bigint, name string"
         ),
         key_columns=["id"],
@@ -175,7 +176,7 @@ def test_upsert_same_batch_and_cross_commit(spark, catalog):
     assert rows[2] == "second" and rows[1] in ("first", "updated") and len(rows) == 2
 
     t.upsert(
-        spark.createDataFrame([(1, "final")], "id bigint, name string"),
+        local_df(spark, [(1, "final")], "id bigint, name string"),
         key_columns=["id"],
     )
     rows = {r.id: r.name for r in t.df().collect()}
@@ -189,10 +190,10 @@ def test_upsert_same_batch_and_cross_commit(spark, catalog):
 
 def test_time_travel_and_tags_and_branches(spark, catalog):
     t = catalog.create_table("ns.tt", "id bigint, name string")
-    t.append(spark.createDataFrame([(1, "one")], "id bigint, name string"))
+    t.append(local_df(spark, [(1, "one")], "id bigint, name string"))
     v1 = t._current_snapshot().snapshot_id
     ts1 = t._current_snapshot().timestamp_ms
-    t.append(spark.createDataFrame([(2, "two")], "id bigint, name string"))
+    t.append(local_df(spark, [(2, "two")], "id bigint, name string"))
 
     # VERSION AS OF (:820)
     assert t.df(snapshot_id=v1).count() == 1
@@ -204,7 +205,7 @@ def test_time_travel_and_tags_and_branches(spark, catalog):
     t.create_tag("audit_tag", snapshot_id=v1)
     t.create_branch("audit_branch")
     t.append(
-        spark.createDataFrame([(3, "branch-only")], "id bigint, name string"),
+        local_df(spark, [(3, "branch-only")], "id bigint, name string"),
         branch="audit_branch",
     )
     assert t.df().count() == 2
@@ -219,10 +220,10 @@ def test_time_travel_and_tags_and_branches(spark, catalog):
 
 def test_incremental_read(spark, catalog):
     t = catalog.create_table("ns.inc", "id bigint, name string")
-    t.append(spark.createDataFrame([(1, "a")], "id bigint, name string"))
+    t.append(local_df(spark, [(1, "a")], "id bigint, name string"))
     s1 = t._current_snapshot().snapshot_id
-    t.append(spark.createDataFrame([(2, "b")], "id bigint, name string"))
-    t.append(spark.createDataFrame([(3, "c")], "id bigint, name string"))
+    t.append(local_df(spark, [(2, "b")], "id bigint, name string"))
+    t.append(local_df(spark, [(3, "c")], "id bigint, name string"))
     s3 = t._current_snapshot().snapshot_id
     inc = t.read_incremental(s1, s3)
     assert sorted(r.id for r in inc.collect()) == [2, 3]
@@ -235,9 +236,9 @@ def test_schema_evolution_add_rename_drop(spark, catalog):
     """F5 fixture: add → old rows NULL; rename; drop
     (iceberg_feature_tests.py:702-719)."""
     t = catalog.create_table("ns.se", "id bigint, name string")
-    t.append(spark.createDataFrame([(1, "x")], "id bigint, name string"))
+    t.append(local_df(spark, [(1, "x")], "id bigint, name string"))
     t.add_columns({"age": "int"})
-    t.append(spark.createDataFrame([(2, "y", 30)], "id bigint, name string, age int"))
+    t.append(local_df(spark, [(2, "y", 30)], "id bigint, name string, age int"))
     rows = {r.id: r for r in t.df().collect()}
     assert rows[1].age is None and rows[2].age == 30
 
@@ -253,11 +254,11 @@ def test_type_widening(spark, catalog):
     """F5: INT→BIGINT widening proven by an out-of-range value
     (:744-750)."""
     t = catalog.create_table("ns.tw", "id int, amount float")
-    t.append(spark.createDataFrame([(1, 1.5)], "id int, amount float"))
+    t.append(local_df(spark, [(1, 1.5)], "id int, amount float"))
     t.alter_column_type("id", "bigint")
     t.alter_column_type("amount", "double")
     t.append(
-        spark.createDataFrame([(9999999999, 3.14159)], "id bigint, amount double")
+        local_df(spark, [(9999999999, 3.14159)], "id bigint, amount double")
     )
     ids = sorted(r.id for r in t.df().collect())
     assert ids == [1, 9999999999]
@@ -277,7 +278,7 @@ def test_hidden_partitioning_and_pruning(spark, catalog):
         "id bigint, ts timestamp_ntz, category string, val double",
         partition_by=["year(ts)", "bucket(4, category)", "truncate(2, id)"],
     )
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [
             (1, "2023-06-01 10:00:00", "a", 1.0),
             (11, "2024-01-15 00:00:00", "b", 2.0),
@@ -303,12 +304,12 @@ def test_partition_evolution(spark, catalog):
         "ns.pe", "id bigint, ts timestamp_ntz, val string", partition_by=["year(ts)"]
     )
     row = lambda i, ts, v: (i, ts, v)  # noqa: E731
-    df1 = spark.createDataFrame(
+    df1 = local_df(spark, 
         [(1, "2024-01-01 00:00:00", "a")], "id bigint, ts string, val string"
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     t.append(df1)
     t.add_partition_field("bucket(4, id)")
-    df2 = spark.createDataFrame(
+    df2 = local_df(spark, 
         [(2, "2024-02-01 00:00:00", "b")], "id bigint, ts string, val string"
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     t.append(df2)
@@ -395,7 +396,7 @@ def test_delete_cow_keeps_rows_where_predicate_is_null(spark, catalog):
     and must survive the rewrite."""
     t = catalog.create_table("ns.nulldel", "id bigint, v bigint")
     t.append(
-        spark.createDataFrame([(1, 10), (2, None), (3, 1)], "id bigint, v bigint").coalesce(1)
+        local_df(spark, [(1, 10), (2, None), (3, 1)], "id bigint, v bigint")
     )
     t.delete("v > 5")  # row 1 deleted; row 2 (NULL) and row 3 kept
     assert sorted(r.id for r in t.df().collect()) == [2, 3]
@@ -404,7 +405,7 @@ def test_delete_cow_keeps_rows_where_predicate_is_null(spark, catalog):
 def test_merge_raises_on_cardinality_violation(spark, catalog):
     t = catalog.create_table("ns.card", "id bigint, val string")
     t.append(_kv_df(spark, [(1, "a"), (2, "b")]))
-    dup_source = spark.createDataFrame(
+    dup_source = local_df(spark, 
         [(1, "x"), (1, "y")], "id bigint, val string"
     )
     with pytest.raises(ValueError, match="cardinality"):
@@ -438,7 +439,7 @@ def test_float_partition_values_prune_numerically(spark, catalog):
         partition_by=["score"],
     )
     t.append(
-        spark.createDataFrame([(1, 10.5), (2, 9.0)], "id bigint, score double")
+        local_df(spark, [(1, 10.5), (2, 9.0)], "id bigint, score double")
     )
     got = [r.id for r in t.df().filter("score > 9.5").collect()]
     assert got == [1]
@@ -565,7 +566,7 @@ def test_rewrite_position_deletes_consolidates_and_preserves_rows(spark, catalog
 def test_compute_table_statistics_ndv(spark, catalog):
     t = catalog.create_table("ns.t_stats", "id bigint, val string")
     t.append(
-        spark.createDataFrame(
+        local_df(spark, 
             [(i, f"v{i % 7}") for i in range(200)], "id bigint, val string"
         )
     )
@@ -616,12 +617,12 @@ def test_snapshot_changes_cdc(spark, tmp_path):
     cat.create_namespace("ns")
     t = cat.create_table("ns.t", "id bigint, v bigint")
     t.append(
-        spark.createDataFrame([(1, 10), (2, 20), (3, 30), (3, 30)], "id bigint, v bigint")
+        local_df(spark, [(1, 10), (2, 20), (3, 30), (3, 30)], "id bigint, v bigint")
     )
     first = t.meta.snapshots[-1].snapshot_id
     t.delete("id = 2")
     t.update({"v": "v + 1"}, where="id = 1")
-    t.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    t.append(local_df(spark, [(3, 30)], "id bigint, v bigint"))
     last = t.refresh().meta.snapshots[-1].snapshot_id
     rows = sorted(
         (r["_change_type"], r["id"], r["v"])
@@ -649,14 +650,14 @@ def test_identifier_fields_drive_default_upsert(spark, catalog):
         t.set_identifier_fields(["nope"])
     t.set_identifier_fields(["id"])
     assert t.identifier_fields() == ["id"]
-    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
-    t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "id bigint, v string"))
+    t.upsert(local_df(spark, [(1, "a"), (2, "b")], "id bigint, v string"))
+    t.upsert(local_df(spark, [(2, "B"), (3, "c")], "id bigint, v string"))
     got = {r["id"]: r["v"] for r in t.df().collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
     # identity is ID-based: a rename keeps the key intact
     t.rename_column("id", "pk")
     assert t.identifier_fields() == ["pk"]
-    t.upsert(spark.createDataFrame([(3, "C")], "pk bigint, v string"))
+    t.upsert(local_df(spark, [(3, "C")], "pk bigint, v string"))
     assert {r["pk"]: r["v"] for r in t.df().collect()}[3] == "C"
 
 
@@ -675,7 +676,7 @@ def test_pyiceberg_shapes_scan_inspect_delete_filter(spark, catalog):
     652): scan().to_arrow(), delete(delete_filter="id == 2"), and
     tbl.inspect.manifests()/snapshots()."""
     t = catalog.create_table("ns.pyi", "id bigint, v string")
-    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"))
     assert t.scan().to_arrow().num_rows == 3
     t.delete(delete_filter="id == 2")
     assert sorted(t.scan().to_arrow().column("id").to_pylist()) == [1, 3]
@@ -776,7 +777,7 @@ def test_pyiceberg_update_spec_and_manage_snapshots(spark, catalog):
     assert transform_spec("ts", DayTransform()) == "day(ts)"
 
     t.append(
-        spark.createDataFrame([(1, "2024-01-01 00:00:00")], "id bigint, ts string")
+        local_df(spark, [(1, "2024-01-01 00:00:00")], "id bigint, ts string")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     snap_id = t.current_snapshot().snapshot_id

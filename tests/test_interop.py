@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.interop import (
     duckdb_scan_sql,
     live_file_manifest,
@@ -37,7 +38,7 @@ def test_empty_table_manifest_and_scan(spark, catalog):
 
 def test_round_trip_no_deletes(spark, catalog):
     t = catalog.create_table("ns.plain", "id bigint, v string")
-    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a"), (2, "b")], "id bigint, v string"))
     got = sorted((r["id"], r["v"]) for r in read_with_duckdb(t).to_pylist())
     assert got == [(1, "a"), (2, "b")]
     assert "ANTI JOIN" not in duckdb_scan_sql(t)  # no delete branch emitted
@@ -59,8 +60,8 @@ def test_equality_deletes_exported_with_sequence_scope(spark, catalog):
     delete only to rows written BEFORE it — the re-upserted key's new
     row (higher sequence) must survive its own delete file."""
     t = catalog.create_table("ns.eq", "id bigint, v bigint")
-    t.upsert(spark.createDataFrame([(1, 1), (2, 9)], "id bigint, v bigint"), ["id"])
-    t.upsert(spark.createDataFrame([(1, 2)], "id bigint, v bigint"), ["id"])
+    t.upsert(local_df(spark, [(1, 1), (2, 9)], "id bigint, v bigint"), ["id"])
+    t.upsert(local_df(spark, [(1, 2)], "id bigint, v bigint"), ["id"])
     m = live_file_manifest(t)
     assert len(m["equality_deletes"]) >= 1
     for e in m["equality_deletes"]:
@@ -116,7 +117,7 @@ def test_add_files_missing_column_reads_null_and_time_travels(spark, catalog, tm
         f"COPY (SELECT 7 AS id) TO '{partial}' (FORMAT parquet)"  # no v column
     )
     t = catalog.create_table("ns.tt", "id bigint, v string")
-    t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a")], "id bigint, v string"))
     snap_before = t.meta.snapshots[-1].snapshot_id
     assert t.add_files([partial]) == 1
     got = {r["id"]: r["v"] for r in t.df().collect()}

@@ -10,6 +10,7 @@ from iceberg_matrix_spark.operators.pipeline import (
     redact_pii,
     repetition_signals,
 )
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.sources.testdata import load_table
 
 
@@ -33,7 +34,7 @@ def test_sample_is_deterministic_and_rate_shaped(spark, sf_dir):
 
 
 def test_redact_pii_scrubs_known_strings(spark):
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [
             (1, "mail me at jane.doe+x@example.co.uk or call +1 555 867-5309 now"),
             (2, "no pii here at all"),
@@ -50,7 +51,7 @@ def test_redact_pii_scrubs_known_strings(spark):
 
 
 def test_repetition_signals_known_values(spark):
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [
             (1, "a a a a"),          # all dup tokens; "a a" 2-gram = 3/3
             (2, "w x y z"),          # no repetition
@@ -73,10 +74,10 @@ def test_repetition_plan_is_narrow(spark, sf_dir):
 def test_decontaminate_counts_shared_ngrams(spark):
     from iceberg_matrix_spark.operators.pipeline import decontaminate
 
-    bench = spark.createDataFrame(
+    bench = local_df(spark, 
         [(100, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
     )
-    corpus = spark.createDataFrame(
+    corpus = local_df(spark, 
         [
             # shares two distinct 3-grams with the benchmark doc
             (1, "alpha beta gamma delta zeta"),
@@ -100,7 +101,7 @@ def test_gopher_rules_known_verdicts(spark):
     rows = {
         r["doc_id"]: r
         for r in gopher_rules(
-            spark.createDataFrame(
+            local_df(spark, 
                 [
                     (1, long_ok),                    # passes everything
                     (2, "too short to keep the a"),  # fails word count only

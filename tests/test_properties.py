@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from hypothesis import given, settings, strategies as st
 
 from iceberg_matrix_spark.data.matrix import detect_folder_collisions, folder_name_expr
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.functions.text import word_shingles
 from iceberg_matrix_spark.operators.scale import salted_aggregate
 
@@ -36,9 +37,9 @@ def _model_folder_name(pid: str, prefix: str | None) -> str:
     )
 )
 def test_folder_name_expr_matches_model(spark, rows):
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(pid, pre) for pid, pre in rows], "id string, vendor_prefix string"
-    ).coalesce(1)
+    )
     got = [
         r["fn"]
         for r in df.select(
@@ -55,9 +56,9 @@ def test_folder_name_expr_matches_model(spark, rows):
 )
 def test_collision_detection_matches_model(spark, ids, prefix):
     rows = [("v", prefix, pid, i) for i, pid in enumerate(ids)]
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         rows, "vendor string, vendor_prefix string, id string, ord int"
-    ).coalesce(1)
+    )
     got = {
         (r["folder_name"], r["platform_ids"])
         for r in detect_folder_collisions(df).collect()
@@ -93,7 +94,7 @@ def _model_shingles(text: str, k: int) -> list[str]:
     )
 )
 def test_word_shingles_match_model(spark, texts):
-    df = spark.createDataFrame([(t,) for t in texts], "text string").coalesce(1)
+    df = local_df(spark, [(t,) for t in texts], "text string")
     got = [r["sh"] for r in df.select(word_shingles("text", 3).alias("sh")).collect()]
     assert got == [_model_shingles(t, 3) for t in texts]
 
@@ -108,7 +109,7 @@ def test_word_shingles_match_model(spark, texts):
     buckets=st.integers(1, 8),
 )
 def test_salted_aggregate_invariant_under_salt(spark, rows, buckets):
-    df = spark.createDataFrame(rows, "k int, v long")
+    df = local_df(spark, rows, "k int, v long")
     got = {
         (r["k"], r["n"], r["s"], r["mx"])
         for r in salted_aggregate(
@@ -167,7 +168,7 @@ def test_int_pruned_scan_matches_model(spark, vals, part, op, lit):
     mid = len(vals) // 2  # two appends → multiple files → real pruning
     for chunk in (vals[:mid], vals[mid:]):
         if chunk:
-            t.append(spark.createDataFrame([(v,) for v in chunk], "k int"))
+            t.append(local_df(spark, [(v,) for v in chunk], "k int"))
     got = sorted(r["k"] for r in t.df(filters=[("k", op, lit)]).collect())
     assert got == _model(vals, op, lit)
 
@@ -186,7 +187,7 @@ def test_float_pruned_scan_matches_model(spark, vals, part, op, lit):
     mid = len(vals) // 2
     for chunk in (vals[:mid], vals[mid:]):
         if chunk:
-            t.append(spark.createDataFrame([(v,) for v in chunk], "v double"))
+            t.append(local_df(spark, [(v,) for v in chunk], "v double"))
     got = sorted(r["v"] for r in t.df(filters=[("v", op, lit)]).collect())
     assert got == _model(vals, op, lit)
 
@@ -208,7 +209,7 @@ def test_timestamp_pruned_scan_matches_model(spark, hours, part, op, lit_hours):
     mid = len(vals) // 2
     for chunk in (vals[:mid], vals[mid:]):
         if chunk:
-            t.append(spark.createDataFrame([(v,) for v in chunk], "ts timestamp"))
+            t.append(local_df(spark, [(v,) for v in chunk], "ts timestamp"))
     got = sorted(
         r["ts"] for r in t.df(filters=[("ts", op, lit.strftime("%Y-%m-%d %H:%M:%S"))]).collect()
     )
@@ -284,7 +285,7 @@ def test_delete_matches_sql_semantics(spark, vals, pred, joiner, mode):
     for chunk in (rows[:mid], rows[mid:]):
         if chunk:
             t.refresh().append(
-                spark.createDataFrame(chunk, "id bigint, v bigint")
+                local_df(spark, chunk, "id bigint, v bigint")
             )
     t.refresh().delete(_pred_sql(pred, joiner))
     got = sorted((r["id"], r["v"]) for r in t.refresh().df().collect())
@@ -307,7 +308,7 @@ def test_update_matches_sql_semantics(spark, vals, pred, joiner, mode):
     for chunk in (rows[:mid], rows[mid:]):
         if chunk:
             t.refresh().append(
-                spark.createDataFrame(chunk, "id bigint, v bigint")
+                local_df(spark, chunk, "id bigint, v bigint")
             )
     t.refresh().update({"v": "100"}, _pred_sql(pred, joiner))
     got = sorted((r["id"], r["v"]) for r in t.refresh().df().collect())
@@ -354,7 +355,7 @@ def test_schema_evolution_matches_model(spark, steps):
             batch.append(tuple(r[c] for c in cols))
             next_id += 1
         ddl = ", ".join(f"{c} {types[c]}" for c in cols)
-        t.refresh().append(spark.createDataFrame(batch, ddl))
+        t.refresh().append(local_df(spark, batch, ddl))
 
     append_rows(2)
     for kind, pick in steps:
@@ -420,7 +421,7 @@ def test_string_pruned_scan_matches_model(spark, vals, part, op, lit):
     mid = len(vals) // 2
     for chunk in (vals[:mid], vals[mid:]):
         if chunk:
-            t.refresh().append(spark.createDataFrame([(v,) for v in chunk], "s string"))
+            t.refresh().append(local_df(spark, [(v,) for v in chunk], "s string"))
     got = sorted(r["s"] for r in t.df(filters=[("s", op, lit)]).collect())
     assert got == _model(vals, op, lit)
 
@@ -446,7 +447,7 @@ def test_forward_fill_matches_model(spark, rows):
         (uid, 1_700_000_000 + off, i, val)  # event_id = list index → total order
         for i, (uid, off, val) in enumerate(rows)
     ]
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(u, t, e, v) for u, t, e, v in data],
         "user_id int, ts bigint, event_id int, val double",
     )
@@ -505,9 +506,9 @@ def test_asof_join_directions_match_pandas_model(spark, left, right):
     l_rows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
     r_rows = [(k, ts, v) for (k, ts), v in sorted(rdict.items())]
 
-    ldf = spark.createDataFrame(l_rows, "k int, ts bigint, row_id int")
-    rdf = spark.createDataFrame(r_rows, "k int, ts bigint, val double") if r_rows else \
-        spark.createDataFrame([], "k int, ts bigint, val double")
+    ldf = local_df(spark, l_rows, "k int, ts bigint, row_id int")
+    rdf = local_df(spark, r_rows, "k int, ts bigint, val double") if r_rows else \
+        local_df(spark, [], "k int, ts bigint, val double")
 
     lp = pd.DataFrame(l_rows, columns=["k", "ts", "row_id"]).sort_values("ts", kind="stable")
     rp = pd.DataFrame(r_rows, columns=["k", "ts", "val"]).sort_values("ts", kind="stable")
@@ -579,7 +580,7 @@ def test_duplicate_spans_match_naive_model(spark, docs, k):
     from iceberg_matrix_spark.operators.spans import duplicate_spans
 
     rows = list(enumerate(docs))
-    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df = local_df(spark, rows, "doc_id long, text string")
     got = {
         (r["doc_id"], r["span_start"], r["span_end"])
         for r in duplicate_spans(
@@ -653,10 +654,10 @@ def test_lsh_candidates_match_model_and_dedup_exactly_once(spark, vecs):
     from iceberg_matrix_spark.operators.similarity import embedding_neardup_lsh
 
     assume(all(any(x != 0.0 for x in v) for v in vecs))
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(i, v) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<double>",
-    ).coalesce(1)
+    )
     got = [
         (r["id1"], r["id2"])
         for r in embedding_neardup_lsh(df, threshold=-2.0).collect()

@@ -45,14 +45,28 @@ def test_extraction_covers_the_whole_suite():
 
 
 def test_full_replay_matches_golden(spark):
+    """Every statement replayed once, on each function's newest
+    applicable format version (the always-on full pass; the ×{v2,v3}
+    matrix runs under the ``slow`` marker)."""
     cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="replay-wh-"))
-    summary = replay_all(spark, cat)
+    summary = replay_all(spark, cat, versions=[3])
     assert summary["error"] == 0, summary["unexpected"]
     assert summary["unexpected"] == [], [
         (o.func, o.version, o.index, o.status, o.detail)
         for o in summary["unexpected"]
     ]
     # the one expected rejection — the reference's negative probe
+    assert summary["rejected"] == len(EXPECTED_OUTCOMES) * 1
+    assert summary["ok"] == summary["replayed"] - summary["rejected"]
+
+
+@pytest.mark.slow
+def test_full_replay_matches_golden_both_versions(spark):
+    """The complete ×{v2,v3} matrix (default-off; `-m slow` runs it)."""
+    cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="replay-wh-"))
+    summary = replay_all(spark, cat)
+    assert summary["error"] == 0, summary["unexpected"]
+    assert summary["unexpected"] == []
     assert summary["rejected"] == len(EXPECTED_OUTCOMES) * 1
     assert summary["ok"] == summary["replayed"] - summary["rejected"]
 

@@ -10,6 +10,7 @@ from iceberg_matrix_spark.tables.catalog import (
     NoSuchTableError,
     TableAlreadyExistsError,
 )
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.rest_catalog import RestCatalog, RestCatalogServer
 
 
@@ -31,7 +32,7 @@ def test_config_and_namespace_crud(rest):
 def test_table_lifecycle_over_http(spark, rest):
     rest.create_namespace("db")
     t = rest.create_table("db.t", "id bigint, v string")
-    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a"), (2, "b")], "id bigint, v string"))
     assert rest.list_tables("db") == ["t"]
     # load through the protocol: resolves via served metadata-location
     got = rest.load_table("db.t")
@@ -75,7 +76,7 @@ def test_partitioned_create_over_http(spark, rest):
     from datetime import datetime
 
     t.append(
-        spark.createDataFrame(
+        local_df(spark, 
             [(1, datetime(2020, 1, 1)), (2, datetime(2020, 1, 2))],
             "id bigint, ts timestamp",
         )

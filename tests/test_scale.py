@@ -11,6 +11,7 @@ from iceberg_matrix_spark.operators.scale import (
     salted_aggregate,
     write_bucketed,
 )
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.plans import shuffle_count, sort_merge_join_count
 from iceberg_matrix_spark.sources.testdata import load_table
 
@@ -61,10 +62,10 @@ def test_salted_join_equals_plain_join_under_skew(spark):
     from iceberg_matrix_spark.operators.scale import salted_join
 
     # one hot key owning 90% of the left side
-    left = spark.createDataFrame(
+    left = local_df(spark, 
         [(1 if i < 900 else i, float(i)) for i in range(1000)], "k bigint, v double"
     )
-    right = spark.createDataFrame(
+    right = local_df(spark, 
         [(i, f"r{i}") for i in range(0, 1000, 3)], "k bigint, name string"
     )
     plain = {(r["k"], r["v"], r["name"]) for r in left.join(right, "k").collect()}

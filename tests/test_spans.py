@@ -5,10 +5,11 @@ via the registry."""
 from __future__ import annotations
 
 from iceberg_matrix_spark.operators.spans import duplicate_spans, span_dup_ratio
+from iceberg_matrix_spark.session import local_df
 
 
 def _docs(spark, rows):
-    return spark.createDataFrame(rows, "doc_id bigint, text string")
+    return local_df(spark, rows, "doc_id bigint, text string")
 
 
 def _words(prefix, n):

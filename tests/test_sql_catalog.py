@@ -12,6 +12,7 @@ from iceberg_matrix_spark.tables.catalog import (
     NoSuchTableError,
     TableAlreadyExistsError,
 )
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
 from iceberg_matrix_spark.tables.table import IceLiteTable
 
@@ -25,7 +26,7 @@ def test_create_load_drop_roundtrip(spark, cat):
     cat.create_namespace("db", {"owner": "tests"})
     assert cat.namespace_properties("db") == {"owner": "tests"}
     t = cat.create_table("db.t", "id bigint, v string")
-    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a"), (2, "b")], "id bigint, v string"))
     assert cat.list_tables("db") == ["t"]
     assert cat.load_table("db.t").df().count() == 2
     # the catalog tracks the current metadata pointer

@@ -19,6 +19,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from iceberg_matrix_spark.sql import IceLiteSQL
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
 SETTINGS = dict(
@@ -106,7 +107,7 @@ def _fresh_table(fz, rows) -> str:
 
 def _view_of(spark, rows, name="fzv"):
     view = f"{name}_{uuid.uuid4().hex[:8]}"
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "id bigint, val string, num bigint"
     ).createOrReplaceTempView(view)
     return view

@@ -26,6 +26,7 @@ from iceberg_matrix_spark.streaming import (
     tumbling_window_counts,
     upsert_stream,
 )
+from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.streaming.sink import _epoch_writer
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 from iceberg_matrix_spark.tables.table import IceLiteTable
@@ -112,7 +113,7 @@ def test_icelite_tail_source_delivers_post_start_commits(spark, warehouse):
     """readStream tail sees rows committed BEFORE start and rows appended
     AFTER the query is running (flink :582-628)."""
     t = warehouse.create_table("stream.tail", "id bigint, v string")
-    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a"), (2, "b")], "id bigint, v string"))
 
     sink = f"tail_{uuid.uuid4().hex[:8]}"
     q = (
@@ -126,7 +127,7 @@ def test_icelite_tail_source_delivers_post_start_commits(spark, warehouse):
     try:
         assert _wait(lambda: spark.table(sink).count() >= 2)
         # commit after the stream started — must flow through
-        t.append(spark.createDataFrame([(3, "c")], "id bigint, v string"))
+        t.append(local_df(spark, [(3, "c")], "id bigint, v string"))
         assert _wait(lambda: spark.table(sink).count() >= 3)
         got = {(r["id"], r["v"]) for r in spark.table(sink).collect()}
         assert got == {(1, "a"), (2, "b"), (3, "c")}
@@ -166,13 +167,13 @@ def test_upsert_stream_latest_per_key_wins(spark, warehouse):
     the last value per key (flink write.upsert.enabled, :744-784)."""
     t = warehouse.create_table("stream.upsert", "id bigint, v bigint")
     src_dir = _tmp("upsert-src-")
-    spark.createDataFrame(
+    local_df(spark, 
         [(1, 10), (2, 20), (3, 30)], "id bigint, v bigint"
-    ).coalesce(1).write.mode("append").parquet(src_dir)
+    ).write.mode("append").parquet(src_dir)
     time.sleep(1.1)  # distinct mtimes → deterministic file order
-    spark.createDataFrame(
+    local_df(spark, 
         [(2, 21), (3, 31), (4, 41)], "id bigint, v bigint"
-    ).coalesce(1).write.mode("append").parquet(src_dir)
+    ).write.mode("append").parquet(src_dir)
 
     stream = (
         spark.readStream.schema("id bigint, v bigint")
@@ -232,13 +233,13 @@ def test_stateful_user_stats_accumulates_across_batches(spark):
     """applyInPandasWithState keeps running per-user totals across
     micro-batches (update mode: last emission per user = final total)."""
     src_dir = _tmp("state-src-")
-    spark.createDataFrame(
+    local_df(spark, 
         [(1, 1.0), (1, 2.0), (2, 5.0)], "user_id bigint, value double"
-    ).coalesce(1).write.mode("append").parquet(src_dir)
+    ).write.mode("append").parquet(src_dir)
     time.sleep(1.1)
-    spark.createDataFrame(
+    local_df(spark, 
         [(1, 3.0), (2, 5.0)], "user_id bigint, value double"
-    ).coalesce(1).write.mode("append").parquet(src_dir)
+    ).write.mode("append").parquet(src_dir)
 
     stream = (
         spark.readStream.schema("user_id bigint, value double")
@@ -410,11 +411,11 @@ def test_stream_tail_survives_schema_evolution(spark, warehouse):
     """Files written before an add/rename are field-ID projected to the
     stream's pinned schema instead of crashing the micro-batch."""
     t = warehouse.create_table("stream.evolve", "id bigint, v string")
-    t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    t.append(local_df(spark, [(1, "a")], "id bigint, v string"))
     t.rename_column("v", "val")
     t.add_columns({"extra": "bigint"})
     t.append(
-        spark.createDataFrame([(2, "b", 9)], "id bigint, val string, extra bigint")
+        local_df(spark, [(2, "b", 9)], "id bigint, val string, extra bigint")
     )
     from iceberg_matrix_spark.streaming.source import read_stream
 

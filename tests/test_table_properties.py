@@ -19,6 +19,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
+from iceberg_matrix_spark.session import local_df
 
 SETTINGS = dict(
     deadline=None,
@@ -81,7 +82,7 @@ def _run_history(spark, cat, ops, mode: str):
         )
 
     def df_of(rows):
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(int(k), int(v)) for k, v in rows], "id bigint, v bigint"
         )
 
