@@ -384,8 +384,17 @@ def _valid_call_args(proc: str, ident: str, snaps: list[int]) -> dict[str, str]:
     t = f"'{ident}'"
     return {
         "rewrite_data_files": {"table": t},
-        "expire_snapshots": {"table": t, "retain_last": "1"},
-        "remove_orphan_files": {"table": t, "dry_run": "false"},
+        # positional spelling maps values to _PROC_POSITIONAL order, so
+        # the arg set must be a gap-free prefix: retain_last without
+        # older_than would land "1" in the older_than slot (the exact
+        # silent mis-binding this property exists to catch — it caught
+        # itself in the first version of this test)
+        "expire_snapshots": {
+            "table": t, "older_than": "99999999999999", "retain_last": "1"
+        },
+        "remove_orphan_files": {
+            "table": t, "older_than": "99999999999999", "dry_run": "false"
+        },
         "rewrite_manifests": {"table": t},
         "rewrite_position_delete_files": {"table": t},
         "compute_table_stats": {"table": t},
