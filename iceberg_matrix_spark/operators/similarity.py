@@ -130,6 +130,90 @@ def embedding_neardup_lsh(
     return _verify_cosine(cands, df, id_col, vec_col, threshold)
 
 
+def cluster_scoped_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    bands: int = _BANDS,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup's cluster-scoped near-dup pairs (arXiv:2303.09540 §3):
+    IVF coarse clusters bound the candidate space, banded LSH + exact
+    cosine run WITHIN shared clusters only — the concrete form of the
+    scoping path :func:`embedding_neardup_lsh`'s cost model prescribes.
+
+    Candidate volume drops from Σ n²/2^r (global) to Σ_c n_c²/2^r; with
+    cluster count grown ∝ corpus (bounded n_c), the whole operator is
+    linear in the corpus. Every row probes its ``nprobe`` nearest
+    centroids, so near-threshold pairs straddling one boundary are still
+    found; a pair sharing several probed clusters is kept once via the
+    smallest-shared-cluster rule computed inline in the join (no distinct
+    exchange — the scope-dimension analogue of the first-colliding-band
+    filter).
+
+    ``n_clusters`` is bounded (≤ ~64) by the inline-expression assignment
+    (:func:`_nearest_clusters` unrolls k dot products into the plan; past
+    that, janino's method limit ends codegen). At corpus scale, cluster
+    the cluster-assignment itself: persist cid alongside the embedding at
+    ingest (it IS the index, like ann_ivf_topk's note) and pass
+    ``centroids`` precomputed."""
+    if centroids is None:
+        centroids = ivf_build_centroids(
+            df, k=n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    sig = _banded_signatures(df, id_col, vec_col, bands)
+    probes = df.select(
+        F.col(id_col),
+        F.array_sort(
+            _nearest_clusters(vec_col, centroids, nprobe)
+        ).alias("__cids"),
+    ).select(id_col, "__cids", F.explode("__cids").alias("__cid"))
+    scoped = sig.join(probes, id_col)
+    cands = _lsh_candidate_pairs(
+        scoped,
+        scoped,
+        bands,
+        ordered=True,
+        id_col=id_col,
+        scope_col="__cid",
+        scope_set_col="__cids",
+    )
+    return _verify_cosine(cands, df, id_col, vec_col, threshold)
+
+
+def semantic_dedup_scoped(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup keep-verdicts from cluster-scoped candidates: drop every
+    embedding with a LOWER-id cosine-≥threshold neighbor found within a
+    shared coarse cluster (the paper's semantics — pruning is defined
+    within clusters). Same min-id representative rule as
+    :func:`semantic_dedup_verdicts`."""
+    pairs = cluster_scoped_neardup(
+        df, id_col, vec_col, threshold, n_clusters, nprobe, centroids=centroids
+    )
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
+        "__dup", F.lit(True)
+    )
+    return (
+        df.select(id_col)
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def _banded_signatures(
     df: DataFrame, id_col: str, vec_col: str, bands: int = _BANDS
 ) -> DataFrame:
@@ -180,6 +264,8 @@ def _lsh_candidate_pairs(
     bands: int,
     ordered: bool,
     id_col: str,
+    scope_col: str | None = None,
+    scope_set_col: str | None = None,
 ) -> DataFrame:
     """Distinct candidate (id1, id2) pairs from two banded-signature
     frames, WITHOUT a distinct: a pair colliding in k bands is emitted k
@@ -194,7 +280,15 @@ def _lsh_candidate_pairs(
     row multiplied the exchange ~60×).
 
     ``ordered=True`` restricts to id1 < id2 (self-join near-dup);
-    ``ordered=False`` keeps every cross pair once (batch × corpus)."""
+    ``ordered=False`` keeps every cross pair once (batch × corpus).
+
+    ``scope_col`` (with ``scope_set_col``) adds cluster scoping: rows
+    carry one exploded scope id per probe plus the full probe-id array;
+    the join adds scope equality, and a pair probing the same two scopes
+    keeps only the copy in their SMALLEST shared scope — the same
+    shuffle-free inline-dedup idea as the first-colliding-band filter,
+    extended to the scope dimension (both probe arrays are already on
+    the joined row)."""
     rows = _N_PLANES // bands
     mask = (1 << rows) - 1
     a, b = left.alias("a"), right.alias("b")
@@ -224,11 +318,21 @@ def _lsh_candidate_pairs(
     cond = (F.col("a.band") == F.col("b.band")) & (
         F.col("a.chunk") == F.col("b.chunk")
     )
+    if scope_col is not None:
+        cond = cond & (F.col(f"a.{scope_col}") == F.col(f"b.{scope_col}"))
     if ordered:
         cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    keep = is_first
+    if scope_col is not None:
+        smallest_shared = F.array_min(
+            F.array_intersect(
+                F.col(f"a.{scope_set_col}"), F.col(f"b.{scope_set_col}")
+            )
+        )
+        keep = keep & (F.col(f"a.{scope_col}") == smallest_shared)
     return (
         a.join(b, cond)
-        .filter(is_first)
+        .filter(keep)
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
@@ -598,6 +702,19 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the all-pairs join."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_verdicts(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register("q_dedup_semantic_scoped")  # no SQL oracle: verdicts depend on
+# k-means centroids + nprobe assignment (not expressible in DuckDB SQL);
+# the exact within-shared-cluster contract is model-tested in
+# tests/test_similarity.py::test_cluster_scoped_pairs_match_model
+def q_dedup_semantic_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup paper-faithful verdicts: pruning decided WITHIN coarse
+    IVF clusters only (arXiv:2303.09540 §3) — the linear-at-corpus-scale
+    form of q_dedup_semantic (candidates Σ_c n_c² instead of n²). Output
+    is deterministic (deterministic centroid seeding + probe rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_scoped(emb, "vec_id", "embedding", threshold=0.4)
 
 
 def incremental_semantic_verdicts(

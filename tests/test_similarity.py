@@ -67,3 +67,64 @@ def test_ivf_deterministic_across_runs(spark, sf_dir):
     one = sorted(map(tuple, q_ann_ivf_topk(spark, sf_dir).collect()))
     two = sorted(map(tuple, q_ann_ivf_topk(spark, sf_dir).collect()))
     assert one == two
+
+
+def test_cluster_scoped_pairs_match_model(spark, sf_dir):
+    """cluster_scoped_neardup == exact all-pairs RESTRICTED to pairs that
+    share ≥1 probed cluster (the SemDeDup within-cluster contract): no
+    false positives, no in-scope misses, and every pair emitted exactly
+    once despite colliding in multiple bands AND multiple shared
+    clusters (the smallest-shared-cluster inline dedup)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.similarity import (
+        _nearest_clusters,
+        cluster_scoped_neardup,
+        embedding_neardup_pairs,
+        ivf_build_centroids,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb)
+    # probe sets read back from the SAME expression the operator uses, so
+    # the model tests the scoping/dedup logic, not float reproducibility
+    probes = {
+        r["vec_id"]: set(r["cids"])
+        for r in emb.select(
+            "vec_id", _nearest_clusters("embedding", cents, 2).alias("cids")
+        ).collect()
+    }
+    exact = {
+        (r["id1"], r["id2"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    expected = {(a, b) for (a, b) in exact if probes[a] & probes[b]}
+
+    rows = cluster_scoped_neardup(
+        emb, threshold=0.4, nprobe=2, centroids=cents
+    ).collect()
+    got = [(r["id1"], r["id2"]) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == expected
+
+
+def test_semantic_scoped_verdicts_follow_min_id_rule(spark, sf_dir):
+    from iceberg_matrix_spark.operators.similarity import (
+        cluster_scoped_neardup,
+        ivf_build_centroids,
+        semantic_dedup_scoped,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb)
+    pairs = cluster_scoped_neardup(emb, threshold=0.4, centroids=cents).collect()
+    dropped = {r["id2"] for r in pairs}
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_scoped(emb, threshold=0.4, centroids=cents).collect()
+    }
+    assert len(got) == emb.count()
+    for vid, keep in got.items():
+        assert keep == (vid not in dropped)
