@@ -85,6 +85,12 @@ HEADLINE = [
     # against the reusable banded-signature index)
     "q_dedup_semantic",
     "q_dedup_semantic_incremental",
+    # round 5: write-audit-publish end-to-end (branch stage + audit gate
+    # + fast_forward publish) and the cluster-scoped SemDeDup form (the
+    # linear-at-scale candidate path — watching it keeps the scoping
+    # join's plan honest)
+    "q_wap_publish",
+    "q_dedup_semantic_scoped",
 ]
 
 

@@ -1713,7 +1713,7 @@ class IceLiteSQL:
             tp = args.pop("target_partitions", None)
             result = maint.rewrite_data_files(
                 t,
-                target_partitions=int(self._call_value(tp)) if tp else None,
+                target_partitions=self._call_int(tp, "target_partitions") if tp else None,
                 strategy=strategy,
                 columns=columns,
             )
@@ -1721,15 +1721,15 @@ class IceLiteSQL:
             older = args.pop("older_than", None)
             result = maint.expire_snapshots(
                 t,
-                older_than_ms=self._call_value(older) if older else None,
-                retain_last=int(self._call_value(args.pop("retain_last", "1"))),
+                older_than_ms=self._call_int(older, "older_than") if older else None,
+                retain_last=self._call_int(args.pop("retain_last", "1"), "retain_last"),
             )
         elif proc == "remove_orphan_files":
             older = args.pop("older_than", None)
             removed = maint.remove_orphan_files(
                 t,
                 dry_run=self._call_bool(args.pop("dry_run", "false"), "dry_run"),
-                older_than_ms=self._call_value(older) if older else None,
+                older_than_ms=self._call_int(older, "older_than") if older else None,
             )
             result = {"orphan_file_location_count": len(removed)}
         elif proc == "rewrite_manifests":
@@ -1743,21 +1743,21 @@ class IceLiteSQL:
             )
         elif proc == "rollback_to_snapshot":
             prev = t.meta.current_snapshot_id
-            sid = int(self._call_value(_req("snapshot_id")))
+            sid = self._call_int(_req("snapshot_id"), "snapshot_id")
             t.rollback_to_snapshot(sid)
             result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
         elif proc == "rollback_to_timestamp":
             prev = t.meta.current_snapshot_id
-            ts = self._call_value(_req("timestamp"))
-            sid = t.rollback_to_timestamp(int(ts))
+            ts = self._call_int(_req("timestamp"), "timestamp")
+            sid = t.rollback_to_timestamp(ts)
             result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
         elif proc == "set_current_snapshot":
             prev = t.meta.current_snapshot_id
-            sid = int(self._call_value(_req("snapshot_id")))
+            sid = self._call_int(_req("snapshot_id"), "snapshot_id")
             t.set_current_snapshot(sid)
             result = {"previous_snapshot_id": prev, "current_snapshot_id": sid}
         elif proc == "cherrypick_snapshot":
-            src = int(self._call_value(_req("snapshot_id")))
+            src = self._call_int(_req("snapshot_id"), "snapshot_id")
             new = t.cherrypick_snapshot(src)
             result = {"source_snapshot_id": src, "current_snapshot_id": new}
         elif proc == "fast_forward":
@@ -1768,7 +1768,7 @@ class IceLiteSQL:
         elif proc == "ancestors_of":
             sid_arg = args.pop("snapshot_id", None)
             chain = t.ancestors_of(
-                int(self._call_value(sid_arg)) if sid_arg else None
+                self._call_int(sid_arg, "snapshot_id") if sid_arg else None
             )
             return local_df(
                 self.spark, chain, "snapshot_id long, timestamp long"
@@ -1789,6 +1789,20 @@ class IceLiteSQL:
         else:  # pragma: no cover — _PROC_ARGS gate rejects unknown procs above
             raise UnsupportedSQLError(f"unknown procedure: system.{proc}")
         return self._result_df(result)
+
+    @staticmethod
+    def _call_int(text: str, param: str) -> int:
+        """Coerce one CALL argument to an integer (TIMESTAMP literals
+        arrive as epoch millis from _call_value). Booleans and other
+        non-integers are rejected — int(True) is 1 in Python, so e.g.
+        older_than => true would silently become a 1-millisecond cutoff
+        and expire everything."""
+        v = IceLiteSQL._call_value(text)
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise UnsupportedSQLError(
+                f"{param} expects an integer, got: {text.strip()[:40]!r}"
+            )
+        return v
 
     @staticmethod
     def _call_bool(text: str, param: str) -> bool:

@@ -394,3 +394,32 @@ def test_variant_shred_merge_rules():
     # irreconcilable shapes fall back to string
     s = _merge_json_type(_py_json_type([1]), _py_json_type({"k": 1}))
     assert s == T.StringType()
+
+
+def test_call_integer_args_reject_booleans_and_strings(spark, catalog):
+    """int(True) == 1, so `older_than => true` would silently become a
+    1-ms cutoff and expire every snapshot; snapshot_id => 'abc' would be
+    a raw ValueError. Both must be typed rejections BEFORE any effect."""
+    from iceberg_matrix_spark.sql import IceLiteSQL, UnsupportedSQLError
+
+    sql = IceLiteSQL(spark, catalog)
+    sql.sql("CREATE TABLE ns.ints (id BIGINT) USING iceberg")
+    sql.sql("INSERT INTO ns.ints VALUES (1)")
+    sql.sql("INSERT INTO ns.ints VALUES (2)")
+    t = catalog.load_table("ns.ints")
+    before = [s.snapshot_id for s in t.meta.snapshots]
+    for stmt in [
+        "CALL local.system.expire_snapshots(table => 'ns.ints', older_than => true)",
+        "CALL local.system.expire_snapshots(table => 'ns.ints', retain_last => 'one')",
+        "CALL local.system.rollback_to_snapshot(table => 'ns.ints', snapshot_id => true)",
+        "CALL local.system.remove_orphan_files(table => 'ns.ints', older_than => false)",
+    ]:
+        with pytest.raises(UnsupportedSQLError, match="expects an integer"):
+            sql.sql(stmt)
+    assert [s.snapshot_id for s in t.refresh().meta.snapshots] == before
+    # TIMESTAMP literals still coerce (epoch ms) and integers still work
+    sql.sql(
+        "CALL local.system.expire_snapshots(table => 'ns.ints', "
+        "older_than => TIMESTAMP '2099-01-01 00:00:00', retain_last => 1)"
+    )
+    assert len(t.refresh().meta.snapshots) >= 1
