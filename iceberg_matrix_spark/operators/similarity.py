@@ -712,9 +712,14 @@ def q_dedup_semantic_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup paper-faithful verdicts: pruning decided WITHIN coarse
     IVF clusters only (arXiv:2303.09540 §3) — the linear-at-corpus-scale
     form of q_dedup_semantic (candidates Σ_c n_c² instead of n²). Output
-    is deterministic (deterministic centroid seeding + probe rule)."""
+    is deterministic (deterministic centroid seeding + probe rule).
+    Centroids come from the per-corpus cache — the coarse quantizer is a
+    build-once index, like q_ann_ivf_topk's."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_scoped(emb, "vec_id", "embedding", threshold=0.4)
+    cents = ivf_centroids_cached(emb, sf_dir)
+    return semantic_dedup_scoped(
+        emb, "vec_id", "embedding", threshold=0.4, centroids=cents
+    )
 
 
 def incremental_semantic_verdicts(
