@@ -1725,8 +1725,11 @@ def t_variant_shredding(ctx: Ctx) -> str:
             "id bigint, data string",
         )
     )
-    cached = t2.refresh().meta.properties.get(
-        "write.parquet.variant-shredding.schema.data"
+    data_id = next(
+        f.id for f in t2.refresh().meta.current_schema.fields if f.name == "data"
+    )
+    cached = t2.meta.properties.get(
+        f"write.parquet.variant-shredding.schema.{data_id}"
     )
     assert cached == "struct<a:double,b:string>", cached
     shred_t = pq.read_schema(
@@ -1741,7 +1744,7 @@ def t_variant_shredding(ctx: Ctx) -> str:
     )
     assert (
         t2.refresh().meta.properties[
-            "write.parquet.variant-shredding.schema.data"
+            f"write.parquet.variant-shredding.schema.{data_id}"
         ]
         == cached
     )
@@ -1926,14 +1929,20 @@ def run_conformance(
     Probes run CONCURRENTLY on a thread pool: the Spark driver schedules
     jobs from multiple threads fine (each py4j call is thread-safe), the
     per-probe work is dominated by fixed job-scheduling latency, and
-    every probe is state-isolated — each gets its OWN warehouse catalog
-    (under ``warehouse``) plus a uuid namespace, so no probe can observe
-    another. Sequential wall-clock was ~6.5 min; 8 workers bring the
-    suite comfortably inside the reference's 30-min CI envelope."""
+    every probe's CATALOG state is isolated — each gets its OWN warehouse
+    catalog (under ``warehouse``) plus a uuid namespace. Session-GLOBAL
+    state (SQL confs, data-source registry) is shared by construction;
+    confs a probe needs are therefore set deterministically up front,
+    never mid-pool. Sequential wall-clock was ~6.5 min; 8 workers bring
+    the suite comfortably inside the reference's 30-min CI envelope."""
     import os as _os
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
+    # t_geospatial needs this session conf; setting it from a pooled
+    # worker would make every concurrent probe's view of it depend on
+    # thread interleaving — set it once, before any probe runs
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
     base_wh = warehouse or tempfile.mkdtemp(prefix="conf-wh-")
     if max_workers is None:
         max_workers = int(

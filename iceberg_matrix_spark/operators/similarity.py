@@ -201,17 +201,7 @@ def semantic_dedup_scoped(
     pairs = cluster_scoped_neardup(
         df, id_col, vec_col, threshold, n_clusters, nprobe, centroids=centroids
     )
-    dropped = pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
-        "__dup", F.lit(True)
-    )
-    return (
-        df.select(id_col)
-        .join(dropped, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
-        )
-    )
+    return _verdicts_from_pairs(df, pairs, id_col)
 
 
 def _banded_signatures(
@@ -648,6 +638,26 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_lsh(emb, threshold=0.4)
 
 
+def _verdicts_from_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """keep-verdict per row from (id1, id2) dup pairs under the min-id
+    representative rule: id2 (the higher id) is dropped, everything else
+    kept. Shared by the global and cluster-scoped dedup so the rule
+    cannot drift between them."""
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
+        "__dup", F.lit(True)
+    )
+    return (
+        df.select(id_col)
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def semantic_dedup_verdicts(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -667,17 +677,7 @@ def semantic_dedup_verdicts(
     are used here because they are deterministic, which keeps the verdict
     column exactly reproducible by the all-pairs oracle."""
     pairs = embedding_neardup_lsh(df, id_col, vec_col, threshold=threshold)
-    dropped = pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
-        "__dup", F.lit(True)
-    )
-    return (
-        df.select(id_col)
-        .join(dropped, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
-        )
-    )
+    return _verdicts_from_pairs(df, pairs, id_col)
 
 
 @register(

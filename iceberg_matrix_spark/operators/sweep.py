@@ -184,16 +184,33 @@ class StageMetrics:
         with urllib.request.urlopen(self.url + "?status=complete") as r:
             return json.loads(r.read().decode())
 
+    def _settled_stages(self) -> list[dict]:
+        """Stage list after the status store stops changing: the store is
+        fed by an async listener queue, so reading immediately after an
+        action returns can miss the job's final stages (they would then
+        be misattributed to the NEXT measured block). Poll until two
+        consecutive snapshots agree (bounded wait)."""
+        prev = self._stages()
+        for _ in range(20):
+            time.sleep(0.15)
+            cur = self._stages()
+            if {(s["stageId"], s["attemptId"]) for s in cur} == {
+                (s["stageId"], s["attemptId"]) for s in prev
+            }:
+                return cur
+            prev = cur
+        return prev
+
     def measure(self, fn) -> dict:
         """Run fn() and return wall/shuffle/task metrics of the new
         completed stages it produced."""
-        before = {(s["stageId"], s["attemptId"]) for s in self._stages()}
+        before = {(s["stageId"], s["attemptId"]) for s in self._settled_stages()}
         start = time.perf_counter()
         fn()
         wall = time.perf_counter() - start
         new = [
             s
-            for s in self._stages()
+            for s in self._settled_stages()
             if (s["stageId"], s["attemptId"]) not in before
         ]
         return {
@@ -213,11 +230,24 @@ def _family_frames(spark: SparkSession, paths: dict[str, str]):
     return docs, emb
 
 
-def _fixed_queries(emb: DataFrame) -> DataFrame:
-    """16 fixed query vectors (lowest replica-0 ids) — the ANN sweep
-    holds query load constant and scales only the corpus."""
+def _replica0(emb: DataFrame, factor: int) -> DataFrame:
+    """Replica-0 rows (the identity copies of the base corpus):
+    amplified ids are base_id·factor + replica."""
+    if factor <= 1:
+        return emb
+    return emb.filter(F.col("vec_id") % factor == 0)
+
+
+def _fixed_queries(emb: DataFrame, factor: int) -> DataFrame:
+    """16 fixed query vectors — the SAME 16 base vectors (replica-0
+    copies) at every factor, so the ANN sweep holds query load constant
+    and scales only the corpus. Without the replica-0 filter, orderBy
+    .limit at factor f would pick sign-flipped replicas of only the
+    ~16/f lowest base ids — a query workload that changes with the
+    factor."""
     return (
-        emb.orderBy("vec_id")
+        _replica0(emb, factor)
+        .orderBy("vec_id")
         .limit(16)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -240,7 +270,7 @@ def family_runners() -> dict:
         duplicate_spans,
     )
 
-    def semantic(spark, docs, emb):
+    def semantic(spark, docs, emb, factor):
         # the production semantic-dedup path: a FIXED-size ingest batch
         # against the growing corpus (incremental form). The self-join
         # form's candidate volume is near-quadratic by its documented
@@ -251,7 +281,8 @@ def family_runners() -> dict:
         # corpus id space, so every batch row has a corpus twin
         # (guaranteed dup_of_corpus matches at any factor).
         batch = (
-            emb.orderBy("vec_id")
+            _replica0(emb, factor)
+            .orderBy("vec_id")
             .limit(500)
             .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000_000))
         )
@@ -260,18 +291,18 @@ def family_runners() -> dict:
         )
 
     return {
-        "ngram": lambda spark, docs, emb: ngram_jaccard_pairs(
+        "ngram": lambda spark, docs, emb, factor: ngram_jaccard_pairs(
             docs, threshold=0.5, max_doc_freq=64
         ),
-        "minhash": lambda spark, docs, emb: minhash_neardup_pairs(
+        "minhash": lambda spark, docs, emb, factor: minhash_neardup_pairs(
             docs, threshold=0.5
         ),
-        "spans": lambda spark, docs, emb: duplicate_spans(
+        "spans": lambda spark, docs, emb, factor: duplicate_spans(
             docs, "doc_id", "text"
         ),
         "semantic": semantic,
-        "ann": lambda spark, docs, emb: ann_lsh_topk(
-            emb, F.broadcast(_fixed_queries(emb)), k=10
+        "ann": lambda spark, docs, emb, factor: ann_lsh_topk(
+            emb, F.broadcast(_fixed_queries(emb, factor)), k=10
         ),
     }
 
@@ -309,7 +340,7 @@ def run_scale_sweep(
         )
         for fam, fn in runners.items():
             row = metrics.measure(
-                lambda: fn(spark, docs, emb)
+                lambda: fn(spark, docs, emb, factor)
                 .write.format("noop")
                 .mode("overwrite")
                 .save()

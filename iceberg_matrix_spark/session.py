@@ -17,6 +17,8 @@ coalescing).
 from __future__ import annotations
 
 import os
+import threading
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -76,3 +78,23 @@ def local_df(spark: SparkSession, rows, schema: str):
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
+# Data-source registration: once per LIVE session, under a lock.
+# - lock: concurrent register() calls race to DATA_SOURCE_ALREADY_EXISTS
+#   (thread-pooled conformance probes); sequential re-register is only a
+#   WARN, the race is an error.
+# - WeakSet, not id(spark): a new session allocated at a garbage-collected
+#   session's address would satisfy an id()-keyed guard and silently skip
+#   registration (first read would fail DATA_SOURCE_NOT_FOUND).
+_DS_LOCK = threading.Lock()
+_DS_REGISTERED: dict[str, object] = {}
+
+
+def register_data_source_once(spark: SparkSession, cls, name: str) -> None:
+    with _DS_LOCK:
+        seen = _DS_REGISTERED.setdefault(name, weakref.WeakSet())
+        if spark in seen:
+            return
+        spark.dataSource.register(cls)
+        seen.add(spark)

@@ -29,7 +29,6 @@ executor Python workers on Arrow batches.
 
 from __future__ import annotations
 
-import threading
 from typing import Iterator
 
 from pyspark.sql import SparkSession
@@ -243,11 +242,16 @@ class IceLiteBatchReader(DataSourceReader):
             if partition.seq >= dseq or not file_cols:
                 continue
             keys = pq.read_table(ddir, columns=file_cols)
-            mask = None
-            for fc, kc in zip(file_cols, proj_cols):
-                hit = pc.is_in(out[kc], value_set=keys[fc].combine_chunks())
-                mask = hit if mask is None else pc.and_(mask, hit)
-            out = out.filter(pc.invert(pc.fill_null(mask, False)))
+            if not keys.num_rows:
+                continue
+            # row-wise TUPLE matching, null-safe (spec semantics: a delete
+            # row carrying NULL matches data rows with NULL — same contract
+            # as the table read's eqNullSafe join and the interop's IS NOT
+            # DISTINCT FROM). Per-column is_in would cross-match composite
+            # keys: deletes {(1,'a'),(2,'b')} must not delete (1,'b').
+            key_set = set(zip(*[keys[fc].to_pylist() for fc in file_cols]))
+            rows = zip(*[out[kc].to_pylist() for kc in proj_cols])
+            out = out.filter(pa.array([row not in key_set for row in rows]))
 
         yield from out.to_batches()
 
@@ -271,20 +275,11 @@ class IceLiteBatchDataSource(DataSource):
         return IceLiteBatchReader(dict(self.options))
 
 
-_REGISTER_LOCK = threading.Lock()
-_REGISTERED: "set[int]" = set()
-
-
 def register_batch_source(spark: SparkSession) -> None:
     # pushFilters requires this conf (dynamic SQLConf — safe to set at
     # runtime); self-configure so the source works on any session, the
-    # same pattern as load_table's nanosAsLong.
-    # Once per session, under a lock: concurrent register() calls race to
-    # DATA_SOURCE_ALREADY_EXISTS (thread-pooled conformance probes).
+    # same pattern as load_table's nanosAsLong
+    from iceberg_matrix_spark.session import register_data_source_once  # noqa: PLC0415
+
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    key = id(spark)
-    with _REGISTER_LOCK:
-        if key in _REGISTERED:
-            return
-        spark.dataSource.register(IceLiteBatchDataSource)
-        _REGISTERED.add(key)
+    register_data_source_once(spark, IceLiteBatchDataSource, SOURCE_NAME)

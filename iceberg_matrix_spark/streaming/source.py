@@ -23,7 +23,6 @@ decoding is executor-side pyarrow.
 
 from __future__ import annotations
 
-import threading
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -138,21 +137,10 @@ class IceLiteStreamDataSource(DataSource):
         return IceLiteStreamReader(dict(self.options))
 
 
-_REGISTER_LOCK = threading.Lock()
-_REGISTERED: "set[int]" = set()
-
-
 def register_stream_source(spark: SparkSession) -> None:
-    # Once per session, under a lock: re-registering is only a WARN when
-    # sequential, but two threads racing the same register() hit Spark's
-    # DATA_SOURCE_ALREADY_EXISTS (observed when conformance probes run on
-    # a thread pool).
-    key = id(spark)
-    with _REGISTER_LOCK:
-        if key in _REGISTERED:
-            return
-        spark.dataSource.register(IceLiteStreamDataSource)
-        _REGISTERED.add(key)
+    from iceberg_matrix_spark.session import register_data_source_once  # noqa: PLC0415
+
+    register_data_source_once(spark, IceLiteStreamDataSource, SOURCE_NAME)
 
 
 def read_stream(

@@ -204,7 +204,12 @@ def rewrite_data_files(
             total = sum(f.file_size_bytes for f in parent.data_files)
             n = max(1, -(-total // max(target_bytes, 1)))
             live = live.coalesce(n)
-        # heavy distributed write, outside the optimistic-commit loop
+        # heavy distributed write, outside the optimistic-commit loop.
+        # (No meta= here: the commit's meta object doesn't exist yet, so a
+        # shred-enabled table whose schema was never cached by an append
+        # re-infers per compaction — one bounded 256-row-sample job, noise
+        # next to the rewrite itself. When an append HAS cached the
+        # schema, this read uses it, keeping files consistent.)
         entries = table._write_data_files(
             live, table.meta.current_schema_id, parent.sequence_number + 1
         )

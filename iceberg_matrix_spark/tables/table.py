@@ -609,19 +609,24 @@ class IceLiteTable:
             == "true"
         ):
             props = (meta or self.meta).properties
-            vcols = [f_.name for f_ in ts.fields if f_.type == "variant"]
+            # cache keyed by FIELD ID, not name: a dropped-then-recreated
+            # (or renamed-onto) variant column must never inherit the old
+            # column's shred schema — the same id-resolution rule the
+            # equality-delete and identifier-field paths follow
+            vfields = [f_ for f_ in ts.fields if f_.type == "variant"]
+            fid = {f_.name: f_.id for f_ in vfields}
             shred = {
-                c: props[_VARIANT_SCHEMA_PROP + c]
-                for c in vcols
-                if _VARIANT_SCHEMA_PROP + c in props
+                f_.name: props[_VARIANT_SCHEMA_PROP + str(f_.id)]
+                for f_ in vfields
+                if _VARIANT_SCHEMA_PROP + str(f_.id) in props
             }
-            missing = [c for c in vcols if c not in shred]
+            missing = [f_.name for f_ in vfields if f_.name not in shred]
             if missing:
                 inferred = self._infer_variant_shred_schemas(out, missing)
                 shred.update(inferred)
                 if meta is not None:
                     for c, ddl in inferred.items():
-                        meta.properties[_VARIANT_SCHEMA_PROP + c] = ddl
+                        meta.properties[_VARIANT_SCHEMA_PROP + str(fid[c])] = ddl
             for c, ddl in shred.items():
                 out = out.withColumn(
                     f"{c}__typed_value", F.from_json(F.col(c), ddl)

@@ -152,3 +152,42 @@ def test_smallint_column_reads(spark, cat):
     register_batch_source(spark)
     row = spark.read.format("icelite").load(t.location).collect()[0]
     assert (row["id"], row["s"]) == (1, 7)
+
+
+def test_composite_key_equality_deletes_tuple_semantics(spark, cat):
+    """Composite-key equality deletes are ROW-WISE tuples, not per-column
+    sets: deletes {(1,'a'),(2,'b')} must leave (1,'b') and (2,'a') alive.
+    The batch source must agree with the table read (which it once did
+    not — per-column is_in cross-matched the key columns)."""
+    t = cat.create_table("bs.comp", "id bigint, tag string, v bigint")
+    t.append(
+        local_df(
+            spark,
+            [(1, "a", 1), (1, "b", 2), (2, "a", 3), (2, "b", 4)],
+            "id bigint, tag string, v bigint",
+        )
+    )
+    t.upsert(
+        local_df(spark, [(1, "a", 10), (2, "b", 40)], "id bigint, tag string, v bigint"),
+        ["id", "tag"],
+    )
+    want = {(r["id"], r["tag"]): r["v"] for r in t.refresh().df().collect()}
+    assert want == {(1, "a"): 10, (1, "b"): 2, (2, "a"): 3, (2, "b"): 40}
+    got = {
+        (r["id"], r["tag"]): r["v"]
+        for r in spark.read.format("icelite").load(t.location).collect()
+    }
+    assert got == want
+
+
+def test_null_keyed_equality_delete_through_batch_source(spark, cat):
+    """NULL-keyed equality deletes match null-safely in the batch source,
+    same as the table read and the DuckDB interop."""
+    t = cat.create_table("bs.nulldel", "id bigint, v bigint")
+    t.append(local_df(spark, [(None, 1), (7, 2)], "id bigint, v bigint"))
+    t.upsert(local_df(spark, [(None, 9)], "id bigint, v bigint"), ["id"])
+    got = {
+        r["id"]: r["v"]
+        for r in spark.read.format("icelite").load(t.location).collect()
+    }
+    assert got == {None: 9, 7: 2}

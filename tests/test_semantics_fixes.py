@@ -367,11 +367,15 @@ def test_variant_shred_inference_is_one_pass_and_cached(spark, catalog, monkeypa
     # one inference call for BOTH columns
     assert calls == [["d1", "d2"]]
     props = t.refresh().meta.properties
+    ids = {f.name: f.id for f in t.meta.current_schema.fields}
     assert (
-        props["write.parquet.variant-shredding.schema.d1"]
+        props[f"write.parquet.variant-shredding.schema.{ids['d1']}"]
         == "struct<a:bigint,b:array<bigint>>"
     )
-    assert props["write.parquet.variant-shredding.schema.d2"] == "struct<x:boolean>"
+    assert (
+        props[f"write.parquet.variant-shredding.schema.{ids['d2']}"]
+        == "struct<x:boolean>"
+    )
     # second append: cache hit, no inference at all
     t.append(
         local_df(spark, [(3, '{"z": 0}', '{"x": false}')], "id bigint, d1 string, d2 string")
@@ -423,3 +427,37 @@ def test_call_integer_args_reject_booleans_and_strings(spark, catalog):
         "older_than => TIMESTAMP '2099-01-01 00:00:00', retain_last => 1)"
     )
     assert len(t.refresh().meta.snapshots) >= 1
+
+
+def test_variant_shred_cache_not_inherited_across_drop_recreate(spark, catalog):
+    """A dropped-then-recreated variant column has a NEW field id, so it
+    must re-infer its own shred schema — inheriting the old column's
+    cached shape would write an all-null typed sibling (the cache is
+    keyed by field id for exactly this reason)."""
+    t = catalog.create_table(
+        "ns.vshred_recreate",
+        "id bigint, data variant",
+        properties={"format-version": "3"},
+    )
+    t.set_properties({"write.parquet.variant-shredding.enabled": "true"})
+    t.refresh().append(
+        local_df(spark, [(1, '{"a": 1.5}')], "id bigint, data string")
+    )
+    old_ids = {f.name: f.id for f in t.refresh().meta.current_schema.fields}
+    t.drop_column("data")
+    t.add_columns({"data": "variant"})
+    t.refresh().append(
+        local_df(spark, [(2, '{"x": true}')], "id bigint, data string")
+    )
+    new_ids = {f.name: f.id for f in t.refresh().meta.current_schema.fields}
+    assert new_ids["data"] != old_ids["data"]
+    props = t.meta.properties
+    assert (
+        props[f"write.parquet.variant-shredding.schema.{new_ids['data']}"]
+        == "struct<x:boolean>"
+    )
+    # the old column's cache is untouched (and unreachable by id)
+    assert (
+        props[f"write.parquet.variant-shredding.schema.{old_ids['data']}"]
+        == "struct<a:double>"
+    )
