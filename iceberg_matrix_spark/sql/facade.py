@@ -1649,7 +1649,15 @@ class IceLiteSQL:
             named = [re.match(r"(\w+)\s*=>\s*(.+)$", i, re.S) for i in items]
             if all(named):
                 for am in named:
-                    args[am.group(1).lower()] = am.group(2).strip()
+                    key = am.group(1).lower()
+                    if key in args:
+                        # last-wins would silently honor whichever copy
+                        # came later — e.g. two table => arguments pick an
+                        # arbitrary victim for a destructive procedure
+                        raise UnsupportedSQLError(
+                            f"duplicate CALL argument: {key}"
+                        )
+                    args[key] = am.group(2).strip()
             elif not any(named):
                 # positional form (Iceberg accepts both):
                 # CALL system.rollback_to_snapshot('db.t', 123)

@@ -374,6 +374,7 @@ _CALL_FAULTS = [
     "too_many_positional",
     "mixed_forms",
     "bad_bool",
+    "duplicate_arg",
 ]
 
 
@@ -439,11 +440,23 @@ def test_call_fault_rejected_before_side_effect(fz, spark, rows, data):
             f"{k} => {v}" for k, v in args.items()
         )
     elif fault == "unknown_arg":
-        bogus = data.draw(st.sampled_from(["retention", "snapshotid", "älder", "t able"]))
+        # names must stay UNKNOWN after normalization — an earlier draw,
+        # 't able', collapsed to the valid name 'table' and turned this
+        # into a duplicate-argument case (now its own fault class below)
+        bogus = data.draw(st.sampled_from(["retention", "snapshotid", "aelder", "tab1e"]))
         items = [f"{k} => {v}" for k, v in args.items()]
         items.insert(
             data.draw(st.integers(min_value=0, max_value=len(items))),
-            f"{bogus.replace(' ', '')} => 1",
+            f"{bogus} => 1",
+        )
+        proc_txt, arg_txt = proc, ", ".join(items)
+    elif fault == "duplicate_arg":
+        # last-wins would execute with an arbitrary copy — must reject
+        dup = data.draw(st.sampled_from(sorted(args)))
+        items = [f"{k} => {v}" for k, v in args.items()]
+        items.insert(
+            data.draw(st.integers(min_value=0, max_value=len(items))),
+            f"{dup} => {args[dup]}",
         )
         proc_txt, arg_txt = proc, ", ".join(items)
     elif fault == "missing_table":
