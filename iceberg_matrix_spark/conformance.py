@@ -1588,7 +1588,8 @@ def t_geospatial(ctx: Ctx) -> str:
 
     if ctx.version < 3:
         return "fail"  # V3-only storage type, like the reference's skip
-    ctx.spark.conf.set("spark.sql.geospatial.enabled", "true")
+    # spark.sql.geospatial.enabled is set once, up front, by
+    # run_conformance (probes never mutate session confs mid-pool)
     df = local_df(ctx.spark, [(3, 4)], "x long, y long").select(
         wkb_point("x", "y").alias("g")
     )
@@ -1941,8 +1942,11 @@ def run_conformance(
 
     # t_geospatial needs this session conf; setting it from a pooled
     # worker would make every concurrent probe's view of it depend on
-    # thread interleaving — set it once, before any probe runs
-    spark.conf.set("spark.sql.geospatial.enabled", "true")
+    # thread interleaving — set it once, before any probe runs, and
+    # restore the caller's prior value on the way out
+    _geo_conf = "spark.sql.geospatial.enabled"
+    _geo_prior = spark.conf.get(_geo_conf, None)
+    spark.conf.set(_geo_conf, "true")
     base_wh = warehouse or tempfile.mkdtemp(prefix="conf-wh-")
     if max_workers is None:
         max_workers = int(
@@ -1983,8 +1987,14 @@ def run_conformance(
             compute_match(verdict, expected), detail,
         )
 
-    with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        results = list(ex.map(run_one, tasks))
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            results = list(ex.map(run_one, tasks))
+    finally:
+        if _geo_prior is None:
+            spark.conf.unset(_geo_conf)
+        else:
+            spark.conf.set(_geo_conf, _geo_prior)
     report = {
         "results": [vars(r) for r in results],
         "totals": {

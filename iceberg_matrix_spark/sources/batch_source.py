@@ -140,6 +140,15 @@ def project_arrow_table(table, file_schema, target_schema):
     return pa.table(dict(zip(names, cols)))
 
 
+_NAN = object()  # sentinel: lets float NaN keys compare equal (eqNullSafe)
+
+
+def _norm(v):
+    if isinstance(v, float) and v != v:
+        return _NAN
+    return v
+
+
 class _ScanPartition(InputPartition):
     def __init__(self, path, seq, schema_id, pos_delete_dirs, eq_deletes):
         self.path = path
@@ -239,19 +248,37 @@ class IceLiteBatchReader(DataSourceReader):
         # the delete parquet is read by its WRITE-TIME column names, the
         # projected table matched by the field-id-resolved target names
         for ddir, file_cols, proj_cols, dseq in partition.eq_deletes:
+            if not out.num_rows:
+                break  # nothing left to delete; empty masks are ill-typed
             if partition.seq >= dseq or not file_cols:
                 continue
             keys = pq.read_table(ddir, columns=file_cols)
             if not keys.num_rows:
                 continue
-            # row-wise TUPLE matching, null-safe (spec semantics: a delete
-            # row carrying NULL matches data rows with NULL — same contract
-            # as the table read's eqNullSafe join and the interop's IS NOT
-            # DISTINCT FROM). Per-column is_in would cross-match composite
-            # keys: deletes {(1,'a'),(2,'b')} must not delete (1,'b').
-            key_set = set(zip(*[keys[fc].to_pylist() for fc in file_cols]))
+            if len(file_cols) == 1:
+                # single-key fast path: vectorized set membership; Arrow
+                # is_in already treats NaN==NaN, nulls handled explicitly
+                # (spec semantics: a delete row carrying NULL matches data
+                # rows with NULL — same contract as eqNullSafe / IS NOT
+                # DISTINCT FROM in the other two read paths)
+                vals = keys[file_cols[0]].combine_chunks()
+                hit = pc.is_in(out[proj_cols[0]], value_set=vals)
+                out = out.filter(pc.invert(hit))
+                continue
+            # composite keys: row-wise TUPLE matching, null-safe and
+            # NaN-safe (_norm maps float NaN to a sentinel so NaN keys
+            # match, mirroring eqNullSafe). Per-column is_in would
+            # cross-match composite keys: deletes {(1,'a'),(2,'b')} must
+            # not delete (1,'b'); Arrow has no struct is_in kernel here.
+            key_set = {
+                tuple(_norm(v) for v in row)
+                for row in zip(*[keys[fc].to_pylist() for fc in file_cols])
+            }
             rows = zip(*[out[kc].to_pylist() for kc in proj_cols])
-            out = out.filter(pa.array([row not in key_set for row in rows]))
+            mask = [
+                tuple(_norm(v) for v in row) not in key_set for row in rows
+            ]
+            out = out.filter(pa.array(mask, type=pa.bool_()))
 
         yield from out.to_batches()
 

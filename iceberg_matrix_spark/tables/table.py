@@ -98,6 +98,31 @@ def _py_json_type(v) -> "T.DataType":
     return T.StringType()
 
 
+def _strip_null_leaves(t: "T.DataType") -> "T.DataType":
+    """Replace any remaining NullType leaf with string. A JSON field that
+    is null in every sampled row merges to NullType; parquet cannot write
+    a void column, and the DDL is cached per field id — so one all-null
+    sample would otherwise poison every later append on the table."""
+    if isinstance(t, T.NullType):
+        return T.StringType()
+    if isinstance(t, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_null_leaves(f.dataType), f.nullable)
+                for f in t.fields
+            ]
+        )
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_strip_null_leaves(t.elementType), t.containsNull)
+    if isinstance(t, T.MapType):
+        return T.MapType(
+            _strip_null_leaves(t.keyType),
+            _strip_null_leaves(t.valueType),
+            t.valueContainsNull,
+        )
+    return t
+
+
 def _merge_json_type(a: "T.DataType", b: "T.DataType") -> "T.DataType":
     """Least-upper-bound of two inferred JSON shapes: struct fields
     union-merge (the SUPERSET schema), long+double widen to double,
@@ -576,7 +601,7 @@ class IceLiteTable:
                 except ValueError:
                     continue
             if isinstance(merged, (T.StructType, T.ArrayType)):
-                result[c] = merged.simpleString()
+                result[c] = _strip_null_leaves(merged).simpleString()
         return result
 
     def _write_data_files(

@@ -180,6 +180,62 @@ def test_composite_key_equality_deletes_tuple_semantics(spark, cat):
     assert got == want
 
 
+def test_successive_upserts_emptying_a_file(spark, cat):
+    """Two successive upserts whose keys cover a whole data file: the
+    first equality-delete file empties it, and the second must apply to
+    the now-zero-row table without crashing (an empty Python mask is
+    null-typed and Table.filter rejects it — regression)."""
+    t = cat.create_table("bs.twice", "id bigint, v bigint")
+    t.append(local_df(spark, [(1, 1), (2, 2)], "id bigint, v bigint"))
+    t.upsert(local_df(spark, [(1, 10), (2, 20)], "id bigint, v bigint"), ["id"])
+    t.upsert(local_df(spark, [(1, 100), (2, 200)], "id bigint, v bigint"), ["id"])
+    got = {
+        r["id"]: r["v"]
+        for r in spark.read.format("icelite").load(t.location).collect()
+    }
+    assert got == {1: 100, 2: 200}
+    # composite-key (tuple-matching) path, same emptied-file shape
+    t2 = cat.create_table("bs.twice2", "id bigint, tag string, v bigint")
+    t2.append(local_df(spark, [(1, "a", 1)], "id bigint, tag string, v bigint"))
+    t2.upsert(
+        local_df(spark, [(1, "a", 10)], "id bigint, tag string, v bigint"),
+        ["id", "tag"],
+    )
+    t2.upsert(
+        local_df(spark, [(1, "a", 100)], "id bigint, tag string, v bigint"),
+        ["id", "tag"],
+    )
+    got2 = {
+        (r["id"], r["tag"]): r["v"]
+        for r in spark.read.format("icelite").load(t2.location).collect()
+    }
+    assert got2 == {(1, "a"): 100}
+
+
+def test_nan_keyed_composite_equality_delete(spark, cat):
+    """NaN composite keys match NaN data rows — the Spark MoR read's
+    eqNullSafe treats NaN=NaN as equal, and the batch source must agree
+    (distinct Python float('nan') objects never match in a plain set)."""
+    t = cat.create_table("bs.nankey", "id bigint, f double, v bigint")
+    t.append(
+        spark.sql(
+            "SELECT * FROM VALUES (1, CAST('NaN' AS DOUBLE), 1), "
+            "(2, 2.5D, 2) AS t(id, f, v)"
+        )
+    )
+    t.upsert(
+        spark.sql("SELECT 1 AS id, CAST('NaN' AS DOUBLE) AS f, 9 AS v"),
+        ["id", "f"],
+    )
+    want = {r["id"]: r["v"] for r in t.refresh().df().collect()}
+    assert want == {1: 9, 2: 2}
+    got = {
+        r["id"]: r["v"]
+        for r in spark.read.format("icelite").load(t.location).collect()
+    }
+    assert got == want
+
+
 def test_null_keyed_equality_delete_through_batch_source(spark, cat):
     """NULL-keyed equality deletes match null-safely in the batch source,
     same as the table read and the DuckDB interop."""

@@ -400,6 +400,49 @@ def test_variant_shred_merge_rules():
     assert s == T.StringType()
 
 
+def test_variant_shred_all_null_field_falls_back_to_string(spark, catalog):
+    """A JSON field that is null in EVERY sampled row merges to NullType;
+    parquet cannot write a void column and the DDL is cached by field id,
+    so one all-null sample would poison every later append. The leaf must
+    fall back to string — and later appends with real values must work."""
+    from pyspark.sql import types as T
+
+    from iceberg_matrix_spark.tables.table import (
+        _merge_json_type,
+        _py_json_type,
+        _strip_null_leaves,
+    )
+
+    m = _merge_json_type(
+        _py_json_type({"a": None, "b": 1}), _py_json_type({"a": None})
+    )
+    assert _strip_null_leaves(m).simpleString() == "struct<a:string,b:bigint>"
+    assert _strip_null_leaves(T.NullType()) == T.StringType()
+
+    t = catalog.create_table(
+        "ns.vshred_nullfield",
+        "id bigint, data variant",
+        properties={"format-version": "3"},
+    )
+    t.set_properties({"write.parquet.variant-shredding.enabled": "true"})
+    t.refresh().append(
+        local_df(
+            spark,
+            [(1, '{"a": null, "b": 1}'), (2, '{"a": null}')],
+            "id bigint, data string",
+        )
+    )
+    ids = {f.name: f.id for f in t.refresh().meta.current_schema.fields}
+    ddl = t.meta.properties[
+        f"write.parquet.variant-shredding.schema.{ids['data']}"
+    ]
+    assert "void" not in ddl
+    assert ddl == "struct<a:string,b:bigint>"
+    # the cached DDL must accept later appends where the field has values
+    t.append(local_df(spark, [(3, '{"a": "x", "b": 2}')], "id bigint, data string"))
+    assert t.refresh().df().count() == 3
+
+
 def test_call_integer_args_reject_booleans_and_strings(spark, catalog):
     """int(True) == 1, so `older_than => true` would silently become a
     1-ms cutoff and expire every snapshot; snapshot_id => 'abc' would be
