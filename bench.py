@@ -128,6 +128,8 @@ def main() -> None:
     from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
         _semantic_incremental_exec,
         _semantic_incremental_setup,
+        _semantic_scoped_exec,
+        _semantic_scoped_setup,
     )
 
     SPLIT_DML = {
@@ -140,6 +142,12 @@ def main() -> None:
         "q_dedup_semantic_incremental": (
             _semantic_incremental_setup,
             _semantic_incremental_exec,
+        ),
+        # setup = coarse-quantizer (centroid) build — a once-per-corpus
+        # index, amortized across every scoped-dedup query in production
+        "q_dedup_semantic_scoped": (
+            _semantic_scoped_setup,
+            _semantic_scoped_exec,
         ),
     }
 

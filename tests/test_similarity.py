@@ -128,3 +128,38 @@ def test_semantic_scoped_verdicts_follow_min_id_rule(spark, sf_dir):
     assert len(got) == emb.count()
     for vid, keep in got.items():
         assert keep == (vid not in dropped)
+
+
+def test_seed_centroids_are_lowest_id_embeddings(spark, sf_dir):
+    """The certified scoped-dedup quantizer: centroids are the k lowest-id
+    embeddings VERBATIM (zero Lloyd steps) — the property that makes the
+    whole scoped pipeline reproducible by the DuckDB oracle."""
+    from iceberg_matrix_spark.operators.similarity import ivf_seed_centroids
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids(emb, k=4)
+    rows = emb.orderBy("vec_id").limit(4).collect()
+    assert cents == [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def test_scoped_bench_split_matches_registered_query(spark, sf_dir):
+    """_semantic_scoped_setup/_exec (the bench split) produce the same
+    verdicts as the registered query, and setup rebuilds the cached
+    centroids exactly once."""
+    from iceberg_matrix_spark.operators.similarity import (
+        IVF_BUILD_COUNT,
+        _semantic_scoped_exec,
+        _semantic_scoped_setup,
+        q_dedup_semantic_scoped,
+    )
+
+    before = IVF_BUILD_COUNT["n"]
+    handle = _semantic_scoped_setup(spark, sf_dir)
+    assert IVF_BUILD_COUNT["n"] == before + 1  # cache evicted, one rebuild
+    split = {(r["vec_id"], r["keep"]) for r in _semantic_scoped_exec(handle).collect()}
+    reg = {
+        (r["vec_id"], r["keep"])
+        for r in q_dedup_semantic_scoped(spark, sf_dir).collect()
+    }
+    assert split == reg
