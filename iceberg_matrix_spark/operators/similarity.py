@@ -112,22 +112,26 @@ def embedding_neardup_lsh(
     trade.
 
     COST MODEL (be honest about what a 0.4 threshold costs): a band with
-    ``r`` bits splits n rows into 2^r buckets, so candidate volume is
-    ≈ 2·bands·n²/2^r id-pairs — the low threshold forces coarse buckets
-    (r=2 here; finer buckets lose recall at 63% per-bit match
-    probability), which makes global exact near-dup near-quadratic in
-    *16-byte id rows* (never in vectors — those join back only for the
-    |candidates| that survive dedup). At corpus scale the quadratic term
-    is removed by SCOPING, not by more bands: assign IVF cluster ids
-    first (:func:`ivf_build_centroids`) and run this within cluster —
-    SemDeDup's design (arXiv:2303.09540) — which this function supports
-    by being called per-partition of any upstream grouping. The global
-    form here is the oracle-reproducible variant for the registered
-    queries.
+    ``r`` bits splits n rows into 2^r buckets, so band-collision volume
+    is ≈ 2·bands·n²/2^r joined rows — the low threshold forces coarse
+    buckets (r=2 here; finer buckets lose recall at 63% per-bit match
+    probability, and no wider signature fixes it — see SCALING.md's
+    amplification-gap math), so global exact near-dup stays
+    near-quadratic in COMPUTE. What it is no longer quadratic in is
+    SHUFFLE: candidates are verified INLINE in the band join on carried
+    vectors (:func:`_lsh_verified_pairs`), so the only exchanged data is
+    the 2·bands linear banded rows — the near-quadratic pair set exists
+    in-flight only. At corpus scale the quadratic compute term is
+    removed by SCOPING, not by more bands: assign IVF cluster ids first
+    (:func:`ivf_build_centroids`) and run this within cluster —
+    SemDeDup's design (arXiv:2303.09540), :func:`cluster_scoped_neardup`.
+    The global form here is the oracle-reproducible variant for the
+    registered queries.
     """
-    banded = _banded_signatures(df, id_col, vec_col, bands)
-    cands = _lsh_candidate_pairs(banded, banded, bands, ordered=True, id_col=id_col)
-    return _verify_cosine(cands, df, id_col, vec_col, threshold)
+    banded = _banded_signatures(df, id_col, vec_col, bands, carry_vec=True)
+    return _lsh_verified_pairs(
+        banded, banded, bands, ordered=True, id_col=id_col, threshold=threshold
+    )
 
 
 def cluster_scoped_neardup(
@@ -164,7 +168,7 @@ def cluster_scoped_neardup(
         centroids = ivf_build_centroids(
             df, k=n_clusters, id_col=id_col, vec_col=vec_col
         )
-    sig = _banded_signatures(df, id_col, vec_col, bands)
+    sig = _banded_signatures(df, id_col, vec_col, bands, carry_vec=True)
     probes = df.select(
         F.col(id_col),
         F.array_sort(
@@ -172,16 +176,16 @@ def cluster_scoped_neardup(
         ).alias("__cids"),
     ).select(id_col, "__cids", F.explode("__cids").alias("__cid"))
     scoped = sig.join(probes, id_col)
-    cands = _lsh_candidate_pairs(
+    return _lsh_verified_pairs(
         scoped,
         scoped,
         bands,
         ordered=True,
         id_col=id_col,
+        threshold=threshold,
         scope_col="__cid",
         scope_set_col="__cids",
     )
-    return _verify_cosine(cands, df, id_col, vec_col, threshold)
 
 
 def semantic_dedup_scoped(
@@ -204,10 +208,111 @@ def semantic_dedup_scoped(
     return _verdicts_from_pairs(df, pairs, id_col)
 
 
-def _banded_signatures(
-    df: DataFrame, id_col: str, vec_col: str, bands: int = _BANDS
+def scoped_signature_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    bands: int = _BANDS,
 ) -> DataFrame:
-    """(id, __sig, band, chunk) — one row per (row × multi-probe band).
+    """The persisted-cid INGEST INDEX for scoped semantic dedup: banded
+    signatures (with carried vectors) joined to the row's ``nprobe``
+    probed cluster ids — one row per (vector × band × probe). Built once
+    per corpus at ingest (it IS the index: persist/write it next to the
+    embeddings) and reused by every incremental batch, so per-batch work
+    is a plain equi-join on (band, chunk, __cid) with zero corpus-side
+    recompute — the deployment path SCALING.md's semantic-family cost
+    model prescribes."""
+    sig = _banded_signatures(df, id_col, vec_col, bands, carry_vec=True)
+    probes = df.select(
+        F.col(id_col),
+        F.array_sort(_nearest_clusters(vec_col, centroids, nprobe)).alias(
+            "__cids"
+        ),
+    ).select(id_col, "__cids", F.explode("__cids").alias("__cid"))
+    return sig.join(probes, id_col)
+
+
+def incremental_semantic_verdicts_scoped(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    nprobe: int = 2,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-scoped incremental SemDeDup: the verdict contract of
+    :func:`incremental_semantic_verdicts` (dup_of_corpus / dup_in_batch /
+    kept under the min-id rule) with candidates restricted to pairs that
+    share a probed IVF cluster (arXiv:2303.09540 §3 — pruning is defined
+    within clusters). Candidate volume per batch drops from
+    batch×corpus×P(band collision) to Σ_c batch_c×corpus_c×P — ≈ nprobe²/k
+    of the unscoped form — and both joins stay map-side over the
+    persisted index (``corpus_index`` = :func:`scoped_signature_index`
+    output; the batch side broadcasts)."""
+    bi = scoped_signature_index(batch, centroids, id_col, vec_col, nprobe)
+    ci = (
+        corpus_index
+        if corpus_index is not None
+        else scoped_signature_index(corpus, centroids, id_col, vec_col, nprobe)
+    )
+    of_corpus = _lsh_verified_pairs(
+        bi,
+        ci,
+        _BANDS,
+        ordered=False,
+        id_col=id_col,
+        threshold=threshold,
+        scope_col="__cid",
+        scope_set_col="__cids",
+        broadcast_left=True,
+    )
+    dup_corpus = (
+        of_corpus.select(F.col("id1").alias(id_col))
+        .distinct()
+        .withColumn("__of_corpus", F.lit(True))
+    )
+    in_batch = _lsh_verified_pairs(
+        bi,
+        bi,
+        _BANDS,
+        ordered=True,
+        id_col=id_col,
+        threshold=threshold,
+        scope_col="__cid",
+        scope_set_col="__cids",
+    )
+    dup_batch = (
+        in_batch.select(F.col("id2").alias(id_col))
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(dup_corpus, id_col, "left")
+        .join(dup_batch, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__of_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("__in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int = _BANDS,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id, __sig, band, chunk[, __v]) — one row per (row × multi-probe
+    band).
 
     The 32-dot-product signature is aliased ONCE and chunked from the
     COLUMN: inlining it per chunk (32 syntactic copies) blows the
@@ -218,7 +323,14 @@ def _banded_signatures(
     task (no-op at scale, where the scan already has ≥cores splits).
     Bands [0, bands) are the aligned layout; bands [bands, 2·bands) chunk
     the bit-rotated signature, so the second layout's band boundaries
-    split every pair of planes the first keeps together."""
+    split every pair of planes the first keeps together.
+
+    ``carry_vec=True`` keeps the embedding on every band row (as
+    ``__v``), which is what lets the candidate join verify exact cosine
+    INLINE — the rows are ~288 B instead of ~24 B (linear in the corpus,
+    2·bands rows per vector), in exchange for never materializing or
+    re-joining the near-quadratic candidate set (the r5 sweep measured
+    that verify re-join at 26.5 GB of shuffle at the 100× point)."""
     from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
         ensure_compute_parallelism,
     )
@@ -226,9 +338,10 @@ def _banded_signatures(
     rows = _N_PLANES // bands
     mask = (1 << rows) - 1
     base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col)))
-    with_sig = base.select(
-        F.col(id_col), hyperplane_signature(vec_col).alias("__sig")
-    )
+    keep = [F.col(id_col), hyperplane_signature(vec_col).alias("__sig")]
+    if carry_vec:
+        keep.append(F.col(vec_col).alias("__v"))
+    with_sig = base.select(*keep)
     sig = F.col("__sig")
     rot = F.shiftrightunsigned(sig, 1).bitwiseOR(
         F.shiftleft(sig.bitwiseAND(F.lit(1)), _N_PLANES - 1)
@@ -243,34 +356,56 @@ def _banded_signatures(
             for i in range(bands)
         ],
     )
-    return with_sig.select(
-        F.col(id_col), F.col("__sig"), F.posexplode(chunks).alias("band", "chunk")
-    )
+    out = [F.col(id_col), F.col("__sig"), F.posexplode(chunks).alias("band", "chunk")]
+    if carry_vec:
+        out.append(F.col("__v"))
+    return with_sig.select(*out)
 
 
-def _lsh_candidate_pairs(
+def _lsh_verified_pairs(
     left: DataFrame,
     right: DataFrame,
     bands: int,
     ordered: bool,
     id_col: str,
+    threshold: float,
     scope_col: str | None = None,
     scope_set_col: str | None = None,
+    broadcast_left: bool = False,
 ) -> DataFrame:
-    """Distinct candidate (id1, id2) pairs from two banded-signature
-    frames, WITHOUT a distinct: a pair colliding in k bands is emitted k
+    """Exact-cosine-verified (id1, id2, score) pairs from two banded
+    frames built with ``carry_vec=True`` — candidates and verification in
+    ONE join stage.
+
+    Dedup without a distinct: a pair colliding in k bands is emitted k
     times by the equi-join, but each copy can see, from the two 8-byte
     signatures alone, every band the pair collides in — so the inline
     filter keeps exactly the copy whose band is the FIRST collision
     (bit ops on sig XOR in the join's own codegen stage; rotation
     commutes with XOR, so layout 2's collisions read off rot(x)).
-    This replaces a .distinct() exchange over the full candidate volume
-    (16M rows at sf0.1) with zero data movement. Candidates carry ONLY
-    ids — never vectors (shuffling two 512-byte vectors per candidate
-    row multiplied the exchange ~60×).
+
+    Verify without a re-join: both vectors ride the banded rows (``__v``),
+    so the surviving copy's exact cosine is computed in the SAME stage.
+    The r1–r5 design shipped ids-only candidates re-joined to vectors —
+    that re-join's wide intermediate (candidate + 272 B vector, shuffled
+    again for the second side) measured 26.5 GB at the sweep's 100× point
+    because τ=0.4 banding dedups rather than prunes (candidate fraction
+    ≈ 1 for an isotropic corpus — and no wider signature fixes that: the
+    amplification gap between p=0.63 at τ=0.4 and q≈0.53 for background
+    pairs needs ~22-bit bands and ~10⁵ bands for recall, see SCALING.md).
+    Carrying vectors costs 2·bands·288 B per row — LINEAR — and the
+    near-quadratic candidate set now exists only in-flight inside the
+    join stage, never in an exchange. Filter order matters: the cheap
+    first-collision bit test guards the 200-flop cosine, so the cosine
+    runs once per distinct candidate, not per band collision.
 
     ``ordered=True`` restricts to id1 < id2 (self-join near-dup);
     ``ordered=False`` keeps every cross pair once (batch × corpus).
+    ``broadcast_left=True`` hints the left side broadcast — the
+    incremental form's fixed-size batch — making the whole dedup one
+    map-side stage over the corpus index (zero shuffle of the corpus
+    side; with a shuffle join the corpus side still moves only its
+    linear banded rows).
 
     ``scope_col`` (with ``scope_set_col``) adds cluster scoping: rows
     carry one exploded scope id per probe plus the full probe-id array;
@@ -281,7 +416,8 @@ def _lsh_candidate_pairs(
     the joined row)."""
     rows = _N_PLANES // bands
     mask = (1 << rows) - 1
-    a, b = left.alias("a"), right.alias("b")
+    a = F.broadcast(left.alias("a")) if broadcast_left else left.alias("a")
+    b = right.alias("b")
     x = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
     xr = F.shiftrightunsigned(x, 1).bitwiseOR(
         F.shiftleft(x.bitwiseAND(F.lit(1)), _N_PLANES - 1)
@@ -320,36 +456,23 @@ def _lsh_candidate_pairs(
             )
         )
         keep = keep & (F.col(f"a.{scope_col}") == smallest_shared)
+    # the WHEN guard is load-bearing: a single conjunct would be split
+    # and could be reordered/pushed into the join condition, evaluating
+    # the 200-flop cosine on every band COLLISION (~8× per pair); WHEN
+    # structurally evaluates the cheap bit test first, so the cosine
+    # runs once per distinct pair (and a second time, on the surviving
+    # few, in the projection)
+    verified = F.when(
+        keep, cosine("a.__v", "b.__v") >= F.lit(threshold)
+    ).otherwise(F.lit(False))
     return (
         a.join(b, cond)
-        .filter(keep)
+        .filter(verified)
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
+            cosine("a.__v", "b.__v").alias("score"),
         )
-    )
-
-
-def _verify_cosine(
-    cands: DataFrame,
-    vectors: DataFrame,
-    id_col: str,
-    vec_col: str,
-    threshold: float,
-    vectors2: DataFrame | None = None,
-) -> DataFrame:
-    """Exact-cosine verification of (id1, id2) candidates: re-join the
-    vectors (id1 from ``vectors``, id2 from ``vectors2`` or ``vectors``)
-    so the wide rows number exactly |candidates|."""
-    v1 = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    v2 = (vectors2 if vectors2 is not None else vectors).select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
-    )
-    return (
-        cands.join(v1, "id1")
-        .join(v2, "id2")
-        .select("id1", "id2", cosine("v1", "v2").alias("score"))
-        .filter(F.col("score") >= threshold)
     )
 
 
@@ -403,7 +526,7 @@ def ann_lsh_topk(
         # COLUMN (the _banded_signatures janino lesson: 16 inlined copies
         # silently drop the stage out of codegen); candidates then carry
         # ONLY ids — the distinct over rows with two ~512-byte vectors
-        # multiplied the exchange ~60× (the _lsh_candidate_pairs lesson)
+        # multiplied the exchange ~60× (the pre-r6 candidate-pairs lesson)
         with_sig = df.select(F.col(idc), hyperplane_signature(vc).alias("__sig"))
         sig = F.col("__sig")
         chunks = F.array(
@@ -827,28 +950,33 @@ def incremental_semantic_verdicts(
     ``kept``.
 
     Scale contract (mirrors the exact/ngram incremental family): the
-    corpus side's banded signatures are the REUSABLE INDEX — in a real
-    pipeline they are computed once at ingest and persisted (pass the
-    prebuilt frame as ``corpus_banded``); per batch, the work is batch
-    signatures + two candidate joins whose output is
-    ∝ batch bucket collisions, never corpus × corpus. Both joins dedup
-    candidates with the shuffle-free first-colliding-band filter and
-    verify with exact cosine, so the verdicts equal the all-pairs
+    corpus side's banded signatures+vectors are the REUSABLE INDEX — in
+    a real pipeline they are computed once at ingest and persisted (pass
+    the prebuilt ``carry_vec=True`` frame as ``corpus_banded``); per
+    batch, the work is batch signatures + two candidate joins. The batch
+    side is BROADCAST (an ingest batch is small by contract), so the
+    batch×corpus join is one map-side stage over the corpus index — zero
+    corpus-side shuffle — and both joins dedup candidates with the
+    shuffle-free first-colliding-band filter and verify exact cosine
+    INLINE on the carried vectors (the ids-only candidates + vector
+    re-join this replaces measured 26.5 GB of wide-intermediate shuffle
+    at the r5 sweep's 100× point), so the verdicts equal the all-pairs
     oracle's."""
-    bb = _banded_signatures(batch, id_col, vec_col, _BANDS)
+    bb = _banded_signatures(batch, id_col, vec_col, _BANDS, carry_vec=True)
     cb = (
         corpus_banded
         if corpus_banded is not None
-        else _banded_signatures(corpus, id_col, vec_col, _BANDS)
+        else _banded_signatures(corpus, id_col, vec_col, _BANDS, carry_vec=True)
     )
     # batch × corpus: every cross pair once (no id ordering)
-    of_corpus = _verify_cosine(
-        _lsh_candidate_pairs(bb, cb, _BANDS, ordered=False, id_col=id_col),
-        batch,
-        id_col,
-        vec_col,
-        threshold,
-        vectors2=corpus,
+    of_corpus = _lsh_verified_pairs(
+        bb,
+        cb,
+        _BANDS,
+        ordered=False,
+        id_col=id_col,
+        threshold=threshold,
+        broadcast_left=True,
     )
     dup_corpus = (
         of_corpus.select(F.col("id1").alias(id_col))
@@ -856,12 +984,8 @@ def incremental_semantic_verdicts(
         .withColumn("__of_corpus", F.lit(True))
     )
     # batch × batch: lower-id representative rule
-    in_batch = _verify_cosine(
-        _lsh_candidate_pairs(bb, bb, _BANDS, ordered=True, id_col=id_col),
-        batch,
-        id_col,
-        vec_col,
-        threshold,
+    in_batch = _lsh_verified_pairs(
+        bb, bb, _BANDS, ordered=True, id_col=id_col, threshold=threshold
     )
     dup_batch = (
         in_batch.select(F.col("id2").alias(id_col))
@@ -934,7 +1058,9 @@ def _semantic_incremental_setup(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     batch = emb.filter(F.col("vec_id") % 5 == 0)
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
-    idx = _banded_signatures(corpus, "vec_id", "embedding", _BANDS).persist()
+    idx = _banded_signatures(
+        corpus, "vec_id", "embedding", _BANDS, carry_vec=True
+    ).persist()
     idx.count()  # materialize the index
     _LAST_SEMANTIC_IDX = idx
     return (batch, corpus, idx)

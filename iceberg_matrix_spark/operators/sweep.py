@@ -265,6 +265,9 @@ def family_runners() -> dict:
     from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
         ann_lsh_topk,
         incremental_semantic_verdicts,
+        incremental_semantic_verdicts_scoped,
+        ivf_seed_centroids,
+        scoped_signature_index,
     )
     from iceberg_matrix_spark.operators.spans import (  # noqa: PLC0415
         duplicate_spans,
@@ -280,14 +283,40 @@ def family_runners() -> dict:
         # corpus². Batch = 500 replica-0 vectors re-keyed out of the
         # corpus id space, so every batch row has a corpus twin
         # (guaranteed dup_of_corpus matches at any factor).
-        batch = (
+        return incremental_semantic_verdicts(
+            _sweep_batch(emb, factor), emb, "vec_id", "embedding", threshold=0.4
+        )
+
+    def _sweep_batch(emb, factor):
+        # 500 replica-0 vectors re-keyed out of the corpus id space, so
+        # every batch row has a corpus twin (guaranteed dup_of_corpus
+        # matches at any factor)
+        return (
             _replica0(emb, factor)
             .orderBy("vec_id")
             .limit(500)
             .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000_000))
         )
-        return incremental_semantic_verdicts(
-            batch, emb, "vec_id", "embedding", threshold=0.4
+
+    def semantic_scoped(spark, docs, emb, factor):
+        # the persisted-cid deployment path (VERDICT r5 #3): cluster ids
+        # are assigned ONCE per corpus at ingest (scoped_signature_index
+        # — the index; built here in-measure, like the unscoped family
+        # builds its signature index, so rows compare like-for-like) and
+        # candidates require a shared probed cluster in the join, cutting
+        # candidate volume ≈ nprobe²/k of the unscoped form. k is fixed
+        # at 64 (the local expression-unroll cap) so n_c grows with the
+        # corpus here; production grows k ∝ corpus instead (bounded n_c),
+        # which only shrinks per-cluster work further.
+        cents = ivf_seed_centroids(emb, k=64)
+        idx = scoped_signature_index(emb, cents, nprobe=2)
+        return incremental_semantic_verdicts_scoped(
+            _sweep_batch(emb, factor),
+            emb,
+            cents,
+            threshold=0.4,
+            nprobe=2,
+            corpus_index=idx,
         )
 
     return {
@@ -301,6 +330,7 @@ def family_runners() -> dict:
             docs, "doc_id", "text"
         ),
         "semantic": semantic,
+        "semantic_scoped": semantic_scoped,
         "ann": lambda spark, docs, emb, factor: ann_lsh_topk(
             emb, F.broadcast(_fixed_queries(emb, factor)), k=10
         ),

@@ -163,3 +163,60 @@ def test_scoped_bench_split_matches_registered_query(spark, sf_dir):
         for r in q_dedup_semantic_scoped(spark, sf_dir).collect()
     }
     assert split == reg
+
+
+def test_incremental_scoped_verdicts_match_model(spark, sf_dir):
+    """incremental_semantic_verdicts_scoped == the all-pairs incremental
+    verdicts RESTRICTED to pairs sharing a probed cluster: dup_of_corpus
+    beats dup_in_batch, min-id rule within the batch, scoping applied to
+    both candidate joins."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.similarity import (
+        _nearest_clusters,
+        incremental_semantic_verdicts_scoped,
+        ivf_seed_centroids,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+    from iceberg_matrix_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = ivf_seed_centroids(emb, k=8)
+    probes = {
+        r["vec_id"]: set(r["cids"])
+        for r in emb.select(
+            "vec_id", _nearest_clusters("embedding", cents, 2).alias("cids")
+        ).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    sim_pairs = {
+        (r["i"], r["j"])
+        for r in a.join(b, F.col("i") != F.col("j"))
+        .filter(cosine("va", "vb") >= 0.4)
+        .collect()
+    }
+    batch_ids = sorted(r["vec_id"] for r in batch.select("vec_id").collect())
+    corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    expected = {}
+    for v in batch_ids:
+        of_c = any(
+            (v, c) in sim_pairs and probes[v] & probes[c] for c in corpus_ids
+        )
+        in_b = any(
+            (w, v) in sim_pairs and probes[v] & probes[w]
+            for w in batch_ids
+            if w < v
+        )
+        expected[v] = (
+            "dup_of_corpus" if of_c else "dup_in_batch" if in_b else "kept"
+        )
+    got = {
+        r["vec_id"]: r["verdict"]
+        for r in incremental_semantic_verdicts_scoped(
+            batch, corpus, cents, threshold=0.4, nprobe=2
+        ).collect()
+    }
+    assert got == expected
