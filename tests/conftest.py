@@ -28,3 +28,36 @@ def sf_dir() -> str:
 @pytest.fixture(scope="session")
 def oracle_sf_dir() -> str:
     return ORACLE_SF_DIR
+
+
+# ---------------------------------------------------------------- budget
+# Wall-clock budget watch (VERDICT r5 #7): the suite must stay inside the
+# reference's 30-min CI envelope. The slowest-10 report is always printed
+# (pytest.ini adds --durations=10); past the SOFT budget the summary
+# carries a loud warning so growth is visible rounds before it busts the
+# envelope. A soft warning, not a failure: a busy host's noise must not
+# turn a green suite red.
+_SUITE_BUDGET_S = 25 * 60
+_suite_t0: float | None = None
+
+
+def pytest_sessionstart(session):
+    import time
+
+    global _suite_t0
+    _suite_t0 = time.monotonic()
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    import time
+
+    if _suite_t0 is None:
+        return
+    elapsed = time.monotonic() - _suite_t0
+    line = f"suite wall-clock: {elapsed / 60:.1f} min (soft budget 25 min)"
+    if elapsed > _SUITE_BUDGET_S:
+        terminalreporter.write_sep(
+            "!", f"BUDGET EXCEEDED — {line}; trim fixtures before adding more"
+        )
+    else:
+        terminalreporter.write_sep("-", line)

@@ -71,6 +71,129 @@ def _model_replay(ops: list[tuple]) -> dict[int, int]:
     return rows
 
 
+def test_wap_publish_race_soak(spark, catalog):
+    """Branch writers + a WAP publisher racing main writers and
+    compaction (VERDICT r5 #6): three threads stage to their OWN audit
+    branches (never published), one publisher loops the real WAP retry
+    protocol — branch off current main, stage, audit, fast_forward; when
+    main moved underneath (ancestry rejection) it drops the branch and
+    re-stages — while a main appender and a compactor keep moving main.
+    Asserts: published main == serial model (main rows + published batch,
+    exactly once), no unpublished branch commit reachable from main, and
+    each audit branch still holds exactly its staged rows."""
+    from iceberg_matrix_spark.tables import maintenance as maint
+
+    t = catalog.create_table("soak.wap", "id bigint, v bigint")
+    t.append(local_df(spark, [(i, 0) for i in range(10)], "id bigint, v bigint"))
+    errs: list = []
+    publish_attempts = {"n": 0}
+
+    def branch_writer(i: int) -> None:
+        try:
+            mine = IceLiteTable(spark, t.location)
+            mine.create_branch(f"audit_w{i}")
+            rows = [(100_000 + i * 1_000 + k, i) for k in range(8)]
+            mine.append(
+                local_df(spark, rows, "id bigint, v bigint"),
+                branch=f"audit_w{i}",
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(("branch", i, repr(e)))
+
+    def main_appender() -> None:
+        try:
+            mine = IceLiteTable(spark, t.location)
+            for k in range(4):
+                mine.append(
+                    local_df(
+                        spark,
+                        [(200_000 + k * 10 + j, k) for j in range(5)],
+                        "id bigint, v bigint",
+                    )
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(("main", repr(e)))
+
+    def compactor() -> None:
+        try:
+            mine = IceLiteTable(spark, t.location)
+            for _ in range(3):
+                maint.rewrite_data_files(mine)
+        except Exception as e:  # noqa: BLE001
+            errs.append(("compact", repr(e)))
+
+    staged = [(300_000 + k, 7) for k in range(6)]
+
+    def publisher() -> None:
+        """The WAP retry loop: fast_forward demands main's head be an
+        ancestor of the audit head, so any main commit between staging
+        and publish is a clean rejection — re-branch and re-stage."""
+        try:
+            mine = IceLiteTable(spark, t.location)
+            for attempt in range(50):
+                publish_attempts["n"] = attempt + 1
+                branch = f"pub_{attempt}"
+                mine.refresh().create_branch(branch)
+                mine.append(
+                    local_df(spark, staged, "id bigint, v bigint"), branch=branch
+                )
+                audit = mine.refresh().df(ref=branch)
+                assert audit.filter("id >= 300000").count() == len(staged)
+                try:
+                    mine.fast_forward("main", branch)
+                    return
+                except ValueError:
+                    continue  # main moved underneath — re-stage
+            raise AssertionError("publisher never won the race")
+        except Exception as e:  # noqa: BLE001
+            errs.append(("publish", repr(e)))
+
+    threads = [threading.Thread(target=branch_writer, args=(i,)) for i in range(3)]
+    threads += [
+        threading.Thread(target=main_appender),
+        threading.Thread(target=compactor),
+        threading.Thread(target=publisher),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == [], errs
+
+    final = IceLiteTable(spark, t.location)
+    got = {r["id"]: r["v"] for r in final.df().collect()}
+    want = {i: 0 for i in range(10)}
+    want.update({200_000 + k * 10 + j: k for k in range(4) for j in range(5)})
+    want.update(dict(staged))  # published exactly once
+    assert got == want  # and NO audit_w* rows leaked to main
+
+    # every audit branch still holds exactly its staged rows on top of
+    # whatever main state it branched from
+    meta = final.meta
+    for i in range(3):
+        assert f"audit_w{i}" in meta.refs
+        branch_rows = {
+            r["id"]: r["v"] for r in final.df(ref=f"audit_w{i}").collect()
+        }
+        mine = {100_000 + i * 1_000 + k: i for k in range(8)}
+        assert {k: v for k, v in branch_rows.items() if k >= 100_000} == mine
+        assert all(k < 100_000 or k in mine for k in branch_rows)
+
+    # main's ancestry contains no unpublished branch commit: replaying
+    # main's chain must never see an audit_w row
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    sid = meta.refs["main"].snapshot_id
+    chain = []
+    while sid is not None:
+        chain.append(sid)
+        sid = by_id[sid].parent_id if sid in by_id else None
+    for snap_id in chain:
+        rows = final.df(snapshot_id=snap_id).filter(
+            "id >= 100000 AND id < 200000"
+        )
+        assert rows.count() == 0
+
+
 def test_concurrent_writer_soak(spark, catalog):
     from iceberg_matrix_spark.tables import maintenance as maint
 
