@@ -1169,10 +1169,17 @@ class IceLiteSQL:
                     raise UnsupportedSQLError(f"trailing ALTER text: {rest!r}")
             cols_text, defaults = self._strip_column_defaults(cols_text)
             cols = {}
-            for part in _split_top(cols_text):
-                name, _, typ = part.strip().partition(" ")
-                if not typ.strip():
+            parts = [p for p in _split_top(cols_text) if p.strip()]
+            if not parts:
+                # ADD COLUMNS () used to commit an empty no-op evolution
+                raise UnsupportedSQLError("ADD COLUMNS with no columns")
+            for part in parts:
+                # ANY whitespace separates name and type — a newline or
+                # tab here used to fail the parse (found by the ALTER fuzz)
+                bits = part.strip().split(None, 1)
+                if len(bits) != 2:
                     raise UnsupportedSQLError(f"bad column def: {part!r}")
+                name, typ = bits
                 norm = _norm_type(typ)
                 # validate BEFORE committing: a type Spark can't parse
                 # would make every subsequent scan of the table fail at

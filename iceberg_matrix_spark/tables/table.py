@@ -1710,10 +1710,21 @@ class IceLiteTable:
 
     # --------------------------------------------------- partition evolution
 
+    def _validate_partition_source(self, spec: str) -> None:
+        """The transform's source column must exist NOW: a spec
+        referencing a ghost column would commit fine and then brick every
+        subsequent write with a raw KeyError at partition-value compute
+        time (found by the ALTER fuzz, tests/test_sql_facade_properties)."""
+        src = parse_transform(spec).source
+        if src not in self.meta.current_schema.names():
+            raise ValueError(
+                f"partition transform source column not in schema: {src!r}"
+            )
+
     def add_partition_field(self, spec: str) -> None:
         """ALTER TABLE ADD PARTITION FIELD (iceberg_feature_tests.py:968) —
         metadata-only; existing files keep their old layout."""
-        parse_transform(spec)
+        self._validate_partition_source(spec)
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             meta.partition_spec.append(spec)
@@ -1733,7 +1744,10 @@ class IceLiteTable:
         self._commit(mutate)
 
     def replace_partition_field(self, old: str, new: str) -> None:
-        """REPLACE PARTITION FIELD (redshift suite :1308-1328)."""
+        """REPLACE PARTITION FIELD (redshift suite :1308-1328). The new
+        spec is validated BEFORE the drop commits — otherwise a bad new
+        field would leave the old one dropped and nothing added."""
+        self._validate_partition_source(new)
         self.drop_partition_field(old)
         self.add_partition_field(new)
 
@@ -1743,7 +1757,7 @@ class IceLiteTable:
         id))`` (duckdb_feature_tests.py:505). Existing files keep their
         old layout, like any spec evolution."""
         for s in specs:
-            parse_transform(s)  # validate all before committing any
+            self._validate_partition_source(s)  # all validated before any commit
 
         def mutate(meta: TableMetadata) -> TableMetadata:
             meta.partition_spec = list(specs)

@@ -504,3 +504,35 @@ def test_variant_shred_cache_not_inherited_across_drop_recreate(spark, catalog):
         props[f"write.parquet.variant-shredding.schema.{old_ids['data']}"]
         == "struct<a:double>"
     )
+
+
+def test_partition_spec_rejects_ghost_source_column(spark, catalog):
+    """A partition transform whose source column doesn't exist must be a
+    typed rejection at DDL time — it used to COMMIT, and then every
+    subsequent write failed with a raw KeyError at partition-value
+    compute time (the table was bricked; found by the ALTER fuzz)."""
+    t = catalog.create_table("ns.ghostpart", "id bigint, v string")
+    before = list(t.meta.partition_spec)
+    for call in (
+        lambda: t.refresh().set_partition_fields(["ghost"]),
+        lambda: t.refresh().set_partition_fields(["v", "bucket(4, ghost)"]),
+        lambda: t.refresh().add_partition_field("ghost"),
+        lambda: t.refresh().add_partition_field("bucket(4, ghost)"),
+    ):
+        with pytest.raises(ValueError, match="not in schema"):
+            call()
+    assert t.refresh().meta.partition_spec == before
+    t.append(local_df(spark, [(1, "a")], "id bigint, v string"))  # still writable
+    assert t.refresh().df().count() == 1
+
+
+def test_replace_partition_field_validates_new_before_dropping_old(spark, catalog):
+    """REPLACE PARTITION FIELD with a bad NEW field must not commit the
+    drop half — it used to leave the old field dropped and nothing
+    added (partial effect; found by the ALTER fuzz)."""
+    t = catalog.create_table(
+        "ns.replpart", "id bigint, v string", partition_by=["v"]
+    )
+    with pytest.raises(ValueError, match="not in schema"):
+        t.replace_partition_field("v", "bucket(4, ghost)")
+    assert t.refresh().meta.partition_spec == ["v"]

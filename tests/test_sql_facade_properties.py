@@ -582,3 +582,168 @@ def test_timestamp_travel_spellings_agree(fz, spark, rows, data):
     ]
     for q in spellings:
         assert _rows(fz.sql(q)) == want, q
+
+
+# ------------------------------------------------------------------ ALTER
+# The multi-dialect ALTER parser is the next-largest hand-rolled grammar
+# after CALL (VERDICT r5 #8): keyword-less Flink forms, engine type
+# aliases, SET PARTITIONED BY. Two properties: every dialect spelling is
+# equivalent to the canonical spelling, and every mangled statement is a
+# typed rejection with ZERO metadata effect.
+
+_ALIAS_TYPES = [
+    ("bigint", ["BIGINT", "LONG", "INT8", "bIgInT"]),
+    ("int", ["INT", "INTEGER", "INT4"]),
+    ("double", ["DOUBLE", "FLOAT8"]),
+    ("float", ["FLOAT", "REAL", "FLOAT4"]),
+    ("string", ["STRING", "VARCHAR", "TEXT"]),
+    ("boolean", ["BOOLEAN", "BOOL"]),
+    ("timestamp_ntz", ["TIMESTAMP_NTZ", "TIMESTAMP(6)", "TIMESTAMP(3)"]),
+]
+
+
+def _table_fingerprint(fz, ident):
+    """Everything an ALTER can touch: schema (names+types), partition
+    spec, sort order, refs, properties, snapshot count."""
+    t = fz.catalog.load_table(ident)
+    return (
+        tuple((f.name, f.type) for f in t.meta.current_schema.fields),
+        tuple(t.meta.partition_spec),
+        tuple(sorted(t.meta.refs)),
+        tuple(sorted(t.meta.properties.items())),
+        len(t.meta.snapshots),
+        t.meta.default_sort_order_id,
+    )
+
+
+@st.composite
+def alter_spelling_pairs(draw):
+    """(canonical_body, variant_body) pairs that must be equivalent."""
+    kind = draw(st.sampled_from(["add", "rename", "drop", "retype", "props"]))
+    if kind == "add":
+        canon_t, aliases = draw(st.sampled_from(_ALIAS_TYPES))
+        alias = draw(st.sampled_from(aliases))
+        form = draw(st.sampled_from(
+            ["ADD COLUMN c9 {typ}", "ADD ({typ_only})", "ADD COLUMNS c9 {typ}"]
+        ))
+        variant = form.format(typ=alias, typ_only=f"c9 {alias}")
+        return (f"ADD COLUMNS (c9 {canon_t})", variant)
+    if kind == "rename":
+        return ("RENAME COLUMN val TO val9", "RENAME val TO val9")
+    if kind == "drop":
+        return ("DROP COLUMN num", "DROP num")
+    if kind == "retype":
+        alias = draw(st.sampled_from(["BIGINT", "LONG", "INT8"]))
+        spelling = draw(st.sampled_from(
+            ["ALTER COLUMN small9 TYPE {t}", "MODIFY small9 {t}"]
+        ))
+        return (
+            "ALTER COLUMN small9 TYPE bigint",
+            spelling.format(t=alias),
+        )
+    quoted = draw(st.sampled_from(["'fz.k1'='v1'", "'fz.k1'='v1', 'fz.k2'='2'"]))
+    return (f"SET TBLPROPERTIES ({quoted})", f"SET ({quoted})")
+
+
+_ALTER_KEYWORDS = {
+    "alter", "table", "add", "column", "columns", "rename", "to", "drop",
+    "modify", "set", "tblproperties", "partitioned", "by", "type", "write",
+    "ordered", "locally", "distributed", "partition", "field", "replace",
+    "with", "create", "branch", "tag", "as", "of", "version", "identifier",
+    "fields",
+    # type tokens normalize via lower() in _norm_type, so they're fair game
+    "bigint", "long", "int8", "int", "integer", "int4", "double", "float8",
+    "float", "real", "float4", "string", "varchar", "text", "boolean",
+    "bool", "timestamp_ntz",
+}
+
+
+def _mangle_case_ws(data, stmt: str) -> str:
+    """Random case on KEYWORD/type tokens + random inter-token whitespace
+    (incl. newlines); identifiers and quoted text pass through untouched
+    (column-name case sensitivity is a separate contract)."""
+    import re as _re
+
+    def _word(m):
+        w = m.group(0)
+        if w.lower() in _ALTER_KEYWORDS and data.draw(st.booleans()):
+            return w.upper() if w.islower() else w.lower()
+        return w
+
+    parts = stmt.split("'")  # even indexes are outside quotes
+    for i in range(0, len(parts), 2):
+        seg = _re.sub(r"[A-Za-z_][A-Za-z_0-9]*", _word, parts[i])
+        seg = _re.sub(
+            " ",
+            lambda _m: data.draw(st.sampled_from([" ", "  ", "\n", " \t "])),
+            seg,
+        )
+        parts[i] = seg
+    return "'".join(parts)
+
+
+@settings(**SETTINGS)
+@given(pair=alter_spelling_pairs(), data=st.data())
+def test_alter_dialect_spellings_agree(fz, spark, pair, data):
+    """Every dialect ALTER spelling leaves the table in exactly the state
+    the canonical spelling does — under random keyword case and
+    whitespace mangling too."""
+    canon_body, variant_body = pair
+    idents = []
+    for body in (canon_body, variant_body):
+        ident = _fresh_table(fz, [(1, "a", 1)])
+        # a widenable small column for the retype class
+        fz.sql(f"ALTER TABLE local.{ident} ADD COLUMNS (small9 int)")
+        stmt = f"ALTER TABLE local.{ident} {body}"
+        fz.sql(_mangle_case_ws(data, stmt))
+        idents.append(ident)
+    fp = [_table_fingerprint(fz, i) for i in idents]
+    # fingerprints are location-independent; schemas/specs/props must agree
+    assert fp[0] == fp[1], (canon_body, variant_body)
+
+
+_ALTER_FAULTS = [
+    "ADD COLUMNS (c9 NOTATYPE)",
+    "ADD COLUMNS (c9 TIMESTAMP(7))",
+    "ADD COLUMNS (c9 INT) trailing junk",
+    "ADD (c9 INT extra",
+    "ADD COLUMNS ()",
+    "RENAME COLUMN ghost TO x",
+    "DROP COLUMN ghost",
+    "DROP ghost",
+    "MODIFY ghost INT",
+    "MODIFY num NOTATYPE",
+    "ALTER COLUMN num TYPE int",          # narrowing bigint -> int
+    "ALTER COLUMN num TYPE TIMESTAMP(7)",
+    "SET PARTITIONED BY (val) trailing",
+    "SET PARTITIONED BY (nosuchcol)",
+    "ADD PARTITION FIELD nosuchtransform(val)",
+    "REPLACE PARTITION FIELD ghost WITH bucket(4, val)",
+    "REPLACE PARTITION FIELD val WITH bucket(4, ghost)",  # bad NEW field
+    "ADD PARTITION FIELD bucket(4, ghost)",
+    "WRITE ORDERED BY (val) trailing",
+    "CREATE BRANCH b AS OF VERSION 999999999",
+    "SET IDENTIFIER FIELDS ghost",
+    "FROBNICATE EVERYTHING",
+    "",
+]
+
+
+@settings(**SETTINGS)
+@given(fault=st.sampled_from(_ALTER_FAULTS), data=st.data())
+def test_alter_fault_rejected_without_effect(fz, spark, fault, data):
+    """A mangled ALTER is a TYPED rejection (never an AttributeError /
+    IndexError / re.error escaping the parser) and leaves the table
+    metadata byte-identical — no partial schema commit, no orphan ref,
+    no property leak."""
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+
+    ident = _fresh_table(fz, [(1, "a", 1), (2, "b", 2)])
+    before = _table_fingerprint(fz, ident)
+    stmt = _mangle_case_ws(data, f"ALTER TABLE local.{ident} {fault}".rstrip())
+    try:
+        fz.sql(stmt)
+    except (UnsupportedSQLError, ValueError, KeyError):
+        assert _table_fingerprint(fz, ident) == before, fault
+    else:
+        raise AssertionError(f"mangled ALTER accepted: {fault!r}")
