@@ -168,14 +168,9 @@ def cluster_scoped_neardup(
         centroids = ivf_build_centroids(
             df, k=n_clusters, id_col=id_col, vec_col=vec_col
         )
-    sig = _banded_signatures(df, id_col, vec_col, bands, carry_vec=True)
-    probes = df.select(
-        F.col(id_col),
-        F.array_sort(
-            _nearest_clusters(vec_col, centroids, nprobe)
-        ).alias("__cids"),
-    ).select(id_col, "__cids", F.explode("__cids").alias("__cid"))
-    scoped = sig.join(probes, id_col)
+    scoped = scoped_signature_index(
+        df, centroids, id_col, vec_col, nprobe, bands
+    )
     return _lsh_verified_pairs(
         scoped,
         scoped,
@@ -223,15 +218,50 @@ def scoped_signature_index(
     embeddings) and reused by every incremental batch, so per-batch work
     is a plain equi-join on (band, chunk, __cid) with zero corpus-side
     recompute — the deployment path SCALING.md's semantic-family cost
-    model prescribes."""
-    sig = _banded_signatures(df, id_col, vec_col, bands, carry_vec=True)
-    probes = df.select(
+    model prescribes.
+
+    Built in ONE narrow pass: signature, probe set, band explode, and
+    probe explode are all projections over the scan (one generator per
+    select, no id-join — the earlier sig⋈probes build exchanged the
+    whole banded frame once, 130 MB at the sweep's 100× point, for
+    nothing)."""
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    rows = _N_PLANES // bands
+    mask = (1 << rows) - 1
+    base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    with_sig = base.select(
         F.col(id_col),
+        hyperplane_signature(vec_col).alias("__sig"),
+        F.col(vec_col).alias("__v"),
         F.array_sort(_nearest_clusters(vec_col, centroids, nprobe)).alias(
             "__cids"
         ),
-    ).select(id_col, "__cids", F.explode("__cids").alias("__cid"))
-    return sig.join(probes, id_col)
+    )
+    sig = F.col("__sig")
+    rot = F.shiftrightunsigned(sig, 1).bitwiseOR(
+        F.shiftleft(sig.bitwiseAND(F.lit(1)), _N_PLANES - 1)
+    )
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(sig, i * rows).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ],
+        *[
+            F.shiftrightunsigned(rot, i * rows).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ],
+    )
+    banded = with_sig.select(
+        F.col(id_col),
+        F.col("__sig"),
+        F.posexplode(chunks).alias("band", "chunk"),
+        F.col("__v"),
+        F.col("__cids"),
+    )
+    return banded.select("*", F.explode("__cids").alias("__cid"))
 
 
 def incremental_semantic_verdicts_scoped(
