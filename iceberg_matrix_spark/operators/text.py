@@ -312,3 +312,114 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(VOCAB_TOPK)
     )
+
+
+# ------------------------------------------------------------- corpus LM
+# CCNet-style language-model quality filtering (Wenzek et al. 2019,
+# arXiv:1911.00359 §4.3 train an LM on reference text and drop
+# high-perplexity documents). Re-expressed INTEGER-deterministic so the
+# driver can hash-check it: the LM is the corpus' own trigram occurrence
+# counts, and "high perplexity" becomes "too many hapax trigrams" (corpus
+# occurrence count 1) — log-prob sums over doubles would be
+# summation-order-dependent across engines, integer counts are not.
+# Trigrams, not bigrams: this corpus' bigram vocabulary saturates (hapax
+# ratio ≈ 0 everywhere) while trigram hapax ratios split the corpus at
+# the driver's sf0.01 certification scale (median 0.38).
+
+RARE_PCT = 35  # filtered when > 35% of a doc's trigrams are corpus-hapax
+
+_LOWER_TOKS_SQL = TOKS_SQL.replace("text", "lower(text)")
+
+
+def lm_rare_trigram_verdicts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_trigrams, n_rare_trigrams, verdict) per document.
+
+    Scale design — the naive plan joins every doc trigram back to the
+    corpus LM on the trigram value, which shuffles one row per TOKEN and
+    hot-spots on stop-grams ("one of the" lands on one partition at
+    100 TB). This plan never joins on the gram: a hapax trigram (count 1)
+    has exactly ONE source document, so the LM aggregation itself carries
+    `min(doc_id)` and the per-doc rare count is a second small
+    aggregation OVER THE LM ROWS — two partial-agg shuffles, both on
+    near-uniform keys, no skewed join, no join back to the corpus.
+    `n_trigrams` is a pure projection (`size-2`)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tri = F.greatest(F.size(toks) - 2, F.lit(0))
+    # adjacent-token trigrams; guarded — ANSI slice rejects negative lengths
+    trigrams = F.when(
+        F.size(toks) >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 2),
+                F.slice(toks, 2, F.size(toks) - 2),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(toks, 3, F.size(toks) - 2),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = docs.select(F.col(id_col), F.explode(trigrams).alias("bg"))
+    lm = big.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c"), F.min(id_col).alias("__d0")
+    )
+    rare = (
+        lm.filter(F.col("c") <= 1)
+        .groupBy(F.col("__d0").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_rare_trigrams"))
+    )
+    base = docs.select(F.col(id_col), n_tri.alias("n_trigrams"))
+    out = base.join(rare, id_col, "left").select(
+        id_col,
+        "n_trigrams",
+        F.coalesce("n_rare_trigrams", F.lit(0)).alias("n_rare_trigrams"),
+    )
+    return out.select(
+        id_col,
+        "n_trigrams",
+        "n_rare_trigrams",
+        F.when(F.col("n_trigrams") == 0, F.lit("too_short"))
+        .when(
+            F.col("n_rare_trigrams") * 100 <= F.col("n_trigrams") * RARE_PCT,
+            F.lit("kept"),
+        )
+        .otherwise(F.lit("filtered_rare"))
+        .alias("verdict"),
+    )
+
+
+@register(
+    "q_lm_rare_trigram_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_LOWER_TOKS_SQL} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS bg
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    lm AS (
+      SELECT bg, COUNT(*) AS c, MIN(doc_id) AS d0 FROM big GROUP BY bg
+    ),
+    rare AS (
+      SELECT d0 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare
+      FROM lm WHERE c <= 1 GROUP BY d0
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.t) - 2, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare_trigrams,
+           CASE WHEN len(t.t) - 2 <= 0 THEN 'too_short'
+                WHEN COALESCE(r.n_rare, 0) * 100
+                     <= (len(t.t) - 2) * {RARE_PCT} THEN 'kept'
+                ELSE 'filtered_rare' END AS verdict
+    FROM toks t LEFT JOIN rare r ON r.doc_id = t.doc_id
+    """,
+)
+def q_lm_rare_trigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter: drop documents where over {RARE_PCT}% of
+    adjacent-token trigrams are corpus-hapax (occurrence count 1) — the
+    integer-deterministic form of CCNet's LM-perplexity filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_rare_trigram_verdicts(docs)
