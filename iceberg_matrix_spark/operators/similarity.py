@@ -946,6 +946,93 @@ def q_dedup_semantic_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROTO_DROP_K = 10
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    drop_per_cluster: int = PROTO_DROP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022, arXiv:2206.14486):
+    rank every embedding by similarity to its assigned cluster centroid
+    (its "prototypicality") and DROP the ``drop_per_cluster`` most
+    prototypical rows per cluster — the paper's finding is that in the
+    abundant-data regime pruning the easiest (most typical) examples
+    beats random pruning.
+
+    Plan: assignment + score is one narrow projection (the k dot
+    products of :func:`_nearest_clusters`, keeping the winning struct's
+    score); the only shuffle is the per-cluster rank window — k groups,
+    skew-bounded because cluster sizes are bounded by the quantizer.
+    Deterministic total order (score desc, id asc), so with seed
+    centroids the whole operator is SQL-oracle-reproducible."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec_col, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.element_at(F.reverse(F.array_sort(scored)), 1)
+    assigned = df.select(
+        F.col(id_col),
+        top["cid"].alias("cid"),
+        top["d"].alias("proto_score"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("proto_score"), F.asc(id_col))
+    return assigned.select(
+        id_col,
+        "cid",
+        "proto_score",
+        F.row_number().over(w).alias("rank"),
+    ).withColumn("keep", F.col("rank") > drop_per_cluster)
+
+
+@register(
+    "q_prototype_prune",
+    oracle=f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+      SELECT vec_id, cid, d AS proto_score FROM (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) AS d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) DESC,
+                          c.cid DESC) rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cid, proto_score,
+           ROW_NUMBER() OVER (PARTITION BY cid
+                              ORDER BY proto_score DESC, vec_id) AS rank,
+           ROW_NUMBER() OVER (PARTITION BY cid
+                              ORDER BY proto_score DESC, vec_id)
+             > {PROTO_DROP_K} AS keep
+    FROM assigned
+    """,
+)
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype pruning over the embeddings corpus: drop the
+    {PROTO_DROP_K} most centroid-similar rows per coarse cluster. Uses
+    the same SQL-expressible seed quantizer (and per-corpus centroid
+    cache) as q_dedup_semantic_scoped, so assignment, scores, ranks, and
+    verdicts are hash-reproducible by the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids_cached(emb, sf_dir)
+    return prototype_prune(emb, cents)
+
+
 def _semantic_scoped_setup(spark: SparkSession, sf_dir: str):
     """Bench split: the coarse-quantizer build is INDEX work a real
     pipeline runs once per corpus — measure it as setup so the headline
