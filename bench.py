@@ -91,6 +91,10 @@ HEADLINE = [
     # join's plan honest)
     "q_wap_publish",
     "q_dedup_semantic_scoped",
+    # round 6: corpus-LM quality filter (two-agg skew-free plan) and
+    # SSL-prototype pruning (narrow assignment + per-cluster rank window)
+    "q_lm_rare_trigram_filter",
+    "q_prototype_prune",
 ]
 
 
