@@ -1033,6 +1033,137 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_prune(emb, cents)
 
 
+KNN_K = 5
+
+
+def knn_label_consistency(
+    df: DataFrame,
+    centroids: list[list[float]],
+    k: int = KNN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-noise detection (the curation op behind Confident
+    Learning / cleanlab's kNN filter, Northcutt et al. 2021,
+    arXiv:1911.00068): for every embedding, the majority label among its
+    k nearest neighbors — neighbors searched WITHIN its assigned IVF
+    cluster (argmax assignment, the standard same-cluster scoping for
+    noise detection: no probe explosion, every in-cluster pair unique by
+    construction) — and an ``agree`` verdict against its own label.
+    Disagreements are the mislabel candidates a pipeline routes to
+    review.
+
+    Deterministic end to end (score ties → lower neighbor id; majority
+    ties → lower label), so with seed centroids the whole operator is
+    SQL-oracle-reproducible. Scale: candidate volume is Σ_c n_c², linear
+    with cluster count grown ∝ corpus; the top-k window prunes to k rows
+    per partition before the final exchange (WindowGroupLimit)."""
+    probes = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).alias("__v"),
+        F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias(
+            "__cid"
+        ),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__cid") == F.col("b.__cid"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    )
+    scored = pairs.select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col(f"b.{id_col}").alias("nbr_id"),
+        F.col(f"b.{label_col}").alias("nbr_label"),
+        cosine("a.__v", "b.__v").alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("nbr_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    counts = topk.groupBy(id_col, "nbr_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wm = Window.partitionBy(id_col).orderBy(
+        F.desc("votes"), F.asc("nbr_label")
+    )
+    majority = (
+        counts.withColumn("mrn", F.row_number().over(wm))
+        .filter(F.col("mrn") == 1)
+        .select(id_col, F.col("nbr_label").alias("knn_label"))
+    )
+    return (
+        df.select(id_col, label_col)
+        .join(majority, id_col, "left")
+        .select(
+            id_col,
+            label_col,
+            "knn_label",
+            (
+                F.col("knn_label").isNotNull()
+                & (F.col("knn_label") == F.col(label_col))
+            ).alias("agree"),
+        )
+    )
+
+
+@register(
+    "q_knn_label_consistency",
+    oracle=f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    probes AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) DESC,
+                          c.cid DESC) rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id, b.label AS nbr_label,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS score
+      FROM probes a JOIN probes b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, nbr_id) rn
+        FROM pairs
+      ) WHERE rn <= {KNN_K}
+    ),
+    majority AS (
+      SELECT vec_id, nbr_label AS knn_label FROM (
+        SELECT vec_id, nbr_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY COUNT(*) DESC, nbr_label) mrn
+        FROM topk GROUP BY vec_id, nbr_label
+      ) WHERE mrn = 1
+    )
+    SELECT e.vec_id, e.label, m.knn_label,
+           (m.knn_label IS NOT NULL AND m.knn_label = e.label) AS agree
+    FROM embeddings e LEFT JOIN majority m ON m.vec_id = e.vec_id
+    """,
+)
+def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel-candidate detection over the embeddings corpus: own label
+    vs the majority label of the {KNN_K} nearest same-cluster neighbors.
+    Same cached seed quantizer as the scoped-dedup family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids_cached(emb, sf_dir)
+    return knn_label_consistency(emb, cents)
+
+
 def _semantic_scoped_setup(spark: SparkSession, sf_dir: str):
     """Bench split: the coarse-quantizer build is INDEX work a real
     pipeline runs once per corpus — measure it as setup so the headline
