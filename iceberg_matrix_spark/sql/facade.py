@@ -1199,6 +1199,11 @@ class IceLiteSQL:
                     raise UnsupportedSQLError(
                         f"unsupported column type in ADD COLUMN: {typ!r}"
                     ) from None
+                if name.strip("`") in cols:
+                    # a dict would silently last-wins the duplicate
+                    raise UnsupportedSQLError(
+                        f"duplicate column in ADD COLUMNS: {name!r}"
+                    )
                 cols[name.strip("`")] = norm
             t.add_columns(cols, defaults=defaults or None)
             return

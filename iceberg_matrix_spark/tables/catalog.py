@@ -47,10 +47,13 @@ def _parse_schema_ddl(ddl: str) -> list[tuple[str, str]]:
             cur = []
             if not part:
                 continue
-            name, _, typ = part.partition(" ")
-            typ = typ.strip().lower()
-            if not typ:
+            # ANY whitespace separates name and type — a newline or tab
+            # between them is legal SQL (same fix as the ALTER parser,
+            # found by the DDL fuzz)
+            bits = part.split(None, 1)
+            if len(bits) != 2:
                 raise ValueError(f"bad schema field: {part!r}")
+            name, typ = bits[0], bits[1].strip().lower()
             out.append((name, typ))
             continue
         if ch in "<(":
@@ -58,6 +61,16 @@ def _parse_schema_ddl(ddl: str) -> list[tuple[str, str]]:
         elif ch in ">)":
             depth -= 1
         cur.append(ch)
+    if not out:
+        raise ValueError("CREATE TABLE with no columns")
+    seen: set[str] = set()
+    for name, _typ in out:
+        low = name.strip("`").lower()
+        if low in seen:
+            # a table with duplicate field names commits fine and is then
+            # unreadable/unwritable (ambiguous resolution) — reject at DDL
+            raise ValueError(f"duplicate column name: {name!r}")
+        seen.add(low)
     return out
 
 

@@ -1631,6 +1631,16 @@ class IceLiteTable:
         def mutate(meta: TableMetadata) -> TableMetadata:
             current = meta.current_schema
             new_fields = build(meta, [SchemaField(**vars(f)) for f in current.fields])
+            # every evolution path (add / rename / future ones) funnels
+            # through here: duplicate field names would commit fine and
+            # make every later read ambiguous — reject before the commit
+            # (case-insensitive, matching Spark's resolution)
+            seen: set[str] = set()
+            for f in new_fields:
+                low = f.name.lower()
+                if low in seen:
+                    raise ValueError(f"duplicate column name: {f.name!r}")
+                seen.add(low)
             new_schema = TableSchema(
                 schema_id=current.schema_id + 1, fields=new_fields
             )

@@ -536,3 +536,35 @@ def test_replace_partition_field_validates_new_before_dropping_old(spark, catalo
     with pytest.raises(ValueError, match="not in schema"):
         t.replace_partition_field("v", "bucket(4, ghost)")
     assert t.refresh().meta.partition_spec == ["v"]
+
+
+def test_schema_never_commits_duplicate_column_names(spark, catalog):
+    """Duplicate field names commit fine and then every read is ambiguous
+    (Row(val=..., val=...)); all four entry points must reject BEFORE the
+    commit: CREATE, ADD COLUMNS vs existing, within-statement ADD dup,
+    RENAME onto an existing name (found by the DDL fuzz probes)."""
+    with pytest.raises(ValueError, match="duplicate column"):
+        catalog.create_table("ns.dup1", "id bigint, ID string")
+    with pytest.raises(ValueError, match="no columns"):
+        catalog.create_table("ns.dup2", "   ")
+    t = catalog.create_table("ns.dup3", "id bigint, val string")
+    before = [f.name for f in t.meta.current_schema.fields]
+    with pytest.raises(ValueError, match="duplicate column"):
+        t.add_columns({"VAL": "bigint"})
+    with pytest.raises(ValueError, match="duplicate column"):
+        t.refresh().rename_column("id", "val")
+    assert [f.name for f in t.refresh().meta.current_schema.fields] == before
+    # whitespace between name and type is legal SQL (newline/tab)
+    t2 = catalog.create_table("ns.ws", "id\nbigint, v\tstring")
+    assert [(f.name, f.type) for f in t2.meta.current_schema.fields] == [
+        ("id", "bigint"),
+        ("v", "string"),
+    ]
+
+
+def test_alter_add_duplicate_column_rejected_via_sql(sql):
+    sql.sql("CREATE TABLE ns.sqldup (id BIGINT) USING iceberg")
+    with pytest.raises(UnsupportedSQLError, match="duplicate column"):
+        sql.sql("ALTER TABLE ns.sqldup ADD COLUMNS (c INT, c STRING)")
+    with pytest.raises(ValueError, match="duplicate column"):
+        sql.sql("ALTER TABLE ns.sqldup ADD COLUMNS (id STRING)")

@@ -709,6 +709,9 @@ _ALTER_FAULTS = [
     "ADD (c9 INT extra",
     "ADD COLUMNS ()",
     "RENAME COLUMN ghost TO x",
+    "RENAME COLUMN val TO num",             # rename onto an existing name
+    "ADD COLUMNS (c9 INT, c9 STRING)",      # within-statement duplicate
+    "ADD COLUMNS (val STRING)",             # duplicate vs existing
     "DROP COLUMN ghost",
     "DROP ghost",
     "MODIFY ghost INT",
