@@ -172,6 +172,10 @@ class IceLiteCatalog:
         if current_version(location) > 0:
             raise TableAlreadyExistsError(identifier)
         version = int((properties or {}).get("format-version", "2"))
+        if version not in (1, 2, 3):
+            # an unknown version commits fine and then every version gate
+            # (V3-only types, DEFAULTs, deletion vectors) silently passes
+            raise ValueError(f"unsupported format-version: {version}")
         if isinstance(schema, str):
             fields = [
                 SchemaField(id=i + 1, name=n, type=t)

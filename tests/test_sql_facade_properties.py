@@ -750,3 +750,82 @@ def test_alter_fault_rejected_without_effect(fz, spark, fault, data):
         assert _table_fingerprint(fz, ident) == before, fault
     else:
         raise AssertionError(f"mangled ALTER accepted: {fault!r}")
+
+
+# ----------------------------------------------------------------- CREATE
+_CREATE_FAULTS = [
+    "(id BIGINT) USING iceberg PARTITIONED BY (ghost)",
+    "(id BIGINT) USING iceberg PARTITIONED BY (bucket(4, ghost))",
+    "(id BIGINT, id STRING) USING iceberg",
+    "(id BIGINT, ID STRING) USING iceberg",
+    "() USING iceberg",
+    "(id WIBBLE) USING iceberg",
+    "(id BIGINT) USING iceberg garbage here",
+    "(g GEOMETRY) USING iceberg",                      # V3 type, default v2
+    "(ts TIMESTAMP(9)) USING iceberg",                 # V3 type, default v2
+    "(id BIGINT) USING iceberg WITH ('format-version'='9')",
+    "(id BIGINT DEFAULT 7) USING iceberg",             # DEFAULT needs v3
+]
+
+
+@settings(**SETTINGS)
+@given(fault=st.sampled_from(_CREATE_FAULTS), data=st.data())
+def test_create_fault_rejected_without_effect(fz, spark, fault, data):
+    """A mangled CREATE TABLE is a typed rejection AND leaves nothing
+    behind: the name must not resolve, and a subsequent VALID create of
+    the SAME name must succeed (a half-written directory would turn the
+    retry into TableAlreadyExistsError)."""
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+    from iceberg_matrix_spark.tables.catalog import NoSuchTableError
+
+    ident = f"fz.c_{uuid.uuid4().hex[:10]}"
+    stmt = _mangle_case_ws(data, f"CREATE TABLE local.{ident} {fault}".rstrip())
+    try:
+        fz.sql(stmt)
+    except (UnsupportedSQLError, ValueError, KeyError, Exception) as e:
+        # typed rejections only — a parser crash class fails here
+        assert isinstance(e, (UnsupportedSQLError, ValueError, KeyError)) or (
+            type(e).__name__ == "ParseException"
+        ), repr(e)
+    else:
+        raise AssertionError(f"mangled CREATE accepted: {fault!r}")
+    with pytest.raises((NoSuchTableError, Exception)):
+        fz.catalog.load_table(ident)
+    # the name is still creatable — nothing half-written blocks it
+    fz.sql(f"CREATE TABLE local.{ident} (id BIGINT, val STRING) USING iceberg")
+    fz.sql(f"INSERT INTO local.{ident} VALUES (1, 'a')")
+    assert fz.sql(f"SELECT COUNT(*) c FROM local.{ident}").collect()[0][0] == 1
+
+
+@st.composite
+def create_spelling_pairs(draw):
+    """(canonical_tail, variant_tail) CREATE TABLE equivalents."""
+    kind = draw(st.sampled_from(["types", "props", "partition"]))
+    if kind == "types":
+        canon_t, aliases = draw(st.sampled_from(_ALIAS_TYPES))
+        alias = draw(st.sampled_from(aliases))
+        return (
+            f"(id BIGINT, c {canon_t}) USING iceberg",
+            f"(id BIGINT, c {alias}) USING iceberg",
+        )
+    if kind == "props":
+        return (
+            "(id BIGINT) USING iceberg TBLPROPERTIES ('fz.k'='v')",
+            "(id BIGINT) WITH ('fz.k'='v')",   # Flink spelling
+        )
+    return (
+        "(id BIGINT, k INT) USING iceberg PARTITIONED BY (k)",
+        "(id BIGINT, k INTEGER) USING iceberg PARTITIONED BY (k)",
+    )
+
+
+@settings(**SETTINGS)
+@given(pair=create_spelling_pairs(), data=st.data())
+def test_create_dialect_spellings_agree(fz, spark, pair, data):
+    canon, variant = pair
+    fps = []
+    for tail in (canon, variant):
+        ident = f"fz.cs_{uuid.uuid4().hex[:10]}"
+        fz.sql(_mangle_case_ws(data, f"CREATE TABLE local.{ident} {tail}"))
+        fps.append(_table_fingerprint(fz, ident))
+    assert fps[0] == fps[1], pair
