@@ -1320,6 +1320,11 @@ class IceLiteSQL:
             raise UnsupportedSQLError(
                 f"INSERT supplies {len(df.columns)} columns, expected {len(targets)}"
             )
+        if len(set(targets)) != len(targets):
+            # (id, id) would silently bind both values to one column
+            raise UnsupportedSQLError(
+                f"INSERT column list repeats a column: {targets}"
+            )
         unknown = [c for c in targets if c not in {f.name for f in fields}]
         if unknown:
             raise UnsupportedSQLError(

@@ -568,3 +568,16 @@ def test_alter_add_duplicate_column_rejected_via_sql(sql):
         sql.sql("ALTER TABLE ns.sqldup ADD COLUMNS (c INT, c STRING)")
     with pytest.raises(ValueError, match="duplicate column"):
         sql.sql("ALTER TABLE ns.sqldup ADD COLUMNS (id STRING)")
+
+
+def test_insert_duplicate_column_list_rejected(sql):
+    """INSERT INTO t (id, id) VALUES (1, 2) silently bound both values to
+    one column — must be a typed rejection with no row written (found by
+    the DDL-fuzz probe sweep)."""
+    sql.sql("CREATE TABLE ns.insdup (id BIGINT, v STRING) USING iceberg")
+    with pytest.raises(UnsupportedSQLError, match="repeats a column"):
+        sql.sql("INSERT INTO ns.insdup (id, id) VALUES (1, 2)")
+    assert sql.sql("SELECT COUNT(*) c FROM ns.insdup").collect()[0][0] == 0
+    # permuted full column lists remain fine
+    sql.sql("INSERT INTO ns.insdup (v, id) VALUES ('a', 7)")
+    assert sql.sql("SELECT id, v FROM ns.insdup").collect()[0][:] == (7, "a")
