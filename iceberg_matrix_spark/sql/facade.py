@@ -1104,8 +1104,11 @@ class IceLiteSQL:
                     raise UnsupportedSQLError(f"bad PRIMARY KEY clause: {cd!r}")
                 pk = [c.strip().strip("`") for c in _split_top(inner)]
                 continue
-            name, _, typ = cd.partition(" ")
-            typ = typ.strip()
+            # ANY whitespace separates name and type (newline/tab are
+            # legal SQL — the recurring partition(" ") bug class, found
+            # here by the CREATE fuzz's whitespace mangling)
+            bits = cd.split(None, 1)
+            name, typ = (bits[0], bits[1].strip()) if len(bits) == 2 else (cd, "")
             if typ and re.fullmatch(r"timestamp\s*\(\d+\)", typ, re.I):
                 # precision-aware mapping shared with the ALTER paths
                 cd = f"{name} {_norm_type(typ)}"
