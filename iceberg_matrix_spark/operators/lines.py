@@ -1,0 +1,250 @@
+"""Line-level exact deduplication (C4 / RefinedWeb-style).
+
+The most common LLM-curation operation after document-level dedup:
+remove BOILERPLATE LINES that repeat across the corpus ("Sign in",
+cookie banners, nav bars — RefinedWeb/MassiveText's most-frequent-line
+removal) and WITHIN-DOCUMENT repeated lines (C4 keeps one copy of any
+repeated span), then reassemble the cleaned corpus. Complements the
+span family (operators/spans.py): spans find verbatim k-gram overlap at
+arbitrary offsets; this family works at line granularity with a
+frequency rule, which is what production web-corpus cleaning actually
+runs first (Penedo et al. 2023, arXiv:2306.01116 §4.2; Raffel et al.
+2020, arXiv:1910.10683 §2.2).
+
+Rules (deterministic, oracle-able):
+
+- corpus rule: a line whose text occurs in ``min_doc_freq``+ DISTINCT
+  documents is boilerplate — every occurrence is removed;
+- document rule: of identical lines within one document, only the
+  first (lowest line_no) survives;
+- a line is kept iff both rules pass; cleaned text is the kept lines
+  re-joined in order.
+
+Line segmentation: real corpora split on ``\\n``; the test corpus is
+single-line, so the registered queries segment each document into
+fixed ``LINE_TOKENS``-token windows — the same whitespace tokenizer as
+every other text operator (functions/text.py:24), expressed identically
+in the DuckDB oracles.
+
+Scale shape (the 100 TB contract):
+
+- one row per line (∝ corpus tokens / line width), exploded from a
+  pruned (doc_id, text) scan — no Python row path anywhere;
+- lines join and group on an 8-byte xxhash64 key; the line STRING never
+  leaves the row it was built in (the spans-family contract — the
+  oracle joins on the string, equal output absent 2⁻⁶⁴ collisions);
+- the doc-frequency aggregate is two-phase (partial map-side); a
+  boilerplate line appearing in 10⁹ documents contributes one row per
+  (hash, doc) to phase 1 — spread keys — and df pre-aggregated counts
+  to phase 2;
+- the verdict join left side is skewed on hot boilerplate hashes by
+  construction; the frequency side has ONE row per key, so AQE's skew
+  split handles it (same posture as the n-gram family's capped joins);
+- the only window is per (doc_id, line hash) — state bounded by one
+  document, never the corpus;
+- reassembly groups by doc_id, per-document state only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_matrix_spark.functions.text import tokens
+from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
+from iceberg_matrix_spark.sources.testdata import load_table
+
+# Registered-query parameters (the oracles apply identical values).
+LINE_TOKENS = 10
+LINE_MIN_DOC_FREQ = 2
+
+
+def doc_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = LINE_TOKENS,
+) -> DataFrame:
+    """(doc_id, line_no, line): each document segmented into fixed
+    ``line_tokens``-token windows (1-based line_no; the last line may be
+    short). With newline-delimited corpora, substitute a split on
+    ``\\n`` — everything downstream only sees (doc_id, line_no, line)."""
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
+    n_lines = F.ceil(F.size("toks") / F.lit(float(line_tokens)))
+    lines_arr = F.transform(
+        F.sequence(F.lit(1).cast("long"), n_lines),
+        lambda i: F.array_join(
+            F.slice(
+                "toks",
+                ((i - 1) * line_tokens + 1).cast("int"),
+                line_tokens,
+            ),
+            " ",
+        ),
+    )
+    return toks_df.select(
+        "doc_id", F.posexplode(lines_arr).alias("idx", "line")
+    ).select("doc_id", (F.col("idx") + 1).cast("long").alias("line_no"), "line")
+
+
+def line_dedup_verdicts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = LINE_TOKENS,
+    min_doc_freq: int = LINE_MIN_DOC_FREQ,
+) -> DataFrame:
+    """Per-line keep verdicts: (doc_id, line_no, line, corpus_df, keep).
+
+    ``corpus_df`` = distinct documents containing the line's exact text;
+    ``keep`` = corpus_df < min_doc_freq AND this is the first occurrence
+    of the line within its document."""
+    lines = doc_lines(docs, id_col, text_col, line_tokens).withColumn(
+        "__h", F.xxhash64("line")
+    )
+    freq = lines.groupBy("__h").agg(
+        F.countDistinct("doc_id").alias("corpus_df")
+    )
+    w = Window.partitionBy("doc_id", "__h").orderBy("line_no")
+    return (
+        lines.withColumn("__occ", F.row_number().over(w))
+        .join(freq, "__h")
+        .select(
+            "doc_id",
+            "line_no",
+            "line",
+            "corpus_df",
+            (
+                (F.col("corpus_df") < min_doc_freq) & (F.col("__occ") == 1)
+            ).alias("keep"),
+        )
+    )
+
+
+def line_deduped_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = LINE_TOKENS,
+    min_doc_freq: int = LINE_MIN_DOC_FREQ,
+) -> DataFrame:
+    """The removal capstone: (doc_id, n_lines, n_lines_kept, clean_text)
+    with every boilerplate / repeated line stripped and the survivors
+    re-joined in line order. A fully-boilerplate document comes back with
+    an empty clean_text — the drop signal (same contract as
+    spans.span_deduped_corpus)."""
+    verdicts = line_dedup_verdicts(
+        docs, id_col, text_col, line_tokens, min_doc_freq
+    )
+    sizes = verdicts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    cleaned = (
+        verdicts.filter("keep")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return sizes.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_lines_kept"), F.lit(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + oracles
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE chain: identical tokenization (TOKS_SQL), identical
+# fixed-width segmentation (DuckDB slices are 1-based inclusive and clamp
+# at the array end, matching F.slice), frequency + first-occurrence rules
+# on the line STRING where Spark uses its xxhash64.
+_LINES_SQL = f"""
+  toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+  lines AS (
+    -- zipped parallel unnests over the same generate_series list
+    -- (lateral generate_series with column args is unsupported)
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS BIGINT))) AS BIGINT) AS line_no,
+           unnest(list_transform(generate_series(1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS BIGINT)),
+                  i -> array_to_string(t[(i-1)*{LINE_TOKENS}+1:(i-1)*{LINE_TOKENS}+{LINE_TOKENS}], ' '))) AS line
+    FROM toks
+  ),
+  freq AS (
+    SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS corpus_df
+    FROM lines GROUP BY line
+  ),
+  occ AS (
+    SELECT doc_id, line_no, line,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY line_no) AS occ_no
+    FROM lines
+  ),
+  verdicts AS (
+    SELECT o.doc_id, o.line_no, o.line, f.corpus_df,
+           (f.corpus_df < {LINE_MIN_DOC_FREQ} AND o.occ_no = 1) AS keep
+    FROM occ o JOIN freq f USING (line)
+  )
+"""
+
+
+@register(
+    "q_line_dedup",
+    oracle=f"""
+    WITH {_LINES_SQL}
+    SELECT doc_id, line_no, line, corpus_df, keep
+    FROM verdicts
+    ORDER BY doc_id, line_no
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-dedup verdicts: per {LINE_TOKENS}-token line,
+    its corpus document frequency and whether it survives the
+    boilerplate (df ≥ {LINE_MIN_DOC_FREQ} distinct docs → drop all
+    copies) and within-document first-occurrence rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup_verdicts(docs, "doc_id", "text").orderBy(
+        "doc_id", "line_no"
+    )
+
+
+@register(
+    "q_line_dedup_clean",
+    oracle=f"""
+    WITH {_LINES_SQL},
+    kept AS (SELECT doc_id, line_no, line FROM verdicts WHERE keep),
+    cleaned AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+             string_agg(line, ' ' ORDER BY line_no) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lines GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_lines,
+           COALESCE(c.n_lines_kept, 0) AS n_lines_kept,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM sizes s LEFT JOIN cleaned c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned-corpus reassembly: every boilerplate/repeated line
+    stripped, survivors re-joined per document in line order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return line_deduped_corpus(docs, "doc_id", "text").orderBy("doc_id")

@@ -24,6 +24,7 @@ def _populate() -> None:
     from iceberg_matrix_spark.operators import asof  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import dedup  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import graph  # noqa: F401, PLC0415
+    from iceberg_matrix_spark.operators import lines  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import multimodal  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import pipeline  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import scale  # noqa: F401, PLC0415
