@@ -742,6 +742,29 @@ class IceLiteSQL:
                         raise UnsupportedSQLError(
                             f"unsupported OPTIONS hint keys: {sorted(unknown)}"
                         )
+                    # exactly ONE read selector: snapshot-id / branch /
+                    # tag / the start-tag+end-tag pair. Before this
+                    # check, OPTIONS('snapshot-id'=..,'branch'=..)
+                    # silently read the snapshot and IGNORED the branch
+                    # — ambiguous hints must reject, not guess (the
+                    # OPTIONS fuzz, round 7; Flink validates the same).
+                    selectors = [
+                        s
+                        for s in (
+                            ["snapshot-id"] if "snapshot-id" in opts else [],
+                            ["branch"] if "branch" in opts else [],
+                            ["tag"] if "tag" in opts else [],
+                            ["start-tag/end-tag"]
+                            if ("start-tag" in opts or "end-tag" in opts)
+                            else [],
+                        )
+                        if s
+                    ]
+                    if len(selectors) > 1:
+                        raise UnsupportedSQLError(
+                            "conflicting OPTIONS hint selectors: "
+                            + ", ".join(s[0] for s in selectors)
+                        )
                     if "start-tag" in opts or "end-tag" in opts:
                         if not ("start-tag" in opts and "end-tag" in opts):
                             raise UnsupportedSQLError(
@@ -1323,17 +1346,23 @@ class IceLiteSQL:
             raise UnsupportedSQLError(
                 f"INSERT supplies {len(df.columns)} columns, expected {len(targets)}"
             )
-        if len(set(targets)) != len(targets):
-            # (id, id) would silently bind both values to one column
+        # Spark resolves identifiers case-insensitively: (ID, VAL) binds
+        # to columns id/val — and the duplicate check must use the SAME
+        # folding, or (id, ID) would slip past a case-sensitive set and
+        # silently bind two values to one column (INSERT-list fuzz,
+        # round 7; DDL validates names the same way in _evolve_schema).
+        if len({c.lower() for c in targets}) != len(targets):
             raise UnsupportedSQLError(
                 f"INSERT column list repeats a column: {targets}"
             )
-        unknown = [c for c in targets if c not in {f.name for f in fields}]
+        by_lower = {f.name.lower(): f.name for f in fields}
+        unknown = [c for c in targets if c.lower() not in by_lower]
         if unknown:
             raise UnsupportedSQLError(
                 f"INSERT column list names unknown columns {unknown}; "
                 f"table has {[f.name for f in fields]}"
             )
+        targets = [by_lower[c.lower()] for c in targets]
         by_pos = dict(zip(targets, df.columns))
         dtypes = dict(df.dtypes)
         out = []

@@ -829,3 +829,230 @@ def test_create_dialect_spellings_agree(fz, spark, pair, data):
         fz.sql(_mangle_case_ws(data, f"CREATE TABLE local.{ident} {tail}"))
         fps.append(_table_fingerprint(fz, ident))
     assert fps[0] == fps[1], pair
+
+
+# ----------------------------------------------------------------- INSERT
+# Round-7 targets from the round-6 fuzz notes: column-list arity vs
+# VALUES, quoted identifiers, case-insensitive resolution (Spark
+# semantics), case-folded duplicate detection, and
+# rejection-without-effect for every fault class.
+
+
+def _spell_col(data, c: str) -> str:
+    """A column reference spelling Spark accepts: as-is, backticked, or
+    case-mangled (identifier resolution is case-insensitive)."""
+    form = data.draw(st.sampled_from(["plain", "tick", "upper", "mixed"]))
+    if form == "tick":
+        return f"`{c}`"
+    if form == "upper":
+        return c.upper()
+    if form == "mixed":
+        return "".join(
+            ch.upper() if i % 2 else ch for i, ch in enumerate(c)
+        )
+    return c
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_insert_column_list_spellings_agree(fz, spark, rows, data):
+    """Backticked / case-mangled / permuted / PARTIAL column lists all
+    land values in the named columns (unnamed columns fill with the
+    write-default, i.e. NULL) exactly like the canonical spelling."""
+    order = {"id": 0, "val": 1, "num": 2}
+    cols = data.draw(
+        st.sampled_from(
+            [
+                ["id", "val", "num"],
+                ["num", "id", "val"],
+                ["id", "num"],          # partial: val defaults
+                ["val", "id"],          # partial: num defaults
+                ["id"],                 # minimal
+            ]
+        )
+    )
+
+    def vals_for(r):
+        return ", ".join(
+            f"'{r[order[c]].replace(chr(39), chr(39) * 2)}'"
+            if c == "val"
+            else str(r[order[c]])
+            for c in cols
+        )
+
+    canon_ident = _fresh_table(fz, [])
+    variant_ident = _fresh_table(fz, [])
+    vals = ", ".join(f"({vals_for(r)})" for r in rows)
+    fz.sql(f"INSERT INTO local.{canon_ident} ({', '.join(cols)}) VALUES {vals}")
+    spelled = ", ".join(_spell_col(data, c) for c in cols)
+    fz.sql(f"INSERT INTO local.{variant_ident} ({spelled}) VALUES {vals}")
+    got = _rows(fz.sql(f"SELECT id, val, num FROM local.{variant_ident}"))
+    want = _rows(fz.sql(f"SELECT id, val, num FROM local.{canon_ident}"))
+    assert got == want, (cols, spelled)
+    # the partial lists really defaulted the unnamed columns
+    if "val" not in cols:
+        assert all(r[1] is None for r in got)
+    if "num" not in cols:
+        assert all(r[2] is None for r in got)
+
+
+_INSERT_FAULTS = [
+    "(id, val, num) VALUES (1, 'a')",        # arity: list vs VALUES row
+    "(id, num) VALUES (1, 'a', 2)",          # arity the other way
+    "(id, id, val) VALUES (1, 2, 'a')",      # duplicate column
+    "(id, ID, val) VALUES (1, 2, 'a')",      # case-folded duplicate
+    "(`id`, `ID`) VALUES (1, 2)",            # quoted case-folded duplicate
+    "(id, ghost) VALUES (1, 2)",             # unknown column
+    "(id, val, num) VALUES (1, 'a', 2), (3)",  # ragged VALUES rows
+    "() VALUES ()",                          # empty column list
+    "VALUES (1, 'a')",                       # no list, too few values
+    "VALUES (1, 'a', 2, 99)",                # no list, too many values
+]
+
+
+@settings(**SETTINGS)
+@given(fault=st.sampled_from(_INSERT_FAULTS), data=st.data())
+def test_insert_fault_rejected_without_effect(fz, spark, fault, data):
+    """A malformed INSERT is a typed rejection (the facade's own error or
+    Spark's parse/analysis error for VALUES-shape faults) and commits
+    NOTHING: same snapshot count, same rows."""
+    from pyspark.errors import AnalysisException, ParseException
+
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+
+    ident = _fresh_table(fz, [(1, "seed", 1)])
+    before_rows = _rows(fz.sql(f"SELECT id, val, num FROM local.{ident}"))
+    before_snaps = len(fz.catalog.load_table(ident).meta.snapshots)
+    with pytest.raises((UnsupportedSQLError, AnalysisException, ParseException)):
+        fz.sql(f"INSERT INTO local.{ident} {fault}")
+    assert _rows(fz.sql(f"SELECT id, val, num FROM local.{ident}")) == before_rows
+    assert len(fz.catalog.load_table(ident).meta.snapshots) == before_snaps, fault
+
+
+# ------------------------------------------------------------ DESCRIBE/SHOW
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_describe_show_spellings_agree(fz, spark, rows, data):
+    """DESC / DESCRIBE / DESCRIBE TABLE (case/whitespace-mangled) return
+    identical rows; SHOW TABLES IN == FROM; SHOW TBLPROPERTIES and SHOW
+    CREATE TABLE parse under mangling."""
+    ident = _fresh_table(fz, rows[:2] or [(1, "a", 1)])
+    spellings = [
+        f"DESC local.{ident}",
+        f"DESCRIBE local.{ident}",
+        f"DESCRIBE TABLE local.{ident}",
+    ]
+    results = [
+        _rows(fz.sql(_mangle_case_ws(data, q))) for q in spellings
+    ]
+    assert results[1] == results[0] and results[2] == results[0]
+    t_in = _rows(fz.sql(_mangle_case_ws(data, "SHOW TABLES IN local.fz")))
+    t_from = _rows(fz.sql(_mangle_case_ws(data, "SHOW TABLES FROM local.fz")))
+    assert t_in == t_from
+    assert any(r[1] == ident.split(".")[1] for r in t_in)
+    props = _rows(fz.sql(_mangle_case_ws(data, f"SHOW TBLPROPERTIES local.{ident}")))
+    assert isinstance(props, list)
+    ddl = fz.sql(
+        _mangle_case_ws(data, f"SHOW CREATE TABLE local.{ident}")
+    ).collect()[0][0]
+    assert "USING ICEBERG" in ddl and ident in ddl
+
+
+_DESCRIBE_SHOW_FAULTS = [
+    "DESCRIBE local.fz.no_such_table_xyz",
+    "DESC local.fz.no_such_table_xyz",
+    "SHOW TBLPROPERTIES local.fz.no_such_table_xyz",
+    "SHOW CREATE TABLE local.fz.no_such_table_xyz",
+    "SHOW NAMESPACES IN wrongcat",
+    "DESCRIBE",
+    "SHOW TABLES",          # no namespace — not a supported spelling
+    "SHOW GIBBERISH local.fz",
+]
+
+
+@settings(**SETTINGS)
+@given(fault=st.sampled_from(_DESCRIBE_SHOW_FAULTS), data=st.data())
+def test_describe_show_fault_is_typed(fz, spark, fault, data):
+    """Metadata statements over missing objects / mangled verbs raise a
+    TYPED error (UnsupportedSQLError / NoSuchTableError), never a parser
+    crash class (AttributeError, IndexError, re.error)."""
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+    from iceberg_matrix_spark.tables.catalog import NoSuchTableError
+
+    with pytest.raises((UnsupportedSQLError, NoSuchTableError)):
+        fz.sql(_mangle_case_ws(data, fault))
+
+
+# ------------------------------------------------------------ OPTIONS hint
+
+_HINT_FAULTS = [
+    "'snapshot-id'='{sid}', 'branch'='main'",   # conflicting selectors
+    "'branch'='main', 'tag'='faketag'",         # conflicting selectors
+    "'snapshot-id'='{sid}', 'start-tag'='a', 'end-tag'='b'",
+    "'start-tag'='a'",                          # half an incremental range
+    "'end-tag'='b'",
+    "'branch'='no_such_branch'",
+    "'tag'='no_such_tag'",
+    "'monitor-interval'='10s'",                 # unsupported key
+    "",                                         # empty hint
+    "branch='main'",                            # unquoted → no parsed keys
+]
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), fault=st.sampled_from(_HINT_FAULTS))
+def test_options_hint_fault_is_typed(fz, spark, rows, fault):
+    """Every malformed / ambiguous / dangling-reference OPTIONS hint is a
+    typed rejection — never a silent guess between conflicting selectors
+    (pre-round-7, snapshot-id + branch silently read the snapshot and
+    ignored the branch: wrong data, not an error)."""
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+
+    ident = _fresh_table(fz, rows[:2] or [(1, "a", 1)])
+    sid = fz.sql(
+        f"SELECT snapshot_id FROM local.{ident}.snapshots"
+    ).collect()[0][0]
+    hint = fault.format(sid=sid)
+    with pytest.raises(UnsupportedSQLError):
+        fz.sql(
+            f"SELECT id, val, num FROM local.{ident} /*+ OPTIONS({hint}) */"
+        )
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_options_hint_selectors_read_right_data(fz, spark, rows, data):
+    """Each single-selector OPTIONS spelling reads exactly its target:
+    snapshot-id == VERSION AS OF, tag == tag-suffix read, branch reads
+    the branch's rows (not main's) — under case/whitespace mangling of
+    the hint syntax."""
+    rows = rows[:3] or [(1, "a", 1)]
+    ident = _fresh_table(fz, rows)
+    fz.sql(f"ALTER TABLE local.{ident} CREATE TAG t0")
+    fz.sql(f"ALTER TABLE local.{ident} CREATE BRANCH b1")
+    fz.sql(f"INSERT INTO local.{ident}.branch_b1 VALUES (500, 'branch-only', 0)")
+    fz.sql(f"INSERT INTO local.{ident} VALUES (600, 'main-later', 0)")
+    sid = fz.sql(
+        f"SELECT snapshot_id FROM local.{ident}.snapshots ORDER BY committed_at"
+    ).collect()[0][0]
+
+    def q(hint):
+        spaced = hint.replace(", ", data.draw(st.sampled_from([",", " , ", ",  "])))
+        kw = data.draw(st.sampled_from(["OPTIONS", "options", "Options"]))
+        return _rows(
+            fz.sql(
+                f"SELECT id, val, num FROM local.{ident} /*+ {kw}({spaced}) */"
+            )
+        )
+
+    assert q(f"'snapshot-id'='{sid}'") == _rows(
+        fz.sql(f"SELECT id, val, num FROM local.{ident} VERSION AS OF {sid}")
+    )
+    assert q("'tag'='t0'") == _rows(
+        fz.sql(f"SELECT id, val, num FROM local.{ident}.tag_t0")
+    )
+    branch_rows = q("'branch'='b1'")
+    assert (500, "branch-only", 0) in branch_rows
+    assert all(r[0] != 600 for r in branch_rows)
