@@ -95,6 +95,10 @@ HEADLINE = [
     # SSL-prototype pruning (narrow assignment + per-cluster rank window)
     "q_lm_rare_trigram_filter",
     "q_prototype_prune",
+    # round 7: C4-style line dedup (hash-keyed frequency join + per-doc
+    # reassembly) and PQ ANN (compressed-code scan + integer ADC)
+    "q_line_dedup_clean",
+    "q_ann_pq_topk",
 ]
 
 
