@@ -231,8 +231,15 @@ def scale_sweep() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from iceberg_matrix_spark.operators.sweep import run_scale_sweep  # noqa: PLC0415
 
+    fams = os.environ.get("SPARK_GRAFT_SWEEP_FAMILIES")
     with tempfile.TemporaryDirectory(prefix="imx-sweep-") as workdir:
-        rows = run_scale_sweep(spark, sf_dir, workdir, factors)
+        rows = run_scale_sweep(
+            spark,
+            sf_dir,
+            workdir,
+            factors,
+            families=fams.split(",") if fams else None,
+        )
     print(
         json.dumps(
             {

@@ -1053,13 +1053,62 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 5
 
 
+def seed_half_centroids(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Two half-dimension seed codebooks (low dims / high dims of the k
+    lowest-id embeddings) for :func:`product_cid`."""
+    seeds = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    half = _DIM // 2
+    lo = [[float(x) for x in r[vec_col][:half]] for r in seeds]
+    hi = [[float(x) for x in r[vec_col][half:]] for r in seeds]
+    return lo, hi
+
+
+def product_cid(
+    vec_col: str,
+    cents_lo: list[list[float]],
+    cents_hi: list[list[float]],
+) -> F.Column:
+    """Composite coarse-cluster id from two half-dimension quantizers:
+    ``argmax_lo · |hi| + argmax_hi`` — k_lo·k_hi effective clusters from
+    only k_lo+k_hi unrolled half-width dot products. This sidesteps the
+    single-quantizer expression-unroll cap (~64 clusters before janino
+    ends codegen, the _nearest_clusters note), which is what lets
+    CLUSTER COUNT grow ∝ corpus with bounded per-cluster population —
+    the linear-scale contract of the kNN/scoped families (measured in
+    operators/sweep.py's knn rows). Ties break to the higher sub-cid on
+    each half (reversed array_sort, same rule as _nearest_clusters)."""
+    half = _DIM // 2
+
+    def _argmax(v: F.Column, cents: list[list[float]]) -> F.Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    dot(v, F.array(*[F.lit(x) for x in c])).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        return F.element_at(F.reverse(F.array_sort(scored)), 1)["cid"]
+
+    lo = F.slice(F.col(vec_col), 1, half)
+    hi = F.slice(F.col(vec_col), half + 1, half)
+    return _argmax(lo, cents_lo) * F.lit(len(cents_hi)) + _argmax(hi, cents_hi)
+
+
 def knn_label_consistency(
     df: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     k: int = KNN_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cid_expr: F.Column | None = None,
 ) -> DataFrame:
     """kNN label-noise detection (the curation op behind Confident
     Learning / cleanlab's kNN filter, Northcutt et al. 2021,
@@ -1074,15 +1123,24 @@ def knn_label_consistency(
     Deterministic end to end (score ties → lower neighbor id; majority
     ties → lower label), so with seed centroids the whole operator is
     SQL-oracle-reproducible. Scale: candidate volume is Σ_c n_c², linear
-    with cluster count grown ∝ corpus; the top-k window prunes to k rows
-    per partition before the final exchange (WindowGroupLimit)."""
+    with cluster count grown ∝ corpus — pass ``cid_expr`` (e.g.
+    :func:`product_cid`, which grows cluster count past the unroll cap)
+    to scope by any precomputed/composite cluster id; the top-k window
+    prunes to k rows per partition before the final exchange
+    (WindowGroupLimit). Neighbor scores verify on carried per-row norms
+    (one dot fold per pair, the _lsh_verified_pairs trick; bit-identical
+    to cosine())."""
+    cid = (
+        cid_expr
+        if cid_expr is not None
+        else F.element_at(_nearest_clusters(vec_col, centroids, 1), 1)
+    )
     probes = df.select(
         F.col(id_col),
         F.col(label_col),
         F.col(vec_col).alias("__v"),
-        F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias(
-            "__cid"
-        ),
+        l2_norm(vec_col).alias("__n"),
+        cid.alias("__cid"),
     )
     a, b = probes.alias("a"), probes.alias("b")
     pairs = a.join(
@@ -1094,7 +1152,9 @@ def knn_label_consistency(
         F.col(f"a.{id_col}").alias(id_col),
         F.col(f"b.{id_col}").alias("nbr_id"),
         F.col(f"b.{label_col}").alias("nbr_label"),
-        cosine("a.__v", "b.__v").alias("score"),
+        (dot("a.__v", "b.__v") / (F.col("a.__n") * F.col("b.__n"))).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("nbr_id"))
     topk = scored.withColumn("rn", F.row_number().over(w)).filter(

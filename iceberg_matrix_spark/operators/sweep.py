@@ -267,7 +267,11 @@ def family_runners() -> dict:
         incremental_semantic_verdicts,
         incremental_semantic_verdicts_scoped,
         ivf_seed_centroids,
+        knn_label_consistency,
+        product_cid,
+        prototype_prune,
         scoped_signature_index,
+        seed_half_centroids,
     )
     from iceberg_matrix_spark.operators.spans import (  # noqa: PLC0415
         duplicate_spans,
@@ -319,10 +323,37 @@ def family_runners() -> dict:
             corpus_index=idx,
         )
 
+    def knn(spark, docs, emb, factor):
+        # the docstring's linear-scale contract MEASURED: cluster count
+        # grows ∝ corpus (product_cid composes two half-dim quantizers,
+        # so k_lo·k_hi cells from k_lo+k_hi unrolled dots — 16/144/1600
+        # cells at 1×/10×/100×) keeping per-cluster population ~bounded;
+        # in-cluster candidate volume Σ_c n_c² then grows ∝ corpus and
+        # the top-k WindowGroupLimit prunes to k rows per id before the
+        # final exchange. The registered query's k=16 argmax quantizer is
+        # the oracle-pinned SMALL-corpus form of the same plan.
+        k_each = {1: 4, 10: 12, 100: 40}.get(factor) or max(
+            4, round(4 * factor**0.5)
+        )
+        lo, hi = seed_half_centroids(emb, k_each)
+        return knn_label_consistency(
+            emb, None, cid_expr=product_cid("embedding", lo, hi)
+        )
+
+    def prototype(spark, docs, emb, factor):
+        # one narrow assignment+score projection, one per-cluster rank
+        # window; k=64 (the unroll cap) so per-cluster window partitions
+        # grow with the corpus but stay sort-bounded — the point the
+        # sweep verifies is that NOTHING here is quadratic
+        cents = ivf_seed_centroids(emb, k=64)
+        return prototype_prune(emb, cents)
+
     return {
         "ngram": lambda spark, docs, emb, factor: ngram_jaccard_pairs(
             docs, threshold=0.5, max_doc_freq=64
         ),
+        "knn": knn,
+        "prototype": prototype,
         "minhash": lambda spark, docs, emb, factor: minhash_neardup_pairs(
             docs, threshold=0.5
         ),

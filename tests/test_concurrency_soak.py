@@ -244,3 +244,165 @@ def test_concurrent_writer_soak(spark, catalog):
     tags = [s.summary.get("soak_tag") for s in snaps if s.summary.get("soak_tag")]
     for i, ops in enumerate(schedules):
         assert tags.count(f"w{i}") == sum(1 for op in ops if op[0] == "append")
+
+
+# ------------------------------------------------------------ catalog races
+# VERDICT r6 stretch: rename-vs-write-vs-drop races at the CATALOG layer
+# (SqlCatalog and the REST server over it). The invariants under test:
+#
+# - a rename re-points the identity atomically and never relocates data,
+#   so a writer that committed through EITHER name finds its rows under
+#   the final name (no lost committed write, no ghost path);
+# - a non-purge DROP + re-CREATE of the same name allocates a FRESH
+#   location (the creation metadata makes the old directory non-empty),
+#   so an in-flight writer holding the dropped incarnation's handle can
+#   only ever land rows in the ORPHANED directory — never inside the new
+#   incarnation;
+# - every racing thread fails CLEANLY (typed catalog errors only), never
+#   with a parser/IO crash class, and never half-commits catalog state.
+
+
+def _race_catalog(spark, tmp_path, kind):
+    from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
+
+    if kind == "sql":
+        cat = SqlCatalog(spark, str(tmp_path / "wh"))
+        return cat, lambda: None
+    from iceberg_matrix_spark.tables.rest_catalog import (
+        RestCatalog,
+        RestCatalogServer,
+    )
+
+    srv = RestCatalogServer(spark, str(tmp_path / "rest-wh"))
+    return RestCatalog(spark, srv.uri), srv.close
+
+
+@pytest.mark.parametrize("kind", ["sql", "rest"])
+def test_catalog_rename_write_drop_race_soak(spark, tmp_path, kind):
+    import time
+
+    from iceberg_matrix_spark.tables.catalog import (
+        NoSuchTableError,
+        TableAlreadyExistsError,
+    )
+
+    cat, closer = _race_catalog(spark, tmp_path, kind)
+    try:
+        cat.create_namespace("race")
+        cat.create_table("race.t0", "id bigint, b bigint")
+        names = ("race.t0", "race.t1")
+        typed = (NoSuchTableError, TableAlreadyExistsError, ValueError)
+        unexpected: list = []
+        committed: list = []  # (batch_id, location) per successful append
+        batches_done = [0]
+        stop_flips = [False]
+        recreated_locations: list = []
+        dropped_locations: list = []
+
+        def _load_current():
+            for name in names:
+                try:
+                    return cat.load_table(name)
+                except typed:
+                    continue
+            raise NoSuchTableError("mid-drop gap")
+
+        def writer(wid: int):
+            for i in range(10):
+                batch = wid * 1000 + i
+                rows = [(batch * 10 + k, batch) for k in range(3)]
+                for _ in range(60):  # retry across rename/drop gaps
+                    try:
+                        t = _load_current()
+                        loc = t.location
+                        t.append(
+                            local_df(spark, rows, "id bigint, b bigint")
+                        )
+                        committed.append((batch, loc))
+                        batches_done[0] += 1
+                        break
+                    except typed:
+                        time.sleep(0.02)
+                    except Exception as exc:  # noqa: BLE001
+                        unexpected.append(exc)
+                        return
+                else:
+                    unexpected.append(RuntimeError(f"batch {batch} starved"))
+
+        def renamer():
+            while not stop_flips[0]:
+                for src, dst in (names, names[::-1]):
+                    try:
+                        cat.rename_table(src, dst)
+                    except typed:
+                        pass
+                    except Exception as exc:  # noqa: BLE001
+                        unexpected.append(exc)
+                        return
+                time.sleep(0.01)
+
+        def dropper():
+            for threshold in (4, 12):
+                while batches_done[0] < threshold:
+                    time.sleep(0.02)
+                while True:
+                    try:
+                        for name in names:
+                            try:
+                                dropped_locations.append(
+                                    cat.load_table(name).location
+                                )
+                                cat.drop_table(name)  # non-purge
+                                break
+                            except typed:
+                                continue
+                        else:
+                            continue
+                        break
+                    except Exception as exc:  # noqa: BLE001
+                        unexpected.append(exc)
+                        return
+                while True:
+                    try:
+                        t = cat.create_table("race.t0", "id bigint, b bigint")
+                        recreated_locations.append(t.location)
+                        break
+                    except TableAlreadyExistsError:
+                        time.sleep(0.02)
+                    except Exception as exc:  # noqa: BLE001
+                        unexpected.append(exc)
+                        return
+
+        threads = [
+            threading.Thread(target=writer, args=(w,)) for w in (1, 2)
+        ] + [threading.Thread(target=dropper)]
+        flipper = threading.Thread(target=renamer)
+        for t in threads:
+            t.start()
+        flipper.start()
+        for t in threads:
+            t.join(timeout=120)
+        stop_flips[0] = True
+        flipper.join(timeout=20)
+        assert not unexpected, unexpected[:3]
+
+        final = _load_current()
+        final_loc = final.location
+        got = {
+            (r["b"]) for r in final.df().select("b").distinct().collect()
+        }
+        want = {b for b, loc in committed if loc == final_loc}
+        # every commit through the final incarnation survived the storm
+        assert want <= got, sorted(want - got)
+        # ghost writes (commits into dropped incarnations) never surface
+        # under the recreated identity
+        orphans = {b for b, loc in committed if loc != final_loc}
+        assert not (got & orphans), sorted(got & orphans)
+        # each recreate really allocated a fresh directory (compare
+        # against the drops that happened BEFORE it — a recreated
+        # incarnation legitimately shows up in dropped_locations when
+        # the NEXT cycle drops it)
+        for i, newloc in enumerate(recreated_locations):
+            assert newloc not in dropped_locations[: i + 1]
+    finally:
+        closer()
