@@ -46,7 +46,7 @@ from iceberg_matrix_spark.operators.dedup import (
     MAX_DOC_FREQ,
     ngram_jaccard_pairs,
 )
-from iceberg_matrix_spark.queries.registry import register
+from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
 from iceberg_matrix_spark.sources.testdata import load_table
 
 
@@ -160,3 +160,61 @@ def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     ).select(F.col("component").alias("doc_id"), "cluster_size")
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Quality-aware canonical selection: within every near-dup cluster,
+    KEEP the member with the most tokens (ties → lower id) instead of
+    blindly keeping the min id — the production rule (RefinedWeb keeps
+    the longest member of a duplicate group, arXiv:2306.01116 §4.3;
+    a near-dup's shorter copies are usually truncations). Emits one row
+    per document: (doc_id, component, n_tokens, keep).
+
+    Plan: the component labels (two longs per doc) join back to a token
+    count that is one narrow projection; the selection is a per-component
+    rank window — state bounded by the largest cluster, which the
+    upstream doc-frequency cap keeps small. Fully deterministic, so the
+    recursive-CTE oracle reproduces the verdicts exactly."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from iceberg_matrix_spark.functions.text import token_count  # noqa: PLC0415
+
+    comp = neardup_components(docs, id_col, text_col, threshold)
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    labeled = comp.join(sizes, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+@register(
+    "q_dedup_canonical_quality",
+    oracle=_COMPONENTS_SQL
+    + f"""
+    , qsizes AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents)
+    SELECT c.doc_id, c.component, s.n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY s.n_tokens DESC, c.doc_id) = 1 AS keep
+    FROM comp c JOIN qsizes s USING (doc_id)
+    """,
+)
+def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster, keep the LONGEST member (ties to the lower
+    id) — quality-aware canonical selection over the component labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_by_quality(docs)

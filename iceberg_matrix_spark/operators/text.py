@@ -423,3 +423,108 @@ def q_lm_rare_trigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-deterministic form of CCNet's LM-perplexity filtering."""
     docs = load_table(spark, sf_dir, "documents")
     return lm_rare_trigram_verdicts(docs)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style domain importance (integer vote form)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_domain_votes(
+    docs: DataFrame,
+    target_pred: F.Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) scores documents by how target-like their hashed
+    n-gram features are: importance = Π p_target(g)/p_raw(g). The
+    product of float ratios is summation/ordering-sensitive in log space
+    (cross-engine float aggregation is not hash-stable — the
+    lm_rare_trigram lesson), so this is the INTEGER VOTE form: each
+    token occurrence votes +1 when its unigram is relatively more
+    frequent in the target slice than in the rest (cross-multiplied
+    counts — ``ct·N_raw > cr·N_target`` — no division, BIGINT exact),
+    −1 when less, 0 on ties; a document's score is its vote sum.
+    Monotone in the per-token sign of the DSIR log-ratio, deterministic,
+    and exactly SQL-reproducible.
+
+    Plan (100 TB shape): one token explode (∝ corpus tokens), a two-phase
+    unigram count by (hash, side), one corpus-totals aggregate (2 longs,
+    broadcast back), and one skew-prone-by-construction join of token
+    occurrences to the per-unigram vote — one row per key on the
+    frequency side, so AQE's skew split applies; the vote sum partial-
+    aggregates map-side. The token string never leaves its row (xxhash64
+    keys; the oracle joins on the string — the standard 2⁻⁶⁴ contract)."""
+    tgt = target_pred if target_pred is not None else (
+        F.col("lang") == DSIR_TARGET_LANG
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tgt.alias("__tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn("__h", F.xxhash64("tok")).drop("tok")
+    freq = toks.groupBy("__h").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = freq.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    voted = freq.crossJoin(F.broadcast(totals)).select(
+        "__h",
+        F.when(F.col("ct") * F.col("nr") > F.col("cr") * F.col("nt"), 1)
+        .when(F.col("ct") * F.col("nr") < F.col("cr") * F.col("nt"), -1)
+        .otherwise(0)
+        .alias("v"),
+    )
+    return (
+        toks.join(voted, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("v").cast("long").alias("dsir_vote"),
+        )
+    )
+
+
+@register(
+    "q_dsir_domain_vote",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS tgt, unnest({TOKS_SQL}) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+      FROM freq
+    ),
+    voted AS (
+      SELECT f.tok,
+             CASE WHEN f.ct * t.nr > f.cr * t.nt THEN 1
+                  WHEN f.ct * t.nr < f.cr * t.nt THEN -1
+                  ELSE 0 END AS v
+      FROM freq f CROSS JOIN tot t
+    )
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.v) AS BIGINT) AS dsir_vote
+    FROM tok k JOIN voted v USING (tok)
+    GROUP BY k.doc_id
+    """,
+)
+def q_dsir_domain_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-domain importance votes per document (target =
+    the '{DSIR_TARGET_LANG}' slice of the corpus): positive scores mark
+    documents whose unigrams skew target-like — the resampling weight
+    input for domain-matched data selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_domain_votes(docs)

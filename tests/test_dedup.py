@@ -100,3 +100,36 @@ def test_incremental_dedup_verdicts(spark, sf_dir):
     # in-batch clone keeps the min-id copy
     assert rows[500100] == "kept" and rows[1200100] == "dup_in_batch"
     docs.unpersist()
+
+
+def test_dsir_votes_follow_target_skew(spark):
+    """Tokens overrepresented in the target slice vote +1, raw-skewed
+    tokens -1; document scores sum occurrence votes."""
+    from iceberg_matrix_spark.operators.text import dsir_domain_votes
+    from iceberg_matrix_spark.session import local_df
+    import pyspark.sql.functions as F
+
+    docs = local_df(
+        spark,
+        [
+            # target slice: 'good' dominates
+            (1, "good good good shared", "en"),
+            (2, "good shared", "en"),
+            # raw slice: 'bad' dominates
+            (3, "bad bad bad shared", "fr"),
+            (4, "bad shared mixed", "de"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r["dsir_vote"]
+        for r in dsir_domain_votes(docs).collect()
+    }
+    # target corpus: 6 tokens (good x4, shared x2); raw: 7 (bad x4,
+    # shared x2, mixed x1). good: ct*nr=4*7 > cr*nt=0 -> +1.
+    # bad: 0 < 4*6 -> -1. shared: 2*7=14 > 2*6=12 -> +1.
+    # mixed: 0*7 < 1*6 -> -1.
+    assert got[1] == 3 + 1          # 3 good + 1 shared
+    assert got[2] == 1 + 1
+    assert got[3] == -3 + 1         # 3 bad + 1 shared
+    assert got[4] == -1 + 1 - 1     # bad + shared + mixed

@@ -50,3 +50,42 @@ def test_neardup_components_cover_all_docs(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_canonical_by_quality_keeps_longest_not_min_id(spark):
+    from iceberg_matrix_spark.operators.graph import canonical_by_quality
+    from iceberg_matrix_spark.session import local_df
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    docs = local_df(
+        spark,
+        [
+            (1, shared),                                     # truncation
+            (2, shared + " extra0 extra1 extra2 extra3"),    # longest copy
+            (9, "totally unrelated text about nothing"),     # singleton
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in canonical_by_quality(docs).collect()
+    }
+    # docs 1 and 2 cluster under min-id label 1, but the LONGER doc 2 is
+    # the kept canonical — the quality rule overrides min-id
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[9] == (9, True)
+
+
+def test_canonical_by_quality_ties_break_to_lower_id(spark):
+    from iceberg_matrix_spark.operators.graph import canonical_by_quality
+    from iceberg_matrix_spark.session import local_df
+
+    shared = " ".join(f"t{i}" for i in range(20))
+    docs = local_df(
+        spark,
+        [(5, shared), (7, shared)],  # identical → equal token counts
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in canonical_by_quality(docs).collect()}
+    assert got == {5: True, 7: False}
