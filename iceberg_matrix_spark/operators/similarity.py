@@ -55,13 +55,26 @@ def brute_force_topk(
     ``queries`` is expected to be small (it is broadcast); ties broken by
     neighbor id for a total order.
     """
-    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+    # norms are per-row quantities: compute each side's ONCE and score
+    # with dot/(n_c·n_q) — one fold per pair instead of three,
+    # bit-identical to cosine() (the _lsh_verified_pairs trick)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__cn")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        l2_norm(query_vec_col).alias("__qn"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col(query_id_col)
     )
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(vec_col, query_vec_col).alias("score"),
+        (dot(vec_col, query_vec_col) / (F.col("__cn") * F.col("__qn"))).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -595,12 +608,28 @@ def ann_lsh_topk(
         .distinct()
     )
     scored = (
-        cands.join(F.broadcast(queries), query_id_col)
-        .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        cands.join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col),
+                    F.col(query_vec_col),
+                    l2_norm(query_vec_col).alias("__qn"),
+                )
+            ),
+            query_id_col,
+        )
+        .join(
+            corpus.select(
+                F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__cn")
+            ),
+            id_col,
+        )
         .select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
-            cosine(vec_col, query_vec_col).alias("score"),
+            (
+                dot(vec_col, query_vec_col) / (F.col("__cn") * F.col("__qn"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -761,11 +790,13 @@ def ann_ivf_topk(
     indexed = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(vec_col).alias("__cn"),
         F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias("cid"),
     )
     probes = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
+        l2_norm(query_vec_col).alias("__qn"),
         F.explode(_nearest_clusters(query_vec_col, centroids, nprobe)).alias("cid"),
     )
     cands = indexed.join(F.broadcast(probes), "cid").filter(
@@ -774,7 +805,9 @@ def ann_ivf_topk(
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(vec_col, query_vec_col).alias("score"),
+        (dot(vec_col, query_vec_col) / (F.col("__cn") * F.col("__qn"))).alias(
+            "score"
+        ),
     ).distinct()  # a neighbor can surface via several probed clusters
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
