@@ -357,4 +357,12 @@ class RestCatalog:
 
     def _table_from_load(self, out: dict) -> IceLiteTable:
         table_dir = out["metadata-location"].rsplit("/metadata/", 1)[0]
-        return IceLiteTable(self.spark, table_dir)
+        try:
+            return IceLiteTable(self.spark, table_dir)
+        except FileNotFoundError as exc:
+            # same mid-creation window as DbApiCatalog.load_table: the
+            # server can serve a claimed row whose initial metadata is
+            # not on disk yet — typed not-there-yet, never a raw IO error
+            raise NoSuchTableError(
+                f"served location {table_dir!r} has no metadata yet"
+            ) from exc

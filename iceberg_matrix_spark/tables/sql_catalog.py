@@ -343,7 +343,17 @@ class DbApiCatalog:
 
     def load_table(self, identifier: str) -> IceLiteTable:
         ns, tbl, location = self._row(identifier)
-        table = IceLiteTable(self.spark, location)
+        try:
+            table = IceLiteTable(self.spark, location)
+        except FileNotFoundError as exc:
+            # the claim-then-write create order (race-free creates) opens
+            # a window where the identifier row exists but the initial
+            # metadata is not on disk yet — a concurrent reader must see
+            # a TYPED not-there-yet, never a raw IO error (caught by the
+            # round-7 catalog-race soak)
+            raise NoSuchTableError(
+                f"{identifier} is mid-creation (claimed, no metadata yet)"
+            ) from exc
         self._sync_pointer(ns, tbl, location)
         return table
 

@@ -19,8 +19,14 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_all_queries_return_rows(spark, sf_dir):
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
+    """Guard for queries WITHOUT oracles only: every oracled query is
+    already built AND executed by the parametrized parity test above, so
+    re-building all 127 plans here was 70+ s of pure redundancy (several
+    queries run real setup — CTAS, centroid builds — at plan time). With
+    full oracle coverage this loop is empty; it exists so a future
+    rows-only query still gets a does-it-build check."""
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, sf_dir)
         assert df.columns, f"{name}: no columns"
 
 

@@ -31,6 +31,12 @@ SETTINGS = dict(
     ],
 )
 
+# Stable fuzzes (green ≥2 rounds, strategy space already well explored)
+# run fewer examples per CI pass — the suite budget trade VERDICT r6 #7
+# prescribes. NEW properties keep the full count until they've survived
+# a couple of rounds.
+SETTINGS_STABLE = {**SETTINGS, "max_examples": 5}
+
 # strings that stress the tokenizer: quote escapes, keywords, separators,
 # parens — all must survive quote-aware scanning unharmed
 tricky_text = st.sampled_from(
@@ -117,7 +123,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), pred=predicates(), data=st.data())
 def test_select_differential(fz, spark, rows, pred, data):
     """Generated SELECT: projection + WHERE + ORDER BY, facade vs Spark
@@ -135,7 +141,7 @@ def test_select_differential(fz, spark, rows, pred, data):
     assert got == want, body
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), pred=predicates(), data=st.data())
 def test_update_differential(fz, spark, rows, pred, data):
     """Generated UPDATE SET ... WHERE: table state vs CASE-WHEN model."""
@@ -156,7 +162,7 @@ def test_update_differential(fz, spark, rows, pred, data):
     assert got == want, pred
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), pred=predicates())
 def test_delete_differential(fz, spark, rows, pred):
     """Generated DELETE WHERE: survivors are exactly NOT(pred)."""
@@ -170,7 +176,7 @@ def test_delete_differential(fz, spark, rows, pred):
     assert got == want, pred
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(tgt=row_sets(), src=row_sets(), data=st.data())
 def test_merge_differential(fz, spark, tgt, src, data):
     """Generated MERGE (update+insert, random aliases incl. the t/s swap):
@@ -198,7 +204,7 @@ def test_merge_differential(fz, spark, tgt, src, data):
     assert got == want
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), data=st.data())
 def test_insert_values_roundtrip(fz, spark, rows, data):
     """Generated INSERT VALUES (optionally with a permuted column list):
@@ -231,7 +237,7 @@ def test_insert_values_roundtrip(fz, spark, rows, data):
     assert got == sorted(rows)
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), pred=predicates(), seed=st.integers(min_value=0, max_value=2**31))
 def test_select_case_mangled_identifier(fz, spark, rows, pred, seed):
     """Spark SQL is case-insensitive on identifiers; the facade's
@@ -254,7 +260,7 @@ def test_select_case_mangled_identifier(fz, spark, rows, pred, seed):
     assert got == want, spelled
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), data=st.data())
 def test_time_travel_spellings_agree(fz, spark, rows, data):
     """Every dialect spelling of the same snapshot read — VERSION AS OF,
@@ -281,7 +287,7 @@ def test_time_travel_spellings_agree(fz, spark, rows, data):
     assert all(r == results[0] for r in results[1:]), (sid, results)
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), pred=predicates())
 def test_path_function_spellings_agree(fz, spark, rows, pred):
     """Every path-function spelling of the same table — ClickHouse's
@@ -309,7 +315,7 @@ def test_path_function_spellings_agree(fz, spark, rows, pred):
     assert [r[0] for r in got] == ["icebergLocal('/tmp/x')"]
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), pred=predicates(), data=st.data())
 def test_bare_name_session_differential(fz, spark, rows, pred, data):
     """USE <ns> + bare table names (the Flink session idiom) must agree
@@ -418,7 +424,7 @@ def _table_state(fz, ident):
     )
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), data=st.data())
 def test_call_fault_rejected_before_side_effect(fz, spark, rows, data):
     from iceberg_matrix_spark.sql import UnsupportedSQLError
@@ -486,7 +492,7 @@ def test_call_fault_rejected_before_side_effect(fz, spark, rows, data):
     assert _table_state(fz, ident) == before, (proc_txt, arg_txt)
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), data=st.data())
 def test_call_arg_spellings_agree(fz, spark, rows, data):
     """Named (any permutation), positional, and quoted/unquoted-boolean
@@ -548,7 +554,7 @@ def test_call_arg_spellings_agree(fz, spark, rows, data):
     )
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(rows=row_sets(), data=st.data())
 def test_timestamp_travel_spellings_agree(fz, spark, rows, data):
     """All four TIMESTAMP time-travel spellings of the same instant match
@@ -682,7 +688,7 @@ def _mangle_case_ws(data, stmt: str) -> str:
     return "'".join(parts)
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(pair=alter_spelling_pairs(), data=st.data())
 def test_alter_dialect_spellings_agree(fz, spark, pair, data):
     """Every dialect ALTER spelling leaves the table in exactly the state
@@ -732,7 +738,7 @@ _ALTER_FAULTS = [
 ]
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(fault=st.sampled_from(_ALTER_FAULTS), data=st.data())
 def test_alter_fault_rejected_without_effect(fz, spark, fault, data):
     """A mangled ALTER is a TYPED rejection (never an AttributeError /
@@ -768,7 +774,7 @@ _CREATE_FAULTS = [
 ]
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(fault=st.sampled_from(_CREATE_FAULTS), data=st.data())
 def test_create_fault_rejected_without_effect(fz, spark, fault, data):
     """A mangled CREATE TABLE is a typed rejection AND leaves nothing
@@ -819,7 +825,7 @@ def create_spelling_pairs(draw):
     )
 
 
-@settings(**SETTINGS)
+@settings(**SETTINGS_STABLE)
 @given(pair=create_spelling_pairs(), data=st.data())
 def test_create_dialect_spellings_agree(fz, spark, pair, data):
     canon, variant = pair
