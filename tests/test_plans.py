@@ -299,3 +299,46 @@ def test_neardup_lsh_dedup_is_shuffle_free(spark, sf_dir):
         " ", ""
     ).replace("L", "")
     assert shuffle_count(df) <= 5
+
+
+def test_line_dedup_plan_shape(spark, sf_dir):
+    """Line dedup's 100 TB contract: the scan is pruned to (doc_id,
+    text), joins/groups key on the 8-byte line hash (no string-keyed
+    aggregate), nothing runs in Python, and no cartesian appears."""
+    from iceberg_matrix_spark.plans import explain_formatted
+
+    df = QUERIES["q_line_dedup"](spark, sf_dir)
+    plan = explain_formatted(df)
+    for cols in scan_columns(df):  # freq agg + occ window sides re-scan
+        assert cols <= {"doc_id", "text"}
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_ann_stays_jvm_with_broadcast_queries(spark, sf_dir):
+    """PQ ADC's scale contract: the corpus side is one codegen projection
+    over a (vec_id, embedding)-pruned scan; the tiny query frame joins by
+    BROADCAST (never a shuffled cartesian); the only exchange is the
+    per-query top-k window; zero Python."""
+    from iceberg_matrix_spark.plans import explain_formatted
+
+    df = QUERIES["q_ann_pq_topk"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 2  # parallelism repartition + topk window
+
+
+def test_dsir_vote_join_is_hash_keyed(spark, sf_dir):
+    """The vote join keys on xxhash64(token) (8-byte keys), the scan
+    prunes to (doc_id, text, lang), and the vote sum partial-aggregates
+    — no Python, no cartesian."""
+    from iceberg_matrix_spark.plans import explain_formatted
+
+    df = QUERIES["q_dsir_domain_vote"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text", "lang"}
