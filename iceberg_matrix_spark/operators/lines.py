@@ -248,3 +248,110 @@ def q_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped, survivors re-joined per document in line order."""
     docs = load_table(spark, sf_dir, "documents")
     return line_deduped_corpus(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest form
+# ---------------------------------------------------------------------------
+
+
+def line_frequency_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = LINE_TOKENS,
+) -> DataFrame:
+    """The persisted INGEST INDEX for incremental line dedup: one row per
+    distinct line hash with its corpus document frequency. Built once at
+    ingest (and updated per accepted batch in production); per-batch
+    dedup then never re-reads the corpus text."""
+    lines = doc_lines(corpus, id_col, text_col, line_tokens).withColumn(
+        "__h", F.xxhash64("line")
+    )
+    return lines.groupBy("__h").agg(
+        F.countDistinct("doc_id").alias("corpus_df")
+    )
+
+
+def incremental_line_verdicts(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = LINE_TOKENS,
+    min_doc_freq: int = LINE_MIN_DOC_FREQ,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Per-BATCH-line verdicts with the already-ingested corpus as
+    context: a batch line is boilerplate when its document frequency
+    across corpus+batch reaches ``min_doc_freq`` (doc sets are disjoint,
+    so total df = indexed corpus_df + batch df — the result equals
+    running the full :func:`line_dedup_verdicts` over corpus ∪ batch and
+    keeping the batch rows, which is exactly what the oracle does).
+
+    Scale shape (mirrors the exact/ngram/semantic incremental family):
+    the corpus side is the REUSABLE frequency index (``corpus_index`` =
+    :func:`line_frequency_index` output, persisted at ingest); the index
+    is first pruned by a broadcast semi-join on the batch's line hashes
+    (a LEFT join cannot broadcast its preserved side, so prune-then-
+    broadcast is the pattern), after which every per-batch stage is
+    map-side over the small batch frame — zero corpus-side shuffle."""
+    bl = doc_lines(batch, id_col, text_col, line_tokens).withColumn(
+        "__h", F.xxhash64("line")
+    )
+    idx = (
+        corpus_index
+        if corpus_index is not None
+        else line_frequency_index(corpus, id_col, text_col, line_tokens)
+    )
+    hits = idx.join(
+        F.broadcast(bl.select("__h").distinct()), "__h", "left_semi"
+    )
+    bdf = bl.groupBy("__h").agg(F.countDistinct("doc_id").alias("batch_df"))
+    w = Window.partitionBy("doc_id", "__h").orderBy("line_no")
+    return (
+        bl.withColumn("__occ", F.row_number().over(w))
+        .join(bdf, "__h")
+        .join(F.broadcast(hits), "__h", "left")
+        .select(
+            "doc_id",
+            "line_no",
+            "line",
+            (
+                F.coalesce(F.col("corpus_df"), F.lit(0)) + F.col("batch_df")
+            ).alias("total_df"),
+            (
+                (
+                    F.coalesce(F.col("corpus_df"), F.lit(0))
+                    + F.col("batch_df")
+                    < min_doc_freq
+                )
+                & (F.col("__occ") == 1)
+            ).alias("keep"),
+        )
+    )
+
+
+@register(
+    "q_line_dedup_incremental",
+    oracle=f"""
+    WITH {_LINES_SQL}
+    SELECT doc_id, line_no, line,
+           corpus_df AS total_df, keep
+    FROM verdicts
+    WHERE doc_id % 5 = 0
+    ORDER BY doc_id, line_no
+    """,
+)
+def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line dedup: documents with doc_id % 5 == 0 play the
+    incoming batch, the rest the ingested corpus whose line-frequency
+    index the batch is checked against. Deterministic split, so the
+    full-corpus oracle restricted to batch docs reproduces the verdicts
+    (disjoint doc sets ⇒ union df = corpus_df + batch_df)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_line_verdicts(batch, corpus).orderBy(
+        "doc_id", "line_no"
+    )

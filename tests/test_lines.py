@@ -111,3 +111,40 @@ def test_min_doc_freq_threshold(spark):
         ).collect()
     }
     assert v == {1: True, 2: True}
+
+
+def test_incremental_matches_full_dedup_on_batch(spark):
+    """Incremental verdicts over a prebuilt index == the full-corpus
+    verdict rule restricted to batch docs (disjoint doc sets ⇒ union
+    df = corpus_df + batch_df)."""
+    from iceberg_matrix_spark.operators.lines import (
+        incremental_line_verdicts,
+        line_dedup_verdicts,
+        line_frequency_index,
+    )
+
+    boiler, uniq = _line("b"), _line("u")
+    corpus = _docs(spark, [(1, boiler), (2, boiler + " " + _line("c"))])
+    batch = _docs(spark, [(10, boiler + " " + uniq), (11, uniq + " " + uniq)])
+    idx = line_frequency_index(corpus, line_tokens=4)
+    got = {
+        (r["doc_id"], r["line_no"]): (r["total_df"], r["keep"])
+        for r in incremental_line_verdicts(
+            batch, line_tokens=4, corpus_index=idx
+        ).collect()
+    }
+    # boiler: corpus_df 2 + batch_df 1 = 3 -> dropped in batch
+    assert got[(10, 1)] == (3, False)
+    # uniq: df 2 within the batch alone -> boilerplate too
+    assert got[(10, 2)] == (2, False)
+    assert got[(11, 1)] == (2, False)
+    assert got[(11, 2)] == (2, False)
+    # cross-check against the full rule on corpus+batch
+    full = {
+        (r["doc_id"], r["line_no"]): (r["corpus_df"], r["keep"])
+        for r in line_dedup_verdicts(
+            corpus.unionByName(batch), line_tokens=4
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    assert full == got
