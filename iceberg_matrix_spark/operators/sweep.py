@@ -340,6 +340,27 @@ def family_runners() -> dict:
             emb, None, cid_expr=product_cid("embedding", lo, hi)
         )
 
+    def lines(spark, docs, emb, factor):
+        # token salting keeps within-replica line structure isomorphic
+        # and cross-replica line vocabularies disjoint, so true
+        # boilerplate lines (and the verdict row count) grow ∝ factor
+        from iceberg_matrix_spark.operators.lines import (  # noqa: PLC0415
+            line_dedup_verdicts,
+        )
+
+        return line_dedup_verdicts(docs)
+
+    def pq(spark, docs, emb, factor):
+        # corpus side = one codegen projection over 8-byte codes; the
+        # only exchange is the per-query top-k window (16 fixed queries)
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            ann_pq_topk,
+            pq_seed_codebooks,
+        )
+
+        books = pq_seed_codebooks(emb)
+        return ann_pq_topk(emb, _fixed_queries(emb, factor), books, k=10)
+
     def prototype(spark, docs, emb, factor):
         # one narrow assignment+score projection, one per-cluster rank
         # window; k=64 (the unroll cap) so per-cluster window partitions
@@ -354,6 +375,8 @@ def family_runners() -> dict:
         ),
         "knn": knn,
         "prototype": prototype,
+        "lines": lines,
+        "pq": pq,
         "minhash": lambda spark, docs, emb, factor: minhash_neardup_pairs(
             docs, threshold=0.5
         ),

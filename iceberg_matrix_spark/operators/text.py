@@ -10,7 +10,7 @@ codegen with no shuffle and no Python workers; the parquet scan reads only
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from iceberg_matrix_spark.functions.text import md5_fingerprint, token_count, tokens
 from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
@@ -528,3 +528,92 @@ def q_dsir_domain_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     input for domain-matched data selection."""
     docs = load_table(spark, sf_dir, "documents")
     return dsir_domain_votes(docs)
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail quality buckets
+# ---------------------------------------------------------------------------
+
+
+def quality_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's selection mechanism on top of its quality score (Wenzek
+    et al. 2020, §4.3): rank every document by LM quality and cut the
+    corpus into equal-population buckets — head (cleanest), middle, tail
+    — so a pipeline can train on head+middle or reweight by bucket. The
+    score is the integer-deterministic rare-trigram permille (scaled
+    integer division of the lm_rare_trigram counters, no float anywhere);
+    NTILE over the deterministic total order (permille asc, doc_id asc)
+    is reproducible cross-engine. Too-short documents (no trigram) are
+    excluded — CCNet likewise scores only LM-scorable text.
+
+    Scale: reuses the skew-free two-aggregation LM plan; the only added
+    step is one global NTILE window — a single total-order sort, the
+    same shape as any percentile/ranking batch job (Spark range-
+    partitions the sort; no single-reducer stage)."""
+    v = lm_rare_trigram_verdicts(docs, id_col, text_col)
+    scored = v.filter(F.col("n_trigrams") > 0).select(
+        id_col,
+        "n_trigrams",
+        "n_rare_trigrams",
+        # integer division on both engines (Spark DIV == DuckDB // for
+        # non-negative operands) — no float anywhere in the score
+        F.expr("n_rare_trigrams * 1000 DIV n_trigrams").alias(
+            "rare_permille"
+        ),
+    )
+    w = Window.orderBy(F.asc("rare_permille"), F.asc(id_col))
+    names = F.when(F.col("__b") == 1, "head").when(
+        F.col("__b") == 2, "middle"
+    ).otherwise("tail")
+    return (
+        scored.withColumn("__b", F.ntile(n_buckets).over(w))
+        .select(
+            id_col,
+            "rare_permille",
+            names.alias("bucket") if n_buckets == 3 else F.col("__b").cast("string").alias("bucket"),
+        )
+    )
+
+
+@register(
+    "q_quality_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_LOWER_TOKS_SQL} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS bg
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    lm AS (
+      SELECT bg, COUNT(*) AS c, MIN(doc_id) AS d0 FROM big GROUP BY bg
+    ),
+    rare AS (
+      SELECT d0 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare
+      FROM lm WHERE c <= 1 GROUP BY d0
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COALESCE(r.n_rare, 0) * 1000 // (len(t.t) - 2) AS BIGINT)
+               AS rare_permille
+      FROM toks t LEFT JOIN rare r ON r.doc_id = t.doc_id
+      WHERE len(t.t) - 2 > 0
+    )
+    SELECT doc_id, rare_permille,
+           CASE NTILE(3) OVER (ORDER BY rare_permille, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored
+    """,
+)
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: equal-population quality buckets over the
+    integer rare-trigram permille (head = cleanest third)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_buckets(docs)
