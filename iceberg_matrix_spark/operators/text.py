@@ -537,46 +537,58 @@ def q_dsir_domain_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_buckets(
     docs: DataFrame,
-    n_buckets: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """CCNet's selection mechanism on top of its quality score (Wenzek
-    et al. 2020, §4.3): rank every document by LM quality and cut the
-    corpus into equal-population buckets — head (cleanest), middle, tail
-    — so a pipeline can train on head+middle or reweight by bucket. The
-    score is the integer-deterministic rare-trigram permille (scaled
-    integer division of the lm_rare_trigram counters, no float anywhere);
-    NTILE over the deterministic total order (permille asc, doc_id asc)
-    is reproducible cross-engine. Too-short documents (no trigram) are
-    excluded — CCNet likewise scores only LM-scorable text.
+    et al. 2020, §4.3): cut the corpus into head / middle / tail quality
+    buckets — train on head+middle, or reweight by bucket. The score is
+    the integer-deterministic rare-trigram permille (Spark ``DIV`` ==
+    DuckDB ``//`` on non-negative operands; no float anywhere); documents
+    with the SAME score land in the same bucket (value-level tertiles —
+    CCNet buckets by score too; a naive NTILE would split ties). A
+    score value v is 'head' while the cumulative document count through
+    v stays ≤ ⌈n/3⌉, 'middle' through ⌈2n/3⌉, else 'tail' — all integer
+    comparisons (cum·3 ≤ n+2 ⇔ cum ≤ ⌈n/3⌉). Too-short documents (no
+    trigram) are excluded, as in CCNet.
 
-    Scale: reuses the skew-free two-aggregation LM plan; the only added
-    step is one global NTILE window — a single total-order sort, the
-    same shape as any percentile/ranking batch job (Spark range-
-    partitions the sort; no single-reducer stage)."""
+    Scale design — exact quantiles WITHOUT a global sort: a naive
+    NTILE/rank is a single-reducer window over the whole corpus (the
+    plan-audit red flag). The permille domain is BOUNDED (0..1000), so
+    the boundary computation is one groupBy(permille) count — ≤1001
+    rows regardless of corpus size — a cumulative window over that tiny
+    frame, and a broadcast join of the per-value bucket map back onto
+    the documents. Heavy-path shape: one partial-aggregated count + one
+    map-side broadcast join; nothing corpus-sized ever sorts globally."""
     v = lm_rare_trigram_verdicts(docs, id_col, text_col)
     scored = v.filter(F.col("n_trigrams") > 0).select(
         id_col,
-        "n_trigrams",
-        "n_rare_trigrams",
-        # integer division on both engines (Spark DIV == DuckDB // for
-        # non-negative operands) — no float anywhere in the score
         F.expr("n_rare_trigrams * 1000 DIV n_trigrams").alias(
             "rare_permille"
         ),
     )
-    w = Window.orderBy(F.asc("rare_permille"), F.asc(id_col))
-    names = F.when(F.col("__b") == 1, "head").when(
-        F.col("__b") == 2, "middle"
-    ).otherwise("tail")
-    return (
-        scored.withColumn("__b", F.ntile(n_buckets).over(w))
+    counts = scored.groupBy("rare_permille").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # ≤1001 rows: the single-partition cumulative window is over the
+    # bounded VALUE DOMAIN, not the corpus
+    wcum = Window.orderBy("rare_permille").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = counts.agg(F.sum("c").alias("n"))
+    bucket_map = (
+        counts.withColumn("cum", F.sum("c").over(wcum))
+        .crossJoin(F.broadcast(totals))
         .select(
-            id_col,
             "rare_permille",
-            names.alias("bucket") if n_buckets == 3 else F.col("__b").cast("string").alias("bucket"),
+            F.when(F.col("cum") * 3 <= F.col("n") + 2, "head")
+            .when(F.col("cum") * 3 <= 2 * F.col("n") + 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
         )
+    )
+    return scored.join(F.broadcast(bucket_map), "rare_permille").select(
+        id_col, "rare_permille", "bucket"
     )
 
 
@@ -604,16 +616,31 @@ def quality_buckets(
                AS rare_permille
       FROM toks t LEFT JOIN rare r ON r.doc_id = t.doc_id
       WHERE len(t.t) - 2 > 0
+    ),
+    counts AS (
+      SELECT rare_permille, CAST(COUNT(*) AS BIGINT) AS c
+      FROM scored GROUP BY rare_permille
+    ),
+    bucket_map AS (
+      SELECT rare_permille,
+             CASE WHEN cum * 3 <= n + 2 THEN 'head'
+                  WHEN cum * 3 <= 2 * n + 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM (
+        SELECT rare_permille,
+               SUM(c) OVER (ORDER BY rare_permille
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM counts
+      )
     )
-    SELECT doc_id, rare_permille,
-           CASE NTILE(3) OVER (ORDER BY rare_permille, doc_id)
-                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-           END AS bucket
-    FROM scored
+    SELECT s.doc_id, s.rare_permille, b.bucket
+    FROM scored s JOIN bucket_map b USING (rare_permille)
     """,
 )
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail: equal-population quality buckets over the
-    integer rare-trigram permille (head = cleanest third)."""
+    """CCNet head/middle/tail: value-level quality tertiles over the
+    integer rare-trigram permille (head = cleanest ~third; exact
+    boundaries from the bounded-domain count, no global sort)."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_buckets(docs)

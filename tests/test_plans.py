@@ -342,3 +342,17 @@ def test_dsir_vote_join_is_hash_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text", "lang"}
+
+
+def test_quality_buckets_no_corpus_global_sort(spark, sf_dir):
+    """Exact tertiles WITHOUT ranking the corpus: the only window runs
+    over the bounded permille-count frame (≤1001 rows), the bucket map
+    broadcasts back, and nothing corpus-sized sorts globally — bounded
+    shuffle count, no Python."""
+    from iceberg_matrix_spark.plans import explain_formatted
+
+    df = QUERIES["q_quality_buckets"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert broadcast_join_count(df) >= 1  # the bucket-map join
+    assert shuffle_count(df) <= 6
