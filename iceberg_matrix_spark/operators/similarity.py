@@ -1535,22 +1535,31 @@ def pq_seed_codebooks(
     ]
 
 
-def _pq_sub_dist2(vec_col: str, codeword: list[float], j: int) -> F.Column:
-    """Squared L2 distance between the j-th subvector of ``vec_col`` and
-    a codeword, as a sequential double fold over the slice. Bit-identical
-    to the oracle's unrolled left-associated 8-term sum: the fold seeds
-    0.0 and squared terms are never −0.0, so ``0.0 + t₁`` ≡ ``t₁``
-    exactly. A fold, not 8 inlined terms: the encoding projection holds
-    8 subquantizers × 16 codewords of these — fully unrolled it blew
-    janino's 64 KB method limit and silently dropped the WHOLE stage out
-    of codegen (the _banded_signatures lesson, third sighting)."""
-    sub = F.slice(F.col(vec_col), j * _PQ_DSUB + 1, _PQ_DSUB)
-    diffs = F.zip_with(
-        F.transform(sub, lambda x: x.cast("double")),
-        F.array(*[F.lit(w) for w in codeword]),
-        lambda x, y: (x - y) * (x - y),
+def _pq_books_lit(codebooks: list[list[list[float]]]) -> F.Column:
+    """The codebooks as ONE literal array<array<array<double>>> column.
+    Load-bearing for plan size: codewords enter the plan as literal DATA
+    indexed by nested HOFs, not as 8×16 separately-unrolled fold
+    subtrees — the unrolled form cost ~9 s of pure Catalyst
+    planning/codegen per call at ANY data size (measured 10.4 → 1.5 s
+    at sf0.1 with identical output)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in w]) for w in sub])
+            for sub in codebooks
+        ]
     )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def _pq_dist2(sub: F.Column, w: F.Column) -> F.Column:
+    """Squared L2 between an (already double) subvector slice and a
+    codeword, as a sequential double fold. Bit-identical to the oracle's
+    unrolled left-associated 8-term sum: the fold seeds 0.0 and squared
+    terms are never −0.0, so ``0.0 + t₁`` ≡ ``t₁`` exactly."""
+    return F.aggregate(
+        F.zip_with(sub, w, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
 
 
 def pq_encode(
@@ -1561,23 +1570,35 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes): each vector compressed to ``_PQ_M`` codeword ids —
     the PQ INDEX (8 bytes/vector vs 256 for the raw float32 embedding, a
-    32× compression). Encoding is one narrow projection (argmin over
-    ``_PQ_K`` unrolled subdistances per subquantizer, ties to the lower
-    codeword — the array_sort struct order, matching the oracle's ORDER
-    BY d, cid); built once at ingest and persisted in production."""
-    code_cols = []
-    for j in range(_PQ_M):
-        scored = F.array(
-            *[
-                F.struct(
-                    _pq_sub_dist2(vec_col, codebooks[j][c], j).alias("d"),
-                    F.lit(c).alias("c"),
+    32× compression). Encoding is one narrow projection: per
+    subquantizer, argmin over the ``_PQ_K`` codeword subdistances (ties
+    to the lower codeword — the array_sort struct order, matching the
+    oracle's ORDER BY d, cid), expressed as nested HOFs over the literal
+    codebook column (:func:`_pq_books_lit` — plan-size lesson there);
+    built once at ingest and persisted in production."""
+    books = _pq_books_lit(codebooks)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda j: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.element_at(books, (j + 1).cast("int")),
+                    lambda w, ci: F.struct(
+                        _pq_dist2(
+                            F.slice(
+                                v, (j * _PQ_DSUB + 1).cast("int"), _PQ_DSUB
+                            ),
+                            w,
+                        ).alias("d"),
+                        ci.alias("c"),
+                    ),
                 )
-                for c in range(_PQ_K)
-            ]
-        )
-        code_cols.append(F.element_at(F.array_sort(scored), 1)["c"])
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+            ),
+            1,
+        )["c"],
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
 
 
 def ann_pq_topk(
@@ -1608,16 +1629,16 @@ def ann_pq_topk(
     partition pre-exchange, the brute_force_topk shape) over rows of
     ~16 bytes instead of ~280."""
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    dtab = F.array(
-        *[
-            F.array(
-                *[
-                    _pq_sub_dist2(query_vec_col, codebooks[j][c], j)
-                    for c in range(_PQ_K)
-                ]
-            )
-            for j in range(_PQ_M)
-        ]
+    books = _pq_books_lit(codebooks)
+    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda j: F.transform(
+            F.element_at(books, (j + 1).cast("int")),
+            lambda w: _pq_dist2(
+                F.slice(qv, (j * _PQ_DSUB + 1).cast("int"), _PQ_DSUB), w
+            ),
+        ),
     )
     q = queries.select(F.col(query_id_col), dtab.alias("__dtab"))
     adc = F.aggregate(
