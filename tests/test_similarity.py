@@ -256,3 +256,46 @@ def test_pq_codes_are_compact_and_deterministic(spark, sf_dir):
     assert a == b
     assert all(len(c) == _PQ_M for c in a.values())
     assert all(0 <= x < _PQ_K for c in a.values() for x in c)
+
+
+def test_product_cid_composes_half_quantizers(spark, sf_dir):
+    """product_cid == argmax_lo * k_hi + argmax_hi computed independently
+    over the half-dimension codebooks, and every row lands in exactly one
+    of the k_lo*k_hi cells."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.functions.vectors import dot
+    from iceberg_matrix_spark.operators.similarity import (
+        product_cid,
+        seed_half_centroids,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    lo, hi = seed_half_centroids(emb, k=4)
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id", product_cid("embedding", lo, hi).alias("cid")
+        ).collect()
+    }
+    assert all(0 <= c < 16 for c in got.values())
+
+    # independent model: argmax by dot over each half, ties to higher id
+    rows = emb.select("vec_id", "embedding").collect()
+    half = len(rows[0]["embedding"]) // 2
+
+    def argmax(v, cents):
+        best = max(
+            range(len(cents)),
+            key=lambda i: (
+                sum(float(a) * b for a, b in zip(v, cents[i])),
+                i,
+            ),
+        )
+        return best
+
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        want = argmax(v[:half], lo) * len(hi) + argmax(v[half:], hi)
+        assert got[r["vec_id"]] == want, r["vec_id"]
