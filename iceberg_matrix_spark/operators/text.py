@@ -644,3 +644,70 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries from the bounded-domain count, no global sort)."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_buckets(docs)
+
+
+# ---------------------------------------------------------------------------
+# N-gram diversity per corpus slice
+# ---------------------------------------------------------------------------
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct-n-gram ratio per corpus slice — the corpus-level form of
+    the distinct-n-grams diversity metric used to detect mode/diversity
+    collapse in generated text (Zhu et al. 2018's Texygen self-BLEU
+    family, arXiv:1802.01886; Li et al. 2016's distinct-n): a slice whose
+    generator loops emits few distinct trigrams relative to its volume.
+    Integer counts per slice; the final ratio is one double division per
+    OUTPUT row (bit-stable cross-engine).
+
+    Scale: one explode (∝ tokens), n-grams hashed to 8-byte keys (the
+    gram string never leaves its row; the oracle counts distinct STRINGS
+    — the standard 2⁻⁶⁴ contract), two-phase counts; output is one row
+    per slice."""
+    toks_df = docs.select(
+        F.col(slice_col).alias("slice"), tokens(text_col).alias("t")
+    ).filter(F.size("t") >= n)
+    grams = toks_df.select(
+        "slice",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i, n))),
+            )
+        ).alias("h"),
+    )
+    return grams.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.countDistinct("h").alias("n_distinct"),
+        (F.countDistinct("h") / F.count(F.lit(1))).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "q_ngram_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source AS slice, {TOKS_SQL} AS t FROM documents
+    ),
+    grams AS (
+      SELECT slice, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3
+    )
+    SELECT slice,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS distinct_ratio
+    FROM grams GROUP BY slice
+    """,
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-trigram diversity ratio per source slice — the
+    diversity-collapse screen for generated/synthetic corpus slices."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_diversity(docs)
