@@ -1562,23 +1562,17 @@ def _pq_dist2(sub: F.Column, w: F.Column) -> F.Column:
     )
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes): each vector compressed to ``_PQ_M`` codeword ids —
-    the PQ INDEX (8 bytes/vector vs 256 for the raw float32 embedding, a
-    32× compression). Encoding is one narrow projection: per
+def _pq_codes_expr(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> F.Column:
+    """The ``_PQ_M`` codeword ids of a vector as one Column: per
     subquantizer, argmin over the ``_PQ_K`` codeword subdistances (ties
     to the lower codeword — the array_sort struct order, matching the
     oracle's ORDER BY d, cid), expressed as nested HOFs over the literal
-    codebook column (:func:`_pq_books_lit` — plan-size lesson there);
-    built once at ingest and persisted in production."""
+    codebook column (:func:`_pq_books_lit` — plan-size lesson there)."""
     books = _pq_books_lit(codebooks)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    codes = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
         lambda j: F.element_at(
             F.array_sort(
@@ -1598,7 +1592,55 @@ def pq_encode(
             1,
         )["c"],
     )
-    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector compressed to ``_PQ_M`` codeword ids —
+    the PQ INDEX (8 bytes/vector vs 256 for the raw float32 embedding, a
+    32× compression); one narrow projection, built once at ingest and
+    persisted in production."""
+    return df.select(
+        F.col(id_col), _pq_codes_expr(vec_col, codebooks).alias("codes")
+    )
+
+
+def _pq_dtab_expr(
+    query_vec_col: str, codebooks: list[list[list[float]]]
+) -> F.Column:
+    """The per-query ADC lookup table (``_PQ_M × _PQ_K`` exact
+    query-to-codeword subdistances) as one Column on the query frame."""
+    books = _pq_books_lit(codebooks)
+    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda j: F.transform(
+            F.element_at(books, (j + 1).cast("int")),
+            lambda w: _pq_dist2(
+                F.slice(qv, (j * _PQ_DSUB + 1).cast("int"), _PQ_DSUB), w
+            ),
+        ),
+    )
+
+
+def _pq_adc_expr() -> F.Column:
+    """Fixed-point integer ADC over (codes, __dtab): 8 lookups, each
+    floored at 10⁶, summed as BIGINTs — order-independent, hash-exact."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__dtab"),
+            lambda c, tab: F.floor(
+                F.element_at(tab, c + F.lit(1)) * F.lit(_PQ_SCALE)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def ann_pq_topk(
@@ -1629,29 +1671,11 @@ def ann_pq_topk(
     partition pre-exchange, the brute_force_topk shape) over rows of
     ~16 bytes instead of ~280."""
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    books = _pq_books_lit(codebooks)
-    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
-    dtab = F.transform(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-        lambda j: F.transform(
-            F.element_at(books, (j + 1).cast("int")),
-            lambda w: _pq_dist2(
-                F.slice(qv, (j * _PQ_DSUB + 1).cast("int"), _PQ_DSUB), w
-            ),
-        ),
+    q = queries.select(
+        F.col(query_id_col),
+        _pq_dtab_expr(query_vec_col, codebooks).alias("__dtab"),
     )
-    q = queries.select(F.col(query_id_col), dtab.alias("__dtab"))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__dtab"),
-            lambda c, tab: F.floor(
-                F.element_at(tab, c + F.lit(1)) * F.lit(_PQ_SCALE)
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    adc = _pq_adc_expr()
     scored = (
         codes.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -1744,6 +1768,157 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_seed_codebooks_cached(emb, sf_dir)
     return ann_pq_topk(emb, _query_vectors(spark, sf_dir), books, k=10)
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §V — the FAISS IVFPQ composition): the
+    coarse quantizer restricts each query to its ``nprobe`` nearest
+    clusters' inverted lists, and candidates rank by the integer ADC on
+    8-byte PQ codes — both index structures this module already builds,
+    composed. The corpus-side index is ONE narrow projection (cid +
+    codes, persisted at ingest in production); the probe frame (query ×
+    nprobe, carrying the ADC table) broadcasts, so the candidate join is
+    map-side with |corpus|·nprobe/k_clusters joined rows and a corpus row
+    has exactly one cid — no multi-probe duplicate pairs, no distinct.
+
+    Fully deterministic (seed centroids, argmax ties to higher cid like
+    :func:`_nearest_clusters`; integer ADC; id tie-breaks), so even the
+    APPROXIMATE nprobe<k form carries an exact SQL oracle — the oracle
+    mirrors the algorithm, not the brute-force answer; recall vs the
+    exact top-k is pinned separately in pytest."""
+    enc = corpus.select(
+        F.col(id_col),
+        F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias(
+            "cid"
+        ),
+        _pq_codes_expr(vec_col, codebooks).alias("codes"),
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            _nearest_clusters(query_vec_col, centroids, nprobe)
+        ).alias("cid"),
+        _pq_dtab_expr(query_vec_col, codebooks).alias("__dtab"),
+    )
+    cands = enc.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        _pq_adc_expr().alias("adc"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "adc")
+    )
+
+
+_IVFPQ_NPROBE = 4
+
+
+@register(
+    "q_ann_ivfpq_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) DESC,
+                          c.cid DESC) rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    subcw AS (
+      SELECT cid, j, cvec[j*{_PQ_DSUB}+1 : (j+1)*{_PQ_DSUB}] AS w
+      FROM cents CROSS JOIN generate_series(0, {_PQ_M - 1}) AS t(j)
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT e.vec_id, s.j, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, s.j
+                 ORDER BY {_pq_dist2_sql("e.embedding", "s.w", "s.j")}, s.cid) rn
+        FROM embeddings e JOIN subcw s ON TRUE
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+    ),
+    qprobes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                           c.cvec) DESC,
+                          c.cid DESC) rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    dtab AS (
+      SELECT q.query_id, s.j, s.cid,
+             {_pq_dist2_sql("q.qv", "s.w", "s.j")} AS d
+      FROM q JOIN subcw s ON TRUE
+    ),
+    adc AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(FLOOR(d.d * {_PQ_SCALE}) AS BIGINT)) AS BIGINT) AS adc
+      FROM assign a
+      JOIN qprobes p ON p.cid = a.cid
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN dtab d ON d.query_id = p.query_id
+                 AND d.j = c.j AND d.cid = c.code
+      WHERE a.vec_id <> p.query_id
+      GROUP BY d.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, adc FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) rank
+      FROM adc
+    ) WHERE rank <= 10
+    """,
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the fixed 5 queries: nprobe={_IVFPQ_NPROBE} of
+    {_PQ_K} seed clusters, integer ADC on 8-byte codes within the probed
+    inverted lists. The oracle mirrors the full algorithm — probes,
+    assignment, codes, fixed-point ADC — so the approximate form itself
+    is hash-certified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids_cached(emb, sf_dir)
+    books = pq_seed_codebooks_cached(emb, sf_dir)
+    return ann_ivfpq_topk(
+        emb,
+        _query_vectors(spark, sf_dir),
+        cents,
+        books,
+        k=10,
+        nprobe=_IVFPQ_NPROBE,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -299,3 +299,20 @@ def test_product_cid_composes_half_quantizers(spark, sf_dir):
         v = [float(x) for x in r["embedding"]]
         want = argmax(v[:half], lo) * len(hi) + argmax(v[half:], hi)
         assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_ivfpq_recall_floor(spark, sf_dir):
+    """IVF-PQ's two approximations bounded separately: vs the exact
+    top-10 (both PQ distortion AND probe misses) and vs the full-PQ
+    ranking (probe misses only — measured ~0.74 at sf0.01, so the coarse
+    probe keeps most of what PQ alone would return)."""
+    from iceberg_matrix_spark.queries import QUERIES
+
+    exact = QUERIES["q_ann_ivf_exhaustive"](spark, sf_dir).collect()
+    full_pq = QUERIES["q_ann_pq_topk"](spark, sf_dir).collect()
+    ivfpq = QUERIES["q_ann_ivfpq_topk"](spark, sf_dir).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    p = {(r.query_id, r.neighbor_id) for r in full_pq}
+    a = {(r.query_id, r.neighbor_id) for r in ivfpq}
+    assert len(e & a) / len(e) >= 0.2
+    assert len(p & a) / len(p) >= 0.5
