@@ -542,21 +542,40 @@ def _plane_array_expr() -> F.Column:
     )
 
 
+def _fold_dot(v: F.Column, p: F.Column) -> F.Column:
+    """Sequential double-fold dot of two (already double) arrays — the
+    same op sequence as functions/vectors.dot."""
+    return F.aggregate(
+        F.zip_with(v, p, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def hyperplane_signature(vec_col: str) -> F.Column:
-    """Random-hyperplane LSH signature: bit i = sign(v · plane_i)."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(_PLANES):
-        d = F.aggregate(
-            F.zip_with(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                F.array(*[F.lit(x) for x in plane]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    """Random-hyperplane LSH signature: bit i = sign(v · plane_i).
+
+    The planes enter the plan as ONE literal array<array<double>> column
+    under nested HOFs, and the bits assemble by a doubling fold over the
+    reversed bit array (acc·2 + bit, bit 31 first ⇒ Σ bitᵢ·2ⁱ — the
+    same long the former per-plane `when(d>0, 1<<i)` sum produced,
+    bit-identically). Rewritten from 32 separately-unrolled fold
+    subtrees: expression-tree size is a PER-CALL driver planning cost —
+    the PQ lesson — and this tree serves every LSH/dedup/ANN query
+    (planning measured 2.3→~1 s on q_dedup_semantic at sf0.1)."""
+    planes = _plane_array_expr()
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = F.transform(
+        planes,
+        lambda p: F.when(_fold_dot(v, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
 
 
 def ann_lsh_topk(
@@ -645,19 +664,26 @@ def ann_lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _centroid_scored(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """array<struct<d, cid>> of dot products against every centroid —
+    centroids as ONE literal array column under a transform (plan-size
+    lesson: k separately-unrolled dot subtrees were pure per-call
+    planning cost). Bit-identical to the unrolled form: same fold ops,
+    same struct shape (d double, cid int)."""
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(_fold_dot(v, c).alias("d"), i.alias("cid")),
+    )
+
+
 def _nearest_clusters(vec_col: str, centroids: list[list[float]], n: int) -> F.Column:
     """Array of the n nearest centroid ids (by dot product — inputs are
     ~unit-norm embeddings, so dot ≈ cosine) as a JVM-side expression."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vec_col, F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    top = F.slice(
+        F.reverse(F.array_sort(_centroid_scored(vec_col, centroids))), 1, n
     )
-    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
     return F.transform(top, lambda s: s["cid"])
 
 
@@ -1019,16 +1045,9 @@ def prototype_prune(
     skew-bounded because cluster sizes are bounded by the quantizer.
     Deterministic total order (score desc, id asc), so with seed
     centroids the whole operator is SQL-oracle-reproducible."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vec_col, F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    top = F.element_at(
+        F.reverse(F.array_sort(_centroid_scored(vec_col, centroids))), 1
     )
-    top = F.element_at(F.reverse(F.array_sort(scored)), 1)
     assigned = df.select(
         F.col(id_col),
         top["cid"].alias("cid"),
@@ -1118,14 +1137,13 @@ def product_cid(
     half = _DIM // 2
 
     def _argmax(v: F.Column, cents: list[list[float]]) -> F.Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    dot(v, F.array(*[F.lit(x) for x in c])).alias("d"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(cents)
-            ]
+        lits = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        vd = F.transform(v, lambda x: x.cast("double"))
+        scored = F.transform(
+            lits,
+            lambda c, i: F.struct(
+                _fold_dot(vd, c).alias("d"), i.alias("cid")
+            ),
         )
         return F.element_at(F.reverse(F.array_sort(scored)), 1)["cid"]
 
