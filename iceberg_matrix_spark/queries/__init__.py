@@ -27,6 +27,7 @@ def _populate() -> None:
     from iceberg_matrix_spark.operators import lines  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import multimodal  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import pipeline  # noqa: F401, PLC0415
+    from iceberg_matrix_spark.operators import retrieval  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import scale  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import similarity  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import spans  # noqa: F401, PLC0415
