@@ -23,6 +23,7 @@ def _populate() -> None:
     # Modules self-register on import (order defines report order).
     from iceberg_matrix_spark.operators import asof  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import dedup  # noqa: F401, PLC0415
+    from iceberg_matrix_spark.operators import fuzzy  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import graph  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import lines  # noqa: F401, PLC0415
     from iceberg_matrix_spark.operators import multimodal  # noqa: F401, PLC0415
