@@ -746,3 +746,143 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-size broadcast variant)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 8192                         # m (filter width in bits)
+_BLOOM_WORD_BITS = 32                      # packed as 32-bit words: no
+#                                            sign-bit edge in either engine
+_BLOOM_WORDS = _BLOOM_BITS // _BLOOM_WORD_BITS
+_BLOOM_HASHES = 3                          # k (independent md5-derived)
+
+
+def _bloom_positions(g: F.Column) -> list[F.Column]:
+    """``_BLOOM_HASHES`` bit positions for one n-gram: disjoint 32-bit
+    words of its md5, each mod m. md5 hex is the cross-engine hash the
+    winnowing family established (operators/text.py); DuckDB spells the
+    hex→int step ``CAST('0x' || substr(md5(g), off, 8) AS BIGINT)``."""
+    h = F.md5(g)
+    return [
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+        % _BLOOM_BITS
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def bloom_words_from(
+    benchmark: DataFrame, text_col: str = "text", k: int = DECON_NGRAM
+) -> list[int]:
+    """The benchmark set's Bloom filter as ``_BLOOM_WORDS`` packed ints.
+
+    Driver-side but BOUNDED: the collect is the ≤m distinct bit
+    positions (8192 rows max regardless of benchmark size) — the same
+    bounded-collect contract as the centroid builds
+    (similarity.py:ivf_seed_centroids). In production the words are
+    built once per eval-suite release and shipped as a literal."""
+    from iceberg_matrix_spark.functions.text import word_shingles
+
+    grams = benchmark.select(
+        F.explode(word_shingles(text_col, k)).alias("g")
+    ).distinct()
+    pos_cols = _bloom_positions(F.col("g"))
+    positions = (
+        grams.select(F.explode(F.array(*pos_cols)).alias("p")).distinct().collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in positions:
+        p = int(r["p"])
+        words[p // _BLOOM_WORD_BITS] |= 1 << (p % _BLOOM_WORD_BITS)
+    return words
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    bloom_words: list[int],
+    text_col: str = "text",
+    k: int = DECON_NGRAM,
+) -> DataFrame:
+    """Bloom-filter decontamination: (doc_id, n_bloom_hits) for corpus
+    docs with ≥1 n-gram whose ``_BLOOM_HASHES`` bits are ALL set in the
+    benchmark filter.
+
+    Why this exists next to :func:`decontaminate`: the exact form
+    broadcasts the benchmark's distinct n-grams — fine for MB-scale eval
+    suites, but the broadcast grows with the suite. The Bloom form
+    broadcasts a CONSTANT 1 KiB word array as a plan literal; the check
+    is pure map-side integer arithmetic inside codegen (no join at all),
+    at the price of a deterministic, oracle-reproducible false-positive
+    rate (~(1-e^(-kn/m))^k; a pytest pins superset-of-exact + FP bound).
+    Flagged docs then re-verify against the exact op — the same
+    candidates-then-verify split as the LSH dedup families.
+    """
+    from iceberg_matrix_spark.functions.text import word_shingles
+
+    words_lit = F.array(
+        *[F.lit(w).cast("long") for w in bloom_words]
+    )
+    grams = corpus.select(
+        "doc_id", F.explode(word_shingles(text_col, k)).alias("g")
+    ).withColumn("__w", words_lit)
+    # bit tests as one SQL expression (shiftright with a COLUMN amount is
+    # SQL-only; the DSL binding takes a literal int)
+    tests = []
+    for i in range(_BLOOM_HASHES):
+        pos = (
+            f"pmod(CAST(conv(substring(md5(g), {1 + 8 * i}, 8), 16, 10) AS BIGINT), {_BLOOM_BITS})"
+        )
+        tests.append(
+            f"((shiftright(element_at(__w, CAST({pos} DIV {_BLOOM_WORD_BITS} AS INT) + 1), "
+            f"CAST({pos} % {_BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
+        )
+    return (
+        grams.filter(F.expr(" AND ".join(tests)))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+
+
+def _bloom_pos_sql(off: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5(g), {off}, 8) AS BIGINT) % {_BLOOM_BITS})"
+    )
+
+
+@register(
+    "q_decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DECON_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, {_DECON_GRAMS} AS gs FROM toks WHERE len(t) >= {DECON_NGRAM}
+    ),
+    bench_pos AS (
+      SELECT DISTINCT unnest([{_bloom_pos_sql(1)}, {_bloom_pos_sql(9)},
+                              {_bloom_pos_sql(17)}]) AS p
+      FROM (SELECT DISTINCT unnest(gs) AS g FROM grams
+            WHERE doc_id % {DECON_BENCH_MOD} = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+      WHERE doc_id % {DECON_BENCH_MOD} <> 0
+    )
+    SELECT doc_id, COUNT(*) AS n_bloom_hits
+    FROM corpus
+    WHERE {_bloom_pos_sql(1)} IN (SELECT p FROM bench_pos)
+      AND {_bloom_pos_sql(9)} IN (SELECT p FROM bench_pos)
+      AND {_bloom_pos_sql(17)} IN (SELECT p FROM bench_pos)
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: per-doc count of 3-grams whose 3
+    filter bits are all set by the benchmark slice (doc_id % 97 == 0),
+    m=8192 — the constant-broadcast candidate stage ahead of the exact
+    q_decontaminate verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return decontaminate_bloom(corpus, bloom_words_from(bench))

@@ -123,3 +123,38 @@ def test_gopher_plan_is_narrow(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # shuffle-free narrow projection
+
+
+def test_bloom_decontaminate_supersets_exact_with_bounded_fp(spark, sf_dir):
+    """The Bloom candidate stage must never miss a truly contaminated doc
+    (no false negatives by construction: a present n-gram's bits are all
+    set), and its false-positive doc count must stay well under the
+    corpus size (m=8192, k=3 → per-gram FP ≈ (1-e^(-3n/8192))³)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.pipeline import (
+        DECON_BENCH_MOD,
+        bloom_words_from,
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    exact = {r.doc_id: r.n_overlap_ngrams for r in decontaminate(corpus, bench).collect()}
+    words = bloom_words_from(bench)
+    bloom = {
+        r.doc_id: r.n_bloom_hits
+        for r in decontaminate_bloom(corpus, words).collect()
+    }
+    # superset: every exact-contaminated doc flagged, with >= the count
+    for doc_id, n in exact.items():
+        assert doc_id in bloom and bloom[doc_id] >= n, (doc_id, n, bloom.get(doc_id))
+    # bounded FPs: flagged-but-clean docs a small fraction of the corpus
+    n_corpus = corpus.count()
+    fps = len(set(bloom) - set(exact))
+    assert fps <= max(5, n_corpus // 10), (fps, n_corpus)
+    # the filter itself is tiny and typed: 256 packed 32-bit words
+    assert len(words) == 256 and all(0 <= w < 2**32 for w in words)
