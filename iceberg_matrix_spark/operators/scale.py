@@ -347,3 +347,136 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic register layout)
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                    # 2^8 = 256 registers per group
+HLL_M = 1 << HLL_P
+_HLL_RHO_CAP = 40            # register ceiling: keeps the integer
+#                              harmonic numerator ≤ 256·2^40 < 2^63
+# alpha_256 · m² · 2^40 — all literals, constant-folded identically by
+# both engines (left-associated IEEE ops over identically-parsed
+# literals), so the final division is the sketch's ONLY runtime float op.
+# The Spark spelling needs D suffixes: a bare `0.7213` parses as
+# DECIMAL(5,4) there (decimal division rounds differently), as DOUBLE in
+# DuckDB.
+_HLL_EST_NUM = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 1099511627776.0"
+_HLL_EST_NUM_SPARK = (
+    "(0.7213D / (1.0D + 1.079D / 256.0D)) * 65536.0D * 1099511627776.0D"
+)
+
+
+def hll_distinct_sketch(
+    df: DataFrame, group_col: str, value_col: str, corrected: bool = False
+) -> DataFrame:
+    """Per-group HyperLogLog cardinality estimate (Flajolet et al. 2007)
+    with a DETERMINISTIC register layout, so — unlike engine-native
+    ``approx_count_distinct`` whose register encoding is private — the
+    whole sketch carries an exact cross-engine oracle.
+
+    Layout: h = 60-bit md5 prefix of the value (the KMV family's hash);
+    bucket = h mod 256; rho = trailing-zero count of h÷256, plus 1,
+    capped at 40 (tz via ``bit_count((x & -x) - 1)`` — pure integer, and
+    x=0 falls out as bit_count(-1)+1 = 65 → cap). The estimate's
+    harmonic sum is kept INTEGER — Σ 2^(40−rho) as BIGINT with absent
+    registers contributing 2^40 — so it is summation-order-independent;
+    the only float op is the final constant/H division.
+
+    Scale contract (why HLL next to KMV): registers are a CONSTANT
+    256 bytes per group and merge by per-bucket MAX — the partial
+    aggregate combines map-side, and shard sketches union without
+    re-reading data (KMV must keep k hash values and re-merge them).
+    The shuffle is ≤ groups × 256 register rows regardless of row count.
+
+    Returns (group, n_used_registers, harmonic_num, distinct_est) —
+    ``distinct_est`` is the raw estimator by default (exact oracle);
+    ``corrected=True`` applies the small-range linear-counting fix
+    (m·ln(m/V) — accurate for n ≪ m but ln is not bit-stable across
+    engines, so it is pytest-pinned rather than oracle-checked).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = h % HLL_M
+    # h ÷ 256 as a SHIFT: h is 60-bit, a double division would round the
+    # 53-bit mantissa and corrupt low bits (h ≥ 0, so shift = floor-div)
+    rest = F.shiftright(h, HLL_P)
+    rho = F.least(
+        F.bit_count((rest.bitwiseAND(-rest)) - F.lit(1)) + F.lit(1),
+        F.lit(_HLL_RHO_CAP),
+    )
+    regs = (
+        df.select(F.col(group_col), bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(group_col, "__b")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_used_registers"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_CAP} - __rho AS INT))"
+                )
+            )
+            + (F.lit(HLL_M).cast("long") - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_RHO_CAP).cast("long")
+        ).alias("harmonic_num"),
+    )
+    raw = F.expr(_HLL_EST_NUM_SPARK) / F.col("harmonic_num").cast("double")
+    if corrected:
+        # Flajolet small-range (linear-counting) correction: with V > 0
+        # empty registers and a raw estimate ≤ 2.5m, E = m·ln(m/V).
+        # ln is NOT bit-stable across engines, so the registered query
+        # exposes the raw estimator (exact oracle) and production callers
+        # opt in here; accuracy is pinned by pytest instead.
+        v = F.lit(HLL_M) - F.col("n_used_registers")
+        raw = F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        ).otherwise(raw)
+    return per_group.select(
+        group_col,
+        "n_used_registers",
+        "harmonic_num",
+        raw.alias("distinct_est"),
+    )
+
+
+@register(
+    "q_hll_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    rows_ AS (
+      SELECT event_type, h % {HLL_M} AS b,
+             LEAST(bit_count(((h // {HLL_M}) & -(h // {HLL_M})) - 1) + 1,
+                   {_HLL_RHO_CAP}) AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT event_type, b, MAX(rho) AS rho FROM rows_ GROUP BY event_type, b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS INT) AS n_used_registers,
+           CAST(SUM(1::BIGINT << CAST({_HLL_RHO_CAP} - rho AS INT))
+                + ({HLL_M} - COUNT(*)) * {1 << _HLL_RHO_CAP} AS BIGINT)
+             AS harmonic_num,
+           ({_HLL_EST_NUM}) / CAST(CAST(SUM(1::BIGINT << CAST({_HLL_RHO_CAP} - rho AS INT))
+                + ({HLL_M} - COUNT(*)) * {1 << _HLL_RHO_CAP} AS BIGINT) AS DOUBLE)
+             AS distinct_est
+    FROM regs
+    GROUP BY event_type
+    """,
+)
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via deterministic-layout HLL
+    (256 registers; constant-size mergeable state — see
+    hll_distinct_sketch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct_sketch(ev, "event_type", "user_id")
