@@ -480,3 +480,159 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_distinct_sketch)."""
     ev = load_table(spark, sf_dir, "events")
     return hll_distinct_sketch(ev, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (bounded-memory token frequency estimates)
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 1024   # counters per hash row
+CMS_DEPTH = 3      # independent md5-derived hash rows
+# probe set for the registered query: common tokens, a rare one, and one
+# absent from the corpus (the absent token pins the pure-collision case)
+_CMS_PROBES = ("data", "vector", "the", "merge", "batch", "zz_absent_zz")
+
+
+def _cms_pos_cols(tok: F.Column) -> list[F.Column]:
+    """``CMS_DEPTH`` counter positions for a token: disjoint 32-bit md5
+    words mod the width (the Bloom family's cross-engine hash recipe,
+    operators/pipeline.py:_bloom_positions)."""
+    h = F.md5(tok)
+    return [
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % CMS_WIDTH
+        for i in range(CMS_DEPTH)
+    ]
+
+
+def cms_token_estimates(
+    docs: DataFrame, probes: tuple[str, ...], text_col: str = "text"
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus'
+    whitespace tokens, queried for ``probes``: per probe token the
+    estimate ``min_i counters[i][pos_i(t)]`` next to the exact count
+    (the CMS guarantee ``est ≥ exact`` is pinned by pytest AND visible
+    in the output as ``overcount``).
+
+    Why a sketch when q_vocab_topk computes exact counts? Memory: exact
+    per-token counts shuffle one state row per DISTINCT token (open
+    vocabulary — unbounded at 100 TB); the CMS state is a CONSTANT
+    depth×width = 3×1024 grid of longs regardless of vocabulary, and the
+    grid aggregate combines map-side (sums commute), so heavy-hitter
+    screens run in fixed memory. Everything is integer arithmetic over
+    md5-derived positions — exactly reproducible in SQL.
+
+    Plan: one explode (∝ corpus tokens) → ``CMS_DEPTH`` (row, pos)
+    entries per token via a 3-element inline array → groupBy the ≤3·1024
+    live grid cells. Probe positions are a ≤|probes|·depth literal-sized
+    broadcast joined against the grid; per-probe MIN folds the depth.
+    """
+    from iceberg_matrix_spark.functions.text import tokens
+
+    toks = docs.select(F.explode(tokens(text_col)).alias("tok"))
+    pos = _cms_pos_cols(F.col("tok"))
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"), pos[i].alias("pos")
+                        )
+                        for i in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probe_rows = []
+    for t in probes:
+        probe_rows.append((t,))
+    spark = docs.sparkSession
+    pdf = spark.createDataFrame(probe_rows, ["token"])
+    ppos = pdf.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_pos_cols(F.col("token"))[i].alias("pos"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    est = (
+        cells.join(F.broadcast(ppos), ["row", "pos"])
+        .groupBy("token")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    exact = (
+        toks.filter(F.col("tok").isin(*probes))
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        pdf.join(est, "token", "left")
+        .join(exact, "token", "left")
+        .select(
+            "token",
+            F.coalesce("cms_est", F.lit(0)).cast("bigint").alias("cms_est"),
+            F.coalesce("exact_n", F.lit(0)).cast("bigint").alias("exact_n"),
+            (F.coalesce("cms_est", F.lit(0)) - F.coalesce("exact_n", F.lit(0)))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+
+
+def _cms_pos_sql(expr: str, i: int) -> str:
+    return f"(CAST('0x' || substr(md5({expr}), {1 + 8 * i}, 8) AS BIGINT) % {CMS_WIDTH})"
+
+
+@register(
+    "q_cms_token_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT row_i AS row, pos, COUNT(*) AS n FROM (
+        {" UNION ALL ".join(f"SELECT {i} AS row_i, {_cms_pos_sql('tok', i)} AS pos FROM toks" for i in range(CMS_DEPTH))}
+      ) GROUP BY row_i, pos
+    ),
+    probes AS (
+      SELECT unnest([{", ".join(repr(t) for t in _CMS_PROBES)}]) AS token
+    ),
+    ppos AS (
+      SELECT token, row_i AS row, pos FROM (
+        {" UNION ALL ".join(f"SELECT token, {i} AS row_i, {_cms_pos_sql('token', i)} AS pos FROM probes" for i in range(CMS_DEPTH))}
+      )
+    ),
+    est AS (
+      SELECT token, MIN(n) AS cms_est
+      FROM ppos JOIN cells USING (row, pos) GROUP BY token
+    ),
+    exact AS (
+      SELECT tok AS token, COUNT(*) AS exact_n FROM toks
+      WHERE tok IN ({", ".join(repr(t) for t in _CMS_PROBES)}) GROUP BY tok
+    )
+    SELECT p.token,
+           CAST(COALESCE(e.cms_est, 0) AS BIGINT) AS cms_est,
+           CAST(COALESCE(x.exact_n, 0) AS BIGINT) AS exact_n,
+           CAST(COALESCE(e.cms_est, 0) - COALESCE(x.exact_n, 0) AS BIGINT) AS overcount
+    FROM probes p
+    LEFT JOIN est e USING (token)
+    LEFT JOIN exact x USING (token)
+    """,
+)
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimates vs exact counts for 6 probe tokens
+    (3×1024 constant-memory grid — see cms_token_estimates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_token_estimates(docs, _CMS_PROBES)

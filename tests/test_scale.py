@@ -195,3 +195,30 @@ def test_hll_registers_merge_like_shards(spark, sf_dir):
         for r in hll_distinct_sketch(union, "event_type", "user_id").collect()
     }
     assert whole == re_merged
+
+
+def test_cms_never_undercounts_and_is_tight_on_heavy_tokens(spark, sf_dir):
+    """The count-min guarantee: est ≥ exact for every probe, with the
+    absent probe's estimate pure collision mass (small vs the corpus),
+    and heavy probes estimated within the ε·N one-row bound."""
+    from iceberg_matrix_spark.operators.scale import (
+        CMS_WIDTH,
+        _CMS_PROBES,
+        cms_token_estimates,
+    )
+    from iceberg_matrix_spark.functions.text import token_count
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = docs.agg(F.sum(token_count("text"))).collect()[0][0]
+    rows = {r.token: r for r in cms_token_estimates(docs, _CMS_PROBES).collect()}
+    assert set(rows) == set(_CMS_PROBES)
+    for t, r in rows.items():
+        assert r.overcount >= 0, (t, r)
+        assert r.cms_est >= r.exact_n
+        # single-row CMS bound: overcount ≤ N/width per row; min over 3
+        # rows only helps. Allow 4x slack for hash unevenness.
+        assert r.overcount <= 4 * n_tokens / CMS_WIDTH + 1, (t, r, n_tokens)
+    assert rows["zz_absent_zz"].exact_n == 0
