@@ -99,6 +99,15 @@ HEADLINE = [
     # reassembly) and PQ ANN (compressed-code scan + integer ADC)
     "q_line_dedup_clean",
     "q_ann_pq_topk",
+    # round 7, second wave: binary-signature ANN (integer Hamming pool +
+    # inline cosine rerank), BM25 (term-filtered postings + fixed-order
+    # mix + TakeOrderedAndProject), blocked-Levenshtein fuzzy matching,
+    # and joinless Bloom decontamination (1 KiB literal filter)
+    "q_ann_hamming_topk",
+    "q_bm25_topk",
+    "q_fuzzy_title_pairs",
+    "q_decontaminate_bloom",
+    "q_hll_distinct_sketch",
 ]
 
 

@@ -7,33 +7,69 @@ exact hashing misses entirely.
 
 Shape (the classic blocking + verify ER plan, e.g. Christen 2012):
 project each document to a 32-char normalized title, equi-join on a
-deterministic BLOCKING KEY — (lang, 8-char title prefix) — and verify
-candidates with Levenshtein under a distance cap. Spark-first: the
-block join is a plain shuffled equi-join (AQE splits skewed blocks),
-and the verify uses Spark's thresholded ``levenshtein(l, r, cap)``
-whose DP early-exits at the cap: O(cap·min(m,n)) per pair instead of
-O(m·n), with exact distances for every pair that passes.
+deterministic BLOCKING KEY, and verify candidates with Levenshtein
+under a distance cap. Spark-first: the block join is a plain shuffled
+equi-join (AQE splits skewed blocks), and the verify uses Spark's
+thresholded ``levenshtein(l, r, cap)`` whose DP early-exits at the cap:
+O(cap·min(m,n)) per pair instead of O(m·n), with exact distances for
+every pair that passes.
 
-Scale: candidates are Σ_b n_b² over BLOCKS, not corpus²; the prefix key
-bounds n_b structurally (it fragments with corpus growth the way the
-scoped-dedup cluster ids do). Production recipe for recall: union
-several redundant blocking passes (prefix, suffix, sorted-token key) —
-each is this same plan; the pairs union cheaply because each pass emits
-only verified (id1, id2) rows.
+Blocking is HIERARCHICAL with a population cap — the lesson the 100×
+sweep taught the first (single-level) version of this operator: an
+8-char prefix alone goes quadratic the moment many documents open with
+the same ≥8-char word ("customer…", boilerplate headers — the sweep's
+amplified corpus hit exactly this and walled 323 s at 100×). Each
+(lang, 8-char-prefix) block whose population exceeds the cap promotes
+its rows to a 16-char prefix; still-hot 16-blocks promote to the full
+32-char title. Pairs must share their FINAL block, so candidate volume
+is Σ_b min(n_b, structure)² with every non-degenerate block capped —
+the recall trade (hot-prefix pairs now need a longer shared prefix) is
+deterministic and documented, and the degenerate floor (more than cap
+documents sharing one full 32-char title) is exact-duplicate mass that
+belongs to the exact-dedup family upstream.
+
+Scale: candidates are Σ_b n_b² over FINAL blocks, not corpus²; the
+level counts are three narrow window aggregations over ~50-byte rows.
+Production recipe for recall: union several redundant blocking passes
+(prefix, suffix, sorted-token key) — each is this same plan; the pairs
+union cheaply because each pass emits only verified (id1, id2) rows.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from iceberg_matrix_spark.functions.text import norm_text
 from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_table
 
 _TITLE_LEN = 32
-_BLOCK_PREFIX = 8
+_BLOCK_PREFIXES = (8, 16, _TITLE_LEN)  # promotion ladder
+_BLOCK_CAP = 64                        # max docs per non-final block
 _MAX_DIST = 8
+
+
+def _with_final_block(
+    t: DataFrame, block_cols: tuple[str, ...]
+) -> DataFrame:
+    """Assign each row its final (level, block) under the cap-promotion
+    ladder: stay at the shortest prefix whose block population is within
+    ``_BLOCK_CAP``; the full-title level is terminal (never promoted)."""
+    out = t
+    for i, p in enumerate(_BLOCK_PREFIXES):
+        out = out.withColumn(f"__p{i}", F.substring("__title", 1, p))
+        w = Window.partitionBy(*block_cols, f"__p{i}")
+        out = out.withColumn(f"__n{i}", F.count(F.lit(1)).over(w))
+    last = len(_BLOCK_PREFIXES) - 1
+    level = F.lit(last)
+    blk = F.col(f"__p{last}")
+    for i in range(last - 1, -1, -1):
+        level = F.when(F.col(f"__n{i}") <= _BLOCK_CAP, F.lit(i)).otherwise(level)
+        blk = F.when(F.col(f"__n{i}") <= _BLOCK_CAP, F.col(f"__p{i}")).otherwise(blk)
+    return out.select(
+        *t.columns, level.alias("__lvl"), blk.alias("__blk")
+    )
 
 
 def fuzzy_title_pairs(
@@ -44,8 +80,8 @@ def fuzzy_title_pairs(
     block_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
     """(id1, id2, dist) for document pairs whose normalized 32-char
-    titles are within ``max_dist`` edits, candidate-blocked on
-    (*block_cols, 8-char title prefix); id1 < id2, ordered output ids.
+    titles are within ``max_dist`` edits and share a final
+    cap-promoted block (see module docstring); id1 < id2.
 
     Integer edit distances under identical DP definitions on both
     engines make the whole operator exactly SQL-oracle-able.
@@ -54,20 +90,27 @@ def fuzzy_title_pairs(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.substring(norm_text(text_col), 1, _TITLE_LEN).alias("__title"),
-    ).withColumn("__blk", F.substring("__title", 1, _BLOCK_PREFIX))
+    )
+    t = _with_final_block(t, block_cols)
     a = t.select(
         F.col(id_col).alias("id1"),
         *[F.col(c).alias(f"__a_{c}") for c in block_cols],
         F.col("__title").alias("__t1"),
+        F.col("__lvl").alias("__lvl1"),
         F.col("__blk").alias("__blk1"),
     )
     b = t.select(
         F.col(id_col).alias("id2"),
         *[F.col(c).alias(f"__b_{c}") for c in block_cols],
         F.col("__title").alias("__t2"),
+        F.col("__lvl").alias("__lvl2"),
         F.col("__blk").alias("__blk2"),
     )
-    cond = (F.col("__blk1") == F.col("__blk2")) & (F.col("id1") < F.col("id2"))
+    cond = (
+        (F.col("__lvl1") == F.col("__lvl2"))
+        & (F.col("__blk1") == F.col("__blk2"))
+        & (F.col("id1") < F.col("id2"))
+    )
     for c in block_cols:
         cond = cond & (F.col(f"__a_{c}") == F.col(f"__b_{c}"))
     # thresholded levenshtein: the DP abandons a pair once its running
@@ -82,26 +125,55 @@ def fuzzy_title_pairs(
     )
 
 
-@register(
-    "q_fuzzy_title_pairs",
-    oracle=f"""
-    WITH t AS (
+def _oracle_levels_sql() -> str:
+    """The cap-promotion ladder in SQL: per level, the block prefix and
+    its (lang-scoped) population; final level = shortest within-cap."""
+    prefix_cols = ", ".join(
+        f"substr(title, 1, {p}) AS p{i}" for i, p in enumerate(_BLOCK_PREFIXES)
+    )
+    count_cols = ", ".join(
+        f"COUNT(*) OVER (PARTITION BY lang, p{i}) AS n{i}"
+        for i in range(len(_BLOCK_PREFIXES))
+    )
+    last = len(_BLOCK_PREFIXES) - 1
+    lvl = f"{last}"
+    blk = f"p{last}"
+    for i in range(last - 1, -1, -1):
+        lvl = f"CASE WHEN n{i} <= {_BLOCK_CAP} THEN {i} ELSE {lvl} END"
+        blk = f"CASE WHEN n{i} <= {_BLOCK_CAP} THEN p{i} ELSE {blk} END"
+    return f"""
+    t AS (
       SELECT doc_id, lang,
              substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
                     1, {_TITLE_LEN}) AS title
       FROM documents
-    )
+    ),
+    lp AS (
+      SELECT doc_id, lang, title, {prefix_cols} FROM t
+    ),
+    lc AS (
+      SELECT *, {count_cols} FROM lp
+    ),
+    fin AS (
+      SELECT doc_id, lang, title, ({lvl}) AS lvl, ({blk}) AS blk FROM lc
+    )"""
+
+
+@register(
+    "q_fuzzy_title_pairs",
+    oracle=f"""
+    WITH {_oracle_levels_sql()}
     SELECT a.doc_id AS id1, b.doc_id AS id2,
            CAST(levenshtein(a.title, b.title) AS INT) AS dist
-    FROM t a JOIN t b
-      ON a.lang = b.lang
-     AND substr(a.title, 1, {_BLOCK_PREFIX}) = substr(b.title, 1, {_BLOCK_PREFIX})
+    FROM fin a JOIN fin b
+      ON a.lang = b.lang AND a.lvl = b.lvl AND a.blk = b.blk
      AND a.doc_id < b.doc_id
     WHERE levenshtein(a.title, b.title) <= {_MAX_DIST}
     """,
 )
 def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact title duplicates: pairs within 8 edits over 32-char
-    normalized titles, blocked on (lang, 8-char prefix)."""
+    normalized titles, hierarchically blocked on (lang, 8→16→32-char
+    prefix, cap 64)."""
     docs = load_table(spark, sf_dir, "documents")
     return fuzzy_title_pairs(docs)

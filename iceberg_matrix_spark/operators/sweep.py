@@ -361,6 +361,39 @@ def family_runners() -> dict:
         books = pq_seed_codebooks(emb)
         return ann_pq_topk(emb, _fixed_queries(emb, factor), books, k=10)
 
+    def fuzzy(spark, docs, emb, factor):
+        # the pair-shaped family to watch: candidates are Σ_b n_b² over
+        # (lang, title-prefix) blocks. Token salting gives replicas
+        # disjoint title prefixes, so blocks fragment with the factor
+        # and per-block population stays put — candidate volume must
+        # grow ∝ factor, not factor²
+        from iceberg_matrix_spark.operators.fuzzy import (  # noqa: PLC0415
+            fuzzy_title_pairs,
+        )
+
+        return fuzzy_title_pairs(docs)
+
+    def hamming(spark, docs, emb, factor):
+        # corpus side = one integer-signature projection (16 B/vec);
+        # exchanges are the two per-query windows over WindowGroupLimit-
+        # pruned rows — the ann family's cost shape with smaller rows
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            ann_hamming_topk,
+        )
+
+        return ann_hamming_topk(emb, _fixed_queries(emb, factor), k=10)
+
+    def bm25(spark, docs, emb, factor):
+        # inverted-index shape: explode ∝ corpus tokens, postings ∝ hits
+        # of the 3 query terms, df/stats broadcasts constant, top-k via
+        # TakeOrderedAndProject — nothing pair-shaped
+        from iceberg_matrix_spark.operators.retrieval import (  # noqa: PLC0415
+            _BM25_TERMS,
+            bm25_topk,
+        )
+
+        return bm25_topk(docs, _BM25_TERMS, k=20)
+
     def prototype(spark, docs, emb, factor):
         # one narrow assignment+score projection, one per-cluster rank
         # window; k=64 (the unroll cap) so per-cluster window partitions
@@ -375,6 +408,9 @@ def family_runners() -> dict:
         ),
         "knn": knn,
         "prototype": prototype,
+        "fuzzy": fuzzy,
+        "hamming": hamming,
+        "bm25": bm25,
         "lines": lines,
         "pq": pq,
         "minhash": lambda spark, docs, emb, factor: minhash_neardup_pairs(

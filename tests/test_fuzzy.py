@@ -16,28 +16,78 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _final_blocks(titles: dict) -> dict:
+    """Python mirror of the cap-promotion ladder: doc_id → (lvl, blk)."""
+    from collections import Counter
+
+    prefixes = (8, 16, 32)
+    counts = [
+        Counter((lang, t[:p]) for lang, t in titles.values()) for p in prefixes
+    ]
+    out = {}
+    for doc_id, (lang, t) in titles.items():
+        for i, p in enumerate(prefixes):
+            if i == len(prefixes) - 1 or counts[i][(lang, t[:p])] <= 64:
+                out[doc_id] = (i, t[:p])
+                break
+    return out
+
+
 def test_fuzzy_pairs_match_python_reference(spark, sf_dir):
     """Every emitted pair's distance equals the classic O(m·n) DP on the
     normalized titles (the thresholded DP must never distort a kept
-    distance), and every blocked pair within the cap is emitted."""
+    distance), and exactly the final-block pairs within the cap are
+    emitted — the hierarchical promotion mirrored independently."""
     docs = load_table(spark, sf_dir, "documents")
     rows = docs.select("doc_id", "lang", "text").collect()
     titles = {
         r.doc_id: (r.lang, " ".join((r.text or "").split()).lower()[:32])
         for r in rows
     }
+    blocks = _final_blocks(titles)
     want = {}
     ids = sorted(titles)
     for i, d1 in enumerate(ids):
         l1, t1 = titles[d1]
         for d2 in ids[i + 1 :]:
             l2, t2 = titles[d2]
-            if l1 == l2 and t1[:8] == t2[:8]:
+            if l1 == l2 and blocks[d1] == blocks[d2]:
                 d = _lev(t1, t2)
                 if d <= 8:
                     want[(d1, d2)] = d
     got = {(r.id1, r.id2): r.dist for r in fuzzy_title_pairs(docs).collect()}
     assert got == want
+
+
+def test_fuzzy_hot_blocks_promote_to_longer_prefixes(spark):
+    """A hot 8-char prefix (cap+ docs opening with the same long word)
+    must promote its rows to the 16-char level so candidate volume stays
+    Σ min(n_b)²-capped — the quadratic wall the 100× sweep found in the
+    single-level form."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.fuzzy import _with_final_block
+    from iceberg_matrix_spark.session import local_df
+
+    # 100 docs share the first word "customers!" (10 chars); their 16-char
+    # prefixes split into 10 sub-blocks of 10
+    rows = [
+        (i, "en", f"customers! g{i % 10:03d} body text {i}") for i in range(100)
+    ] + [(1000 + i, "en", f"tiny{i} row") for i in range(5)]
+    docs = local_df(spark, rows, "doc_id bigint, lang string, text string")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 1, 32
+        ).alias("__title"),
+    )
+    fin = _with_final_block(t, ("lang",)).collect()
+    hot = [r for r in fin if r.doc_id < 1000]
+    cold = [r for r in fin if r.doc_id >= 1000]
+    assert all(r["__lvl"] == 1 for r in hot), hot[:3]
+    assert len({r["__blk"] for r in hot}) == 10
+    assert all(r["__lvl"] == 0 for r in cold)
 
 
 def test_fuzzy_join_is_equi_join_not_cartesian(spark, sf_dir):
