@@ -218,3 +218,148 @@ def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) — quality-aware canonical selection over the component labels."""
     docs = load_table(spark, sf_dir, "documents")
     return canonical_by_quality(docs)
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup graph (fixed-point integer ranks)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_SCALE = 1_000_000          # ranks in integer micro-units
+_PR_DAMP_NUM = 85             # damping 0.85 as a rational: every rank
+_PR_DAMP_DEN = 100            # update is pure BIGINT arithmetic
+_PR_TELEPORT = PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
+
+
+def pagerank_centrality(
+    edges: DataFrame, nodes: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """(node, rank_fp): ``iters`` fixed-point PageRank sweeps over the
+    undirected graph, ranks in integer micro-units.
+
+    Why integers: a float PageRank's per-node Σ contrib depends on the
+    shuffle's reduction order — not hash-reproducible across engines.
+    Fixed-point contributions ``(r·85) div (100·deg)`` are BIGINTs whose
+    sum is order-independent, so a fixed iteration count is exactly
+    SQL-oracle-able (the same reason the PQ family's ADC is integer).
+    Dangling mass (isolated nodes keep only teleport) and the fixed
+    sweep count are the documented simplifications — this ranks near-dup
+    cluster members, it does not chase the stationary distribution.
+
+    Scale: per sweep one join of the (node, rank) pair-of-longs frame
+    onto the edge list + one groupBy — the connected_components shape,
+    same lineage-truncation contract (localCheckpoint per sweep).
+    """
+    e = edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("__r"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(__r * {_PR_DAMP_NUM}) DIV ({_PR_DAMP_DEN} * __deg)").alias(
+                    "__c"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(_PR_TELEPORT) + F.coalesce("__s", F.lit(0)))
+                .cast("long")
+                .alias("__r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("__r").alias("rank_fp"))
+
+
+def canonical_by_centrality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Centrality-aware canonical selection: within every near-dup
+    cluster keep the HIGHEST-PageRank member (ties → lower id) — the
+    member most similar to the rest of its cluster, a hub rather than a
+    fringe variant (complements canonical_by_quality's longest-member
+    rule). Emits (doc_id, component, rank_fp, keep)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    pairs = ngram_jaccard_pairs(
+        docs, id_col, text_col, k=3, threshold=threshold, max_doc_freq=MAX_DOC_FREQ
+    ).select("id1", "id2")
+    pairs = pairs.localCheckpoint(eager=True)  # edges reused by both passes
+    nodes = docs.select(F.col(id_col).alias("node"))
+    comp = connected_components(pairs, nodes).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    pr = pagerank_centrality(pairs, nodes).select(
+        F.col("node").alias("doc_id"), "rank_fp"
+    )
+    labeled = comp.join(pr, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("rank_fp"), F.asc("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        "rank_fp",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    """The oracle's PageRank: the same integer sweeps, loop-unrolled into
+    one CTE pair (contribs, ranks) per iteration."""
+    ctes = [
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM undirected GROUP BY src)",
+        f"pr0 AS (SELECT doc_id AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM documents)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""pc{i} AS (
+      SELECT u.dst AS node,
+             SUM((p.r * {_PR_DAMP_NUM}) // ({_PR_DAMP_DEN} * d.deg)) AS s
+      FROM undirected u
+      JOIN pr{i} p ON p.node = u.src
+      JOIN deg d ON d.node = u.src
+      GROUP BY u.dst)"""
+        )
+        ctes.append(
+            f"""pr{i + 1} AS (
+      SELECT n.node, CAST({_PR_TELEPORT} + COALESCE(c.s, 0) AS BIGINT) AS r
+      FROM pr0 n LEFT JOIN pc{i} c USING (node))"""
+        )
+    return ", ".join(ctes)
+
+
+@register(
+    "q_dedup_canonical_centrality",
+    oracle=_COMPONENTS_SQL
+    + ", "
+    + _pagerank_sql(PR_ITERS)
+    + f"""
+    SELECT c.doc_id, c.component, p.r AS rank_fp,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY p.r DESC, c.doc_id) = 1 AS keep
+    FROM comp c JOIN pr{PR_ITERS} p ON p.node = c.doc_id
+    """,
+)
+def q_dedup_canonical_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster, keep the highest-PageRank member (5
+    fixed-point integer sweeps over the Jaccard-0.2 pair graph; ties to
+    the lower id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_by_centrality(docs)

@@ -89,3 +89,30 @@ def test_canonical_by_quality_ties_break_to_lower_id(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in canonical_by_quality(docs).collect()}
     assert got == {5: True, 7: False}
+
+
+def test_pagerank_ranks_hub_above_fringe(spark):
+    """On a star (hub connected to 5 leaves) the hub must outrank every
+    leaf, ranks must be deterministic across runs, and total rank mass
+    must stay bounded by teleport + damped redistribution."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_centrality,
+    )
+    from iceberg_matrix_spark.session import local_df
+
+    edges = local_df(
+        spark, [(0, i) for i in range(1, 6)], "id1 bigint, id2 bigint"
+    )
+    nodes = local_df(spark, [(i,) for i in range(7)], "node bigint")  # 6 isolated
+    a = {r.node: r.rank_fp for r in pagerank_centrality(edges, nodes).collect()}
+    b = {r.node: r.rank_fp for r in pagerank_centrality(edges, nodes).collect()}
+    assert a == b
+    hub, leaf = a[0], a[1]
+    assert hub > leaf > 0
+    assert all(a[i] == a[1] for i in range(2, 6))  # symmetric leaves tie
+    # isolated node: teleport mass only
+    assert a[6] == PR_SCALE * 15 // 100
+    assert sum(a.values()) <= 7 * PR_SCALE
