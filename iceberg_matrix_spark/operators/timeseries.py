@@ -143,3 +143,136 @@ def q_timeseries_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_fill(ev, "user_id", ["ts", "event_id"], obs).select(
         "user_id", "event_id", "filled_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered event-sequence conversion)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = _FUNNEL_STEPS,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: (step, step_name, n_users) where a user
+    reaches step k iff they have a step-k event STRICTLY after their
+    earliest qualifying step-(k−1) time (the standard product-analytics
+    funnel; strict ordering makes ties a defined non-conversion).
+
+    Plan: one narrow (user, ts) aggregate per step — step k's input is
+    pre-filtered to its event type (the filter reaches the scan), joined
+    to the ≤|users| frontier of step k−1, so each stage shuffles rows ∝
+    that step's events, never the whole table per step. The frontier
+    frame is two longs per user.
+    """
+    frontier = None
+    counts = []
+    for i, s in enumerate(steps):
+        stage = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if frontier is None:
+            frontier = stage.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            frontier = (
+                stage.join(frontier, "__u")
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        counts.append(
+            frontier.agg(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _funnel_oracle(steps: tuple[str, ...]) -> str:
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"f0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"f{i} AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e "
+                f"JOIN f{i - 1} p ON p.u = e.user_id "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+            )
+    selects = [
+        f"SELECT CAST({i + 1} AS INT) AS step, '{s}' AS step_name, "
+        f"COUNT(*) AS n_users FROM f{i}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+@register("q_event_funnel", oracle=_funnel_oracle(_FUNNEL_STEPS))
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase funnel: users reaching each step in
+    strict timestamp order."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_funnel(ev)
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(CAST(date_trunc('week', MIN(ts)) AS DATE) AS VARCHAR) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', CAST(f.cohort_week AS DATE),
+                           CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-event week, the
+    distinct (user, week-offset) activity grid counted per cohort — the
+    classic retention triangle.
+
+    Plan: one (user → first week) aggregate (two longs per user,
+    broadcastable at any realistic user count), one distinct over the
+    user-week grid, one count — every stage keyed on user_id so the
+    partitioning is reused. Integer week offsets (day-diff of
+    Monday-truncated dates, floor-divided by 7) are engine-exact; the
+    cohort week is emitted as its ISO string (the repo's date-out rule —
+    queries/relational.py module docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).cast("string").alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(to_date(date_trunc('week', ts)), to_date(cohort_week)) DIV 7 AS INT)"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
