@@ -177,3 +177,159 @@ def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, cap 64)."""
     docs = load_table(spark, sf_dir, "documents")
     return fuzzy_title_pairs(docs)
+
+
+def incremental_fuzzy_verdicts(
+    batch: DataFrame,
+    corpus: DataFrame,
+    max_dist: int = _MAX_DIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    corpus_titles: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental-ingest fuzzy dedup: verdict per BATCH document —
+    ``dup_of_corpus`` when an already-ingested title is within
+    ``max_dist`` edits under the corpus' final blocking, else
+    ``dup_in_batch`` when a LOWER-id batch title matches (the family's
+    min-id representative rule), else ``kept``.
+
+    Scale contract (mirrors incremental_dedup_exact /
+    incremental_semantic_verdicts): the corpus side's titled+blocked
+    frame is the REUSABLE INDEX (pass the prebuilt frame as
+    ``corpus_titles``; ~60 B/doc, built once at ingest, persisted); per
+    batch the work is batch titles + one broadcast block join per side.
+    Block levels are the CORPUS index's (the batch adopts the block its
+    title falls into at the corpus' promotion level — a batch must not
+    re-level the index), so per-batch cost is bounded by the capped
+    block populations.
+    """
+    ct = (
+        corpus_titles
+        if corpus_titles is not None
+        else _with_final_block(
+            corpus.select(
+                F.col(id_col),
+                *[F.col(c) for c in block_cols],
+                F.substring(norm_text(text_col), 1, _TITLE_LEN).alias("__title"),
+            ),
+            block_cols,
+        )
+    )
+    bt = batch.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.substring(norm_text(text_col), 1, _TITLE_LEN).alias("__title"),
+    )
+    dist = F.levenshtein(F.col("__bt"), F.col("__ct"), max_dist)
+
+    def _batch_side(prefix_len_idx: int) -> DataFrame:
+        return bt.select(
+            F.col(id_col).alias("__bid"),
+            *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+            F.col("__title").alias("__bt"),
+            F.substring(
+                "__title", 1, _BLOCK_PREFIXES[prefix_len_idx]
+            ).alias("__bblk"),
+            F.lit(prefix_len_idx).alias("__blvl"),
+        )
+
+    batch_keyed = _batch_side(0)
+    for i in range(1, len(_BLOCK_PREFIXES)):
+        batch_keyed = batch_keyed.unionByName(_batch_side(i))
+    corpus_keyed = ct.select(
+        F.col(id_col).alias("__cid"),
+        *[F.col(c).alias(f"__c_{c}") for c in block_cols],
+        F.col("__title").alias("__ct"),
+        F.col("__blk").alias("__cblk"),
+        F.col("__lvl").alias("__clvl"),
+    )
+    cond = (
+        (F.col("__blvl") == F.col("__clvl"))
+        & (F.col("__bblk") == F.col("__cblk"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"__b_{c}") == F.col(f"__c_{c}"))
+    of_corpus = (
+        F.broadcast(batch_keyed)
+        .join(corpus_keyed, cond)
+        .filter(dist >= 0)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+        .withColumn("__of_corpus", F.lit(True))
+    )
+    # batch × batch under the BATCH's own promotion (batches are small)
+    in_batch = (
+        fuzzy_title_pairs(batch, max_dist, id_col, text_col, block_cols)
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(of_corpus, id_col, "left")
+        .join(in_batch, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__of_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("__in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
+@register(
+    "q_fuzzy_incremental",
+    oracle=f"""
+    WITH {_oracle_levels_sql()},
+    cfin AS (SELECT * FROM fin WHERE doc_id % 5 <> 0),
+    bt AS (SELECT doc_id, lang, title FROM t WHERE doc_id % 5 = 0),
+    ofc AS (
+      SELECT DISTINCT b.doc_id FROM bt b JOIN cfin c
+        ON b.lang = c.lang
+       AND substr(b.title, 1, CASE c.lvl WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END) = c.blk
+       AND levenshtein(b.title, c.title) <= {_MAX_DIST}
+    ),
+    bfin AS (
+      SELECT doc_id, lang, title,
+             ({{lvl}}) AS lvl, ({{blk}}) AS blk
+      FROM (
+        SELECT doc_id, lang, title,
+               substr(title, 1, 8) AS p0, substr(title, 1, 16) AS p1,
+               substr(title, 1, 32) AS p2,
+               COUNT(*) OVER (PARTITION BY lang, substr(title, 1, 8)) AS n0,
+               COUNT(*) OVER (PARTITION BY lang, substr(title, 1, 16)) AS n1,
+               COUNT(*) OVER (PARTITION BY lang, substr(title, 1, 32)) AS n2
+        FROM bt
+      )
+    ),
+    ibb AS (
+      SELECT DISTINCT b.doc_id FROM bfin a JOIN bfin b
+        ON a.lang = b.lang AND a.lvl = b.lvl AND a.blk = b.blk
+       AND a.doc_id < b.doc_id
+       AND levenshtein(a.title, b.title) <= {_MAX_DIST}
+    )
+    SELECT b.doc_id,
+           CASE WHEN o.doc_id IS NOT NULL THEN 'dup_of_corpus'
+                WHEN i.doc_id IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'kept' END AS verdict
+    FROM bt b
+    LEFT JOIN ofc o ON o.doc_id = b.doc_id
+    LEFT JOIN ibb i ON i.doc_id = b.doc_id
+    """.replace(
+        "{lvl}",
+        f"CASE WHEN n0 <= {_BLOCK_CAP} THEN 0 WHEN n1 <= {_BLOCK_CAP} THEN 1 ELSE 2 END",
+    ).replace(
+        "{blk}",
+        f"CASE WHEN n0 <= {_BLOCK_CAP} THEN p0 WHEN n1 <= {_BLOCK_CAP} THEN p1 ELSE p2 END",
+    ),
+)
+def q_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup: documents with doc_id % 5 == 0 play the
+    incoming batch, checked against the remaining corpus' blocked title
+    index (verdicts per batch doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_fuzzy_verdicts(batch, corpus)

@@ -99,3 +99,35 @@ def test_fuzzy_join_is_equi_join_not_cartesian(spark, sf_dir):
         fuzzy_title_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_incremental_fuzzy_verdicts_consistent_with_batch_membership(spark, sf_dir):
+    """Every dup_of_corpus verdict must have a within-cap corpus title at
+    the corpus row's own blocking level (spot-verified in python), and
+    verdicts cover exactly the batch."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.fuzzy import incremental_fuzzy_verdicts
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {r.doc_id: r.verdict for r in incremental_fuzzy_verdicts(batch, corpus).collect()}
+    assert set(got) == {r.doc_id for r in batch.select("doc_id").collect()}
+    assert set(got.values()) <= {"dup_of_corpus", "dup_in_batch", "kept"}
+    # flagged docs exist on this corpus (near-exact titles recur) and a
+    # dup_of_corpus doc really has a close corpus title
+    flagged = [d for d, v in got.items() if v == "dup_of_corpus"]
+    if flagged:
+        titles = {
+            r.doc_id: (r.lang, " ".join((r.text or "").split()).lower()[:32])
+            for r in docs.select("doc_id", "lang", "text").collect()
+        }
+        d = flagged[0]
+        l1, t1 = titles[d]
+        assert any(
+            l2 == l1 and _lev(t1, t2) <= 8
+            for did, (l2, t2) in titles.items()
+            if did % 5 != 0
+        )
