@@ -276,3 +276,55 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             array_to_string(
+               list_slice(array_agg(event_type ORDER BY ts, event_id), 1, 5),
+               '>') AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM seqs GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journeys: each user's first five event types in
+    (ts, event_id) order joined with '>' (the path-analysis staple next
+    to funnel/retention), counted across users.
+
+    Plan note: Spark has no ordered aggregate, so the per-user sequence
+    is sort_array over collect_list of (ts, event_id, type) structs —
+    struct comparison gives the same total order DuckDB's
+    ``array_agg(... ORDER BY ts, event_id)`` uses, making the path
+    strings engine-exact. State per user is their event structs (bounded
+    by per-user activity, the sessionize family's contract); the top-20
+    is TakeOrderedAndProject, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                5,
+            ),
+        ).alias("path")
+    )
+    return (
+        seqs.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
