@@ -47,8 +47,23 @@ from iceberg_matrix_spark.tables.catalog import (
     NoSuchTableError,
     TableAlreadyExistsError,
 )
+from iceberg_matrix_spark.tables.metadata import _version_path, current_version
 from iceberg_matrix_spark.tables.sql_catalog import SqlCatalog
 from iceberg_matrix_spark.tables.table import IceLiteTable
+
+
+def _meta_loc_of(t: IceLiteTable) -> str:
+    """The table handle's CURRENT metadata-file path, derived from the
+    handle itself. Load-bearing for rename/drop races (found by the
+    catalog soak): response builders used to RE-QUERY the catalog by
+    identifier after the action — a rename landing in that window 404'd
+    a load/create that had already SUCCEEDED, and a mid-creation row
+    served ``metadata-location: null`` that crashed the client. The
+    handle's own location can't be yanked by a concurrent rename."""
+    v = current_version(t.location)
+    if not v:
+        raise NoSuchTableError(f"{t.location!r} has no committed metadata yet")
+    return _version_path(t.location, v)
 
 # ------------------------------------------------------------------- server
 
@@ -107,8 +122,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif len(parts) == 5 and parts[3] == "tables":
                 t = self.catalog.load_table(f"{parts[2]}.{parts[4]}")
                 self._json(200, {
-                    "metadata-location": self.catalog.metadata_location(
-                        f"{parts[2]}.{parts[4]}"),
+                    "metadata-location": _meta_loc_of(t),
                     "metadata": json.loads(t.meta.to_json()),
                     "config": {},
                 })
@@ -136,7 +150,7 @@ class _Handler(BaseHTTPRequestHandler):
                     body.get("properties") or None,
                 )
                 self._json(200, {
-                    "metadata-location": self.catalog.metadata_location(ident),
+                    "metadata-location": _meta_loc_of(t),
                     "metadata": json.loads(t.meta.to_json()),
                 })
             elif len(parts) == 4 and parts[3] == "register":
@@ -146,7 +160,7 @@ class _Handler(BaseHTTPRequestHandler):
                 table_dir = loc.rsplit("/metadata/", 1)[0]
                 t = self.catalog.register_table(ident, table_dir)
                 self._json(200, {
-                    "metadata-location": self.catalog.metadata_location(ident),
+                    "metadata-location": _meta_loc_of(t),
                     "metadata": json.loads(t.meta.to_json()),
                 })
             elif parts == ["v1", "tables", "rename"]:
@@ -356,7 +370,12 @@ class RestCatalog:
         )
 
     def _table_from_load(self, out: dict) -> IceLiteTable:
-        table_dir = out["metadata-location"].rsplit("/metadata/", 1)[0]
+        loc = out.get("metadata-location")
+        if not loc:
+            # a server that builds its response non-atomically can serve
+            # null mid-creation — typed not-there-yet, never AttributeError
+            raise NoSuchTableError("load response carried no metadata-location")
+        table_dir = loc.rsplit("/metadata/", 1)[0]
         try:
             return IceLiteTable(self.spark, table_dir)
         except FileNotFoundError as exc:
