@@ -31,3 +31,26 @@ def test_funnel_requires_strict_order(spark):
     )
     got = {r.step_name: r.n_users for r in event_funnel(ev).collect()}
     assert got == {"signup": 3, "click": 1, "purchase": 1}
+
+
+def test_event_analytics_plan_shapes(spark, sf_dir):
+    """Funnel: every stage's event-type filter must reach its scan
+    (PushedFilters) — each step reads only its own events. Cohort: the
+    per-user firsts frame joins broadcast. Paths: top-20 is
+    TakeOrderedAndProject, never a global sort exchange."""
+    from iceberg_matrix_spark.plans import (
+        broadcast_join_count,
+        pushed_filters,
+    )
+    from iceberg_matrix_spark.queries import QUERIES
+
+    funnel = QUERIES["q_event_funnel"](spark, sf_dir)
+    pushed = [f for scan in pushed_filters(funnel) for f in scan]
+    assert any("event_type" in f for f in pushed), pushed
+
+    cohort = QUERIES["q_cohort_retention"](spark, sf_dir)
+    assert broadcast_join_count(cohort) >= 1
+
+    paths = QUERIES["q_event_paths"](spark, sf_dir)
+    plan = paths._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
