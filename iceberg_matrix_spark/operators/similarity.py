@@ -2198,3 +2198,117 @@ def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_hamming_topk(emb, _query_vectors(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier screening (robust per-dimension modified z-score)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_Z = 3.5  # Iglewicz–Hoaglin's recommended modified-z cutoff
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cutoff: float = _OUTLIER_Z,
+) -> DataFrame:
+    """(vec_id, max_mod_z, is_outlier): per-dimension MODIFIED z-scores
+    (Iglewicz & Hoaglin 1993 — 0.6745·|x−median|/MAD, robust to the very
+    outliers being hunted), maxed over dimensions per vector. The
+    embedding-quality screen a curation pipeline runs before kNN/dedup:
+    a corrupted vector (NaN-ish spikes, wrong scale) shows up as a huge
+    deviation in SOME dimension.
+
+    Determinism (the reason this uses medians, not mean/std): the
+    location/scale estimates are ORDER STATISTICS — lower-median picked
+    by rank over (value, id), so every estimate is an actual element,
+    no float accumulation anywhere; the only arithmetic is one
+    subtraction/division per element and an order-free MAX. A mean/std
+    screen would need float power sums whose decimal-cast rounding is
+    not engine-exact on arbitrary floats.
+
+    Scale: two rank windows per dimension slot over the exploded
+    (pos, x) rows — shuffle ∝ corpus cells on the 64-partition pos key,
+    the quantize_embeddings shape; the per-dim (median, MAD) frame is
+    64 rows, broadcast back.
+    """
+    ex = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    n_w = Window.partitionBy("pos")
+    rk_w = Window.partitionBy("pos").orderBy("x", id_col)
+    med = (
+        ex.withColumn("__n", F.count(F.lit(1)).over(n_w))
+        .withColumn("__rk", F.row_number().over(rk_w))
+        .filter(F.col("__rk") == F.expr("(__n + 1) DIV 2"))
+        .select("pos", F.col("x").alias("med"))
+    )
+    dev = ex.join(F.broadcast(med), "pos").withColumn(
+        "__d", F.abs(F.col("x") - F.col("med"))
+    )
+    mad_rk = Window.partitionBy("pos").orderBy("__d", id_col)
+    mad = (
+        dev.withColumn("__n", F.count(F.lit(1)).over(n_w))
+        .withColumn("__rk", F.row_number().over(mad_rk))
+        .filter(F.col("__rk") == F.expr("(__n + 1) DIV 2"))
+        .select("pos", F.col("__d").alias("mad"))
+    )
+    scored = dev.join(F.broadcast(mad), "pos").select(
+        F.col(id_col),
+        F.when(F.col("mad") == 0.0, F.lit(0.0))
+        .otherwise(F.lit(0.6745) * F.col("__d") / F.col("mad"))
+        .alias("__z"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max("__z").alias("max_mod_z"),
+    ).select(
+        id_col,
+        "max_mod_z",
+        (F.col("max_mod_z") > F.lit(cutoff)).alias("is_outlier"),
+    )
+
+
+@register(
+    "q_embedding_outliers",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    ranked AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY pos) AS n,
+             ROW_NUMBER() OVER (PARTITION BY pos ORDER BY x, vec_id) AS rk
+      FROM ex
+    ),
+    med AS (
+      SELECT pos, x AS med FROM ranked WHERE rk = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT e.vec_id, e.pos, abs(e.x - m.med) AS d
+      FROM ex e JOIN med m USING (pos)
+    ),
+    dranked AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY pos) AS n,
+             ROW_NUMBER() OVER (PARTITION BY pos ORDER BY d, vec_id) AS rk
+      FROM dev
+    ),
+    mad AS (
+      SELECT pos, d AS mad FROM dranked WHERE rk = (n + 1) // 2
+    ),
+    scored AS (
+      SELECT v.vec_id,
+             CASE WHEN m.mad = 0.0 THEN 0.0
+                  ELSE 0.6745 * v.d / m.mad END AS z
+      FROM dev v JOIN mad m USING (pos)
+    )
+    SELECT vec_id, MAX(z) AS max_mod_z,
+           MAX(z) > {_OUTLIER_Z} AS is_outlier
+    FROM scored GROUP BY vec_id
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust embedding-quality screen: max per-dimension modified
+    z-score (median/MAD order statistics — see embedding_outliers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb)

@@ -328,3 +328,55 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE CAST(least(19, CAST(floor((e.value - s.mn) /
+                       ((s.mx - s.mn) / 20.0)) AS BIGINT)) AS INT)
+             END AS bin,
+             s.mn, s.mx
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type, bin,
+           mn + bin * ((mx - mn) / 20.0) AS bin_lo,
+           COUNT(*) AS n
+    FROM binned GROUP BY event_type, bin, mn, mx
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin value histogram per event type — the
+    profile-a-column staple. Two aggregates: per-group min/max (tiny,
+    broadcast back), then the bin counts; bin edges are the same
+    left-associated float expression on both engines, constant-dimension
+    groups (mx = mn) pin to bin 0 rather than dividing by zero."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(19),
+            F.floor((F.col("value") - F.col("mn")) / width).cast("bigint"),
+        )
+    ).cast("int")
+    binned = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", bin_.alias("bin"), "mn", "mx"
+    )
+    return binned.groupBy("event_type", "bin", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        "bin",
+        (F.col("mn") + F.col("bin") * ((F.col("mx") - F.col("mn")) / F.lit(20.0))).alias("bin_lo"),
+        "n",
+    )

@@ -361,3 +361,32 @@ def test_sign_signatures_compact_and_deterministic(spark, sf_dir):
             for w in range(_BIN_WORDS)
         )
         assert a[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_outlier_screen_catches_planted_spike(spark, sf_dir):
+    """A vector with one dimension forced far outside the corpus range
+    must flag as an outlier; the unmodified corpus keeps a low flag rate
+    (median/MAD robustness — the estimates barely move when the spike
+    joins the corpus)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.similarity import embedding_outliers
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spike = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(1e6).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+        "label",
+    )
+    got = {
+        r.vec_id: (r.max_mod_z, r.is_outlier)
+        for r in embedding_outliers(emb.unionByName(spike)).collect()
+    }
+    planted = [v for v in got if v >= 1_000_000]
+    assert planted and all(got[v][1] for v in planted)
+    base_flags = sum(1 for v, (_, f) in got.items() if f and v < 1_000_000)
+    assert base_flags <= len(got) * 0.2, base_flags
