@@ -108,6 +108,12 @@ HEADLINE = [
     "q_fuzzy_title_pairs",
     "q_decontaminate_bloom",
     "q_hll_distinct_sketch",
+    # round 7, third wave: robust embedding outlier screen (per-dim rank
+    # windows over a fixed 64-key space — the suite's only fixed-
+    # parallelism window shape), strict-order funnel, PageRank canonical
+    "q_embedding_outliers",
+    "q_event_funnel",
+    "q_dedup_canonical_centrality",
 ]
 
 

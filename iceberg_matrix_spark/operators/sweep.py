@@ -394,6 +394,19 @@ def family_runners() -> dict:
 
         return bm25_topk(docs, _BM25_TERMS, k=20)
 
+    def outliers(spark, docs, emb, factor):
+        # per-dimension rank windows: the partition key space is FIXED
+        # (64 pos values), so parallelism is capped at 64 tasks and each
+        # task sorts corpus/64 rows — the sweep watches that per-task
+        # sort staying n·log n (wall ~linear) rather than blowing memory;
+        # at true 100 TB the recipe is a range-partitioned sort within
+        # pos or a partial-rank prune, same plan shape
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            embedding_outliers,
+        )
+
+        return embedding_outliers(emb)
+
     def prototype(spark, docs, emb, factor):
         # one narrow assignment+score projection, one per-cluster rank
         # window; k=64 (the unroll cap) so per-cluster window partitions
@@ -411,6 +424,7 @@ def family_runners() -> dict:
         "fuzzy": fuzzy,
         "hamming": hamming,
         "bm25": bm25,
+        "outliers": outliers,
         "lines": lines,
         "pq": pq,
         "minhash": lambda spark, docs, emb, factor: minhash_neardup_pairs(
