@@ -110,10 +110,12 @@ HEADLINE = [
     "q_hll_distinct_sketch",
     # round 7, third wave: robust embedding outlier screen (per-dim rank
     # windows over a fixed 64-key space — the suite's only fixed-
-    # parallelism window shape), strict-order funnel, PageRank canonical
+    # parallelism window shape) and the strict-order funnel. PageRank
+    # canonical stays OUT: 5 localCheckpoint sweeps are ~13 s of
+    # deliberate iterative work at sf0.1 — it would read as a headline
+    # regression while measuring nothing the parity suite doesn't.
     "q_embedding_outliers",
     "q_event_funnel",
-    "q_dedup_canonical_centrality",
 ]
 
 
