@@ -369,6 +369,42 @@ _HLL_EST_NUM_SPARK = (
 )
 
 
+def hll_bucket_rho(value_col: str) -> tuple[F.Column, F.Column]:
+    """(bucket, rho) columns of the deterministic register layout —
+    shared by the batch sketch and the streaming register aggregation so
+    the layout cannot drift between them."""
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = h % HLL_M
+    # h ÷ 256 as a SHIFT: h is 60-bit, a double division would round the
+    # 53-bit mantissa and corrupt low bits (h ≥ 0, so shift = floor-div)
+    rest = F.shiftright(h, HLL_P)
+    rho = F.least(
+        F.bit_count((rest.bitwiseAND(-rest)) - F.lit(1)) + F.lit(1),
+        F.lit(_HLL_RHO_CAP),
+    )
+    return bucket, rho
+
+
+def hll_fold(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold (group..., __b, __rho) register rows into the per-group
+    integer harmonic numerator + used-register count (see
+    hll_distinct_sketch for the determinism argument)."""
+    return regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_used_registers"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_CAP} - __rho AS INT))"
+                )
+            )
+            + (F.lit(HLL_M).cast("long") - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_RHO_CAP).cast("long")
+        ).alias("harmonic_num"),
+    )
+
+
 def hll_distinct_sketch(
     df: DataFrame, group_col: str, value_col: str, corrected: bool = False
 ) -> DataFrame:
@@ -397,34 +433,13 @@ def hll_distinct_sketch(
     (m·ln(m/V) — accurate for n ≪ m but ln is not bit-stable across
     engines, so it is pytest-pinned rather than oracle-checked).
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    bucket = h % HLL_M
-    # h ÷ 256 as a SHIFT: h is 60-bit, a double division would round the
-    # 53-bit mantissa and corrupt low bits (h ≥ 0, so shift = floor-div)
-    rest = F.shiftright(h, HLL_P)
-    rho = F.least(
-        F.bit_count((rest.bitwiseAND(-rest)) - F.lit(1)) + F.lit(1),
-        F.lit(_HLL_RHO_CAP),
-    )
+    bucket, rho = hll_bucket_rho(value_col)
     regs = (
         df.select(F.col(group_col), bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(group_col, "__b")
         .agg(F.max("__rho").alias("__rho"))
     )
-    per_group = regs.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_used_registers"),
-        (
-            F.sum(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_CAP} - __rho AS INT))"
-                )
-            )
-            + (F.lit(HLL_M).cast("long") - F.count(F.lit(1)))
-            * F.lit(1 << _HLL_RHO_CAP).cast("long")
-        ).alias("harmonic_num"),
-    )
+    per_group = hll_fold(regs, [group_col])
     raw = F.expr(_HLL_EST_NUM_SPARK) / F.col("harmonic_num").cast("double")
     if corrected:
         # Flajolet small-range (linear-counting) correction: with V > 0

@@ -310,3 +310,66 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_stream_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT window_start, event_type, h % 256 AS b,
+             MAX(LEAST(bit_count(((h // 256) & -(h // 256)) - 1) + 1, 40)) AS rho
+      FROM hashed GROUP BY window_start, event_type, b
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS INT) AS n_used_registers,
+           CAST(SUM(1::BIGINT << CAST(40 - rho AS INT))
+                + (256 - COUNT(*)) * {1 << 40} AS BIGINT) AS harmonic_num
+    FROM regs GROUP BY window_start, event_type
+    """,
+)
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user sketch: the deterministic-layout HLL's
+    REGISTER rows are the streaming state — one legal streaming
+    aggregation ``max(rho)`` per (1-hour window, event_type, bucket),
+    ≤ windows·types·256 bounded rows — and the estimate folds BATCH-side
+    over the sink (Structured Streaming forbids chained aggregations;
+    the register/fold split is exactly how a production pipeline ships
+    mergeable sketch state out of a stream). Register layout and fold
+    are the batch sketch's own helpers (operators/scale.py:
+    hll_bucket_rho / hll_fold), so the two paths cannot drift."""
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        hll_bucket_rho,
+        hll_fold,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
+        to="timestamp",
+    )
+    bucket, rho = hll_bucket_rho("user_id")
+    regs = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+            bucket.alias("__b"),
+        )
+        .agg(F.max(rho).alias("__rho"))
+    )
+    sink = _run_to_memory(regs, "stream_hll", "complete")
+    return hll_fold(spark.table(sink), ["window_start", "event_type"]).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_used_registers",
+        "harmonic_num",
+    )
