@@ -886,3 +886,54 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
     return decontaminate_bloom(corpus, bloom_words_from(bench))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test corpus split
+# ---------------------------------------------------------------------------
+
+# 90/5/5 by a content-independent hash of the DOCUMENT ID: re-running the
+# pipeline (or re-ingesting the same corpus) reproduces the exact split,
+# and adding documents never moves existing ones between splits — the
+# property rand()-based splits lack and shuffled splits lose on re-runs.
+SPLIT_BOUNDS = (("train", 90), ("val", 95), ("test", 100))
+
+
+def corpus_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, split): md5-derived percentile bucket of the id —
+    map-side only, no shuffle, stable under corpus growth."""
+    pct = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    expr = None
+    for name, hi in SPLIT_BOUNDS:
+        cond = pct < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return docs.select(F.col(id_col), expr.alias("split"))
+
+
+@register(
+    "q_corpus_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/5/5 train/val/test split audit: per-(split, lang)
+    document counts from the hash-assigned buckets (the split itself is
+    corpus_split — one map-side projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = corpus_split(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
