@@ -333,3 +333,117 @@ def q_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return incremental_fuzzy_verdicts(batch, corpus)
+
+
+def fuzzy_title_pairs_sorted_tokens(
+    docs: DataFrame,
+    max_dist: int = _MAX_DIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    n_tokens: int = 3,
+) -> DataFrame:
+    """The module docstring's RECALL recipe materialized: a second
+    blocking pass keyed on the title's first ``n_tokens`` tokens SORTED
+    alphabetically — pairs whose edits fall inside the 8-char prefix
+    (which the prefix pass can't see) still share this key when the
+    edit only reorders/retouches words. Verify is the identical
+    thresholded Levenshtein; output shape matches
+    :func:`fuzzy_title_pairs` so the passes union directly.
+
+    The key is capped at ``_BLOCK_CAP`` the degenerate way (oversized
+    sorted-token blocks drop — they are headline boilerplate the prefix
+    pass, with its promotion ladder, still covers), keeping this pass a
+    strict recall ADD-ON rather than a second quadratic surface.
+    """
+    t = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.substring(norm_text(text_col), 1, _TITLE_LEN).alias("__title"),
+    ).withColumn(
+        "__key",
+        F.concat_ws(
+            " ", F.sort_array(F.slice(F.split("__title", " "), 1, n_tokens))
+        ),
+    )
+    w = Window.partitionBy(*block_cols, "__key")
+    t = t.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
+        F.col("__n") <= _BLOCK_CAP
+    )
+    a = t.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(c).alias(f"__a_{c}") for c in block_cols],
+        F.col("__title").alias("__t1"),
+        F.col("__key").alias("__k1"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("__title").alias("__t2"),
+        F.col("__key").alias("__k2"),
+    )
+    cond = (F.col("__k1") == F.col("__k2")) & (F.col("id1") < F.col("id2"))
+    for c in block_cols:
+        cond = cond & (F.col(f"__a_{c}") == F.col(f"__b_{c}"))
+    dist = F.levenshtein(F.col("__t1"), F.col("__t2"), max_dist)
+    return (
+        a.join(b, cond)
+        .select("id1", "id2", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+        .select("id1", "id2", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def fuzzy_union_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Union of the prefix-ladder and sorted-token blocking passes —
+    each pass emits only verified pairs, so the union is one cheap
+    distinct over (id1, id2, dist) rows (dist is a property of the
+    titles, identical whichever pass found the pair)."""
+    return (
+        fuzzy_title_pairs(docs, **kw)
+        .unionByName(fuzzy_title_pairs_sorted_tokens(docs, **kw))
+        .distinct()
+    )
+
+
+@register(
+    "q_fuzzy_union_pairs",
+    oracle=f"""
+    WITH {_oracle_levels_sql()},
+    prefix_pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(levenshtein(a.title, b.title) AS INT) AS dist
+      FROM fin a JOIN fin b
+        ON a.lang = b.lang AND a.lvl = b.lvl AND a.blk = b.blk
+       AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= {_MAX_DIST}
+    ),
+    keyed AS (
+      SELECT doc_id, lang, title,
+             array_to_string(list_sort(list_slice(
+               regexp_split_to_array(title, ' '), 1, 3)), ' ') AS k
+      FROM t
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY lang, k) AS n FROM keyed
+      ) WHERE n <= {_BLOCK_CAP}
+    ),
+    token_pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(levenshtein(a.title, b.title) AS INT) AS dist
+      FROM capped a JOIN capped b
+        ON a.lang = b.lang AND a.k = b.k AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= {_MAX_DIST}
+    )
+    SELECT DISTINCT id1, id2, dist FROM (
+      SELECT * FROM prefix_pairs UNION ALL SELECT * FROM token_pairs
+    )
+    """,
+)
+def q_fuzzy_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass fuzzy matching: prefix-ladder pairs ∪ sorted-token-key
+    pairs (the recall recipe — prefix edits that fool pass 1 still share
+    pass 2's reordered-token key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_union_pairs(docs)

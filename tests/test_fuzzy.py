@@ -131,3 +131,26 @@ def test_incremental_fuzzy_verdicts_consistent_with_batch_membership(spark, sf_d
             for did, (l2, t2) in titles.items()
             if did % 5 != 0
         )
+
+
+def test_union_pass_adds_prefix_edit_recall(spark):
+    """A pair differing only inside the first 8 chars (reordered opening
+    words) must be MISSED by the prefix pass and CAUGHT by the
+    sorted-token pass — the reason the union exists."""
+    from iceberg_matrix_spark.operators.fuzzy import (
+        fuzzy_title_pairs,
+        fuzzy_union_pairs,
+    )
+    from iceberg_matrix_spark.session import local_df
+
+    rows = [
+        (1, "en", "big data table scan fast"),
+        (2, "en", "data big table scan fast"),   # opening words swapped
+        (3, "en", "unrelated totally different words"),
+    ]
+    docs = local_df(spark, rows, "doc_id bigint, lang string, text string")
+    prefix = {(r.id1, r.id2) for r in fuzzy_title_pairs(docs).collect()}
+    union = {(r.id1, r.id2) for r in fuzzy_union_pairs(docs).collect()}
+    assert (1, 2) not in prefix
+    assert (1, 2) in union
+    assert prefix <= union
