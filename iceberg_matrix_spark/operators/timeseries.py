@@ -380,3 +380,78 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mn") + F.col("bin") * ((F.col("mx") - F.col("mn")) / F.lit(20.0))).alias("bin_lo"),
         "n",
     )
+
+
+def event_funnel_windowed(
+    events: DataFrame,
+    steps: tuple[str, ...] = _FUNNEL_STEPS,
+    window: str = "1 hour",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-bounded funnel: step k counts only when it lands strictly
+    after step k−1 AND within ``window`` of it (the "converted within an
+    hour" product-analytics form; the unbounded funnel is
+    :func:`event_funnel`). Same per-step frontier plan — the deadline is
+    one extra predicate on the frontier join."""
+    frontier = None
+    counts = []
+    for i, s in enumerate(steps):
+        stage = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if frontier is None:
+            frontier = stage.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            frontier = (
+                stage.join(frontier, "__u")
+                .filter(
+                    (F.col("__ts") > F.col("__t"))
+                    & (F.col("__ts") <= F.col("__t") + F.expr(f"INTERVAL {window}"))
+                )
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        counts.append(
+            frontier.agg(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _funnel_windowed_oracle(steps: tuple[str, ...]) -> str:
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"w0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"w{i} AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e "
+                f"JOIN w{i - 1} p ON p.u = e.user_id "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.t "
+                f"AND e.ts <= p.t + INTERVAL 1 HOUR GROUP BY e.user_id)"
+            )
+    selects = [
+        f"SELECT CAST({i + 1} AS INT) AS step, '{s}' AS step_name, "
+        f"COUNT(*) AS n_users FROM w{i}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+@register("q_event_funnel_windowed", oracle=_funnel_windowed_oracle(_FUNNEL_STEPS))
+def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase funnel with a 1-hour conversion window
+    per step."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_funnel_windowed(ev)

@@ -54,3 +54,26 @@ def test_event_analytics_plan_shapes(spark, sf_dir):
     paths = QUERIES["q_event_paths"](spark, sf_dir)
     plan = paths._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_windowed_funnel_enforces_deadline(spark):
+    """A conversion 61 minutes after the prior step must not count; one
+    at exactly the deadline counts (inclusive <=)."""
+    import datetime
+
+    from iceberg_matrix_spark.operators.timeseries import event_funnel_windowed
+    from iceberg_matrix_spark.session import local_df
+
+    t = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, t, "signup"),
+        (2, 1, t + datetime.timedelta(minutes=61), "click"),   # too late
+        (3, 2, t, "signup"),
+        (4, 2, t + datetime.timedelta(minutes=60), "click"),   # at deadline
+    ]
+    ev = local_df(
+        spark, rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    got = {r.step_name: r.n_users for r in event_funnel_windowed(ev).collect()}
+    assert got == {"signup": 2, "click": 1, "purchase": 0}
