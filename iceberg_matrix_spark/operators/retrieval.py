@@ -159,3 +159,65 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('vector', 'stream', 'merge') — rational-idf deterministic form."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_TOPK)
+
+
+_SIG_TOPK = 5
+
+
+@register(
+    "q_source_signature_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok
+    ),
+    df_t AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+      SELECT t.source, t.tok,
+             CAST(t.tf AS DOUBLE) *
+             ((CAST(s.n_sources - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+               AS score
+      FROM tf t JOIN df_t d USING (tok) CROSS JOIN ns s
+    )
+    SELECT source, tok, CAST(rank AS INT) AS rank, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY score DESC, tok) AS rank
+      FROM scored
+    ) WHERE rank <= {_SIG_TOPK}
+    """,
+)
+def q_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source: top-5 tokens by per-source tf ×
+    rational cross-source idf ((N−df+0.5)/(df+0.5) over source-level
+    document frequency) — the "what makes this source different"
+    profile. One explode, two aggregates, a tiny df/broadcast and a
+    per-source rank window (WindowGroupLimit-pruned); the score is a
+    single float PRODUCT per (source, term) — no float summation — so
+    it is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ns = docs.agg(F.countDistinct("source").alias("n_sources"))
+    scored = tf.join(F.broadcast(df_t), "tok").crossJoin(F.broadcast(ns)).select(
+        "source",
+        "tok",
+        (
+            F.col("tf").cast("double")
+            * (
+                ((F.col("n_sources") - F.col("df")).cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SIG_TOPK)
+        .select("source", "tok", F.col("rank").cast("int").alias("rank"), "score")
+    )
