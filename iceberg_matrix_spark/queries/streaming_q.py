@@ -373,3 +373,93 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_used_registers",
         "harmonic_num",
     )
+
+
+@register(
+    "q_stream_cms_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type AS tok
+      FROM events
+    ),
+    cells AS (
+      SELECT window_start, row_i AS row, pos, COUNT(*) AS n FROM (
+        {" UNION ALL ".join(f"SELECT window_start, {i} AS row_i, (CAST('0x' || substr(md5(tok), {1 + 8 * i}, 8) AS BIGINT) % 1024) AS pos FROM toks" for i in range(3))}
+      ) GROUP BY window_start, row_i, pos
+    ),
+    probes AS (SELECT unnest(['view', 'purchase', 'zz_absent_zz']) AS token),
+    ppos AS (
+      SELECT token, row_i AS row, pos FROM (
+        {" UNION ALL ".join(f"SELECT token, {i} AS row_i, (CAST('0x' || substr(md5(token), {1 + 8 * i}, 8) AS BIGINT) % 1024) AS pos FROM probes" for i in range(3))}
+      )
+    )
+    SELECT c.window_start, p.token, CAST(MIN(c.n) AS BIGINT) AS cms_est
+    FROM ppos p JOIN cells c USING (row, pos)
+    GROUP BY c.window_start, p.token
+    """,
+)
+def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: per-hour event-type frequency
+    estimates from streamed COUNTER CELLS — like the streaming HLL, the
+    grid rows are the single legal streaming aggregation (one COUNT per
+    (window, row, pos), state ≤ windows·3·1024 rows) and the per-probe
+    depth-MIN folds batch-side over the sink. Counters sum, so shard
+    states merge map-side; the estimate inherits the batch CMS's
+    never-undercount guarantee per window."""
+    from iceberg_matrix_spark.operators.scale import _cms_pos_cols  # noqa: PLC0415
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
+        to="timestamp",
+    )
+    pos = _cms_pos_cols(F.col("event_type"))
+    cells = (
+        stream.withWatermark("ts", "1 hour")
+        .select(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("row"), pos[i].alias("pos"))
+                        for i in range(3)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .groupBy("window_start", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = _run_to_memory(cells, "stream_cms", "complete")
+    probes = spark.createDataFrame(
+        [("view",), ("purchase",), ("zz_absent_zz",)], ["token"]
+    )
+    ppos = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_pos_cols(F.col("token"))[i].alias("pos"),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    return (
+        spark.table(sink)
+        .join(F.broadcast(ppos), ["row", "pos"])
+        .groupBy("window_start", "token")
+        .agg(F.min("n").cast("bigint").alias("cms_est"))
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "token",
+            "cms_est",
+        )
+    )
