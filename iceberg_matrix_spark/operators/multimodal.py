@@ -25,7 +25,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_table
@@ -307,3 +307,51 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode stage over every media item (stub codec)."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     return decode_media(media)
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH m1 AS (SELECT doc_id FROM documents),
+    allm AS (
+      SELECT doc_id FROM m1
+      UNION ALL
+      SELECT doc_id + 1000000 FROM m1
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ['image', 'audio', 'video'][CAST((doc_id % 1000000) % 3 + 1 AS INT)]
+               AS media_type,
+             md5(repeat(md5(CAST(doc_id % 1000000 AS VARCHAR)),
+                        CAST((doc_id % 1000000) % 7 + 1 AS INT))) AS fp
+      FROM allm
+    )
+    SELECT doc_id, media_type,
+           doc_id = MIN(doc_id) OVER (PARTITION BY media_type, fp) AS keep
+    FROM hashed
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over binary media payloads: a re-crawl batch
+    (same payload bytes under re-keyed ids) unions with the original
+    corpus and every item keeps only if it is the lowest id for its
+    (media_type, md5-of-payload) group — byte-identical media detected
+    WITHOUT decoding, the first dedup pass every multimodal pipeline
+    runs. The hash is one JVM-side projection over the binary column
+    (never a Python worker); the only shuffle is the per-fingerprint
+    window, rows ∝ corpus. The oracle reconstructs the deterministic
+    payload string and hashes it with the same md5 (binary payloads here
+    are ASCII by construction, multimodal.py:attach_media)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m1 = attach_media(docs)
+    recrawl = attach_media(docs).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    allm = m1.unionByName(recrawl)
+    fp = F.md5(F.col("payload"))
+    w = Window.partitionBy("media_type", fp)
+    return allm.select(
+        "doc_id",
+        "media_type",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
