@@ -279,11 +279,45 @@ def incremental_fuzzy_verdicts(
     )
 
 
+def _oracle_ladder_sql(src_sql: str) -> str:
+    """Cap-promotion ladder over an arbitrary (doc_id, lang, title)
+    source, as one inline SQL subquery. The ladder MUST be computed over
+    exactly the rows it blocks — laddering a slice against the full
+    corpus' populations changes promotion decisions near the cap (the
+    latent parity bug ADVICE r7 #1 found in q_fuzzy_incremental's
+    oracle, which leveled the corpus slice over ALL documents while the
+    operator levels over the corpus alone)."""
+    last = len(_BLOCK_PREFIXES) - 1
+    lvl = f"{last}"
+    blk = f"p{last}"
+    for i in range(last - 1, -1, -1):
+        lvl = f"CASE WHEN n{i} <= {_BLOCK_CAP} THEN {i} ELSE {lvl} END"
+        blk = f"CASE WHEN n{i} <= {_BLOCK_CAP} THEN p{i} ELSE {blk} END"
+    prefixes = ", ".join(
+        f"substr(title, 1, {p}) AS p{i}" for i, p in enumerate(_BLOCK_PREFIXES)
+    )
+    counts = ", ".join(
+        f"COUNT(*) OVER (PARTITION BY lang, substr(title, 1, {p})) AS n{i}"
+        for i, p in enumerate(_BLOCK_PREFIXES)
+    )
+    return f"""
+      SELECT doc_id, lang, title, ({lvl}) AS lvl, ({blk}) AS blk
+      FROM (
+        SELECT doc_id, lang, title, {prefixes}, {counts}
+        FROM ({src_sql})
+      )"""
+
+
 @register(
     "q_fuzzy_incremental",
     oracle=f"""
-    WITH {_oracle_levels_sql()},
-    cfin AS (SELECT * FROM fin WHERE doc_id % 5 <> 0),
+    WITH t AS (
+      SELECT doc_id, lang,
+             substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                    1, {_TITLE_LEN}) AS title
+      FROM documents
+    ),
+    cfin AS ({_oracle_ladder_sql("SELECT doc_id, lang, title FROM t WHERE doc_id % 5 <> 0")}),
     bt AS (SELECT doc_id, lang, title FROM t WHERE doc_id % 5 = 0),
     ofc AS (
       SELECT DISTINCT b.doc_id FROM bt b JOIN cfin c
@@ -291,19 +325,7 @@ def incremental_fuzzy_verdicts(
        AND substr(b.title, 1, CASE c.lvl WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END) = c.blk
        AND levenshtein(b.title, c.title) <= {_MAX_DIST}
     ),
-    bfin AS (
-      SELECT doc_id, lang, title,
-             ({{lvl}}) AS lvl, ({{blk}}) AS blk
-      FROM (
-        SELECT doc_id, lang, title,
-               substr(title, 1, 8) AS p0, substr(title, 1, 16) AS p1,
-               substr(title, 1, 32) AS p2,
-               COUNT(*) OVER (PARTITION BY lang, substr(title, 1, 8)) AS n0,
-               COUNT(*) OVER (PARTITION BY lang, substr(title, 1, 16)) AS n1,
-               COUNT(*) OVER (PARTITION BY lang, substr(title, 1, 32)) AS n2
-        FROM bt
-      )
-    ),
+    bfin AS ({_oracle_ladder_sql("SELECT doc_id, lang, title FROM bt")}),
     ibb AS (
       SELECT DISTINCT b.doc_id FROM bfin a JOIN bfin b
         ON a.lang = b.lang AND a.lvl = b.lvl AND a.blk = b.blk
@@ -317,13 +339,7 @@ def incremental_fuzzy_verdicts(
     FROM bt b
     LEFT JOIN ofc o ON o.doc_id = b.doc_id
     LEFT JOIN ibb i ON i.doc_id = b.doc_id
-    """.replace(
-        "{lvl}",
-        f"CASE WHEN n0 <= {_BLOCK_CAP} THEN 0 WHEN n1 <= {_BLOCK_CAP} THEN 1 ELSE 2 END",
-    ).replace(
-        "{blk}",
-        f"CASE WHEN n0 <= {_BLOCK_CAP} THEN p0 WHEN n1 <= {_BLOCK_CAP} THEN p1 ELSE p2 END",
-    ),
+    """,
 )
 def q_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental fuzzy dedup: documents with doc_id % 5 == 0 play the

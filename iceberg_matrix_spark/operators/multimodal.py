@@ -312,18 +312,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_multimodal_dedup",
     oracle="""
-    WITH m1 AS (SELECT doc_id FROM documents),
-    allm AS (
-      SELECT doc_id FROM m1
+    WITH allm AS (
+      SELECT doc_id, doc_id AS orig FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 FROM m1
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), doc_id
+      FROM documents
     ),
     hashed AS (
       SELECT doc_id,
-             ['image', 'audio', 'video'][CAST((doc_id % 1000000) % 3 + 1 AS INT)]
+             ['image', 'audio', 'video'][CAST(orig % 3 + 1 AS INT)]
                AS media_type,
-             md5(repeat(md5(CAST(doc_id % 1000000 AS VARCHAR)),
-                        CAST((doc_id % 1000000) % 7 + 1 AS INT))) AS fp
+             md5(repeat(md5(CAST(orig AS VARCHAR)),
+                        CAST(orig % 7 + 1 AS INT))) AS fp
       FROM allm
     )
     SELECT doc_id, media_type,
@@ -341,11 +341,16 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a Python worker); the only shuffle is the per-fingerprint
     window, rows ∝ corpus. The oracle reconstructs the deterministic
     payload string and hashes it with the same md5 (binary payloads here
-    are ASCII by construction, multimodal.py:attach_media)."""
+    are ASCII by construction, multimodal.py:attach_media). The re-key
+    offset is max(doc_id)+1 — collision-free at ANY scale factor (a
+    fixed 1e6 offset silently aliased re-crawl ids onto real ids once
+    the corpus outgrew it, ADVICE r7 #3); the 1-row max fetch is the
+    family's documented bounded driver collect."""
     docs = load_table(spark, sf_dir, "documents")
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     m1 = attach_media(docs)
     recrawl = attach_media(docs).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
     allm = m1.unionByName(recrawl)
     fp = F.md5(F.col("payload"))

@@ -581,10 +581,16 @@ def cms_token_estimates(
             )
         ).alias("c"),
     ).select("token", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    # canonical count-min: a probe cell ABSENT from the live grid is a
+    # zero counter and must drive the MIN to 0 (proving the token never
+    # occurred) — an inner join would silently min over non-empty cells
+    # only, overstating rare/absent probes (ADVICE r7 #2). The grid is
+    # ≤ depth·width rows post-agg (constant in the corpus), so
+    # broadcasting the preserved-probe left join is free.
     est = (
-        cells.join(F.broadcast(ppos), ["row", "pos"])
+        ppos.join(F.broadcast(cells), ["row", "pos"], "left")
         .groupBy("token")
-        .agg(F.min("n").alias("cms_est"))
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_est"))
     )
     exact = (
         toks.filter(F.col("tok").isin(*probes))
@@ -630,8 +636,8 @@ def _cms_pos_sql(expr: str, i: int) -> str:
       )
     ),
     est AS (
-      SELECT token, MIN(n) AS cms_est
-      FROM ppos JOIN cells USING (row, pos) GROUP BY token
+      SELECT token, MIN(COALESCE(n, 0)) AS cms_est
+      FROM ppos LEFT JOIN cells USING (row, pos) GROUP BY token
     ),
     exact AS (
       SELECT tok AS token, COUNT(*) AS exact_n FROM toks

@@ -2254,11 +2254,32 @@ def embedding_outliers(
         .filter(F.col("__rk") == F.expr("(__n + 1) DIV 2"))
         .select("pos", F.col("__d").alias("mad"))
     )
-    scored = dev.join(F.broadcast(mad), "pos").select(
-        F.col(id_col),
-        F.when(F.col("mad") == 0.0, F.lit(0.0))
-        .otherwise(F.lit(0.6745) * F.col("__d") / F.col("mad"))
-        .alias("__z"),
+    # MAD == 0 fallback (ADVICE r7 #4): when more than half the corpus
+    # shares one value in a dimension, MAD collapses to 0 and a genuine
+    # spike there would be masked. Standard Iglewicz–Hoaglin falls back
+    # to the MeanAD: z = 0.7979·|x−med|/MeanAD. A float mean is
+    # order-dependent, so for engine-exact parity the MeanAD is carried
+    # as an integer nano-unit sum (round(d·1e9) per element, BIGINT
+    # sum — order-free and bit-identical across engines); the ~1e-9
+    # quantization is far below any screening threshold.
+    meanad = dev.groupBy("pos").agg(
+        F.sum(F.round(F.col("__d") * F.lit(1e9)).cast("bigint")).alias("__sm"),
+        F.count(F.lit(1)).alias("__nn"),
+    )
+    scored = (
+        dev.join(F.broadcast(mad), "pos")
+        .join(F.broadcast(meanad), "pos")
+        .select(
+            F.col(id_col),
+            F.when(
+                (F.col("mad") == 0.0) & (F.col("__sm") > 0),
+                F.lit(0.7979) * F.col("__d") * F.col("__nn") * F.lit(1e9)
+                / F.col("__sm"),
+            )
+            .when(F.col("mad") == 0.0, F.lit(0.0))
+            .otherwise(F.lit(0.6745) * F.col("__d") / F.col("mad"))
+            .alias("__z"),
+        )
     )
     return scored.groupBy(id_col).agg(
         F.max("__z").alias("max_mod_z"),
@@ -2296,11 +2317,17 @@ def embedding_outliers(
     mad AS (
       SELECT pos, d AS mad FROM dranked WHERE rk = (n + 1) // 2
     ),
+    meanad AS (
+      SELECT pos, SUM(CAST(round(d * 1e9) AS BIGINT)) AS sm, COUNT(*) AS nn
+      FROM dev GROUP BY pos
+    ),
     scored AS (
       SELECT v.vec_id,
-             CASE WHEN m.mad = 0.0 THEN 0.0
+             CASE WHEN m.mad = 0.0 AND a.sm > 0
+                  THEN 0.7979 * v.d * a.nn * 1e9 / a.sm
+                  WHEN m.mad = 0.0 THEN 0.0
                   ELSE 0.6745 * v.d / m.mad END AS z
-      FROM dev v JOIN mad m USING (pos)
+      FROM dev v JOIN mad m USING (pos) JOIN meanad a USING (pos)
     )
     SELECT vec_id, MAX(z) AS max_mod_z,
            MAX(z) > {_OUTLIER_Z} AS is_outlier

@@ -393,9 +393,13 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         {" UNION ALL ".join(f"SELECT token, {i} AS row_i, (CAST('0x' || substr(md5(token), {1 + 8 * i}, 8) AS BIGINT) % 1024) AS pos FROM probes" for i in range(3))}
       )
     )
-    SELECT c.window_start, p.token, CAST(MIN(c.n) AS BIGINT) AS cms_est
-    FROM ppos p JOIN cells c USING (row, pos)
-    GROUP BY c.window_start, p.token
+    SELECT g.window_start, g.token,
+           CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS cms_est
+    FROM (SELECT w.window_start, p.token, p.row, p.pos
+          FROM (SELECT DISTINCT window_start FROM cells) w CROSS JOIN ppos p) g
+    LEFT JOIN cells c
+      ON c.window_start = g.window_start AND c.row = g.row AND c.pos = g.pos
+    GROUP BY g.window_start, g.token
     """,
 )
 def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,11 +456,23 @@ def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("token", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
-    return (
+    # canonical count-min (ADVICE r7 #2 twin of operators/scale.py): a
+    # probe cell absent from a window's grid is a ZERO counter — build
+    # the full (window × probe × depth) position grid and left-join the
+    # streamed cells so the MIN can reach 0 and prove absence. The grid
+    # is windows·probes·depth rows (tiny: both factors are constants).
+    grid = (
         spark.table(sink)
-        .join(F.broadcast(ppos), ["row", "pos"])
+        # re-alias to mint fresh attribute ids — the grid re-joins the
+        # same sink table and plain references would self-conflict
+        .select(F.col("window_start").alias("window_start"))
+        .distinct()
+        .crossJoin(F.broadcast(ppos))
+    )
+    return (
+        grid.join(spark.table(sink), ["window_start", "row", "pos"], "left")
         .groupBy("window_start", "token")
-        .agg(F.min("n").cast("bigint").alias("cms_est"))
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("bigint").alias("cms_est"))
         .select(
             F.col("window_start").cast("timestamp_ntz").alias("window_start"),
             "token",

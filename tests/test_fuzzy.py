@@ -133,6 +133,53 @@ def test_incremental_fuzzy_verdicts_consistent_with_batch_membership(spark, sf_d
         )
 
 
+def test_incremental_oracle_ladder_levels_over_corpus_slice(spark, sf_dir, tmp_path):
+    """Regression (ADVICE r7 #1): when a block's population straddles the
+    cap — within cap over the corpus slice alone (60 ≤ 64) but over it
+    with the batch rows added (70 > 64) — the operator ladders the corpus
+    index over the CORPUS ALONE. The oracle must do the same: laddering
+    the corpus slice against all-documents populations promotes the block
+    to the full-title level and silently flips every dup_of_corpus
+    verdict to kept."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_matrix_spark.queries import ORACLES, QUERIES
+    from iceberg_matrix_spark.sources.testdata import TABLES
+    from tests.oracle_harness import assert_query_matches_oracle
+
+    corpus_ids = [i for i in range(1, 90) if i % 5 != 0][:60]
+    batch_ids = [5 * j for j in range(1, 11)]
+    rows = [(i, "en", f"commonpr corpus {n:03d}") for n, i in enumerate(corpus_ids)]
+    rows += [(i, "en", f"commonpr corpus {900 + j}x") for j, i in enumerate(batch_ids)]
+    rows.append((55, "en", "zzz unique batch only row"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    assert_query_matches_oracle(
+        spark,
+        QUERIES["q_fuzzy_incremental"],
+        ORACLES["q_fuzzy_incremental"],
+        str(tmp_path),
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in QUERIES["q_fuzzy_incremental"](spark, str(tmp_path)).collect()
+    }
+    assert all(got[i] == "dup_of_corpus" for i in batch_ids), got
+    assert got[55] == "kept"
+
+
 def test_union_pass_adds_prefix_edit_recall(spark):
     """A pair differing only inside the first 8 chars (reordered opening
     words) must be MISSED by the prefix pass and CAUGHT by the

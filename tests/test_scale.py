@@ -222,3 +222,23 @@ def test_cms_never_undercounts_and_is_tight_on_heavy_tokens(spark, sf_dir):
         # rows only helps. Allow 4x slack for hash unevenness.
         assert r.overcount <= 4 * n_tokens / CMS_WIDTH + 1, (t, r, n_tokens)
     assert rows["zz_absent_zz"].exact_n == 0
+
+
+def test_cms_absent_probe_with_empty_cell_estimates_zero(spark):
+    """Canonical count-min semantics (ADVICE r7 #2): a probe whose grid
+    cells include an untouched (zero) counter must estimate 0 — the
+    sketch PROVES the token absent. On a 3-token corpus the absent
+    probe's three cells cannot all collide with the nine live cells, so
+    the min must reach an empty cell; the old inner-join form minned
+    over non-empty cells only and reported collision mass instead."""
+    from iceberg_matrix_spark.operators.scale import cms_token_estimates
+    from iceberg_matrix_spark.session import local_df
+
+    docs = local_df(spark, [(1, "aaa bbb ccc")], "doc_id bigint, text string")
+    rows = {
+        r.token: r
+        for r in cms_token_estimates(docs, ["aaa", "zz_absent_zz"]).collect()
+    }
+    assert rows["aaa"].cms_est >= rows["aaa"].exact_n == 1
+    assert rows["zz_absent_zz"].cms_est == 0
+    assert rows["zz_absent_zz"].exact_n == 0

@@ -390,3 +390,49 @@ def test_outlier_screen_catches_planted_spike(spark, sf_dir):
     assert planted and all(got[v][1] for v in planted)
     base_flags = sum(1 for v, (_, f) in got.items() if f and v < 1_000_000)
     assert base_flags <= len(got) * 0.2, base_flags
+
+
+def test_outlier_meanad_fallback_unmasks_spike_in_constant_dimension(
+    spark, sf_dir, tmp_path
+):
+    """Regression (ADVICE r7 #4): a dimension where >half the corpus
+    shares one value has MAD = 0; the old mapping z = 0 masked a genuine
+    spike there entirely. The MeanAD fallback (0.7979·|x−med|/MeanAD)
+    must flag the spike — and the fallback arithmetic must stay
+    engine-exact (oracle parity on the crafted corpus)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_matrix_spark.operators.similarity import embedding_outliers
+    from iceberg_matrix_spark.queries import ORACLES, QUERIES
+    from iceberg_matrix_spark.sources.testdata import TABLES
+    from tests.oracle_harness import assert_query_matches_oracle
+
+    # dim 0: constant 1.0 for all but the spike (MAD = 0, MeanAD > 0);
+    # dims 1..3: mild per-row variation so the rest of the screen is live
+    vecs = [[1.0, 0.1 * (i % 7), 0.05 * (i % 5), -0.2 * (i % 3)] for i in range(40)]
+    vecs[17][0] = 50.0  # the spike MAD would mask
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(40)], pa.int32()),
+        }
+    )
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r.vec_id: r for r in embedding_outliers(emb).collect()}
+    assert got[17].is_outlier, got[17]
+    assert got[17].max_mod_z > 30  # d=49, MeanAD=49/40 → z ≈ 0.7979·40 ≈ 31.9
+    assert not got[3].is_outlier
+    assert_query_matches_oracle(
+        spark,
+        QUERIES["q_embedding_outliers"],
+        ORACLES["q_embedding_outliers"],
+        str(tmp_path),
+    )
