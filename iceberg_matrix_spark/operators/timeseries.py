@@ -299,26 +299,33 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) order joined with '>' (the path-analysis staple next
     to funnel/retention), counted across users.
 
-    Plan note: Spark has no ordered aggregate, so the per-user sequence
-    is sort_array over collect_list of (ts, event_id, type) structs —
-    struct comparison gives the same total order DuckDB's
-    ``array_agg(... ORDER BY ts, event_id)`` uses, making the path
-    strings engine-exact. State per user is their event structs (bounded
-    by per-user activity, the sessionize family's contract); the top-20
-    is TakeOrderedAndProject, never a global sort."""
+    Plan note (VERDICT r7 #2): only the FIRST FIVE events per user are
+    ever needed, so a ``row_number() ≤ 5`` window filter runs BEFORE the
+    aggregate — Spark rewrites it to WindowGroupLimit, which prunes each
+    partition to 5 rows per user ahead of the exchange, so a hot key
+    (bot account, null user) can never materialize its full event
+    history as one giant array row. The aggregate then sorts the ≤5
+    surviving structs (collect_list order is nondeterministic; struct
+    comparison gives the same total order DuckDB's ``array_agg(...
+    ORDER BY ts, event_id)`` uses), making the path strings
+    engine-exact. The top-20 is TakeOrderedAndProject, never a global
+    sort. The sessionize family's audit: q_sessionize aggregates
+    per-SESSION (gap-bounded, self-capping) and q_running_total carries
+    scalars per row, so neither builds a per-user array — this was the
+    only unbounded collect."""
     ev = load_table(spark, sf_dir, "events")
-    seqs = ev.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = ev.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 5)
+    seqs = first5.groupBy("user_id").agg(
         F.concat_ws(
             ">",
-            F.slice(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda x: x["event_type"],
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
                 ),
-                1,
-                5,
+                lambda x: x["event_type"],
             ),
         ).alias("path")
     )

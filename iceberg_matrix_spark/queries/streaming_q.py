@@ -31,20 +31,40 @@ def _run_to_memory(df, prefix: str, mode: str):
     streaming queries: one copy of the sink/checkpoint/timeout protocol
     so a fix (or the 120s budget) can't drift between them. Returns the
     sink table name; fails LOUDLY on timeout (a hung stream must read as
-    a red driver row, not a silent partial result)."""
-    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("availableNow streaming query did not finish in 120s")
-    return sink
+    a red driver row, not a silent partial result).
+
+    One retry, for exactly one failure shape: a long-lived local JVM can
+    very rarely throw ``java.io.OptionalDataException`` inside task
+    deserialization when a streaming trigger races main-thread job
+    submission (observed once ~9 000 stages into a shared session,
+    COVERAGE.md "Known flake"; green on every fresh run). availableNow →
+    fresh memory sink + fresh checkpoint is side-effect-free, so one
+    re-run of the identical plan is sound; ANY other failure — wrong
+    results, real exceptions, timeouts — still raises immediately."""
+    last_exc: Exception | None = None
+    for attempt in range(2):
+        sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError(
+                    "availableNow streaming query did not finish in 120s"
+                )
+            return sink
+        except Exception as e:  # noqa: BLE001 — filtered to the one flake shape
+            if attempt == 0 and "OptionalDataException" in str(e):
+                last_exc = e
+                continue
+            raise
+    raise last_exc  # pragma: no cover — flaked twice: a real failure
 
 
 

@@ -30,6 +30,47 @@ def oracle_sf_dir() -> str:
     return ORACLE_SF_DIR
 
 
+# ---------------------------------------------------------- jvm flake retry
+# A long-lived local JVM very rarely throws java.io.OptionalDataException
+# inside task deserialization when a streaming trigger thread races
+# main-thread job submission (observed once ~9 000 stages into round 7's
+# shared session, COVERAGE.md "Known flake"; green on every fresh run).
+# Tests marked @pytest.mark.jvm_flake_retry get ONE rerun, and only when
+# the failure text carries that exact signature — any other failure in
+# the same tests still fails the suite on the first attempt.
+_JVM_FLAKE_SIG = "OptionalDataException"
+
+
+def pytest_runtest_protocol(item, nextitem):
+    if item.get_closest_marker("jvm_flake_retry") is None:
+        return None
+    from _pytest.runner import runtestprotocol
+
+    item.ihook.pytest_runtest_logstart(
+        nodeid=item.nodeid, location=item.location
+    )
+    reports = runtestprotocol(item, nextitem=nextitem, log=False)
+    flaked = any(
+        r.failed and _JVM_FLAKE_SIG in (getattr(r, "longreprtext", "") or "")
+        for r in reports
+    )
+    if flaked:
+        import sys
+
+        print(
+            f"\n[jvm-flake] {item.nodeid}: {_JVM_FLAKE_SIG} in the shared "
+            "JVM (known artifact) — one fresh retry",
+            file=sys.stderr,
+        )
+        reports = runtestprotocol(item, nextitem=nextitem, log=False)
+    for r in reports:
+        item.ihook.pytest_runtest_logreport(report=r)
+    item.ihook.pytest_runtest_logfinish(
+        nodeid=item.nodeid, location=item.location
+    )
+    return True
+
+
 # ---------------------------------------------------------------- budget
 # Wall-clock budget watch (VERDICT r5 #7): the suite must stay inside the
 # reference's 30-min CI envelope. The slowest-10 report is always printed

@@ -4,6 +4,8 @@ these — iceberg_feature_tests.py:1915-1918)."""
 
 from __future__ import annotations
 
+import pytest
+
 from iceberg_matrix_spark.conformance import (
     FEATURES,
     TESTS,
@@ -24,6 +26,7 @@ def test_compute_match_rule():
     assert compute_match("skip", "full") and compute_match("error", "none")
 
 
+@pytest.mark.jvm_flake_retry
 def test_conformance_run_is_clean(spark):
     report = run_conformance(spark)
     assert report["uncovered_features"] == []

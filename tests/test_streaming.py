@@ -36,9 +36,15 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
-def _wait(cond, timeout_s: float = 90.0, poll_s: float = 0.5) -> bool:
+def _wait(cond, timeout_s: float = 90.0, poll_s: float = 0.5, q=None) -> bool:
+    """Poll ``cond``; when a streaming query handle is passed, a stream
+    that DIED raises its own exception instead of letting the poll time
+    out into an opaque assert False — the failure text then carries the
+    real cause (load-bearing for the jvm_flake_retry signature match)."""
     deadline = time.time() + timeout_s
     while time.time() < deadline:
+        if q is not None and q.exception() is not None:
+            raise q.exception()
         if cond():
             return True
         time.sleep(poll_s)
@@ -65,6 +71,7 @@ def _rate_stream(spark, rows_per_second: int = 20):
     )
 
 
+@pytest.mark.jvm_flake_retry
 def test_append_stream_commits_epoch_snapshots_readable_midflight(spark, warehouse):
     """≥3 append snapshots land while the query runs; rows are readable
     between commits (flink :663-697)."""
@@ -109,6 +116,7 @@ def test_epoch_replay_is_skipped(spark, warehouse):
     assert last_committed_batch(table, "q1") == 1
 
 
+@pytest.mark.jvm_flake_retry
 def test_icelite_tail_source_delivers_post_start_commits(spark, warehouse):
     """readStream tail sees rows committed BEFORE start and rows appended
     AFTER the query is running (flink :582-628)."""
@@ -125,16 +133,17 @@ def test_icelite_tail_source_delivers_post_start_commits(spark, warehouse):
         .start()
     )
     try:
-        assert _wait(lambda: spark.table(sink).count() >= 2)
+        assert _wait(lambda: spark.table(sink).count() >= 2, q=q)
         # commit after the stream started — must flow through
         t.append(local_df(spark, [(3, "c")], "id bigint, v string"))
-        assert _wait(lambda: spark.table(sink).count() >= 3)
+        assert _wait(lambda: spark.table(sink).count() >= 3, q=q)
         got = {(r["id"], r["v"]) for r in spark.table(sink).collect()}
         assert got == {(1, "a"), (2, "b"), (3, "c")}
     finally:
         q.stop()
 
 
+@pytest.mark.jvm_flake_retry
 def test_tail_source_skips_non_append_snapshots(spark, warehouse):
     """Compaction rewrites don't re-deliver rows through the tail."""
     t = warehouse.create_table("stream.tailskip", "id bigint")
@@ -162,6 +171,7 @@ def test_tail_source_skips_non_append_snapshots(spark, warehouse):
     ) + list(range(30, 35)) + list(range(100, 105))
 
 
+@pytest.mark.jvm_flake_retry
 def test_upsert_stream_latest_per_key_wins(spark, warehouse):
     """Two waves of file-source data upserted by key: final table holds
     the last value per key (flink write.upsert.enabled, :744-784)."""
@@ -264,6 +274,7 @@ def test_stateful_user_stats_accumulates_across_batches(spark):
     assert last == {1: (3, 6.0), 2: (2, 10.0)}
 
 
+@pytest.mark.jvm_flake_retry
 def test_compaction_scheduler_during_stream(spark, warehouse):
     """rewrite_data_files lands a replace snapshot among streaming appends
     without losing rows (flink in-job compaction, :1100-1172)."""
@@ -277,7 +288,7 @@ def test_compaction_scheduler_during_stream(spark, warehouse):
         trigger={"processingTime": "1 second"},
     )
     try:
-        assert _wait(lambda: sched.rewrites >= 1, timeout_s=120)
+        assert _wait(lambda: sched.rewrites >= 1, timeout_s=120, q=q)
     finally:
         q.stop()
         sched.stop()
@@ -407,6 +418,7 @@ def test_checkpoint_scoped_query_id_survives_reset(spark, warehouse, tmp_path):
     assert len(table.meta.snapshots) == 3
 
 
+@pytest.mark.jvm_flake_retry
 def test_stream_tail_survives_schema_evolution(spark, warehouse):
     """Files written before an add/rename are field-ID projected to the
     stream's pinned schema instead of crashing the micro-batch."""

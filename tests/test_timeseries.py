@@ -54,6 +54,14 @@ def test_event_analytics_plan_shapes(spark, sf_dir):
     paths = QUERIES["q_event_paths"](spark, sf_dir)
     plan = paths._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+    # VERDICT r7 #2: the rank-≤5 filter must run BEFORE the per-user
+    # aggregate (WindowGroupLimit prunes each partition to 5 rows per
+    # user pre-exchange) so a hot key can never build its full event
+    # array. Tree strings print parents first, so the limit appearing
+    # AFTER the aggregate means it executes below (earlier than) it.
+    assert "WindowGroupLimit" in plan, plan
+    agg_at = plan.index("ObjectHashAggregate")
+    assert plan.index("WindowGroupLimit") > agg_at, plan
 
 
 def test_windowed_funnel_enforces_deadline(spark):
