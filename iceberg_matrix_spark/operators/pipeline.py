@@ -724,11 +724,17 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; the final rollup is a tiny groupBy. Nothing materializes
     between stages — Catalyst plans the whole pipeline as one DAG.
     """
+    return corpus_pipeline_summary(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_pipeline_summary(docs: DataFrame) -> DataFrame:
+    """The capstone curation DAG over an arbitrary documents frame (see
+    q_corpus_pipeline; factored out so the scale sweep measures the
+    exact registered composition end-to-end)."""
     from iceberg_matrix_spark.functions.text import token_count
     from iceberg_matrix_spark.operators.dedup import dedup_exact
     from iceberg_matrix_spark.operators.spans import span_dup_ratio
 
-    docs = load_table(spark, sf_dir, "documents")
     span_ok = (
         span_dup_ratio(docs, "doc_id", "text")
         .filter(F.col("dup_ratio") <= SPAN_GATE_MAX_RATIO)

@@ -53,6 +53,7 @@ from iceberg_matrix_spark.sources.testdata import load_table
 __all__ = [
     "amplify_documents",
     "amplify_embeddings",
+    "amplify_events",
     "amplify_corpus",
     "StageMetrics",
     "run_scale_sweep",
@@ -139,14 +140,37 @@ def amplify_embeddings(
     )
 
 
+def amplify_events(events: DataFrame, factor: int) -> DataFrame:
+    """Deterministically amplify an events frame ``factor``× by USER
+    re-keying: every replica re-keys user_id and event_id
+    (id·factor + r) and keeps ts/event_type/value untouched, so each
+    replica user's event history — and therefore their funnel
+    conversion, path string, and session structure — is identical to
+    the source user's. Users (the aggregation key space) grow ∝ factor;
+    per-user state does NOT grow, which is exactly the claim the event
+    sweep must verify (the hot-key hazard is per-user volume, tested
+    separately by the q_event_paths pre-exchange prune pin)."""
+    if factor <= 1:
+        return events
+    rep = events.select(
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r"), "*"
+    )
+    return (
+        rep.withColumn("user_id", F.col("user_id") * factor + F.col("__r"))
+        .withColumn("event_id", F.col("event_id") * factor + F.col("__r"))
+        .drop("__r")
+    )
+
+
 def amplify_corpus(
     spark: SparkSession, sf_dir: str, out_dir: str, factor: int
 ) -> dict[str, str]:
-    """Write amplified documents+embeddings parquet under out_dir.
+    """Write amplified documents+embeddings+events parquet under out_dir.
 
-    Returns {"documents": path, "embeddings": path} readable with
-    spark.read.parquet. Partition count scales with the factor so the
-    amplified corpus never degrades to single-task stages."""
+    Returns {"documents": path, "embeddings": path, "events": path}
+    readable with spark.read.parquet. Partition count scales with the
+    factor so the amplified corpus never degrades to single-task
+    stages."""
     paths = {}
     n_parts = max(4, min(64, 4 * factor))
     docs = amplify_documents(load_table(spark, sf_dir, "documents"), factor)
@@ -159,6 +183,10 @@ def amplify_corpus(
     p = os.path.join(out_dir, f"embeddings_x{factor}.parquet")
     emb.repartition(n_parts, "vec_id").write.mode("overwrite").parquet(p)
     paths["embeddings"] = p
+    ev = amplify_events(load_table(spark, sf_dir, "events"), factor)
+    p = os.path.join(out_dir, f"events_x{factor}.parquet")
+    ev.repartition(n_parts, "user_id").write.mode("overwrite").parquet(p)
+    paths["events"] = p
     return paths
 
 
@@ -227,7 +255,8 @@ class StageMetrics:
 def _family_frames(spark: SparkSession, paths: dict[str, str]):
     docs = spark.read.parquet(paths["documents"])
     emb = spark.read.parquet(paths["embeddings"])
-    return docs, emb
+    ev = spark.read.parquet(paths["events"])
+    return docs, emb, ev
 
 
 def _replica0(emb: DataFrame, factor: int) -> DataFrame:
@@ -257,7 +286,7 @@ def _fixed_queries(emb: DataFrame, factor: int) -> DataFrame:
 
 
 def family_runners() -> dict:
-    """family → fn(spark, docs, emb) -> DataFrame (forced via noop)."""
+    """family → fn(spark, docs, emb, ev, factor) -> DataFrame (forced via noop)."""
     from iceberg_matrix_spark.operators.dedup import (  # noqa: PLC0415
         minhash_neardup_pairs,
         ngram_jaccard_pairs,
@@ -277,7 +306,7 @@ def family_runners() -> dict:
         duplicate_spans,
     )
 
-    def semantic(spark, docs, emb, factor):
+    def semantic(spark, docs, emb, ev, factor):
         # the production semantic-dedup path: a FIXED-size ingest batch
         # against the growing corpus (incremental form). The self-join
         # form's candidate volume is near-quadratic by its documented
@@ -302,7 +331,7 @@ def family_runners() -> dict:
             .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000_000))
         )
 
-    def semantic_scoped(spark, docs, emb, factor):
+    def semantic_scoped(spark, docs, emb, ev, factor):
         # the persisted-cid deployment path (VERDICT r5 #3): cluster ids
         # are assigned ONCE per corpus at ingest (scoped_signature_index
         # — the index; built here in-measure, like the unscoped family
@@ -323,7 +352,7 @@ def family_runners() -> dict:
             corpus_index=idx,
         )
 
-    def knn(spark, docs, emb, factor):
+    def knn(spark, docs, emb, ev, factor):
         # the docstring's linear-scale contract MEASURED: cluster count
         # grows ∝ corpus (product_cid composes two half-dim quantizers,
         # so k_lo·k_hi cells from k_lo+k_hi unrolled dots — 16/144/1600
@@ -340,7 +369,7 @@ def family_runners() -> dict:
             emb, None, cid_expr=product_cid("embedding", lo, hi)
         )
 
-    def lines(spark, docs, emb, factor):
+    def lines(spark, docs, emb, ev, factor):
         # token salting keeps within-replica line structure isomorphic
         # and cross-replica line vocabularies disjoint, so true
         # boilerplate lines (and the verdict row count) grow ∝ factor
@@ -350,7 +379,7 @@ def family_runners() -> dict:
 
         return line_dedup_verdicts(docs)
 
-    def pq(spark, docs, emb, factor):
+    def pq(spark, docs, emb, ev, factor):
         # corpus side = one codegen projection over 8-byte codes; the
         # only exchange is the per-query top-k window (16 fixed queries)
         from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
@@ -361,7 +390,7 @@ def family_runners() -> dict:
         books = pq_seed_codebooks(emb)
         return ann_pq_topk(emb, _fixed_queries(emb, factor), books, k=10)
 
-    def fuzzy(spark, docs, emb, factor):
+    def fuzzy(spark, docs, emb, ev, factor):
         # the pair-shaped family to watch: candidates are Σ_b n_b² over
         # (lang, title-prefix) blocks. Token salting gives replicas
         # disjoint title prefixes, so blocks fragment with the factor
@@ -373,7 +402,7 @@ def family_runners() -> dict:
 
         return fuzzy_title_pairs(docs)
 
-    def hamming(spark, docs, emb, factor):
+    def hamming(spark, docs, emb, ev, factor):
         # corpus side = one integer-signature projection (16 B/vec);
         # exchanges are the two per-query windows over WindowGroupLimit-
         # pruned rows — the ann family's cost shape with smaller rows
@@ -383,7 +412,7 @@ def family_runners() -> dict:
 
         return ann_hamming_topk(emb, _fixed_queries(emb, factor), k=10)
 
-    def bm25(spark, docs, emb, factor):
+    def bm25(spark, docs, emb, ev, factor):
         # inverted-index shape: explode ∝ corpus tokens, postings ∝ hits
         # of the 3 query terms, df/stats broadcasts constant, top-k via
         # TakeOrderedAndProject — nothing pair-shaped
@@ -394,7 +423,7 @@ def family_runners() -> dict:
 
         return bm25_topk(docs, _BM25_TERMS, k=20)
 
-    def outliers(spark, docs, emb, factor):
+    def outliers(spark, docs, emb, ev, factor):
         # per-dimension rank windows: the partition key space is FIXED
         # (64 pos values), so parallelism is capped at 64 tasks and each
         # task sorts corpus/64 rows — the sweep watches that per-task
@@ -407,7 +436,7 @@ def family_runners() -> dict:
 
         return embedding_outliers(emb)
 
-    def prototype(spark, docs, emb, factor):
+    def prototype(spark, docs, emb, ev, factor):
         # one narrow assignment+score projection, one per-cluster rank
         # window; k=64 (the unroll cap) so per-cluster window partitions
         # grow with the corpus but stay sort-bounded — the point the
@@ -415,8 +444,66 @@ def family_runners() -> dict:
         cents = ivf_seed_centroids(emb, k=64)
         return prototype_prune(emb, cents)
 
+    def funnel(spark, docs, emb, ev, factor):
+        # per-step frontier joins: each step shuffles only its own event
+        # type ∝ corpus; the frontier is two longs per user. User
+        # re-keying grows the key space ∝ factor with per-user state
+        # fixed, so the measured claim is shuffle ∝ events, never
+        # events×steps or users²
+        from iceberg_matrix_spark.operators.timeseries import (  # noqa: PLC0415
+            event_funnel,
+        )
+
+        return event_funnel(ev)
+
+    def paths(spark, docs, emb, ev, factor):
+        # the row_number()≤5 pre-exchange prune (VERDICT r7 #2) bounds
+        # per-user state at 5 structs; the sweep watches the aggregate's
+        # shuffle staying ∝ users, not ∝ events
+        from iceberg_matrix_spark.operators.timeseries import (  # noqa: PLC0415
+            user_event_paths,
+        )
+
+        return user_event_paths(ev)
+
+    def components(spark, docs, emb, ev, factor):
+        # iterative min-label propagation: edges come from the capped
+        # ngram pair operator (∝ corpus under token salting — replicas'
+        # vocabularies are disjoint, so true pairs ∝ factor); each sweep
+        # is one join + one groupBy over the edge list, and localCheckpoint
+        # truncates lineage per sweep. The measured claim: per-sweep
+        # shuffle ∝ edges, sweeps bounded by cluster diameter (constant
+        # here — cluster structure is replica-isomorphic to the base).
+        from iceberg_matrix_spark.operators.graph import (  # noqa: PLC0415
+            neardup_components,
+        )
+
+        return neardup_components(docs)
+
+    def pagerank(spark, docs, emb, ev, factor):
+        # fixed-point PageRank (5 sweeps, BIGINT micro-units) over the
+        # same ∝-corpus edge list, then the per-component centrality
+        # window — the full q_dedup_canonical_centrality composition
+        from iceberg_matrix_spark.operators.graph import (  # noqa: PLC0415
+            canonical_by_centrality,
+        )
+
+        return canonical_by_centrality(docs)
+
+    def capstone(spark, docs, emb, ev, factor):
+        # the composed curation DAG (gopher gate + span gate + exact
+        # dedup + stratified sample + rollup) end-to-end: every stage is
+        # individually swept-linear; this row proves the COMPOSITION
+        # inherits it (no barrier-stage blowup when Catalyst plans the
+        # whole pipeline as one DAG)
+        from iceberg_matrix_spark.operators.pipeline import (  # noqa: PLC0415
+            corpus_pipeline_summary,
+        )
+
+        return corpus_pipeline_summary(docs)
+
     return {
-        "ngram": lambda spark, docs, emb, factor: ngram_jaccard_pairs(
+        "ngram": lambda spark, docs, emb, ev, factor: ngram_jaccard_pairs(
             docs, threshold=0.5, max_doc_freq=64
         ),
         "knn": knn,
@@ -427,17 +514,22 @@ def family_runners() -> dict:
         "outliers": outliers,
         "lines": lines,
         "pq": pq,
-        "minhash": lambda spark, docs, emb, factor: minhash_neardup_pairs(
+        "minhash": lambda spark, docs, emb, ev, factor: minhash_neardup_pairs(
             docs, threshold=0.5
         ),
-        "spans": lambda spark, docs, emb, factor: duplicate_spans(
+        "spans": lambda spark, docs, emb, ev, factor: duplicate_spans(
             docs, "doc_id", "text"
         ),
         "semantic": semantic,
         "semantic_scoped": semantic_scoped,
-        "ann": lambda spark, docs, emb, factor: ann_lsh_topk(
+        "ann": lambda spark, docs, emb, ev, factor: ann_lsh_topk(
             emb, F.broadcast(_fixed_queries(emb, factor)), k=10
         ),
+        "funnel": funnel,
+        "paths": paths,
+        "components": components,
+        "pagerank": pagerank,
+        "capstone": capstone,
     }
 
 
@@ -461,7 +553,7 @@ def run_scale_sweep(
     for factor in factors:
         t0 = time.perf_counter()
         paths = amplify_corpus(spark, sf_dir, workdir, factor)
-        docs, emb = _family_frames(spark, paths)
+        docs, emb, ev = _family_frames(spark, paths)
         n_docs, n_emb = docs.count(), emb.count()
         out.append(
             {
@@ -474,7 +566,7 @@ def run_scale_sweep(
         )
         for fam, fn in runners.items():
             row = metrics.measure(
-                lambda: fn(spark, docs, emb, factor)
+                lambda: fn(spark, docs, emb, ev, factor)
                 .write.format("noop")
                 .mode("overwrite")
                 .save()

@@ -313,12 +313,18 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-SESSION (gap-bounded, self-capping) and q_running_total carries
     scalars per row, so neither builds a per-user array — this was the
     only unbounded collect."""
-    ev = load_table(spark, sf_dir, "events")
+    return user_event_paths(load_table(spark, sf_dir, "events"))
+
+
+def user_event_paths(ev: DataFrame, first_n: int = 5, top: int = 20) -> DataFrame:
+    """Top-``top`` user journeys over an events frame (see
+    q_event_paths for the plan contract; factored out so the scale
+    sweep measures the exact registered plan)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    first5 = ev.select(
+    firsts = ev.select(
         "user_id", "ts", "event_id", "event_type"
-    ).withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 5)
-    seqs = first5.groupBy("user_id").agg(
+    ).withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= first_n)
+    seqs = firsts.groupBy("user_id").agg(
         F.concat_ws(
             ">",
             F.transform(
@@ -333,7 +339,7 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy(F.desc("n_users"), F.asc("path"))
-        .limit(20)
+        .limit(top)
     )
 
 

@@ -197,6 +197,36 @@ def test_hll_registers_merge_like_shards(spark, sf_dir):
     assert whole == re_merged
 
 
+def test_events_amplifier_scales_counts_exactly_linearly(spark, sf_dir):
+    """The events amplifier re-keys users per replica with histories
+    untouched, so funnel step counts and path-shape user counts must be
+    EXACTLY base × factor — the property that makes the event-family
+    sweep's 'wall ∝ factor' claim meaningful."""
+    from iceberg_matrix_spark.operators.sweep import amplify_events
+    from iceberg_matrix_spark.operators.timeseries import (
+        event_funnel,
+        user_event_paths,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    amp = amplify_events(ev, 3)
+    assert amp.count() == ev.count() * 3
+    assert amp.select("user_id").distinct().count() == (
+        ev.select("user_id").distinct().count() * 3
+    )
+    base_funnel = {r.step: r.n_users for r in event_funnel(ev).collect()}
+    amp_funnel = {r.step: r.n_users for r in event_funnel(amp).collect()}
+    assert amp_funnel == {k: 3 * v for k, v in base_funnel.items()}
+    base_paths = {
+        r.path: r.n_users for r in user_event_paths(ev, top=5).collect()
+    }
+    amp_paths = {
+        r.path: r.n_users for r in user_event_paths(amp, top=5).collect()
+    }
+    assert amp_paths == {k: 3 * v for k, v in base_paths.items()}
+
+
 def test_cms_never_undercounts_and_is_tight_on_heavy_tokens(spark, sf_dir):
     """The count-min guarantee: est ≥ exact for every probe, with the
     absent probe's estimate pure collision mass (small vs the corpus),
