@@ -1940,6 +1940,320 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained (Lloyd-refined) quantizers — VERDICT r7 #4
+#
+# The seed quantizers (k lowest ids, zero Lloyd iterations) exist to be
+# SQL-reproducible; their recall is the documented cost. This trainer
+# closes the gap WITHOUT giving up the oracle: a fixed-iteration Lloyd
+# refinement whose every step is engine-exact —
+#   * assignment distances are per-term fixed-pointed BIGINTs
+#     (floor((x−w)²·10¹⁰) summed — order-free, so a SQL GROUP BY SUM
+#     reproduces the Spark fold bit-for-bit), argmin ties to the lower
+#     codeword id (integer compare);
+#   * codeword means are BIGINT nano-unit sums divided back to double
+#     (CAST(Σ round(x·10⁹) AS DOUBLE)/n/10⁹ — identical correctly-
+#     rounded doubles on both engines);
+#   * the oracle loop-unrolls the iterations as CTE chains, the same
+#     trick as the PageRank oracle (operators/graph.py:_pagerank_sql).
+# IVF is the m=1 special case of the PQ trainer (one "subquantizer"
+# spanning all dims), so one trainer serves both codebooks.
+# ---------------------------------------------------------------------------
+
+_TRAIN_ITERS = 2
+_TRAIN_FP = 1_000_000_000        # codeword-mean fixed point (nano-units)
+_TRAIN_DFP = 10_000_000_000      # per-term assignment-distance fixed point
+
+
+def _dist2_fp(sub: F.Column, w: F.Column) -> F.Column:
+    """Integer-stable squared L2: each term floored at ``_TRAIN_DFP``
+    then summed as BIGINTs — independent of summation order, so the
+    oracle's unordered GROUP BY SUM matches this fold exactly."""
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            w,
+            lambda x, y: F.floor(
+                (x - y) * (x - y) * F.lit(float(_TRAIN_DFP))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _codes_fp_expr(vec_col: str, books_py: list[list[list[float]]]) -> F.Column:
+    """Per-subquantizer argmin codeword ids under the INTEGER distance
+    (ties to the lower codeword) — the training-time twin of
+    :func:`_pq_codes_expr`, generic over (m, dsub) so the IVF (m=1)
+    and PQ (m=8) trainers share it."""
+    m, dsub = len(books_py), len(books_py[0][0])
+    books = _pq_books_lit(books_py)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.element_at(books, (j + 1).cast("int")),
+                    lambda w, ci: F.struct(
+                        _dist2_fp(
+                            F.slice(v, (j * dsub + 1).cast("int"), dsub), w
+                        ).alias("d"),
+                        ci.alias("c"),
+                    ),
+                )
+            ),
+            1,
+        )["c"],
+    )
+
+
+def train_codebooks_fp(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    iters: int = _TRAIN_ITERS,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """``iters`` engine-exact Lloyd refinements of ``books`` (shape
+    m×k×dsub). Per iteration: one distributed assignment pass (JVM
+    expression over the literal current books) and one
+    (dim, codeword) fixed-point mean aggregate — the collect is the
+    m·k·dsub codeword matrix (≤1 024 doubles here), the centroid-build
+    bounded-collect contract. Codewords whose cell goes empty keep
+    their previous value (the standard Lloyd empty-cluster rule, and
+    the oracle's COALESCE)."""
+    dsub = len(books[0][0])
+    for _ in range(iters):
+        enc = corpus.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+            _codes_fp_expr(vec_col, books).alias("__codes"),
+        )
+        cells = enc.select(
+            F.posexplode("__v").alias("dim", "x"), "__codes"
+        ).select(
+            "dim",
+            "x",
+            F.element_at(
+                "__codes", (F.col("dim") / dsub).cast("int") + 1
+            ).alias("cid"),
+        )
+        rows = (
+            cells.groupBy("dim", "cid")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.lit(float(_TRAIN_FP))).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [[list(w) for w in sub] for sub in books]
+        for r in rows:
+            j, d = r["dim"] // dsub, r["dim"] % dsub
+            new[j][r["cid"]][d] = r["s"] / r["n"] / float(_TRAIN_FP)
+        books = new
+    return books
+
+
+def _train_oracle_ctes(
+    m: int, k: int, dsub: int, iters: int = _TRAIN_ITERS
+) -> tuple[str, str]:
+    """The trainer loop-unrolled as DuckDB CTEs. Returns (ctes_sql,
+    final_books_cte): the final CTE is (j, c, d, w) — subquantizer,
+    codeword id, within-subvector dim, trained double value. Every
+    arithmetic step mirrors :func:`train_codebooks_fp`'s exactly (see
+    the section comment for why each is engine-exact)."""
+    dim = m * dsub
+    ctes = [
+        f"""ex AS (
+      SELECT vec_id, (i-1) // {dsub} AS j, (i-1) % {dsub} AS d,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)
+    )""",
+        f"""b0 AS (
+      SELECT (i-1) // {dsub} AS j, r.c, (i-1) % {dsub} AS d,
+             CAST(embedding[i] AS DOUBLE) AS w
+      FROM (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})) r,
+           unnest(generate_series(1, {dim})) AS t(i)
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"b{t - 1}"
+        ctes.append(
+            f"""d{t} AS (
+      SELECT e.vec_id, e.j, b.c,
+             SUM(CAST(floor((e.x - b.w) * (e.x - b.w) * {float(_TRAIN_DFP)}) AS BIGINT)) AS dfp
+      FROM ex e JOIN {prev} b ON b.j = e.j AND b.d = e.d
+      GROUP BY e.vec_id, e.j, b.c
+    )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vec_id, j, c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dfp, c) rk
+        FROM d{t}) WHERE rk = 1
+    )"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+      SELECT a.j, a.c, e.d,
+             SUM(CAST(round(e.x * {float(_TRAIN_FP)}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a{t} a JOIN ex e ON e.vec_id = a.vec_id AND e.j = a.j
+      GROUP BY a.j, a.c, e.d
+    )"""
+        )
+        ctes.append(
+            f"""b{t} AS (
+      SELECT p.j, p.c, p.d,
+             COALESCE(CAST(m.s AS DOUBLE) / m.n / {float(_TRAIN_FP)}, p.w) AS w
+      FROM {prev} p LEFT JOIN m{t} m ON m.j = p.j AND m.c = p.c AND m.d = p.d
+    )"""
+        )
+    return ",\n    ".join(ctes), f"b{iters}"
+
+
+_TRAINED_BOOK_CACHE: dict[tuple, list[list[list[float]]]] = {}
+
+
+def pq_trained_codebooks_cached(
+    corpus: DataFrame, corpus_key: str
+) -> list[list[list[float]]]:
+    key = ("pq", corpus_key, _TRAIN_ITERS)
+    if key not in _TRAINED_BOOK_CACHE:
+        _TRAINED_BOOK_CACHE[key] = train_codebooks_fp(
+            corpus, pq_seed_codebooks(corpus)
+        )
+    return _TRAINED_BOOK_CACHE[key]
+
+
+def ivf_trained_centroids_cached(
+    corpus: DataFrame, corpus_key: str, k: int = _PQ_K
+) -> list[list[float]]:
+    """Trained coarse centroids: the m=1 instance of the PQ trainer —
+    one 'subquantizer' spanning all dims, seeded like
+    :func:`ivf_seed_centroids`."""
+    key = ("ivf", corpus_key, k, _TRAIN_ITERS)
+    if key not in _TRAINED_BOOK_CACHE:
+        seeds = [ivf_seed_centroids(corpus, k=k)]
+        _TRAINED_BOOK_CACHE[key] = train_codebooks_fp(corpus, seeds)
+    return _TRAINED_BOOK_CACHE[key][0]
+
+
+def _trained_pq_oracle() -> str:
+    ctes, bfin = _train_oracle_ctes(_PQ_M, _PQ_K, _PQ_DSUB)
+    return f"""
+    WITH {ctes},
+    subcw AS (
+      SELECT c AS cid, j, list(w ORDER BY d) AS w
+      FROM {bfin} GROUP BY j, c
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT e.vec_id, s.j, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, s.j
+                 ORDER BY {_pq_dist2_sql("e.embedding", "s.w", "s.j")}, s.cid) rn
+        FROM embeddings e JOIN subcw s ON TRUE
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+    ),
+    dtab AS (
+      SELECT q.query_id, s.j, s.cid,
+             {_pq_dist2_sql("q.qv", "s.w", "s.j")} AS d
+      FROM q JOIN subcw s ON TRUE
+    ),
+    adc AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(FLOOR(d.d * {_PQ_SCALE}) AS BIGINT)) AS BIGINT) AS adc
+      FROM codes c JOIN dtab d ON d.j = c.j AND d.cid = c.code
+      WHERE c.vec_id <> d.query_id
+      GROUP BY d.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, adc FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) rank
+      FROM adc
+    ) WHERE rank <= 10
+    """
+
+
+def _pq_trained_setup(spark: SparkSession, sf_dir: str):
+    """Bench split: codebook TRAINING is index-build work a deployment
+    runs once per corpus (two distributed passes + two ≤1 KiB collects)
+    — measured as setup, fresh each run (no cache), so the headline
+    reflects the amortized per-query ADC cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_codebooks_fp(emb, pq_seed_codebooks(emb))
+    return (spark, sf_dir, emb, books)
+
+
+def _pq_trained_exec(handle) -> DataFrame:
+    spark, sf_dir, emb, books = handle
+    return ann_pq_topk(emb, _query_vectors(spark, sf_dir), books, k=10)
+
+
+@register("q_ann_pq_trained", oracle=_trained_pq_oracle())
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-10 over LLOYD-TRAINED codebooks ({_TRAIN_ITERS}
+    engine-exact refinements of the seed books): the production form —
+    same 8-byte codes, same integer ADC, better codewords. The oracle
+    re-derives the trained books from the table (loop-unrolled Lloyd
+    CTEs), re-encodes, and replays the ADC ranking; the recall gain
+    over the seed books is pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_trained_codebooks_cached(emb, sf_dir)
+    return ann_pq_topk(emb, _query_vectors(spark, sf_dir), books, k=10)
+
+
+def _trained_ivf_oracle() -> str:
+    ctes, bfin = _train_oracle_ctes(1, _PQ_K, _DIM)
+    return f"""
+    WITH {ctes},
+    cents AS (
+      SELECT c AS cid, list(w ORDER BY d) AS cw
+      FROM {bfin} GROUP BY c
+    ),
+    dist AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.cw[t.i])
+                            * (CAST(e.embedding[t.i] AS DOUBLE) - c.cw[t.i])
+                            * {float(_TRAIN_DFP)}) AS BIGINT)) AS dfp
+      FROM embeddings e CROSS JOIN cents c,
+           unnest(generate_series(1, {_DIM})) AS t(i)
+      GROUP BY e.vec_id, c.cid
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cid FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dfp, cid) rk
+      FROM dist
+    ) WHERE rk = 1
+    """
+
+
+@register("q_ivf_trained_assignments", oracle=_trained_ivf_oracle())
+def q_ivf_trained_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cluster assignments under LLOYD-TRAINED coarse centroids
+    (the IVF index a production deployment persists at ingest): each
+    vector's integer-stable argmin cell over the {_PQ_K} trained
+    centroids. Oracle-certifies the TRAINER itself — the exhaustive-
+    probe query certifies the search plan, this row certifies that both
+    engines derive the identical trained quantizer; the nprobe recall
+    gain over seed centroids is pinned in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_trained_centroids_cached(emb, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.element_at(_codes_fp_expr("embedding", [cents]), 1)
+        .cast("int")
+        .alias("cid"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vector quantization (int8 per-dimension scaling)
 # ---------------------------------------------------------------------------
 

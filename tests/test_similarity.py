@@ -392,6 +392,73 @@ def test_outlier_screen_catches_planted_spike(spark, sf_dir):
     assert base_flags <= len(got) * 0.2, base_flags
 
 
+def test_trained_codebooks_beat_seed_codebooks(spark, sf_dir):
+    """VERDICT r7 #4: the fixed-point Lloyd trainer must buy real index
+    quality over the seed (zero-iteration) quantizers at equal k —
+    PQ recall@10 over 32 queries strictly improves, and quantization
+    error (the quantity Lloyd provably does not increase) drops ≥20%
+    for the PQ codebooks (measured 23.6% at sf0.001, 24.2% at sf0.01)
+    and ≥25% for the m=1 coarse (IVF) centroids (measured 41%); the
+    trained coarse quantizer must not regress nprobe recall."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_pq_topk,
+        brute_force_topk,
+        ivf_seed_centroids,
+        pq_seed_codebooks,
+        train_codebooks_fp,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact: dict[int, set] = {}
+    for r in brute_force_topk(emb, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got[k] & exact[k]) for k in exact) / sum(
+            len(v) for v in exact.values()
+        )
+
+    vecs = np.array(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+
+    def mse(books):
+        dsub = len(books[0][0])
+        tot = 0.0
+        for j, sub_books in enumerate(books):
+            sub = vecs[:, j * dsub : (j + 1) * dsub]
+            cw = np.array(sub_books)
+            tot += ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(-1).min(1).sum()
+        return tot / len(vecs)
+
+    seed = pq_seed_codebooks(emb)
+    trained = train_codebooks_fp(emb, seed)
+    assert recall(ann_pq_topk(emb, q, trained, k=10)) > recall(
+        ann_pq_topk(emb, q, seed, k=10)
+    )
+    assert mse(trained) < 0.80 * mse(seed)
+
+    ivf_seed = [ivf_seed_centroids(emb, k=16)]
+    ivf_trained = train_codebooks_fp(emb, ivf_seed)
+    assert mse(ivf_trained) < 0.75 * mse(ivf_seed)
+    r_seed = recall(ann_ivf_topk(emb, q, k=10, centroids=ivf_seed[0], nprobe=4))
+    r_trained = recall(
+        ann_ivf_topk(emb, q, k=10, centroids=ivf_trained[0], nprobe=4)
+    )
+    assert r_trained >= r_seed - 0.05, (r_trained, r_seed)
+
+
 def test_outlier_meanad_fallback_unmasks_spike_in_constant_dimension(
     spark, sf_dir, tmp_path
 ):
