@@ -360,3 +360,178 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (near-dup) media dedup — VERDICT r7 #6
+# ---------------------------------------------------------------------------
+
+_ND_BANDS = 4                                # bands over the 16 feature dims
+_ND_BAND_DIMS = _FEATURE_DIM // _ND_BANDS    # dims per band
+_ND_L1_MAX = 128                             # verify threshold (integer L1)
+
+
+def media_feature_codes(media: DataFrame) -> DataFrame:
+    """(doc_id, iq): each media item's INTEGER feature vector — the
+    :func:`extract_features` Arrow stage's floats mapped back to their
+    exact byte-sum values (features are k/255 by construction, so
+    ``round(f·255)`` recovers the integer k losslessly). Integer codes
+    are what make the near-dup verify and its DuckDB oracle hash-exact."""
+    return extract_features(media).select(
+        "doc_id",
+        F.transform(
+            "features", lambda f: F.round(f * F.lit(255.0)).cast("int")
+        ).alias("iq"),
+    )
+
+
+def media_neardup_pairs(
+    media: DataFrame, l1_max: int = _ND_L1_MAX
+) -> DataFrame:
+    """(id1, id2, l1) for media whose decoded feature vectors are within
+    ``l1_max`` total byte-distance — perceptual near-dup, the pass AFTER
+    content-hash dedup (byte-identical payloads belong to
+    q_multimodal_dedup upstream).
+
+    Blocking is banded-exact, never all-pairs: the 16 integer dims split
+    into {bands} bands of {dims}; candidates must agree EXACTLY on some
+    whole band. Deterministic recall floor by pigeonhole: a near-dup
+    whose perturbation touches ≤{miss} dims leaves at least one band
+    untouched and is guaranteed a candidate. Random (non-dup) features
+    agree on a 4-byte band with p ≈ 2⁻³², so block populations stay
+    tiny and the verify load ∝ true dups; degenerate identical-payload
+    mass is the upstream exact pass's job, mirroring the fuzzy family's
+    cap rationale. Verify is one integer zip_with fold (order-free,
+    engine-exact).""".format(
+        bands=_ND_BANDS, dims=_ND_BAND_DIMS, miss=_ND_BANDS - 1
+    )
+    iq = media_feature_codes(media)
+    banded = iq.select(
+        "doc_id",
+        "iq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice(
+                            "iq", b * _ND_BAND_DIMS + 1, _ND_BAND_DIMS
+                        ).alias("key"),
+                    )
+                    for b in range(_ND_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "iq", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        F.col("doc_id").alias("id1"),
+        F.col("iq").alias("__q1"),
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id2"),
+        F.col("iq").alias("__q2"),
+        "band",
+        "key",
+    )
+    l1 = F.aggregate(
+        F.zip_with("__q1", "__q2", lambda x, y: F.abs(x - y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", l1.cast("int").alias("l1"))
+        .filter(F.col("l1") <= l1_max)
+        .distinct()
+    )
+
+
+# the oracle's exact reconstruction of the Python feature stub: payload
+# is repeat(md5(id), copies) ASCII (attach_media), so integer feature d
+# is the byte-sum of positions d·window .. d·window+window−1 mod 256,
+# window = len/16 = 2·copies (length is divisible by 16, no padding)
+_ND_IQ_SQL = """
+      SELECT doc_id, (pos - 1) // (2 * copies) AS d,
+             CAST(SUM(ascii(substr(payload, pos, 1))) % 256 AS INT) AS q
+      FROM (
+        SELECT doc_id, copies,
+               repeat(md5(CAST(orig AS VARCHAR)), copies) AS payload
+        FROM {src}
+      ), unnest(generate_series(1, 32 * copies)) AS t(pos)
+      GROUP BY doc_id, (pos - 1) // (2 * copies)
+"""
+
+
+@register(
+    "q_multimodal_neardup",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, doc_id AS orig, CAST(doc_id % 7 + 1 AS INT) AS copies,
+             FALSE AS perturbed
+      FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), doc_id,
+             CAST(doc_id % 7 + 1 AS INT), TRUE
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, (pos - 1) // (2 * copies) AS d,
+             CAST(SUM(CASE WHEN perturbed AND pos = 32 * copies
+                           THEN 122  -- ascii('z'): the perturbed last byte
+                           ELSE ascii(substr(payload, pos, 1)) END)
+                  % 256 AS INT) AS q
+      FROM (
+        SELECT doc_id, copies, perturbed,
+               repeat(md5(CAST(orig AS VARCHAR)), copies) AS payload
+        FROM src
+      ), unnest(generate_series(1, 32 * copies)) AS t(pos)
+      GROUP BY doc_id, (pos - 1) // (2 * copies)
+    ),
+    iq AS (
+      SELECT doc_id, list(q ORDER BY d) AS iq FROM cells GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, iq, b.band,
+             iq[b.band * {_ND_BAND_DIMS} + 1 : (b.band + 1) * {_ND_BAND_DIMS}] AS key
+      FROM iq CROSS JOIN generate_series(0, {_ND_BANDS - 1}) AS b(band)
+    ),
+    pairs AS (
+      SELECT x.doc_id AS id1, y.doc_id AS id2,
+             CAST(list_sum(list_transform(
+               list_zip(x.iq, y.iq), p -> abs(p[1] - p[2]))) AS INT) AS l1
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT DISTINCT id1, id2, l1 FROM pairs WHERE l1 <= {_ND_L1_MAX}
+    """,
+)
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over media features: the corpus unions a
+    deterministic re-encode of every payload (same bytes except the last
+    one — a stand-in for lossy re-encoding), features run through the
+    REAL Arrow extract_features stage, and banded-exact blocking + an
+    integer L1 verify emit each item's near-dup pairs. Every original
+    must pair with its re-encode (one feature dim moves by ≤74 < the
+    128 threshold; 3 of 4 bands untouched guarantee the candidate);
+    random cross-pairs sit at L1 ≈ 1 300. Re-key offset is
+    max(doc_id)+1, the q_multimodal_dedup rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    m1 = attach_media(docs)
+    # deterministic "re-encode": last payload byte → 'z' (hex never ends
+    # in z, so the edit always lands and always moves exactly one byte)
+    perturbed = attach_media(docs).select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+        "media_type",
+        "media_meta",
+        F.concat(
+            F.expr("substring(payload, 1, length(payload) - 1)").cast("string"),
+            F.lit("z"),
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+    return media_neardup_pairs(m1.unionByName(perturbed))

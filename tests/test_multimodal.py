@@ -85,3 +85,51 @@ def test_sample_frames_counts_follow_duration(media):
         2000,
     ]
     assert all(r["frame_idx"] == r["frame_ts_ms"] // 1000 for r in rows)
+
+
+def test_neardup_finds_planted_perturbations_and_skips_strangers(spark):
+    """Planted perceptual near-dups: payloads differing in ≤3 feature
+    windows must pair (the banded-exact blocking's pigeonhole recall
+    floor — ≤3 touched dims of 16 leave a whole band intact), unrelated
+    payloads must not, and the emitted l1 must equal the exact integer
+    feature distance computed independently in Python."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.multimodal import (
+        _FEATURE_DIM,
+        media_neardup_pairs,
+    )
+    from iceberg_matrix_spark.session import local_df
+
+    base = b"0123456789abcdef" * 8  # 128 bytes → window 8
+    tweak1 = base[:-1] + b"z"  # 1 window touched
+    # +1 edits at bytes 8/48/88 → dims 1, 6, 11 (bands 0, 1, 2) touched;
+    # band 3 intact — the pigeonhole case with THREE perturbed dims
+    t = bytearray(base)
+    for p in (8, 48, 88):
+        t[p] += 1
+    tweak3 = bytes(t)
+    stranger = bytes((i * 37 + 11) % 256 for i in range(128))
+    rows = [
+        (1, "image", bytearray(base)),
+        (2, "image", bytearray(tweak1)),
+        (3, "image", bytearray(tweak3)),
+        (4, "image", bytearray(stranger)),
+    ]
+    media = local_df(
+        spark, rows, "doc_id bigint, media_type string, payload binary"
+    )
+    got = {(r.id1, r.id2): r.l1 for r in media_neardup_pairs(media).collect()}
+
+    def iq(p: bytes) -> list[int]:
+        arr = np.frombuffer(p, dtype=np.uint8)
+        w = len(arr) // _FEATURE_DIM
+        return [int(arr[d * w : (d + 1) * w].sum() % 256) for d in range(_FEATURE_DIM)]
+
+    def l1(a: bytes, b: bytes) -> int:
+        return sum(abs(x - y) for x, y in zip(iq(a), iq(b)))
+
+    assert (1, 2) in got and got[(1, 2)] == l1(base, tweak1)
+    assert (1, 3) in got and got[(1, 3)] == l1(base, tweak3)
+    assert all(4 not in pair for pair in got), got
