@@ -1561,29 +1561,74 @@ class IceLiteSQL:
                 amap[full_s] = "s"
         on = _rewrite_aliases(on_text.strip(), amap)
 
-        matched_update: dict[str, str] | None = None
-        matched_delete = False
+        matched_clauses: list[tuple[str | None, tuple]] = []
+        nmbs_clauses: list[tuple[str | None, tuple]] = []
         insert_when_not_matched = False
+        insert_condition: str | None = None
         reshape: dict[str, str] = {}
+
+        def _set_map(text: str) -> dict[str, str]:
+            out: dict[str, str] = {}
+            for assign in _split_top(text):
+                lhs, eq, rhs = assign.partition("=")
+                if not eq:
+                    raise UnsupportedSQLError(f"bad MERGE SET: {assign!r}")
+                col = lhs.strip().strip("`").split(".")[-1]
+                out[col] = _rewrite_aliases(rhs.strip(), amap)
+            return out
+
+        def _cond(text: str | None) -> str | None:
+            return _rewrite_aliases(text.strip(), amap) if text else None
+
         for clause in self._split_whens(whens_text):
-            cm = re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", clause, re.I | re.S)
+            cm = re.match(
+                r"MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+UPDATE\s+SET\s+(.*)$",
+                clause,
+                re.I | re.S,
+            )
             if cm:
-                matched_update = {}
-                for assign in _split_top(cm.group(1)):
-                    lhs, eq, rhs = assign.partition("=")
-                    if not eq:
-                        raise UnsupportedSQLError(f"bad MERGE SET: {assign!r}")
-                    col = lhs.strip().strip("`").split(".")[-1]
-                    matched_update[col] = _rewrite_aliases(rhs.strip(), amap)
+                matched_clauses.append(
+                    (_cond(cm.group(1)), ("update", _set_map(cm.group(2))))
+                )
                 continue
-            if re.match(r"MATCHED\s+THEN\s+DELETE\s*$", clause, re.I):
-                matched_delete = True
+            dm = re.match(
+                r"MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+DELETE\s*$", clause, re.I | re.S
+            )
+            if dm:
+                matched_clauses.append((_cond(dm.group(1)), ("delete",)))
                 continue
-            if re.match(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$", clause, re.I):
+            sm2 = re.match(
+                r"NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.*?)\s+)?THEN\s+"
+                r"(DELETE\s*$|UPDATE\s+SET\s+(.*)$)",
+                clause,
+                re.I | re.S,
+            )
+            if sm2:
+                # NOT MATCHED BY SOURCE conditions see TARGET columns only
+                action = (
+                    ("delete",)
+                    if sm2.group(2).strip().upper().startswith("DELETE")
+                    else ("update", _set_map(sm2.group(3)))
+                )
+                nmbs_clauses.append((_cond(sm2.group(1)), action))
+                continue
+            nm = re.match(
+                r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.*?)\s+)?THEN\s+INSERT\s+(.*)$",
+                clause,
+                re.I | re.S,
+            )
+            if nm and insert_when_not_matched:
+                raise UnsupportedSQLError(
+                    "multiple NOT MATCHED INSERT clauses are not supported"
+                )
+            ins_cond = _cond(nm.group(1)) if nm else None
+            if nm and re.match(r"\*\s*$", nm.group(2)):
                 insert_when_not_matched = True
+                insert_condition = ins_cond
                 continue
             im = re.match(
-                r"NOT\s+MATCHED\s+THEN\s+INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*$",
+                r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+.*?\s+)?THEN\s+"
+                r"INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*$",
                 clause,
                 re.I | re.S,
             )
@@ -1592,7 +1637,8 @@ class IceLiteSQL:
                 # positional against the target schema
                 # (duckdb_feature_tests.py:318-324)
                 bm = re.match(
-                    r"NOT\s+MATCHED\s+THEN\s+INSERT\s+VALUES\s*\((.*)\)\s*$",
+                    r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+.*?\s+)?THEN\s+"
+                    r"INSERT\s+VALUES\s*\((.*)\)\s*$",
                     clause,
                     re.I | re.S,
                 )
@@ -1635,16 +1681,24 @@ class IceLiteSQL:
                 )
                 reshape = dict(zip(names, cols))
                 insert_when_not_matched = True
+                insert_condition = ins_cond
                 continue
             raise UnsupportedSQLError(f"unsupported MERGE clause: WHEN {clause[:60]!r}")
 
-        if matched_update is not None and matched_delete:
-            # merge() can apply only one matched action; honoring DELETE
-            # and dropping the UPDATE would mis-execute silently
-            raise UnsupportedSQLError(
-                "MERGE with both WHEN MATCHED UPDATE and WHEN MATCHED "
-                "DELETE is not supported (no conditional WHEN MATCHED AND)"
-            )
+        # Spark's clause-order rule: within each WHEN family, every clause
+        # but the LAST must carry an AND condition — an unconditional
+        # clause shadows everything after it, so accepting one silently
+        # would make the later clauses dead code the user asked for.
+        for fam, clauses in (
+            ("MATCHED", matched_clauses),
+            ("NOT MATCHED BY SOURCE", nmbs_clauses),
+        ):
+            for cond, _action in clauses[:-1]:
+                if cond is None:
+                    raise UnsupportedSQLError(
+                        f"only the last WHEN {fam} clause may omit its AND "
+                        "condition (an unconditional clause shadows the rest)"
+                    )
 
         if reshape:
             # The reshaped source carries target column names; rewrite the
@@ -1663,15 +1717,25 @@ class IceLiteSQL:
                 return re.sub(r"\bs\.(\w+)", sub, expr)
 
             on = _remap(on)
-            if matched_update is not None:
-                matched_update = {c: _remap(e) for c, e in matched_update.items()}
+            matched_clauses = [
+                (
+                    _remap(cond) if cond else cond,
+                    ("update", {c: _remap(e) for c, e in a[1].items()})
+                    if a[0] == "update"
+                    else a,
+                )
+                for cond, a in matched_clauses
+            ]
+            if insert_condition:
+                insert_condition = _remap(insert_condition)
 
         self.catalog.load_table(target_id).merge(
             source,
             on=on,
-            matched_update=matched_update,
-            matched_delete=matched_delete,
             insert_when_not_matched=insert_when_not_matched,
+            matched_clauses=matched_clauses,
+            not_matched_by_source_clauses=nmbs_clauses,
+            insert_condition=insert_condition,
         )
 
     # --------------------------------------------------------------- CALL

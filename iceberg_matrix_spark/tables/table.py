@@ -1445,13 +1445,32 @@ class IceLiteTable:
         matched_delete: bool = False,
         insert_when_not_matched: bool = True,
         branch: str = "main",
+        matched_clauses: list[tuple[str | None, tuple]] | None = None,
+        not_matched_by_source_clauses: list[tuple[str | None, tuple]] | None = None,
+        insert_condition: str | None = None,
     ) -> None:
         """MERGE INTO t USING s ON <cond> — CoW plan, same full-outer
         equi-join Spark uses (iceberg_feature_tests.py:525-529).
 
         ``on`` references aliases ``t`` (target) and ``s`` (source);
         ``matched_update`` maps target column → expression over t/s.
+
+        Full clause grammar (round 8): ``matched_clauses`` /
+        ``not_matched_by_source_clauses`` are ORDERED lists of
+        ``(condition | None, action)`` with action ``("update", {col:
+        expr})`` or ``("delete",)`` — per row, the first clause whose
+        condition holds applies, later clauses are dead for that row
+        (Spark's WHEN ... AND semantics). The legacy single-action
+        kwargs remain as the unconditional one-clause special case.
+        ``insert_condition`` guards the NOT MATCHED [BY TARGET] INSERT.
         """
+        if matched_clauses is None:
+            matched_clauses = []
+            if matched_delete:
+                matched_clauses.append((None, ("delete",)))
+            elif matched_update is not None:
+                matched_clauses.append((None, ("update", matched_update)))
+        nmbs_clauses = not_matched_by_source_clauses or []
 
         src = source.withColumn("__s_present", F.lit(1))
 
@@ -1489,6 +1508,13 @@ class IceLiteTable:
                     "source or use upsert() for last-writer-wins)"
                 )
             affected = {r["__f"] for r in match_stats}
+            if nmbs_clauses:
+                # NOT MATCHED BY SOURCE can touch any target row, so
+                # every live file is a rewrite candidate (Spark/Iceberg
+                # CoW does the same file-level scoping)
+                affected = {
+                    _file_uri(f.path) for f in (parent.data_files if parent else [])
+                }
             keep_files = [
                 f for f in (parent.data_files if parent else []) if _file_uri(f.path) not in affected
             ]
@@ -1498,26 +1524,53 @@ class IceLiteTable:
                 scoped = joined.filter(
                     t_present & F.col(f"t.{_META_FILE}").isin(list(affected))
                 )
-                if matched_delete:
-                    survivors = scoped.filter(~s_marker)
-                    out_parts.append(
-                        survivors.select(*[F.col(f"t.{c}").alias(c) for c in schema_cols])
+                # Ordered first-match-wins clause resolution: one WHEN
+                # chain assigns each row its clause index (matched and
+                # not-matched-by-source rows are disjoint by marker, so a
+                # single chain keeps each family's own ordering).
+                all_clauses = [
+                    (s_marker, cond, action) for cond, action in matched_clauses
+                ] + [
+                    (~s_marker, cond, action) for cond, action in nmbs_clauses
+                ]
+                act = None
+                for i, (mk, cond, _action) in enumerate(all_clauses):
+                    full = mk & (F.expr(cond) if cond else F.lit(True))
+                    act = (
+                        F.when(full, F.lit(i))
+                        if act is None
+                        else act.when(full, F.lit(i))
                     )
-                else:
-                    upd = {c: f"t.{c}" for c in schema_cols}
-                    upd.update(matched_update or {})
-                    out_parts.append(
-                        scoped.select(
-                            *[
-                                F.when(s_marker, F.expr(upd[c]))
-                                .otherwise(F.col(f"t.{c}"))
-                                .alias(c)
-                                for c in schema_cols
-                            ]
+                act = act.otherwise(F.lit(-1)) if act is not None else F.lit(-1)
+                scoped = scoped.withColumn("__act", act)
+                del_ids = [
+                    i
+                    for i, (_m, _c, a) in enumerate(all_clauses)
+                    if a[0] == "delete"
+                ]
+                if del_ids:
+                    scoped = scoped.filter(~F.col("__act").isin(del_ids))
+
+                def _col_out(c: str) -> F.Column:
+                    expr = None
+                    for i, (_m, _c, a) in enumerate(all_clauses):
+                        if a[0] != "update":
+                            continue
+                        e = F.expr(a[1].get(c, f"t.{c}"))
+                        expr = (
+                            F.when(F.col("__act") == i, e)
+                            if expr is None
+                            else expr.when(F.col("__act") == i, e)
                         )
-                    )
+                    base = F.col(f"t.{c}")
+                    return (expr.otherwise(base) if expr is not None else base).alias(c)
+
+                out_parts.append(scoped.select(*[_col_out(c) for c in schema_cols]))
             if insert_when_not_matched:
-                inserts = joined.filter(~t_present & s_marker).select(
+                inserts = joined.filter(~t_present & s_marker)
+                if insert_condition:
+                    inserts = inserts.filter(F.expr(insert_condition))
+                inserts = inserts.select(
                     *[
                         F.col(f"s.{c}").alias(c) if c in source.columns else F.lit(None).alias(c)
                         for c in schema_cols

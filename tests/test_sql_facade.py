@@ -137,10 +137,20 @@ def test_unsupported_statements_raise(sql):
         sql.sql("UPDATE onepart SET v=1")
     sql.sql("CREATE NAMESPACE nsA")
     _seed(sql, "nsA.t", rows="(1,'a')")
+    # conditional WHEN MATCHED is SUPPORTED since round 8 (this used to
+    # be the pinned rejection); an id>1 condition on a 1-row self-merge
+    # must execute as a no-op
+    sql.sql(
+        """MERGE INTO nsA.t USING nsA.t s ON t.id = s.id
+           WHEN MATCHED AND s.id > 1 THEN DELETE"""
+    )
+    assert sql.sql("SELECT id FROM nsA.t").count() == 1
+    # still rejected: an unconditional clause shadowing a later one
     with pytest.raises(UnsupportedSQLError):
         sql.sql(
             """MERGE INTO nsA.t USING nsA.t s ON t.id = s.id
-               WHEN MATCHED AND s.id > 1 THEN DELETE"""
+               WHEN MATCHED THEN DELETE
+               WHEN MATCHED THEN UPDATE SET t.val = s.val"""
         )
 
 

@@ -1062,3 +1062,185 @@ def test_options_hint_selectors_read_right_data(fz, spark, rows, data):
     branch_rows = q("'branch'='b1'")
     assert (500, "branch-only", 0) in branch_rows
     assert all(r[0] != 600 for r in branch_rows)
+
+
+# ----------------------------------------------------------------- round 8:
+# MERGE clause grammar + time-travel spellings (VERDICT r7 #5)
+
+def _smod(a: int, b: int) -> int:
+    """SQL's sign-preserving % (truncated division), not Python's
+    floored % — they disagree on negative ids (-1 % 2: SQL -1, Python 1)."""
+    return a - int(a / b) * b
+
+
+_M_CONDS = [
+    ("{s}.num > {t}.num", lambda t, s: s[2] > t[2]),
+    ("{t}.id % 2 = 0", lambda t, s: _smod(t[0], 2) == 0),
+    ("{s}.val <> {t}.val", lambda t, s: s[1] != t[1]),
+]
+_NMBS_CONDS = [
+    ("{t}.num > 5", lambda t: t[2] > 5),
+    ("{t}.id % 2 = 1", lambda t: _smod(t[0], 2) == 1),
+]
+
+
+@settings(**SETTINGS)
+@given(tgt=row_sets(), src=row_sets(), data=st.data())
+def test_merge_conditional_clause_grammar_differential(fz, spark, tgt, src, data):
+    """Generated MERGE over the FULL clause grammar — WHEN MATCHED AND
+    <cond> (conditional update/delete with an optional unconditional
+    fallback, first-match-wins), NOT MATCHED BY SOURCE (delete/update,
+    optionally conditional), conditional INSERT — differentially checked
+    against an independent Python model of Spark's ordered-clause
+    semantics."""
+    ti = _fresh_table(fz, tgt)
+    si = _fresh_table(fz, src)
+    ta, sa = data.draw(st.sampled_from([("t", "s"), ("a", "b"), ("x", "y")]))
+    c_sql, c_py = data.draw(st.sampled_from(_M_CONDS))
+    c_sql = c_sql.format(t=ta, s=sa)
+    mshape = data.draw(
+        st.sampled_from(["up_else_del", "del_else_up", "up_only", "del_only"])
+    )
+    nshape = data.draw(st.sampled_from([None, "del", "cond_del", "upd"]))
+    nc_sql, nc_py = data.draw(st.sampled_from(_NMBS_CONDS))
+    nc_sql = nc_sql.format(t=ta)
+    ishape = data.draw(st.sampled_from([None, "star", "cond_star"]))
+    ic_py = lambda s: s[2] > 2  # noqa: E731
+
+    upd = f"UPDATE SET {ta}.val = {sa}.val, {ta}.num = {sa}.num + 100"
+    clauses = {
+        "up_else_del": [
+            f"WHEN MATCHED AND {c_sql} THEN {upd}",
+            "WHEN MATCHED THEN DELETE",
+        ],
+        "del_else_up": [
+            f"WHEN MATCHED AND {c_sql} THEN DELETE",
+            f"WHEN MATCHED THEN {upd}",
+        ],
+        "up_only": [f"WHEN MATCHED AND {c_sql} THEN {upd}"],
+        "del_only": [f"WHEN MATCHED AND {c_sql} THEN DELETE"],
+    }[mshape]
+    if nshape == "del":
+        clauses.append("WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    elif nshape == "cond_del":
+        clauses.append(f"WHEN NOT MATCHED BY SOURCE AND {nc_sql} THEN DELETE")
+    elif nshape == "upd":
+        clauses.append(
+            f"WHEN NOT MATCHED BY SOURCE THEN UPDATE SET {ta}.num = {ta}.num + 1000"
+        )
+    if ishape == "star":
+        clauses.append("WHEN NOT MATCHED THEN INSERT *")
+    elif ishape == "cond_star":
+        clauses.append(f"WHEN NOT MATCHED AND {sa}.num > 2 THEN INSERT *")
+    fz.sql(
+        f"MERGE INTO local.{ti} {ta} USING local.{si} {sa} "
+        f"ON {ta}.id = {sa}.id " + " ".join(clauses)
+    )
+
+    smap = {r[0]: r for r in src}
+    tids = {r[0] for r in tgt}
+    want = []
+    for t in tgt:
+        s = smap.get(t[0])
+        if s is not None:
+            updated = (t[0], s[1], s[2] + 100)
+            if mshape == "up_else_del":
+                if c_py(t, s):
+                    want.append(updated)
+            elif mshape == "del_else_up":
+                if not c_py(t, s):
+                    want.append(updated)
+            elif mshape == "up_only":
+                want.append(updated if c_py(t, s) else t)
+            elif not c_py(t, s):  # del_only
+                want.append(t)
+        elif nshape is None:
+            want.append(t)
+        elif nshape == "del":
+            pass
+        elif nshape == "cond_del":
+            if not nc_py(t):
+                want.append(t)
+        else:  # upd
+            want.append((t[0], t[1], t[2] + 1000))
+    for s in src:
+        if s[0] not in tids and (
+            ishape == "star" or (ishape == "cond_star" and ic_py(s))
+        ):
+            want.append(s)
+    got = _rows(fz.sql(f"SELECT id, val, num FROM local.{ti}"))
+    assert got == sorted(want), (mshape, nshape, ishape, c_sql)
+
+
+_BAD_MERGE_TAILS = [
+    # unconditional clause shadowing a later one in the same family
+    "WHEN MATCHED THEN UPDATE SET {t}.val = {s}.val WHEN MATCHED THEN DELETE",
+    "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET {t}.num = {t}.num "
+    "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    # duplicate INSERT clauses
+    "WHEN NOT MATCHED THEN INSERT * WHEN NOT MATCHED THEN INSERT *",
+    # nonsense action / invalid family-action combos
+    "WHEN MATCHED THEN UPSERT",
+    "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
+    "WHEN MATCHED THEN INSERT *",
+]
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_merge_grammar_rejection_without_effect(fz, spark, rows, data):
+    """Unsupported/ill-formed MERGE clause combinations must raise the
+    TYPED error and leave the target byte-identical — no partial apply,
+    no extra snapshot (the INSERT fuzz's rejection-without-effect
+    contract extended to the MERGE grammar)."""
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+
+    ti = _fresh_table(fz, rows)
+    si = _fresh_table(fz, rows)
+    before = _rows(fz.sql(f"SELECT id, val, num FROM local.{ti}"))
+    n_snaps = fz.sql(f"SELECT snapshot_id FROM local.{ti}.snapshots").count()
+    tail = data.draw(st.sampled_from(_BAD_MERGE_TAILS)).format(t="t", s="s")
+    with pytest.raises(UnsupportedSQLError):
+        fz.sql(f"MERGE INTO local.{ti} t USING local.{si} s ON t.id = s.id {tail}")
+    assert _rows(fz.sql(f"SELECT id, val, num FROM local.{ti}")) == before
+    assert (
+        fz.sql(f"SELECT snapshot_id FROM local.{ti}.snapshots").count() == n_snaps
+    )
+
+
+@settings(**SETTINGS)
+@given(rows=row_sets(), data=st.data())
+def test_timestamp_travel_spellings_agree(fz, spark, rows, data):
+    """Every dialect spelling of the same timestamp read — TIMESTAMP AS
+    OF, FOR TIMESTAMP AS OF, FOR SYSTEM_TIME AS OF (the reference's
+    redshift_feature_tests.py:1091-1097 probe set), the optional
+    TIMESTAMP keyword before the literal, and DuckDB's AT (TIMESTAMP =>)
+    — must return identical rows, equal to the snapshot the timestamp
+    resolves to; a malformed timestamp raises the typed error."""
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+
+    half = len(rows) // 2 or 1
+    ident = _fresh_table(fz, rows[:half])
+    if rows[half:]:
+        fz.sql(f"INSERT INTO local.{ident} VALUES {_values_sql(rows[half:])}")
+    snaps = fz.sql(
+        f"SELECT snapshot_id, committed_at FROM local.{ident}.snapshots "
+        f"ORDER BY committed_at"
+    ).collect()
+    pick = data.draw(st.integers(min_value=0, max_value=len(snaps) - 1))
+    from datetime import datetime, timezone
+
+    sid = snaps[pick][0]
+    ts = datetime.fromtimestamp(snaps[pick][1] / 1000, tz=timezone.utc).isoformat()
+    want = _rows(fz.sql(f"SELECT id, val, num FROM local.{ident} VERSION AS OF {sid}"))
+    spellings = [
+        f"SELECT id, val, num FROM local.{ident} TIMESTAMP AS OF '{ts}'",
+        f"SELECT id, val, num FROM local.{ident} FOR TIMESTAMP AS OF '{ts}'",
+        f"SELECT id, val, num FROM local.{ident} FOR SYSTEM_TIME AS OF '{ts}'",
+        f"SELECT id, val, num FROM local.{ident} TIMESTAMP AS OF TIMESTAMP '{ts}'",
+        f"SELECT id, val, num FROM local.{ident} AT (TIMESTAMP => '{ts}')",
+    ]
+    for q in spellings:
+        assert _rows(fz.sql(q)) == want, q
+    with pytest.raises(UnsupportedSQLError):
+        fz.sql(f"SELECT id FROM local.{ident} TIMESTAMP AS OF 'not-a-time'")
