@@ -1799,6 +1799,7 @@ def ann_ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al. 2011 §V — the FAISS IVFPQ composition): the
     coarse quantizer restricts each query to its ``nprobe`` nearest
@@ -1814,14 +1815,27 @@ def ann_ivfpq_topk(
     :func:`_nearest_clusters`; integer ADC; id tie-breaks), so even the
     APPROXIMATE nprobe<k form carries an exact SQL oracle — the oracle
     mirrors the algorithm, not the brute-force answer; recall vs the
-    exact top-k is pinned separately in pytest."""
-    enc = corpus.select(
-        F.col(id_col),
-        F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias(
-            "cid"
-        ),
-        _pq_codes_expr(vec_col, codebooks).alias("codes"),
-    )
+    exact top-k is pinned separately in pytest.
+
+    Pass ``corpus_index`` (a prebuilt/persisted (id, cid, codes) frame,
+    :func:`ivfpq_index`) to skip the encode projection — the production
+    path, and ALSO the robustness path: the inline cid/codes
+    expressions are plan literals over the embedding column, and
+    Catalyst's constraint propagation has been observed (round 8, plan-
+    state-dependent) to infer a cross-side filter from the cid join
+    equivalence that mis-binds the corpus scan's embedding attribute on
+    the broadcast probe side — an INTERNAL_ERROR at execution. A
+    materialized index is a plain leaf, so there is no alias constraint
+    to mis-rewrite."""
+    enc = corpus_index
+    if enc is None:
+        enc = corpus.select(
+            F.col(id_col),
+            F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias(
+                "cid"
+            ),
+            _pq_codes_expr(vec_col, codebooks).alias("codes"),
+        )
     probes = queries.select(
         F.col(query_id_col),
         F.explode(
@@ -1848,6 +1862,43 @@ def ann_ivfpq_topk(
 
 
 _IVFPQ_NPROBE = 4
+
+# Persisted (vec_id, cid, codes) IVF-PQ indexes per (corpus, quantizer
+# generation) — written to parquet once and read back, exactly what a
+# production ingest does. Persist-and-rescan (NOT cache/localCheckpoint)
+# is load-bearing: LogicalRDD-style truncation preserves the encode
+# Project's alias constraints, whose defining expressions reference the
+# now-pruned embedding column — Catalyst's constraint propagation then
+# infers a join filter carrying that dangling attribute onto the probe
+# side (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution, observed
+# round 8, plan-state-dependent). A fresh file scan carries no
+# constraints, so nothing can dangle.
+_IVFPQ_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def ivfpq_index_cached(
+    corpus: DataFrame,
+    corpus_key: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    tag: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    key = ("ivfpq", corpus_key, tag)
+    if key not in _IVFPQ_INDEX_CACHE:
+        import tempfile  # noqa: PLC0415
+
+        path = tempfile.mkdtemp(prefix="ivfpq-index-") + "/index.parquet"
+        corpus.select(
+            F.col(id_col),
+            F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias(
+                "cid"
+            ),
+            _pq_codes_expr(vec_col, codebooks).alias("codes"),
+        ).write.parquet(path)
+        _IVFPQ_INDEX_CACHE[key] = corpus.sparkSession.read.parquet(path)
+    return _IVFPQ_INDEX_CACHE[key]
 
 
 @register(
@@ -1929,6 +1980,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_seed_centroids_cached(emb, sf_dir)
     books = pq_seed_codebooks_cached(emb, sf_dir)
+    idx = ivfpq_index_cached(emb, sf_dir, cents, books, tag="seed")
     return ann_ivfpq_topk(
         emb,
         _query_vectors(spark, sf_dir),
@@ -1936,6 +1988,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         books,
         k=10,
         nprobe=_IVFPQ_NPROBE,
+        corpus_index=idx,
     )
 
 
@@ -2056,21 +2109,24 @@ def train_codebooks_fp(
 
 
 def _train_oracle_ctes(
-    m: int, k: int, dsub: int, iters: int = _TRAIN_ITERS
+    m: int, k: int, dsub: int, iters: int = _TRAIN_ITERS, prefix: str = ""
 ) -> tuple[str, str]:
     """The trainer loop-unrolled as DuckDB CTEs. Returns (ctes_sql,
     final_books_cte): the final CTE is (j, c, d, w) — subquantizer,
     codeword id, within-subvector dim, trained double value. Every
     arithmetic step mirrors :func:`train_codebooks_fp`'s exactly (see
-    the section comment for why each is engine-exact)."""
+    the section comment for why each is engine-exact). ``prefix``
+    namespaces the CTE names so two trainers (e.g. the IVF-PQ coarse +
+    fine quantizers) can share one WITH chain."""
+    P = prefix
     dim = m * dsub
     ctes = [
-        f"""ex AS (
+        f"""{P}ex AS (
       SELECT vec_id, (i-1) // {dsub} AS j, (i-1) % {dsub} AS d,
              CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)
     )""",
-        f"""b0 AS (
+        f"""{P}b0 AS (
       SELECT (i-1) // {dsub} AS j, r.c, (i-1) % {dsub} AS d,
              CAST(embedding[i] AS DOUBLE) AS w
       FROM (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
@@ -2079,39 +2135,39 @@ def _train_oracle_ctes(
     )""",
     ]
     for t in range(1, iters + 1):
-        prev = f"b{t - 1}"
+        prev = f"{P}b{t - 1}"
         ctes.append(
-            f"""d{t} AS (
+            f"""{P}d{t} AS (
       SELECT e.vec_id, e.j, b.c,
              SUM(CAST(floor((e.x - b.w) * (e.x - b.w) * {float(_TRAIN_DFP)}) AS BIGINT)) AS dfp
-      FROM ex e JOIN {prev} b ON b.j = e.j AND b.d = e.d
+      FROM {P}ex e JOIN {prev} b ON b.j = e.j AND b.d = e.d
       GROUP BY e.vec_id, e.j, b.c
     )"""
         )
         ctes.append(
-            f"""a{t} AS (
+            f"""{P}a{t} AS (
       SELECT vec_id, j, c FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dfp, c) rk
-        FROM d{t}) WHERE rk = 1
+        FROM {P}d{t}) WHERE rk = 1
     )"""
         )
         ctes.append(
-            f"""m{t} AS (
+            f"""{P}m{t} AS (
       SELECT a.j, a.c, e.d,
              SUM(CAST(round(e.x * {float(_TRAIN_FP)}) AS BIGINT)) AS s,
              COUNT(*) AS n
-      FROM a{t} a JOIN ex e ON e.vec_id = a.vec_id AND e.j = a.j
+      FROM {P}a{t} a JOIN {P}ex e ON e.vec_id = a.vec_id AND e.j = a.j
       GROUP BY a.j, a.c, e.d
     )"""
         )
         ctes.append(
-            f"""b{t} AS (
+            f"""{P}b{t} AS (
       SELECT p.j, p.c, p.d,
              COALESCE(CAST(m.s AS DOUBLE) / m.n / {float(_TRAIN_FP)}, p.w) AS w
-      FROM {prev} p LEFT JOIN m{t} m ON m.j = p.j AND m.c = p.c AND m.d = p.d
+      FROM {prev} p LEFT JOIN {P}m{t} m ON m.j = p.j AND m.c = p.c AND m.d = p.d
     )"""
         )
-    return ",\n    ".join(ctes), f"b{iters}"
+    return ",\n    ".join(ctes), f"{P}b{iters}"
 
 
 _TRAINED_BOOK_CACHE: dict[tuple, list[list[list[float]]]] = {}
@@ -2250,6 +2306,100 @@ def q_ivf_trained_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(_codes_fp_expr("embedding", [cents]), 1)
         .cast("int")
         .alias("cid"),
+    )
+
+
+def _trained_ivfpq_oracle() -> str:
+    iv_ctes, iv_fin = _train_oracle_ctes(1, _PQ_K, _DIM, prefix="iv_")
+    pq_ctes, pq_fin = _train_oracle_ctes(_PQ_M, _PQ_K, _PQ_DSUB, prefix="pq_")
+    return f"""
+    WITH {iv_ctes},
+    {pq_ctes},
+    cents AS (
+      SELECT c AS cid, list(w ORDER BY d) AS cvec FROM {iv_fin} GROUP BY c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) DESC,
+                          c.cid DESC) rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    subcw AS (
+      SELECT c AS cid, j, list(w ORDER BY d) AS w FROM {pq_fin} GROUP BY j, c
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT e.vec_id, s.j, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, s.j
+                 ORDER BY {_pq_dist2_sql("e.embedding", "s.w", "s.j")}, s.cid) rn
+        FROM embeddings e JOIN subcw s ON TRUE
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+    ),
+    qprobes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                           c.cvec) DESC,
+                          c.cid DESC) rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    dtab AS (
+      SELECT q.query_id, s.j, s.cid,
+             {_pq_dist2_sql("q.qv", "s.w", "s.j")} AS d
+      FROM q JOIN subcw s ON TRUE
+    ),
+    adc AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(FLOOR(d.d * {_PQ_SCALE}) AS BIGINT)) AS BIGINT) AS adc
+      FROM assign a
+      JOIN qprobes p ON p.cid = a.cid
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN dtab d ON d.query_id = p.query_id
+                 AND d.j = c.j AND d.cid = c.code
+      WHERE a.vec_id <> p.query_id
+      GROUP BY d.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, adc FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) rank
+      FROM adc
+    ) WHERE rank <= 10
+    """
+
+
+@register("q_ann_ivfpq_trained", oracle=_trained_ivfpq_oracle())
+def q_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over the fully TRAINED index — Lloyd-refined coarse
+    centroids (m=1 trainer) scoping the probes, Lloyd-refined PQ
+    codebooks ranking by integer ADC inside the probed inverted lists.
+    Completes the trained index menu: both trainers share one oracle
+    WITH chain (prefixed CTE namespaces), so the production composition
+    is hash-certified end-to-end like its seed-quantizer twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_trained_centroids_cached(emb, sf_dir)
+    books = pq_trained_codebooks_cached(emb, sf_dir)
+    idx = ivfpq_index_cached(emb, sf_dir, cents, books, tag="trained")
+    return ann_ivfpq_topk(
+        emb,
+        _query_vectors(spark, sf_dir),
+        cents,
+        books,
+        k=10,
+        nprobe=_IVFPQ_NPROBE,
+        corpus_index=idx,
     )
 
 

@@ -711,3 +711,90 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity-collapse screen for generated/synthetic corpus slices."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_diversity(docs)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (round 8) — the RAG/context-window prep staple
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64      # tokens per chunk
+CHUNK_OVERLAP = 16   # tokens shared with the previous chunk
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_toks, chunk_text): fixed-size sliding
+    token windows (stride = size − overlap; the final chunk may be
+    short, and a start inside the previous chunk's un-overlapped body is
+    never emitted — no chunk is a suffix of its predecessor).
+
+    Plan: one narrow projection computing the chunk COUNT arithmetically
+    from the token count, then explode(sequence) — chunk rows ∝ tokens,
+    no shuffle at all (the parquet scan's partitioning carries through);
+    chunk text is a slice of the already-split token array, so the
+    document text is tokenized exactly once."""
+    step = chunk_size - overlap
+    t = docs.select(F.col(id_col), tokens(text_col).alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    k_max = F.when(
+        F.col("__n") > chunk_size,
+        F.floor(
+            (F.col("__n") - chunk_size + step - 1) / F.lit(float(step))
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    return (
+        t.withColumn("__k", F.explode(F.sequence(F.lit(0), k_max)))
+        .select(
+            F.col(id_col),
+            F.col("__k").cast("int").alias("chunk_id"),
+            F.slice(
+                "__t", F.col("__k") * step + 1, chunk_size
+            ).alias("__c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__c").alias("n_chunk_toks"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS_SQL} AS t, len({TOKS_SQL}) AS n FROM documents
+    ),
+    k AS (
+      SELECT doc_id, t,
+             CASE WHEN n > {CHUNK_SIZE}
+                  THEN CAST(floor((n - {CHUNK_SIZE} + {CHUNK_SIZE - CHUNK_OVERLAP - 1})
+                                  / {float(CHUNK_SIZE - CHUNK_OVERLAP)}) AS INT)
+                  ELSE 0 END AS kmax
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+             t[g.i * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 :
+               g.i * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}] AS c
+      FROM k, unnest(generate_series(0, kmax)) AS g(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(c) AS INT) AS n_chunk_toks,
+           array_to_string(c, ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK_SIZE}-token chunks,
+    {CHUNK_OVERLAP}-token overlap) — the retrieval/context-prep staple;
+    chunk rows ∝ tokens with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_chunks(docs)
