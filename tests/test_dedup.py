@@ -133,3 +133,42 @@ def test_dsir_votes_follow_target_skew(spark):
     assert got[2] == 1 + 1
     assert got[3] == -3 + 1         # 3 bad + 1 shared
     assert got[4] == -1 + 1 - 1     # bad + shared + mixed
+
+
+def test_doc_chunks_boundaries_and_reassembly(spark):
+    """Chunk arithmetic at the edges: a doc at/below one chunk emits
+    exactly one chunk; an exact-stride-multiple doc emits no redundant
+    suffix chunk; every consecutive chunk pair overlaps by exactly the
+    configured overlap, and stitching de-overlapped chunks reproduces
+    the original token stream."""
+    from iceberg_matrix_spark.operators.text import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        doc_chunks,
+    )
+    from iceberg_matrix_spark.session import local_df
+
+    step = CHUNK_SIZE - CHUNK_OVERLAP
+    def words(n): return " ".join(f"w{i}" for i in range(n))
+    rows = [
+        (1, words(CHUNK_SIZE)),          # exactly one chunk
+        (2, words(5)),                   # short doc
+        (3, words(CHUNK_SIZE + step)),   # exact stride multiple: 2 chunks
+        (4, words(CHUNK_SIZE + step + 7)),  # ragged tail: 3rd short chunk
+    ]
+    docs = local_df(spark, rows, "doc_id bigint, text string")
+    got = {}
+    for r in doc_chunks(docs).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    assert len(got[1]) == 1 and len(got[1][0]) == CHUNK_SIZE
+    assert len(got[2]) == 1 and len(got[2][0]) == 5
+    assert len(got[3]) == 2
+    assert len(got[4]) == 3 and len(got[4][2]) == CHUNK_OVERLAP + 7
+    for doc_id, chunks in got.items():
+        n = {1: CHUNK_SIZE, 2: 5, 3: CHUNK_SIZE + step, 4: CHUNK_SIZE + step + 7}[doc_id]
+        for k in range(len(chunks) - 1):
+            assert chunks[k][step:] == chunks[k + 1][: CHUNK_SIZE - step]
+        stitched = chunks[0] + [
+            t for k in range(1, len(chunks)) for t in chunks[k][CHUNK_OVERLAP:]
+        ]
+        assert stitched == words(n).split(" "), doc_id

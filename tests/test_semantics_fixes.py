@@ -50,17 +50,27 @@ def test_merge_same_default_alias_rejected(sql):
 
 
 def test_merge_update_plus_delete_rejected(sql):
+    """Round 8: conditional matched clauses are supported, so the old
+    blanket update+delete rejection narrows to Spark's real rule — a
+    NON-FINAL clause without an AND condition is rejected (it would
+    shadow the rest); the conditional form executes."""
     sql.sql("CREATE TABLE ns.t (id BIGINT, v BIGINT) USING iceberg")
     sql.sql("CREATE TABLE ns.s (id BIGINT, v BIGINT) USING iceberg")
     sql.sql("INSERT INTO ns.t VALUES (1, 1)")
     sql.sql("INSERT INTO ns.s VALUES (1, 2)")
-    with pytest.raises(UnsupportedSQLError, match="UPDATE and WHEN MATCHED DELETE"):
+    with pytest.raises(UnsupportedSQLError, match="may omit its AND"):
         sql.sql(
             "MERGE INTO ns.t t USING ns.s s ON t.id = s.id "
             "WHEN MATCHED THEN UPDATE SET v = s.v "
             "WHEN MATCHED THEN DELETE"
         )
     assert sql.sql("SELECT v FROM ns.t").collect()[0][0] == 1  # untouched
+    sql.sql(
+        "MERGE INTO ns.t t USING ns.s s ON t.id = s.id "
+        "WHEN MATCHED AND s.v > 99 THEN UPDATE SET v = s.v "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert sql.sql("SELECT v FROM ns.t").count() == 0  # cond false → delete
 
 
 def test_ctas_body_literals_survive_clause_stripping(sql):
