@@ -490,6 +490,56 @@ def family_runners() -> dict:
 
         return canonical_by_centrality(docs)
 
+    def chunks(spark, docs, emb, ev, factor):
+        # explode ∝ tokens, zero shuffle: the sweep verifies the chunk
+        # generator stays a pure map stage as the corpus grows
+        from iceberg_matrix_spark.operators.text import doc_chunks  # noqa: PLC0415
+
+        return doc_chunks(docs)
+
+    def media_neardup(spark, docs, emb, ev, factor):
+        # banded-exact feature blocking: amplified ids produce disjoint
+        # payload populations, so true pairs (each original × its
+        # perturbed re-encode) grow ∝ factor and block populations stay
+        # tiny (4-byte exact keys) — candidate volume must track factor
+        from iceberg_matrix_spark.operators.multimodal import (  # noqa: PLC0415
+            attach_media,
+            media_neardup_pairs,
+        )
+
+        m = attach_media(docs)
+        perturbed = attach_media(docs).select(
+            (F.col("doc_id") + F.lit(10_000_000_000)).alias("doc_id"),
+            "media_type",
+            "media_meta",
+            F.concat(
+                F.expr("substring(payload, 1, length(payload) - 1)").cast(
+                    "string"
+                ),
+                F.lit("z"),
+            )
+            .cast("binary")
+            .alias("payload"),
+        )
+        return media_neardup_pairs(m.unionByName(perturbed))
+
+    def pq_train(spark, docs, emb, ev, factor):
+        # the index BUILD itself: 2 fixed-point Lloyd iterations — each
+        # is one codegen assignment pass + one (dim, cid) integer agg
+        # whose output is CONSTANT-size (m·k·dsub rows) regardless of
+        # corpus; wall must grow ∝ corpus, shuffle stays ~constant
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            pq_seed_codebooks,
+            train_codebooks_fp,
+        )
+
+        books = train_codebooks_fp(emb, pq_seed_codebooks(emb))
+        # return a frame so the harness's noop write has a plan to force
+        return spark.createDataFrame(
+            [(j, c) for j in range(len(books)) for c in range(len(books[0]))],
+            "j int, c int",
+        )
+
     def capstone(spark, docs, emb, ev, factor):
         # the composed curation DAG (gopher gate + span gate + exact
         # dedup + stratified sample + rollup) end-to-end: every stage is
@@ -530,6 +580,9 @@ def family_runners() -> dict:
         "components": components,
         "pagerank": pagerank,
         "capstone": capstone,
+        "chunks": chunks,
+        "media_neardup": media_neardup,
+        "pq_train": pq_train,
     }
 
 
