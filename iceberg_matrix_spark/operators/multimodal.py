@@ -394,17 +394,15 @@ def media_neardup_pairs(
     q_multimodal_dedup upstream).
 
     Blocking is banded-exact, never all-pairs: the 16 integer dims split
-    into {bands} bands of {dims}; candidates must agree EXACTLY on some
-    whole band. Deterministic recall floor by pigeonhole: a near-dup
-    whose perturbation touches ≤{miss} dims leaves at least one band
-    untouched and is guaranteed a candidate. Random (non-dup) features
-    agree on a 4-byte band with p ≈ 2⁻³², so block populations stay
-    tiny and the verify load ∝ true dups; degenerate identical-payload
-    mass is the upstream exact pass's job, mirroring the fuzzy family's
-    cap rationale. Verify is one integer zip_with fold (order-free,
-    engine-exact).""".format(
-        bands=_ND_BANDS, dims=_ND_BAND_DIMS, miss=_ND_BANDS - 1
-    )
+    into 4 bands of 4 (``_ND_BANDS`` × ``_ND_BAND_DIMS``); candidates
+    must agree EXACTLY on some whole band. Deterministic recall floor by
+    pigeonhole: a near-dup whose perturbation touches ≤3 dims leaves at
+    least one band untouched and is guaranteed a candidate. Random
+    (non-dup) features agree on a 4-byte band with p ≈ 2⁻³², so block
+    populations stay tiny and the verify load ∝ true dups; degenerate
+    identical-payload mass is the upstream exact pass's job, mirroring
+    the fuzzy family's cap rationale. Verify is one integer zip_with
+    fold (order-free, engine-exact)."""
     iq = media_feature_codes(media)
     banded = iq.select(
         "doc_id",

@@ -356,3 +356,22 @@ def test_quality_buckets_no_corpus_global_sort(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert broadcast_join_count(df) >= 1  # the bucket-map join
     assert shuffle_count(df) <= 6
+
+
+def test_doc_chunks_is_shuffle_free_and_prunes_columns(spark, sf_dir):
+    """Chunking must stay one generate stage: zero data shuffles (chunk
+    rows are born and die in their input partition) and the scan reads
+    only (doc_id, text)."""
+    df = QUERIES["q_doc_chunks"](spark, sf_dir)
+    assert data_shuffle_count(df) == 0
+    [cols] = scan_columns(df)
+    assert cols <= {"doc_id", "text"}
+
+
+def test_media_neardup_join_is_banded_equi_not_cartesian(spark, sf_dir):
+    """The near-dup candidate join must reach the engine as an equi-join
+    on the (band, key) blocking columns — a nested-loop/cartesian would
+    be the all-pairs scale-killer the banding exists to avoid."""
+    df = QUERIES["q_multimodal_neardup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
