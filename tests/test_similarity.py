@@ -316,6 +316,14 @@ def test_ivfpq_recall_floor(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in ivfpq}
     assert len(e & a) / len(e) >= 0.2
     assert len(p & a) / len(p) >= 0.5
+    # the TRAINED composition must hold the same floors (better
+    # codewords and centroids should never fall below the seed bars)
+    trained = QUERIES["q_ann_ivfpq_trained"](spark, sf_dir).collect()
+    t = {(r.query_id, r.neighbor_id) for r in trained}
+    full_pq_tr = QUERIES["q_ann_pq_trained"](spark, sf_dir).collect()
+    pt = {(r.query_id, r.neighbor_id) for r in full_pq_tr}
+    assert len(e & t) / len(e) >= 0.2
+    assert len(pt & t) / len(pt) >= 0.5
 
 
 def test_hamming_ann_recall_floor(spark, sf_dir):
