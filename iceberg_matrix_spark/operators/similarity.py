@@ -2309,6 +2309,54 @@ def q_ivf_trained_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scoped_trained_oracle() -> str:
+    ctes, fin = _train_oracle_ctes(1, 16, _DIM)
+    return f"""
+    WITH {ctes},
+    cents AS (
+      SELECT c AS cid, list(w ORDER BY d) AS cvec FROM {fin} GROUP BY c
+    ),
+    probes AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) DESC,
+                          c.cid DESC) rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      JOIN probes pa ON pa.vec_id = a.vec_id
+      JOIN probes pb ON pb.vec_id = b.vec_id AND pb.cid = pa.cid
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+    )
+    SELECT e.vec_id, (d.vec_id IS NULL) AS keep
+    FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+    """
+
+
+@register("q_dedup_semantic_scoped_trained", oracle=_scoped_trained_oracle())
+def q_dedup_semantic_scoped_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the TRAINED coarse quantizer — the production combo
+    q_dedup_semantic_scoped's docstring used to call 'not hash-checkable':
+    the round-8 fixed-point Lloyd trainer makes the learned clusters
+    themselves SQL-derivable, so scoping, assignment, and verdicts under
+    the trained quantizer all carry the exact oracle. Same plan as the
+    seed form, better clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_trained_centroids_cached(emb, sf_dir)
+    return semantic_dedup_scoped(
+        emb, "vec_id", "embedding", threshold=0.4, centroids=cents
+    )
+
+
+
 def _trained_ivfpq_oracle() -> str:
     iv_ctes, iv_fin = _train_oracle_ctes(1, _PQ_K, _DIM, prefix="iv_")
     pq_ctes, pq_fin = _train_oracle_ctes(_PQ_M, _PQ_K, _PQ_DSUB, prefix="pq_")

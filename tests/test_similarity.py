@@ -511,3 +511,28 @@ def test_outlier_meanad_fallback_unmasks_spike_in_constant_dimension(
         ORACLES["q_embedding_outliers"],
         str(tmp_path),
     )
+
+
+def test_trained_scoped_dedup_is_sound_and_subset_of_global(spark, sf_dir):
+    """Scoped dedup under the TRAINED quantizer must stay sound: every
+    row it drops is also dropped by the global (all-candidates) form —
+    cluster scoping can only REDUCE the candidate set, whatever the
+    centroids — and the trained scoping must not recall fewer dups than
+    the seed scoping by more than a small margin (better clusters should
+    group near-dups at least as well)."""
+    from iceberg_matrix_spark.queries import QUERIES
+
+    def dropped(name):
+        return {
+            r.vec_id for r in QUERIES[name](spark, sf_dir).collect() if not r.keep
+        }
+
+    global_d = dropped("q_dedup_semantic")
+    seed_d = dropped("q_dedup_semantic_scoped")
+    trained_d = dropped("q_dedup_semantic_scoped_trained")
+    assert trained_d <= global_d
+    assert seed_d <= global_d
+    assert len(trained_d) >= len(seed_d) - max(2, len(seed_d) // 10), (
+        len(trained_d),
+        len(seed_d),
+    )
