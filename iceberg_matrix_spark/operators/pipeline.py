@@ -28,7 +28,7 @@ All three are exactly SQL-oracle-able; no Python workers anywhere.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from iceberg_matrix_spark.operators.spans import _SPANS_SQL
 from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
@@ -943,3 +943,83 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report (round 8) — the one-pass dashboard a curation run
+# reads before deciding anything
+# ---------------------------------------------------------------------------
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) corpus health in ONE DAG: doc and token
+    counts, mean doc length, exact-duplicate share (docs whose
+    normalized-text fingerprint repeats corpus-wide), and the Gopher
+    quality-gate pass count — the numbers every run decision (reweight,
+    re-crawl, gate tuning) starts from.
+
+    Plan: one signals projection (token count, md5 fingerprint, gopher
+    verdict — all codegen), one fingerprint count (window over the
+    fingerprint key; dup mass is bounded by the exact-dedup family's
+    own shuffle argument), one per-(lang, source) aggregate. No stage
+    reads the corpus twice."""
+    from iceberg_matrix_spark.functions.text import md5_fingerprint, token_count
+
+    w = Window.partitionBy("__fp")
+    sig = (
+        gopher_rules(docs)
+        .select(
+            "lang",
+            "source",
+            F.col("keep").alias("__q"),
+            token_count("text").alias("__nt"),
+            md5_fingerprint("text").alias("__fp"),
+        )
+        .withColumn("__dup", F.count(F.lit(1)).over(w) > 1)
+    )
+    return sig.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("n_tokens"),
+        (F.sum("__nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(F.col("__dup").cast("int")).cast("bigint").alias("n_dup_docs"),
+        F.sum(F.col("__q").cast("int")).cast("bigint").alias("n_quality_pass"),
+    )
+
+
+@register(
+    "q_corpus_report",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang, source,
+             {_DECON_TOKS} AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS no_ws,
+             len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS symbol_hits
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, ({_GOPHER_KEEP_SQL}) AS keep FROM feat
+    ),
+    sig2 AS (
+      SELECT d.lang, d.source,
+             len({_DECON_TOKS}) AS nt,
+             md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
+             q.keep
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ),
+    dup AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY fp) > 1 AS is_dup FROM sig2
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+    FROM dup GROUP BY lang, source
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health dashboard per (lang, source): doc/token
+    counts, mean length, exact-dup share, quality-gate pass count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)
