@@ -402,7 +402,14 @@ def media_neardup_pairs(
     populations stay tiny and the verify load ∝ true dups; degenerate
     identical-payload mass is the upstream exact pass's job, mirroring
     the fuzzy family's cap rationale. Verify is one integer zip_with
-    fold (order-free, engine-exact)."""
+    fold (order-free, engine-exact).
+
+    Distance is CIRCULAR per dim — min(|a−b|, 256−|a−b|) — because the
+    features live on ℤ/256 (byte-sums mod 256): a small byte edit that
+    wraps the sum past 0/255 is still a small perceptual move, and a
+    plain |a−b| would score it near 256 and lose the pair (the round-8
+    wraparound bug: a +20..+74 last-byte delta on a dim valued ≥ 256−δ
+    read as L1 182..236 > the threshold)."""
     iq = media_feature_codes(media)
     banded = iq.select(
         "doc_id",
@@ -434,7 +441,13 @@ def media_neardup_pairs(
         "key",
     )
     l1 = F.aggregate(
-        F.zip_with("__q1", "__q2", lambda x, y: F.abs(x - y).cast("long")),
+        F.zip_with(
+            "__q1",
+            "__q2",
+            lambda x, y: F.least(
+                F.abs(x - y), F.lit(256) - F.abs(x - y)
+            ).cast("long"),
+        ),
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
@@ -499,7 +512,8 @@ _ND_IQ_SQL = """
     pairs AS (
       SELECT x.doc_id AS id1, y.doc_id AS id2,
              CAST(list_sum(list_transform(
-               list_zip(x.iq, y.iq), p -> abs(p[1] - p[2]))) AS INT) AS l1
+               list_zip(x.iq, y.iq),
+               p -> least(abs(p[1] - p[2]), 256 - abs(p[1] - p[2])))) AS INT) AS l1
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
     )
@@ -511,10 +525,12 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic re-encode of every payload (same bytes except the last
     one — a stand-in for lossy re-encoding), features run through the
     REAL Arrow extract_features stage, and banded-exact blocking + an
-    integer L1 verify emit each item's near-dup pairs. Every original
-    must pair with its re-encode (one feature dim moves by ≤74 < the
-    128 threshold; 3 of 4 bands untouched guarantee the candidate);
-    random cross-pairs sit at L1 ≈ 1 300. Re-key offset is
+    integer circular-L1 verify emit each item's near-dup pairs. Every
+    original pairs with its re-encode: one feature dim moves by a raw
+    +20..+74, which under the circular metric is ≤74 < the 128
+    threshold even when the mod-256 sum wraps (3 of 4 bands untouched
+    guarantee the candidate); random cross-pairs sit at circular L1
+    ≈ 1 000 (E|a−b|_circ = 64/dim × 16). Re-key offset is
     max(doc_id)+1, the q_multimodal_dedup rule."""
     docs = load_table(spark, sf_dir, "documents")
     off = docs.agg(F.max("doc_id")).collect()[0][0] + 1

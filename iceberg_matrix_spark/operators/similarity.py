@@ -1876,6 +1876,20 @@ _IVFPQ_NPROBE = 4
 _IVFPQ_INDEX_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _books_digest(*mats) -> str:
+    """Content digest of centroid/codebook matrices for cache keys:
+    a reused (corpus_key, tag) with DIFFERENT quantizers must miss the
+    cache, not silently serve an index built from the old generation
+    (ADVICE r8). repr() of Python floats round-trips exactly, so equal
+    digests ⇔ equal matrices."""
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.sha256()
+    for m in mats:
+        h.update(repr(m).encode())
+    return h.hexdigest()[:16]
+
+
 def ivfpq_index_cached(
     corpus: DataFrame,
     corpus_key: str,
@@ -1885,7 +1899,7 @@ def ivfpq_index_cached(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    key = ("ivfpq", corpus_key, tag)
+    key = ("ivfpq", corpus_key, tag, _books_digest(centroids, codebooks))
     if key not in _IVFPQ_INDEX_CACHE:
         import tempfile  # noqa: PLC0415
 
@@ -2016,6 +2030,17 @@ _TRAIN_ITERS = 2
 _TRAIN_FP = 1_000_000_000        # codeword-mean fixed point (nano-units)
 _TRAIN_DFP = 10_000_000_000      # per-term assignment-distance fixed point
 
+# Engine-exactness bound (bounded-collect-style contract): the
+# nano-unit sum s per (dim, codeword) cell must stay < 2^53. DuckDB
+# computes CAST(s AS DOUBLE)/n (s rounded to double FIRST), Python
+# computes the correctly-rounded s/n from exact integers — identical
+# only while s is exactly representable. With |x| ≲ 0.125 nano-units
+# are ≲ 1.25e8 per vector, so the bound trips around ~7e7 vectors in
+# ONE cell; train_codebooks_fp asserts and fails loudly instead of
+# drifting the oracle (a 100-TB build trains on a sample anyway — see
+# train_codebooks_sampled).
+_TRAIN_SUM_BOUND = 2**53
+
 
 def _dist2_fp(sub: F.Column, w: F.Column) -> F.Column:
     """Integer-stable squared L2: each term floored at ``_TRAIN_DFP``
@@ -2102,6 +2127,13 @@ def train_codebooks_fp(
         )
         new = [[list(w) for w in sub] for sub in books]
         for r in rows:
+            if abs(r["s"]) >= _TRAIN_SUM_BOUND:
+                raise AssertionError(
+                    f"fixed-point mean sum {r['s']} exceeds 2^53 for "
+                    f"(dim={r['dim']}, cid={r['cid']}): the DuckDB oracle's "
+                    "double division would no longer be bit-exact — train "
+                    "on a sample (train_codebooks_sampled) at this scale"
+                )
             j, d = r["dim"] // dsub, r["dim"] % dsub
             new[j][r["cid"]][d] = r["s"] / r["n"] / float(_TRAIN_FP)
         books = new
@@ -2176,11 +2208,13 @@ _TRAINED_BOOK_CACHE: dict[tuple, list[list[list[float]]]] = {}
 def pq_trained_codebooks_cached(
     corpus: DataFrame, corpus_key: str
 ) -> list[list[list[float]]]:
-    key = ("pq", corpus_key, _TRAIN_ITERS)
+    # seeds are re-derived (one k-row collect) so the key carries their
+    # digest: a corpus_key reused for a different corpus misses instead
+    # of returning books trained from the OLD seeds (ADVICE r8)
+    seeds = pq_seed_codebooks(corpus)
+    key = ("pq", corpus_key, _TRAIN_ITERS, _books_digest(seeds))
     if key not in _TRAINED_BOOK_CACHE:
-        _TRAINED_BOOK_CACHE[key] = train_codebooks_fp(
-            corpus, pq_seed_codebooks(corpus)
-        )
+        _TRAINED_BOOK_CACHE[key] = train_codebooks_fp(corpus, seeds)
     return _TRAINED_BOOK_CACHE[key]
 
 
@@ -2189,10 +2223,11 @@ def ivf_trained_centroids_cached(
 ) -> list[list[float]]:
     """Trained coarse centroids: the m=1 instance of the PQ trainer —
     one 'subquantizer' spanning all dims, seeded like
-    :func:`ivf_seed_centroids`."""
-    key = ("ivf", corpus_key, k, _TRAIN_ITERS)
+    :func:`ivf_seed_centroids`. Cache key carries the seed digest, same
+    rationale as :func:`pq_trained_codebooks_cached`."""
+    seeds = [ivf_seed_centroids(corpus, k=k)]
+    key = ("ivf", corpus_key, k, _TRAIN_ITERS, _books_digest(seeds))
     if key not in _TRAINED_BOOK_CACHE:
-        seeds = [ivf_seed_centroids(corpus, k=k)]
         _TRAINED_BOOK_CACHE[key] = train_codebooks_fp(corpus, seeds)
     return _TRAINED_BOOK_CACHE[key][0]
 

@@ -501,7 +501,9 @@ def family_runners() -> dict:
         # banded-exact feature blocking: amplified ids produce disjoint
         # payload populations, so true pairs (each original × its
         # perturbed re-encode) grow ∝ factor and block populations stay
-        # tiny (4-byte exact keys) — candidate volume must track factor
+        # tiny (4-byte exact keys) — candidate volume must track factor.
+        # Exactly ∝ since the circular metric: no mod-256 wraparound
+        # loss on the perturbed dim (ADVICE r8 fix)
         from iceberg_matrix_spark.operators.multimodal import (  # noqa: PLC0415
             attach_media,
             media_neardup_pairs,

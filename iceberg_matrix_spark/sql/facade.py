@@ -1612,8 +1612,13 @@ class IceLiteSQL:
                 )
                 nmbs_clauses.append((_cond(sm2.group(1)), action))
                 continue
+            # INSERT\b\s* (not \s+): 'INSERT(cols)' with no space before
+            # the paren must still land here — if this regex misses it,
+            # the im/bm regexes below (whose AND groups are
+            # non-capturing) would swallow a WHEN ... AND condition and
+            # run the insert unconditionally. Belt: the guard after im.
             nm = re.match(
-                r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.*?)\s+)?THEN\s+INSERT\s+(.*)$",
+                r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.*?)\s+)?THEN\s+INSERT\b\s*(.*)$",
                 clause,
                 re.I | re.S,
             )
@@ -1663,6 +1668,20 @@ class IceLiteSQL:
                         + ")",
                         re.I | re.S,
                     )
+            if (
+                im
+                and ins_cond is None
+                and re.match(
+                    r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?AND\s+", clause, re.I
+                )
+            ):
+                # reject-loudly contract: the clause carries an AND
+                # condition that nm failed to capture — executing the
+                # insert unconditionally would silently change semantics
+                raise UnsupportedSQLError(
+                    f"WHEN NOT MATCHED clause carries a condition the "
+                    f"parser could not capture: WHEN {clause[:60]!r}"
+                )
             if im:
                 cols = [c.strip().strip("`") for c in _split_top(im.group(1))]
                 exprs = [_rewrite_aliases(e, amap) for e in _split_top(im.group(2))]

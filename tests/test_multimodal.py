@@ -128,8 +128,39 @@ def test_neardup_finds_planted_perturbations_and_skips_strangers(spark):
         return [int(arr[d * w : (d + 1) * w].sum() % 256) for d in range(_FEATURE_DIM)]
 
     def l1(a: bytes, b: bytes) -> int:
-        return sum(abs(x - y) for x, y in zip(iq(a), iq(b)))
+        # circular per-dim distance on Z/256, matching the operator
+        return sum(
+            min(abs(x - y), 256 - abs(x - y)) for x, y in zip(iq(a), iq(b))
+        )
 
     assert (1, 2) in got and got[(1, 2)] == l1(base, tweak1)
     assert (1, 3) in got and got[(1, 3)] == l1(base, tweak3)
     assert all(4 not in pair for pair in got), got
+
+
+def test_neardup_survives_mod256_wraparound(spark):
+    """ADVICE r8 regression: a perturbation that wraps a feature dim past
+    255 must still pair. Payload engineered so the last dim's byte-sum
+    is 250; the +δ edit wraps it to a small value — plain |a−b| reads
+    ~246 (> the 128 threshold) and loses the pair, the circular metric
+    reads ≤ δ and keeps it."""
+    from iceberg_matrix_spark.operators.multimodal import (
+        _FEATURE_DIM,
+        _ND_L1_MAX,
+        media_neardup_pairs,
+    )
+    from iceberg_matrix_spark.session import local_df
+
+    # 128-byte payload of zeros except the last window sums to 250
+    base = bytearray(128)
+    base[-1] = 250  # dim 15 byte-sum = 250
+    tweak = bytearray(base)
+    tweak[-1] = (250 + 60) % 256  # raw delta +60 wraps: 250 → 54
+    rows = [(1, "image", base), (2, "image", bytes(tweak))]
+    media = local_df(
+        spark, rows, "doc_id bigint, media_type string, payload binary"
+    )
+    got = {(r.id1, r.id2): r.l1 for r in media_neardup_pairs(media).collect()}
+    assert (1, 2) in got, "wrapped near-dup lost — circular metric broken"
+    assert got[(1, 2)] == min(60, 256 - 60) <= _ND_L1_MAX
+    assert _FEATURE_DIM == 16

@@ -81,6 +81,27 @@ def test_merge_insert_column_list(sql):
     assert got == {1: "a", 9: "ins"}
 
 
+def test_merge_conditional_insert_no_space_before_paren(sql):
+    """ADVICE r8 regression: 'INSERT(cols)' with no space before the
+    paren used to skip the nm regex's condition capture while the im
+    regex swallowed the AND clause — the insert ran UNCONDITIONALLY.
+    The condition must bind: id=9 passes its condition, id=8 fails it
+    and must NOT be inserted."""
+    sql.sql("CREATE NAMESPACE nsq")
+    _seed(sql, "nsq.t", rows="(1,'a')")
+    sql.sql("CREATE TABLE nsq.s (k BIGINT, v STRING) USING iceberg")
+    sql.sql("INSERT INTO nsq.s VALUES (9,'yes'),(8,'no')")
+    sql.sql(
+        """MERGE INTO nsq.t USING nsq.s ON t.id = s.k
+           WHEN NOT MATCHED AND s.k > 8 THEN INSERT(id, val) VALUES (s.k, s.v)"""
+    )
+    got = {r["id"]: r["val"] for r in sql.sql("SELECT * FROM nsq.t").collect()}
+    assert got == {1: "a", 9: "yes"}, (
+        "conditional INSERT(cols) executed unconditionally — the AND "
+        "condition was dropped"
+    )
+
+
 def test_insert_column_list_fills_defaults(sql):
     sql.sql("CREATE NAMESPACE ns5")
     sql.sql("CREATE TABLE ns5.t (id BIGINT, val STRING) USING iceberg")
