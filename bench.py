@@ -8,6 +8,12 @@ Unlike the correctness harness, bench runs with AQE ON (runtime
 coalescing/skew handling — the production configuration). Each query is
 forced end-to-end with a noop sink (no driver collect bottleneck, no
 count() short-circuit that would let Catalyst prune the work).
+
+Round 9: timings are reported raw AND host-calibrated. Two fixed probes
+(pure-codegen CPU loop + lineitem scan) measure the host each run;
+"queries_normalized" divides by the probe ratio vs pinned reference
+values, so a slow host day rescales instead of reading as a regression.
+Each run appends its normalized series to BENCH_HISTORY.jsonl.
 """
 
 from __future__ import annotations
@@ -121,7 +127,79 @@ HEADLINE = [
     # is index-build work a deployment runs once at ingest, so the
     # per-query split reports it as setup (like q_merge_sql's CTAS).
     "q_ann_pq_trained",
+    # round 9: the sampled-training deployment path next to the
+    # full-train form — setup (Lloyd on the fixed-hash 1/3 slice)
+    # should read ~3x cheaper than q_ann_pq_trained's at equal recall
+    "q_ann_pq_trained_sampled",
 ]
+
+
+# --- host calibration (VERDICT r8 #1) -------------------------------------
+# Round 8's common-50 wall drifted 1.38x with ZERO code change — pure host
+# degradation — so raw seconds are no longer a trustworthy round-over-round
+# signal. Two fixed probes measure the host itself each run:
+#   * cpu: 4B-row pure-codegen range scan+agg (CPU/scheduler throughput)
+#   * scan: 3-column lineitem sum at sf0.1 (parquet decode + IO)
+# Every query is reported raw AND normalized (raw / host_factor, where
+# host_factor = mean of the probe ratios vs the pinned reference values).
+# Reference values pinned 2026-08-16 (round 9) on the then-current host;
+# the absolute anchor is arbitrary — only the normalized series' stability
+# across hosts matters.
+_CALIB_REF_CPU_S = 1.48
+_CALIB_REF_SCAN_S = 0.26
+_CALIB_RUNS = 3
+
+
+def _calibrate(spark, sf_dir: str, sf: float | None) -> dict:
+    from iceberg_matrix_spark.sources.testdata import load_table  # noqa: PLC0415
+
+    def cpu() -> float:
+        start = time.perf_counter()
+        spark.range(0, 4_000_000_000, 1, 32).selectExpr(
+            "sum(id % 1000) as a",
+            "avg(id % 7) as b",
+            "count(if(id % 11 = 0, 1, null)) as c",
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    def scan() -> float:
+        start = time.perf_counter()
+        load_table(spark, sf_dir, "lineitem").selectExpr(
+            "sum(l_extendedprice * (1 - l_discount)) as rev",
+            "sum(l_quantity) as q",
+            "count(*) as n",
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    cpu_s = min(cpu() for _ in range(_CALIB_RUNS))
+    scan_s = min(scan() for _ in range(_CALIB_RUNS))
+    ratios = [cpu_s / _CALIB_REF_CPU_S]
+    # the scan reference is sf0.1-specific; at any other SF the probe
+    # still runs (warm cache) but its ratio would compare apples to
+    # oranges, so the factor falls back to the CPU probe alone
+    if sf == 0.1:
+        ratios.append(scan_s / _CALIB_REF_SCAN_S)
+    factor = sum(ratios) / len(ratios)
+    return {
+        "cpu_s": round(cpu_s, 3),
+        "scan_s": round(scan_s, 3),
+        "ref_cpu_s": _CALIB_REF_CPU_S,
+        "ref_scan_s": _CALIB_REF_SCAN_S,
+        "host_factor": round(factor, 4),
+    }
+
+
+def _append_history(record: dict) -> None:
+    """Per-query normalized history (BENCH_HISTORY.jsonl, repo root):
+    lets any round assert 'normalized delta < X%' against prior runs
+    instead of eyeballing raw seconds across host moods."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_HISTORY.jsonl")
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError:
+        pass  # bench output is the contract; history is best-effort
 
 
 def main() -> None:
@@ -138,10 +216,14 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Two timed passes per query, report the min: at bench SF the data is
-    # tiny and wall-clock is dominated by scheduling overhead + host noise
-    # (observed 1.5x run-to-run spread on identical code); min-of-2 warm
-    # timings measures the plan, not the noise.
+    calibration = _calibrate(spark, sf_dir, sf)
+    host_factor = calibration["host_factor"]
+
+    # Three timed passes per query, report the min: at bench SF the data
+    # is tiny and wall-clock is dominated by scheduling overhead + host
+    # noise (observed 1.5x run-to-run spread on identical code); min-of-3
+    # warm timings measures the plan, not the noise (raised from
+    # min-of-2 in round 9 — VERDICT r8 #1).
     # Table-building DML queries measure setup (CTAS) and the DML itself
     # separately, so a MERGE regression can't hide inside CTAS noise. The
     # "queries" entry stays the end-to-end time (comparable with earlier
@@ -156,6 +238,8 @@ def main() -> None:
     )
 
     from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+        _pq_sampled_exec,
+        _pq_sampled_setup,
         _pq_trained_exec,
         _pq_trained_setup,
         _semantic_incremental_exec,
@@ -183,6 +267,8 @@ def main() -> None:
         ),
         # setup = Lloyd codebook training — once-per-corpus index work
         "q_ann_pq_trained": (_pq_trained_setup, _pq_trained_exec),
+        # setup = SAMPLED Lloyd training (the deployment build path)
+        "q_ann_pq_trained_sampled": (_pq_sampled_setup, _pq_sampled_exec),
     }
 
     timings: dict[str, float] = {}
@@ -196,7 +282,7 @@ def main() -> None:
             # actual run achieved
             best_total = float("inf")
             best_split: dict[str, float] = {}
-            for _ in range(2):
+            for _ in range(3):
                 start = time.perf_counter()
                 handle = setup_fn(spark, sf_dir)
                 setup_s = time.perf_counter() - start
@@ -213,24 +299,40 @@ def main() -> None:
             timings[name] = round(best_total, 3)
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "splits": splits,
-                "sf": sf,
-            }
-        )
+    normalized = {n: round(t / host_factor, 3) for n, t in timings.items()}
+    total_norm = round(sum(normalized.values()), 3)
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_normalized": normalized,
+        "value_normalized": total_norm,
+        "calibration": calibration,
+        "splits": splits,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    import datetime  # noqa: PLC0415
+
+    _append_history(
+        {
+            "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "sf": sf,
+            "calibration": calibration,
+            "value": total,
+            "value_normalized": total_norm,
+            "queries_normalized": normalized,
+        }
     )
     spark.stop()
 

@@ -2140,8 +2140,66 @@ def train_codebooks_fp(
     return books
 
 
+# Deterministic fixed-hash training sample (VERDICT r8 #3): at 100 TB
+# the full-corpus Lloyd pass is 2 complete scans for a ≤1 KiB artifact;
+# production trains on a slice. The slice must be ENGINE-EXACT so the
+# oracle reproduces it verbatim: h = (id · 2654435761) mod (10⁹+7)
+# (odd Knuth multiplier, prime modulus UNRELATED to the multiplier —
+# a modulus near the multiplier degenerates to a linear map whose
+# residues mod S are constant), keep h % S == 0 — pure BIGINT
+# arithmetic on both engines. Bound: id · 2654435761 must stay below
+# 2^63 ⇒ id < 3.47e9; fine for any per-shard id space, and the
+# multiply fails loudly under ANSI mode if ever exceeded.
+_TRAIN_SAMPLE_MOD = 3            # keep ~1/3 of the corpus
+_SAMPLE_A = 2654435761
+_SAMPLE_P = 1_000_000_007
+
+
+def corpus_hash_sample(
+    corpus: DataFrame, mod: int = _TRAIN_SAMPLE_MOD, id_col: str = "vec_id"
+) -> DataFrame:
+    h = (F.col(id_col) * F.lit(_SAMPLE_A)) % F.lit(_SAMPLE_P)
+    return corpus.filter(h % F.lit(mod) == 0)
+
+
+def _sample_pred_sql(mod: int = _TRAIN_SAMPLE_MOD, id_col: str = "vec_id") -> str:
+    return f"(({id_col} * {_SAMPLE_A}) % {_SAMPLE_P}) % {mod} = 0"
+
+
+def train_codebooks_sampled(
+    corpus: DataFrame,
+    iters: int = _TRAIN_ITERS,
+    vec_col: str = "embedding",
+    mod: int = _TRAIN_SAMPLE_MOD,
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """The DEPLOYMENT path of :func:`train_codebooks_fp`: Lloyd-refine
+    on the fixed-hash sample only, so the index build costs ``iters``
+    scans of corpus/``mod`` instead of the full corpus (and
+    each cell's nano-unit sum shrinks ``mod``× — more headroom under
+    the 2^53 engine-exactness bound). Same fixed-point arithmetic; the
+    oracle runs the same loop-unrolled CTEs over the sampled slice.
+    Recall parity vs full training is pinned in tests/test_similarity.py
+    (≥95% of full-train recall@10 at sf0.1)."""
+    sample = corpus_hash_sample(corpus, mod, id_col)
+    # seeds come from the FULL corpus (one TopK-by-id pass — cheap; the
+    # ITERATIONS are what scan twice): sharing the full trainer's seeds
+    # keeps both Lloyd runs descending from the same start, which is
+    # what makes the recall-parity pin tight (sample-local seeds landed
+    # a different local optimum, measured 0.66x full-train recall)
+    return train_codebooks_fp(
+        sample, pq_seed_codebooks(corpus, id_col, vec_col), iters, vec_col
+    )
+
+
 def _train_oracle_ctes(
-    m: int, k: int, dsub: int, iters: int = _TRAIN_ITERS, prefix: str = ""
+    m: int,
+    k: int,
+    dsub: int,
+    iters: int = _TRAIN_ITERS,
+    prefix: str = "",
+    src: str = "embeddings",
+    seed_src: str | None = None,
 ) -> tuple[str, str]:
     """The trainer loop-unrolled as DuckDB CTEs. Returns (ctes_sql,
     final_books_cte): the final CTE is (j, c, d, w) — subquantizer,
@@ -2149,20 +2207,24 @@ def _train_oracle_ctes(
     arithmetic step mirrors :func:`train_codebooks_fp`'s exactly (see
     the section comment for why each is engine-exact). ``prefix``
     namespaces the CTE names so two trainers (e.g. the IVF-PQ coarse +
-    fine quantizers) can share one WITH chain."""
+    fine quantizers) can share one WITH chain. ``src`` is the training
+    relation the ITERATIONS scan (a prior CTE name for SAMPLED
+    training); ``seed_src`` (default: src) is where the k seed rows
+    come from — the sampled trainer seeds from the FULL corpus."""
     P = prefix
+    seed_src = seed_src or src
     dim = m * dsub
     ctes = [
         f"""{P}ex AS (
       SELECT vec_id, (i-1) // {dsub} AS j, (i-1) % {dsub} AS d,
              CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)
+      FROM {src}, unnest(generate_series(1, {dim})) AS t(i)
     )""",
         f"""{P}b0 AS (
       SELECT (i-1) // {dsub} AS j, r.c, (i-1) % {dsub} AS d,
              CAST(embedding[i] AS DOUBLE) AS w
       FROM (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
-            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})) r,
+            FROM (SELECT * FROM {seed_src} ORDER BY vec_id LIMIT {k})) r,
            unnest(generate_series(1, {dim})) AS t(i)
     )""",
     ]
@@ -2232,11 +2294,11 @@ def ivf_trained_centroids_cached(
     return _TRAINED_BOOK_CACHE[key][0]
 
 
-def _trained_pq_oracle() -> str:
-    ctes, bfin = _train_oracle_ctes(_PQ_M, _PQ_K, _PQ_DSUB)
-    return f"""
-    WITH {ctes},
-    subcw AS (
+def _pq_adc_tail_sql(bfin: str) -> str:
+    """The ADC search over FULL embeddings given trained books in CTE
+    ``bfin`` — shared by the full-train and sampled-train oracles (the
+    search is identical; only where the books came from differs)."""
+    return f"""subcw AS (
       SELECT c AS cid, j, list(w ORDER BY d) AS w
       FROM {bfin} GROUP BY j, c
     ),
@@ -2269,8 +2331,75 @@ def _trained_pq_oracle() -> str:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc, neighbor_id) rank
       FROM adc
-    ) WHERE rank <= 10
+    ) WHERE rank <= 10"""
+
+
+def _trained_pq_oracle() -> str:
+    ctes, bfin = _train_oracle_ctes(_PQ_M, _PQ_K, _PQ_DSUB)
+    return f"""
+    WITH {ctes},
+    {_pq_adc_tail_sql(bfin)}
     """
+
+
+def _sampled_pq_oracle() -> str:
+    ctes, bfin = _train_oracle_ctes(
+        _PQ_M, _PQ_K, _PQ_DSUB, src="smp", seed_src="embeddings"
+    )
+    return f"""
+    WITH smp AS (SELECT * FROM embeddings WHERE {_sample_pred_sql()}),
+    {ctes},
+    {_pq_adc_tail_sql(bfin)}
+    """
+
+
+def pq_sampled_codebooks_cached(
+    corpus: DataFrame, corpus_key: str
+) -> list[list[list[float]]]:
+    # seeds from the FULL corpus, refinement on the sample — must stay
+    # in lockstep with train_codebooks_sampled (the digest keys on the
+    # same full-corpus seeds)
+    seeds = pq_seed_codebooks(corpus)
+    key = (
+        "pq-sampled",
+        corpus_key,
+        _TRAIN_ITERS,
+        _TRAIN_SAMPLE_MOD,
+        _books_digest(seeds),
+    )
+    if key not in _TRAINED_BOOK_CACHE:
+        _TRAINED_BOOK_CACHE[key] = train_codebooks_sampled(corpus)
+    return _TRAINED_BOOK_CACHE[key]
+
+
+def _pq_sampled_setup(spark: SparkSession, sf_dir: str):
+    """Bench split: SAMPLED codebook training — the deployment build
+    path, iters scans of corpus/4 instead of the full corpus. Fresh
+    each run (no cache) so the headline shows the real build cost
+    next to q_ann_pq_trained's full-train setup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (spark, sf_dir, emb, train_codebooks_sampled(emb))
+
+
+def _pq_sampled_exec(handle) -> DataFrame:
+    spark, sf_dir, emb, books = handle
+    return ann_pq_topk(emb, _query_vectors(spark, sf_dir), books, k=10)
+
+
+@register("q_ann_pq_trained_sampled", oracle=_sampled_pq_oracle())
+def q_ann_pq_trained_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-10 over codebooks Lloyd-trained on the FIXED-HASH
+    sample (~1/3 of the corpus, _TRAIN_SAMPLE_MOD) — the deployment form
+    of q_ann_pq_trained: at 100 TB the full-train path burns 2 complete
+    corpus scans for a ≤1 KiB artifact (VERDICT r8 #3), the sampled
+    path pays 2 scans of a fixed fraction with recall parity pinned in
+    pytest (≥95% of full-train recall@10). The search over the FULL
+    corpus is unchanged; the oracle re-derives the sampled slice with
+    the same BIGINT hash predicate and loop-unrolls the same Lloyd
+    CTEs over it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_sampled_codebooks_cached(emb, sf_dir)
+    return ann_pq_topk(emb, _query_vectors(spark, sf_dir), books, k=10)
 
 
 def _pq_trained_setup(spark: SparkSession, sf_dir: str):

@@ -542,6 +542,20 @@ def family_runners() -> dict:
             "j int, c int",
         )
 
+    def pq_train_sampled(spark, docs, emb, ev, factor):
+        # the DEPLOYMENT build: same 2 Lloyd iterations but over the
+        # fixed-hash ~1/3 slice — wall should grow ∝ corpus/3 (the seed
+        # TopK pass still reads everything once), shuffle ~constant
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            train_codebooks_sampled,
+        )
+
+        books = train_codebooks_sampled(emb)
+        return spark.createDataFrame(
+            [(j, c) for j in range(len(books)) for c in range(len(books[0]))],
+            "j int, c int",
+        )
+
     def capstone(spark, docs, emb, ev, factor):
         # the composed curation DAG (gopher gate + span gate + exact
         # dedup + stratified sample + rollup) end-to-end: every stage is
@@ -585,6 +599,7 @@ def family_runners() -> dict:
         "chunks": chunks,
         "media_neardup": media_neardup,
         "pq_train": pq_train,
+        "pq_train_sampled": pq_train_sampled,
     }
 
 

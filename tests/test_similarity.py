@@ -467,6 +467,53 @@ def test_trained_codebooks_beat_seed_codebooks(spark, sf_dir):
     assert r_trained >= r_seed - 0.05, (r_trained, r_seed)
 
 
+def test_sampled_training_recall_parity_with_full(spark):
+    """VERDICT r8 #3: the deployment trainer (Lloyd on the fixed-hash
+    ~1/3 sample, seeds shared with the full trainer) must hold ≥95% of
+    full-train recall@10 at sf0.1 over 32 queries. Fully deterministic:
+    fixed hash slice, fixed seeds, fixed data — measured ratio 1.031
+    (the sampled books actually edge out the full ones here)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.similarity import (
+        ann_pq_topk,
+        brute_force_topk,
+        corpus_hash_sample,
+        pq_seed_codebooks,
+        train_codebooks_fp,
+        train_codebooks_sampled,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.1"
+    emb = load_table(spark, sf, "embeddings")
+    n, n_smp = emb.count(), corpus_hash_sample(emb).count()
+    # the hash slice must be a real fraction, not degenerate (the first
+    # cut used modulus = multiplier + 28, which kept ONE row)
+    assert 0.2 * n <= n_smp <= 0.45 * n, (n, n_smp)
+
+    q = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact: dict[int, set] = {}
+    for r in brute_force_topk(emb, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got[k] & exact[k]) for k in exact) / sum(
+            len(v) for v in exact.values()
+        )
+
+    full = train_codebooks_fp(emb, pq_seed_codebooks(emb))
+    sampled = train_codebooks_sampled(emb)
+    r_full = recall(ann_pq_topk(emb, q, full, k=10))
+    r_sampled = recall(ann_pq_topk(emb, q, sampled, k=10))
+    assert r_sampled >= 0.95 * r_full, (r_sampled, r_full)
+
+
 def test_outlier_meanad_fallback_unmasks_spike_in_constant_dimension(
     spark, sf_dir, tmp_path
 ):
