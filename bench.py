@@ -131,6 +131,10 @@ HEADLINE = [
     # full-train form — setup (Lloyd on the fixed-hash 1/3 slice)
     # should read ~3x cheaper than q_ann_pq_trained's at equal recall
     "q_ann_pq_trained_sampled",
+    # round 9: the production retrieval composition — ADC shortlist +
+    # exact rerank (quantizers/index warm via the query's caches, so
+    # this measures the per-query search+rerank path)
+    "q_ann_ivfpq_rerank",
 ]
 
 

@@ -1861,6 +1861,76 @@ def ann_ivfpq_topk(
     )
 
 
+def ann_ivfpq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """ADC shortlist → EXACT-cosine rerank → top-k: the production
+    retrieval form (every real PQ deployment reranks the compressed-
+    domain top-R with exact distances — Jégou et al. 2011 §V.C; the
+    honest cost of skipping it was the r8 recall@10 of ~0.3).
+
+    Plan shape at scale: the shortlist is |queries|·R rows → BROADCAST
+    back against the corpus scan, so fetching the full vectors for
+    rerank is one map-side semi-join over the corpus (no corpus
+    shuffle); the exact cosine is the certified brute-force spelling
+    (one dot fold / precomputed norms) evaluated on ≤ |queries|·R rows;
+    the final top-k window sees the same tiny frame. Deterministic end
+    to end (integer ADC shortlist, id tie-breaks both stages), so the
+    composition carries an exact SQL oracle."""
+    short = ann_ivfpq_topk(
+        corpus,
+        queries,
+        centroids,
+        codebooks,
+        k=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        corpus_index=corpus_index,
+    ).select(query_id_col, "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        l2_norm(query_vec_col).alias("__qn"),
+    )
+    fetched = c.join(F.broadcast(short), "neighbor_id").join(
+        F.broadcast(q), query_id_col
+    )
+    scored = fetched.select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        (dot(vec_col, query_vec_col) / (F.col("__cn") * F.col("__qn"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "score")
+    )
+
+
 _IVFPQ_NPROBE = 4
 
 # Persisted (vec_id, cid, codes) IVF-PQ indexes per (corpus, quantizer
@@ -2521,7 +2591,11 @@ def q_dedup_semantic_scoped_trained(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 
-def _trained_ivfpq_oracle() -> str:
+def _trained_ivfpq_with_chain() -> str:
+    """WITH chain deriving trained cents+books, the persisted-index
+    shape (assign/codes), the probe set, and the ADC scores — shared by
+    the plain trained IVF-PQ oracle and the rerank oracle (which differ
+    only in what they do after ``adc``)."""
     iv_ctes, iv_fin = _train_oracle_ctes(1, _PQ_K, _DIM, prefix="iv_")
     pq_ctes, pq_fin = _train_oracle_ctes(_PQ_M, _PQ_K, _PQ_DSUB, prefix="pq_")
     return f"""
@@ -2583,11 +2657,43 @@ def _trained_ivfpq_oracle() -> str:
                  AND d.j = c.j AND d.cid = c.code
       WHERE a.vec_id <> p.query_id
       GROUP BY d.query_id, c.vec_id
-    )
+    )"""
+
+
+def _trained_ivfpq_oracle() -> str:
+    return f"""{_trained_ivfpq_with_chain()}
     SELECT query_id, neighbor_id, rank, adc FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc, neighbor_id) rank
       FROM adc
+    ) WHERE rank <= 10
+    """
+
+
+_RERANK_SHORTLIST = 50
+
+
+def _ivfpq_rerank_oracle() -> str:
+    return f"""{_trained_ivfpq_with_chain()},
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) rk
+        FROM adc
+      ) WHERE rk <= {_RERANK_SHORTLIST}
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS score
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) rank
+      FROM rr
     ) WHERE rank <= 10
     """
 
@@ -2610,6 +2716,33 @@ def q_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         books,
         k=10,
+        nprobe=_IVFPQ_NPROBE,
+        corpus_index=idx,
+    )
+
+
+@register("q_ann_ivfpq_rerank", oracle=_ivfpq_rerank_oracle())
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF-PQ shortlist (ADC top-50) → exact-cosine rerank →
+    top-10: the production retrieval composition (VERDICT r8 #4). The
+    compressed-domain ADC is only a preranker; reranking its top-R with
+    exact distances recovers most of the recall the 8-byte codes gave
+    up (floor pinned ≥0.7 in pytest vs ~0.3 for raw ADC@10). The
+    shortlist broadcasts back against the corpus scan, so the vector
+    fetch is map-side; the oracle replays the whole chain — trained
+    quantizers, persisted-index shape, ADC shortlist, exact rerank —
+    as one WITH chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_trained_centroids_cached(emb, sf_dir)
+    books = pq_trained_codebooks_cached(emb, sf_dir)
+    idx = ivfpq_index_cached(emb, sf_dir, cents, books, tag="trained")
+    return ann_ivfpq_rerank(
+        emb,
+        _query_vectors(spark, sf_dir),
+        cents,
+        books,
+        k=10,
+        shortlist=_RERANK_SHORTLIST,
         nprobe=_IVFPQ_NPROBE,
         corpus_index=idx,
     )

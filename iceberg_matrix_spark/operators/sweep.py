@@ -542,6 +542,24 @@ def family_runners() -> dict:
             "j int, c int",
         )
 
+    def ivfpq_rerank(spark, docs, emb, ev, factor):
+        # the production retrieval composition: ADC shortlist (map-side
+        # probe join over the encoded corpus) + exact rerank of the
+        # |queries|·50 shortlist broadcast back against the corpus scan
+        # — rerank volume is FIXED per query, so wall must track the
+        # encode/probe scan (∝ corpus) with a flat rerank tail
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            ann_ivfpq_rerank,
+            ivf_seed_centroids,
+            pq_seed_codebooks,
+        )
+
+        cents = ivf_seed_centroids(emb, k=16)
+        books = pq_seed_codebooks(emb)
+        return ann_ivfpq_rerank(
+            emb, _fixed_queries(emb, factor), cents, books, k=10
+        )
+
     def pq_train_sampled(spark, docs, emb, ev, factor):
         # the DEPLOYMENT build: same 2 Lloyd iterations but over the
         # fixed-hash ~1/3 slice — wall should grow ∝ corpus/3 (the seed
@@ -600,6 +618,7 @@ def family_runners() -> dict:
         "media_neardup": media_neardup,
         "pq_train": pq_train,
         "pq_train_sampled": pq_train_sampled,
+        "ivfpq_rerank": ivfpq_rerank,
     }
 
 

@@ -467,6 +467,33 @@ def test_trained_codebooks_beat_seed_codebooks(spark, sf_dir):
     assert r_trained >= r_seed - 0.05, (r_trained, r_seed)
 
 
+def test_ivfpq_rerank_recall_floor(spark, sf_dir):
+    """VERDICT r8 #4: ADC shortlist (R=50) + exact-cosine rerank must
+    recover most of the recall the 8-byte codes give up — floor ≥0.7
+    at k=10 vs exact brute force (measured 0.78 sf0.001 / 0.80 sf0.01 /
+    0.74 sf0.1; raw trained ADC@10 sits at ~0.3). The remaining gap is
+    IVF probe coverage (nprobe=4 of 16 cells), not the rerank. Also
+    sanity-pins that rerank strictly beats the unreranked form."""
+    from iceberg_matrix_spark.queries import QUERIES
+
+    exact: dict[int, set] = {}
+    for r in QUERIES["q_ann_bruteforce_topk"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(name):
+        got: dict[int, set] = {}
+        for r in QUERIES[name](spark, sf_dir).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(k, set()) & exact[k]) for k in exact) / sum(
+            len(v) for v in exact.values()
+        )
+
+    r_rerank = recall("q_ann_ivfpq_rerank")
+    r_adc = recall("q_ann_ivfpq_trained")
+    assert r_rerank >= 0.7, r_rerank
+    assert r_rerank > r_adc, (r_rerank, r_adc)
+
+
 def test_sampled_training_recall_parity_with_full(spark):
     """VERDICT r8 #3: the deployment trainer (Lloyd on the fixed-hash
     ~1/3 sample, seeds shared with the full trainer) must hold ≥95% of
