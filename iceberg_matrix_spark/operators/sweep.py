@@ -497,6 +497,17 @@ def family_runners() -> dict:
 
         return doc_chunks(docs)
 
+    def chunk_dedup(spark, docs, emb, ev, factor):
+        # composition: zero-shuffle chunk generate + exact fingerprint
+        # agg + capped-postings near-dup + per-doc window — every stage
+        # individually swept-linear; this row proves the chunk-level
+        # composition inherits it (chunk rows ∝ tokens ∝ factor)
+        from iceberg_matrix_spark.operators.text import (  # noqa: PLC0415
+            chunk_dedup_summary,
+        )
+
+        return chunk_dedup_summary(docs)
+
     def media_neardup(spark, docs, emb, ev, factor):
         # banded-exact feature blocking: amplified ids produce disjoint
         # payload populations, so true pairs (each original × its
@@ -619,6 +630,7 @@ def family_runners() -> dict:
         "pq_train": pq_train,
         "pq_train_sampled": pq_train_sampled,
         "ivfpq_rerank": ivfpq_rerank,
+        "chunk_dedup": chunk_dedup,
     }
 
 

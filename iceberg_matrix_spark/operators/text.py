@@ -798,3 +798,193 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk rows ∝ tokens with zero shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return doc_chunks(docs)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup (round 9) — the shape RAG/pretraining pipelines run
+# ---------------------------------------------------------------------------
+
+# chunk key = doc_id · 2^20 + chunk_id: one BIGINT the dedup operators
+# can carry. Bounds (fail-loud under ANSI if exceeded): chunk_id < 2^20
+# ⇒ docs up to ~50M tokens; doc_id < 2^43.
+_CKEY_SHIFT = 1 << 20
+CHUNK_DD_THRESHOLD = 0.6
+CHUNK_DD_MAX_DOC_FREQ = 64
+
+
+def chunk_dedup_summary(
+    docs: DataFrame,
+    threshold: float = CHUNK_DD_THRESHOLD,
+    max_doc_freq: int = CHUNK_DD_MAX_DOC_FREQ,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup at CHUNK granularity, de-overlapped back to docs — the
+    composition real RAG/pretraining pipelines run (VERDICT r8 #5):
+
+    1. :func:`doc_chunks` (zero shuffle, chunk rows ∝ tokens);
+    2. exact pass — min-ckey representative per normalized md5
+       fingerprint (the dedup_exact idiom: min() aggregate + semi-join,
+       never a corpus-wide window);
+    3. near-dup pass among exact survivors — 3-gram Jaccard ≥
+       ``threshold`` via the capped inverted index
+       (:func:`~iceberg_matrix_spark.operators.dedup.ngram_jaccard_pairs`),
+       greedy SemDeDup drop rule (a chunk with ANY smaller near-dup
+       partner is dropped — the q_dedup_semantic verdict spelling);
+    4. de-overlap survivors back to docs: per doc, adjacent kept chunks
+       share exactly CHUNK_OVERLAP tokens (the final short chunk shares
+       min(overlap, len)), so kept_tokens counts each surviving token
+       once.
+
+    Output: (doc_id, n_chunks, n_kept, kept_tokens) for EVERY document
+    (all-chunks-dropped docs emit 0s via left join + coalesce — the CMS
+    absent-means-zero lesson). Shuffle budget: fingerprint agg + postings
+    + pair counts + per-doc window — each ∝ chunks, inheriting the
+    chunks (zero-shuffle generate) and ngram (linear postings) sweep
+    verdicts."""
+    from iceberg_matrix_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs,
+    )
+
+    chunks = doc_chunks(docs, id_col=id_col, text_col=text_col)
+    ck = chunks.select(
+        id_col,
+        "chunk_id",
+        "n_chunk_toks",
+        "chunk_text",
+        (F.col(id_col) * F.lit(_CKEY_SHIFT) + F.col("chunk_id")).alias("ckey"),
+    )
+    with_fp = ck.withColumn("__fp", md5_fingerprint("chunk_text"))
+    keep_min = with_fp.select("__fp", "ckey").groupBy("__fp").agg(
+        F.min("ckey").alias("__keep")
+    )
+    keep1 = with_fp.join(
+        keep_min,
+        (with_fp["__fp"] == keep_min["__fp"])
+        & (F.col("ckey") == F.col("__keep")),
+        "left_semi",
+    ).drop("__fp")
+    pairs = ngram_jaccard_pairs(
+        keep1,
+        "ckey",
+        "chunk_text",
+        k=3,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+    )
+    dropped = pairs.select(F.col("id2").alias("ckey")).distinct()
+    keep2 = keep1.join(dropped, "ckey", "left_anti")
+    w = Window.partitionBy(id_col).orderBy("chunk_id")
+    seq = keep2.select(id_col, "chunk_id", "n_chunk_toks").withColumn(
+        "__prev", F.lag("chunk_id").over(w)
+    )
+    ded = seq.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum("n_chunk_toks")
+            - F.sum(
+                F.when(
+                    F.col("chunk_id") == F.col("__prev") + 1,
+                    F.least(F.lit(CHUNK_OVERLAP), F.col("n_chunk_toks")),
+                ).otherwise(F.lit(0))
+            )
+        ).alias("kept_tokens"),
+    )
+    tot = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return tot.join(ded, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )
+
+
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@register(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS_SQL} AS t, len({TOKS_SQL}) AS n FROM documents
+    ),
+    k AS (
+      SELECT doc_id, t,
+             CASE WHEN n > {CHUNK_SIZE}
+                  THEN CAST(floor((n - {CHUNK_SIZE} + {_CHUNK_STEP - 1})
+                                  / {float(_CHUNK_STEP)}) AS INT)
+                  ELSE 0 END AS kmax
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+             t[g.i * {_CHUNK_STEP} + 1 : g.i * {_CHUNK_STEP} + {CHUNK_SIZE}] AS c
+      FROM k, unnest(generate_series(0, kmax)) AS g(i)
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, doc_id * {_CKEY_SHIFT} + chunk_id AS ckey,
+             CAST(len(c) AS INT) AS n_toks, array_to_string(c, ' ') AS ctext, c
+      FROM ch
+    ),
+    fp AS (
+      SELECT *, md5(lower(trim(regexp_replace(ctext, '\\s+', ' ', 'g')))) AS f
+      FROM chunks
+    ),
+    k1 AS (
+      SELECT fp.* FROM fp
+      JOIN (SELECT f, MIN(ckey) AS mk FROM fp GROUP BY f) m
+        ON fp.f = m.f AND fp.ckey = m.mk
+    ),
+    sets_ AS (
+      SELECT ckey, list_distinct(list_transform(generate_series(1, len(c) - 2),
+        i -> concat_ws(' ', c[i], c[i+1], c[i+2]))) AS shingles
+      FROM k1 WHERE len(c) >= 3
+    ),
+    sizes AS (SELECT ckey, len(shingles) AS n_sh FROM sets_),
+    sh AS (SELECT ckey, unnest(shingles) AS shingle FROM sets_),
+    kept_sh AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {CHUNK_DD_MAX_DOC_FREQ}
+    ),
+    shc AS (SELECT sh.* FROM sh JOIN kept_sh USING (shingle)),
+    pairs AS (
+      SELECT a.ckey AS id1, b.ckey AS id2, count(*) AS common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.ckey < b.ckey
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT id2 FROM pairs
+      JOIN sizes s1 ON s1.ckey = id1
+      JOIN sizes s2 ON s2.ckey = id2
+      WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common)
+            >= {CHUNK_DD_THRESHOLD}
+    ),
+    k2 AS (
+      SELECT k1.* FROM k1 LEFT JOIN dropped d ON d.id2 = k1.ckey
+      WHERE d.id2 IS NULL
+    ),
+    seq AS (
+      SELECT doc_id, chunk_id, n_toks,
+             lag(chunk_id) OVER (PARTITION BY doc_id ORDER BY chunk_id) AS prev
+      FROM k2
+    ),
+    ded AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             SUM(n_toks) - SUM(CASE WHEN prev IS NOT NULL AND chunk_id = prev + 1
+                                    THEN LEAST({CHUNK_OVERLAP}, n_toks)
+                                    ELSE 0 END) AS kept_tokens
+      FROM seq GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(d.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(d.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM tot t LEFT JOIN ded d ON d.doc_id = t.doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup de-overlapped back to docs: chunk →
+    exact-hash pass → 3-gram near-dup pass → per-doc surviving-token
+    accounting. See :func:`chunk_dedup_summary`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_summary(docs)

@@ -172,3 +172,44 @@ def test_doc_chunks_boundaries_and_reassembly(spark):
             t for k in range(1, len(chunks)) for t in chunks[k][CHUNK_OVERLAP:]
         ]
         assert stitched == words(n).split(" "), doc_id
+
+
+def test_chunk_dedup_drops_exact_and_near_chunks_and_deoverlaps(spark):
+    """VERDICT r8 #5 semantics pin on a crafted corpus: an untouched
+    doc keeps every chunk and kept_tokens equals its EXACT token count
+    (the de-overlap accounting is lossless); a byte-identical doc loses
+    all chunks to the exact pass; a one-token-edited doc loses its
+    edited chunk to the NEAR-dup pass (3-gram Jaccard ≈ 0.91 ≥ 0.6)
+    and its untouched chunk to the exact pass; every doc still emits a
+    row (absent-means-zero)."""
+    from iceberg_matrix_spark.operators.text import (
+        CHUNK_SIZE,
+        chunk_dedup_summary,
+    )
+    from iceberg_matrix_spark.session import local_df
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    base = words(100)  # chunks: 0 (64 toks) + 1 (52 toks), overlap 16
+    edited = base.split(" ")
+    edited[10] = "EDITED"  # inside chunk 0 only (chunk 1 = toks 48..99)
+    rows = [
+        (1, base),
+        (2, base),                  # exact dup of doc 1
+        (3, " ".join(edited)),      # chunk 0 near-dup, chunk 1 exact-dup
+        (4, words(CHUNK_SIZE)),     # unrelated single-chunk doc... but
+    ]
+    # doc 4's first 64 tokens equal doc 1's chunk 0 → exact-dup of it;
+    # use distinct words instead so it survives untouched
+    rows[3] = (4, " ".join(f"u{i}" for i in range(CHUNK_SIZE)))
+    docs = local_df(spark, rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.kept_tokens)
+        for r in chunk_dedup_summary(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (2, 2, 100)   # lossless de-overlap: 64 + 52 - 16
+    assert got[2] == (2, 0, 0)     # exact pass drops everything
+    assert got[3] == (2, 0, 0)     # near-dup chunk 0, exact-dup chunk 1
+    assert got[4] == (1, 1, CHUNK_SIZE)
