@@ -941,7 +941,18 @@ class IceLiteSQL:
             )
             ddl = f"CREATE TABLE {self.name}.{ident} ({cols}) USING ICEBERG"
             if t.meta.partition_spec:
-                ddl += f" PARTITIONED BY ({', '.join(t.meta.partition_spec)})"
+                # canonical spec strings, not the user's raw spelling —
+                # 'BUCKET( 4 , id )' reads back as 'bucket(4, id)'
+                # (found by the round-9 CREATE TABLE grammar fuzz)
+                from iceberg_matrix_spark.tables.transforms import (  # noqa: PLC0415
+                    parse_transform,
+                )
+
+                spec = ", ".join(
+                    parse_transform(s).spec_string()
+                    for s in t.meta.partition_spec
+                )
+                ddl += f" PARTITIONED BY ({spec})"
             props = {
                 "format-version": str(t.format_version),
                 **{k: str(v) for k, v in t.properties.items()},

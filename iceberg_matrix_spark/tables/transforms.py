@@ -19,10 +19,14 @@ from datetime import date, datetime, timezone
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+# re.I: transform names are SQL function names — PARTITIONED BY
+# (BUCKET(4, id)) is as legal as bucket(4, id) (found by the round-9
+# CREATE TABLE grammar fuzz; parse_transform lowercases the kind)
 _TRANSFORM_RE = re.compile(
     r"^\s*(?:(?P<fn>years?|months?|days?|hours?)\s*\(\s*(?P<tcol>\w+)\s*\)"
     r"|(?P<bfn>bucket|truncate)\s*\(\s*(?P<arg>\d+)\s*,\s*(?P<bcol>\w+)\s*\)"
-    r"|(?P<icol>\w+))\s*$"
+    r"|(?P<icol>\w+))\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -219,8 +223,18 @@ def parse_transform(spec: str) -> Transform:
     if not m:
         raise ValueError(f"cannot parse partition transform: {spec!r}")
     if m.group("fn"):
-        kind = m.group("fn").rstrip("s")
+        kind = m.group("fn").lower().rstrip("s")
         return Transform(kind=kind, source=m.group("tcol"))
     if m.group("bfn"):
-        return Transform(kind=m.group("bfn"), source=m.group("bcol"), arg=int(m.group("arg")))
+        arg = int(m.group("arg"))
+        if arg < 1:
+            # bucket(0,·) is pmod-by-zero at WRITE time, truncate(0,·)
+            # a mod-zero at PRUNE time — reject at DDL, not mid-commit
+            # (found by the round-9 CREATE TABLE grammar fuzz)
+            raise ValueError(
+                f"{m.group('bfn').lower()} needs a positive argument: {spec!r}"
+            )
+        return Transform(
+            kind=m.group("bfn").lower(), source=m.group("bcol"), arg=arg
+        )
     return Transform(kind="identity", source=m.group("icol"))

@@ -17,7 +17,11 @@ from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.functions.text import word_shingles
 from iceberg_matrix_spark.operators.scale import salted_aggregate
 
-_settings = settings(max_examples=8, deadline=None)
+from tests.hypcfg import DERANDOMIZE, n_examples
+
+_settings = settings(
+    max_examples=n_examples(5, 10), deadline=None, derandomize=DERANDOMIZE
+)
 
 _ident = st.text(
     alphabet=st.sampled_from("abcdefgh-"), min_size=1, max_size=12
@@ -426,7 +430,7 @@ def test_string_pruned_scan_matches_model(spark, vals, part, op, lit):
     assert got == _model(vals, op, lit)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=n_examples(8, 15), deadline=None, derandomize=DERANDOMIZE)
 @given(
     rows=st.lists(
         st.tuples(
@@ -469,7 +473,7 @@ def test_forward_fill_matches_model(spark, rows):
     assert got == expect
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=n_examples(6, 12), deadline=None, derandomize=DERANDOMIZE)
 @given(
     left=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25

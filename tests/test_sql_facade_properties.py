@@ -22,9 +22,12 @@ from iceberg_matrix_spark.sql import IceLiteSQL
 from iceberg_matrix_spark.session import local_df
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 
+from tests.hypcfg import DERANDOMIZE, n_examples
+
 SETTINGS = dict(
     deadline=None,
-    max_examples=10,
+    max_examples=n_examples(6, 12),
+    derandomize=DERANDOMIZE,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
         HealthCheck.too_slow,
@@ -35,7 +38,7 @@ SETTINGS = dict(
 # run fewer examples per CI pass — the suite budget trade VERDICT r6 #7
 # prescribes. NEW properties keep the full count until they've survived
 # a couple of rounds.
-SETTINGS_STABLE = {**SETTINGS, "max_examples": 5}
+SETTINGS_STABLE = {**SETTINGS, "max_examples": n_examples(3, 8)}
 
 # strings that stress the tokenizer: quote escapes, keywords, separators,
 # parens — all must survive quote-aware scanning unharmed
@@ -1244,3 +1247,170 @@ def test_timestamp_travel_spellings_agree(fz, spark, rows, data):
         assert _rows(fz.sql(q)) == want, q
     with pytest.raises(UnsupportedSQLError):
         fz.sql(f"SELECT id FROM local.{ident} TIMESTAMP AS OF 'not-a-time'")
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE grammar fuzz (VERDICT r8 #7) — the last hand-rolled DDL
+# grammar without a differential property. The reference probes exactly
+# this surface (/root/reference/tests/iceberg_feature_tests.py:918-1037:
+# PARTITIONED BY transforms, TBLPROPERTIES, V3 DEFAULTs).
+# ---------------------------------------------------------------------------
+
+_CT_WS = st.sampled_from([" ", "  ", "\n", "\t", " \n\t "])
+_CT_CASE = st.sampled_from([str.lower, str.upper, str.title])
+_CT_PROP_KW = st.sampled_from(["TBLPROPERTIES", "WITH", "TABLE PROPERTIES"])
+
+
+@st.composite
+def ct_specs(draw):
+    """One LOGICAL create spec: columns, transforms, properties,
+    V3 integer defaults."""
+    cols = [("id", "BIGINT"), ("s", "STRING"), ("ts", "TIMESTAMP"), ("n", "INT")]
+    if draw(st.booleans()):
+        cols.append(("x0", draw(st.sampled_from(["DOUBLE", "DATE", "BIGINT"]))))
+    pool = [
+        "id",
+        "s",
+        f"bucket({draw(st.integers(min_value=1, max_value=16))}, id)",
+        f"truncate({draw(st.integers(min_value=1, max_value=8))}, s)",
+        draw(st.sampled_from(
+            ["years", "months", "days", "hours", "year", "month", "day", "hour"]
+        )) + "(ts)",
+    ]
+    transforms = draw(st.permutations(pool))[: draw(st.integers(0, 3))]
+    props = {}
+    if draw(st.booleans()):
+        props["owner"] = "fuzz"
+    if draw(st.booleans()):
+        props["write.delete.mode"] = draw(
+            st.sampled_from(["copy-on-write", "merge-on-read"])
+        )
+    defaults = {}
+    if draw(st.booleans()):
+        props["format-version"] = "3"
+        if draw(st.booleans()):
+            defaults["n"] = draw(st.integers(min_value=-5, max_value=5))
+    return cols, transforms, props, defaults
+
+
+def _render_create(draw, name, cols, transforms, props, defaults):
+    """Render the spec in ONE drawn spelling: keyword/type/transform
+    case, whitespace (newlines/tabs), clause order, property-clause
+    dialect, transform-internal spacing, optional IF NOT EXISTS."""
+    ws = lambda: draw(_CT_WS)  # noqa: E731
+    case = lambda w: draw(_CT_CASE)(w)  # noqa: E731
+    coldefs = []
+    for c, t in cols:
+        d = f"{ws()}{case('DEFAULT')}{ws()}{defaults[c]}" if c in defaults else ""
+        coldefs.append(f"{c}{ws()}{case(t)}{d}")
+    clauses = []
+    if transforms:
+        rendered = []
+        for t in transforms:
+            if "(" in t and draw(st.booleans()):
+                fn, inner = t[:-1].split("(", 1)
+                args = (","+ws()).join(a.strip() for a in inner.split(","))
+                t = f"{case(fn)}({ws()}{args}{ws()})"
+            rendered.append(t)
+        clauses.append(
+            f"{case('PARTITIONED')}{ws()}{case('BY')}{ws()}({', '.join(rendered)})"
+        )
+    if props:
+        kw = draw(_CT_PROP_KW)
+        body = ", ".join(f"'{k}'{ws()}={ws()}'{v}'" for k, v in props.items())
+        clauses.append(f"{case(kw)}{ws()}({body})")
+    clauses.append(f"{case('USING')}{ws()}{case('iceberg')}")
+    order = draw(st.permutations(clauses))
+    ine = f"{case('IF NOT EXISTS')} " if draw(st.booleans()) else ""
+    return (
+        f"{case('CREATE')}{ws()}{case('TABLE')}{ws()}{ine}{name}{ws()}"
+        f"({', '.join(coldefs)}){ws()}" + ws().join(order)
+    )
+
+
+def _ct_shape(fz, ident):
+    """Normalized observable table shape: schema (name, type, default),
+    parsed transforms, properties."""
+    from iceberg_matrix_spark.tables.transforms import parse_transform
+
+    t = fz.catalog.load_table(ident)
+    schema = [
+        (f.name, f.type, getattr(f, "initial_default", None))
+        for f in t.meta.current_schema.fields
+    ]
+    spec = [parse_transform(s) for s in t.meta.partition_spec]
+    return schema, spec, dict(t.meta.properties)
+
+
+@settings(**SETTINGS)
+@given(spec=ct_specs(), data=st.data())
+def test_create_table_spelling_equivalence(fz, spec, data):
+    """The SAME logical CREATE in two independently drawn spellings
+    (case, whitespace, clause order, property dialect, transform-name
+    case + internal spacing, IF NOT EXISTS) must produce tables with
+    identical normalized schema, partition transforms, properties, and
+    SHOW CREATE TABLE output. Caught for real: transform names were
+    case-SENSITIVE (BUCKET(4, id) rejected) before round 9."""
+    cols, transforms, props, defaults = spec
+    ids = [f"fz.ct_{uuid.uuid4().hex[:10]}" for _ in range(2)]
+    for ident in ids:
+        fz.sql(_render_create(data.draw, f"local.{ident}", cols, transforms,
+                              props, defaults))
+    a, b = (_ct_shape(fz, i) for i in ids)
+    assert a == b, (ids, a, b)
+    sca, scb = (
+        fz.sql(f"SHOW CREATE TABLE local.{i}").collect()[0][0] for i in ids
+    )
+    assert sca.replace(ids[0].split(".")[-1], "T") == scb.replace(
+        ids[1].split(".")[-1], "T"
+    ), (sca, scb)
+    # and the model shape holds: every declared column present in order
+    assert [c for c, _ in cols] == [f[0] for f in a[0]]
+    assert len(a[1]) == len(transforms)
+    for c, v in defaults.items():
+        got = dict((f[0], f[2]) for f in a[0])[c]
+        assert got == v, (c, got, v)
+
+
+@settings(**SETTINGS)
+@given(spec=ct_specs(), data=st.data())
+def test_create_table_rejects_bad_grammar_without_effect(fz, spec, data):
+    """Malformed CREATE TABLE must raise the typed error AND leave no
+    table behind (reject-without-effect): missing transform args, zero
+    bucket/truncate widths (pmod-by-zero at write time before round 9),
+    wrong time-transform arity, partition sources outside the schema,
+    trailing garbage, and V2 DEFAULTs."""
+    from iceberg_matrix_spark.sql import UnsupportedSQLError
+
+    cols, transforms, props, defaults = spec
+    props = {k: v for k, v in props.items() if k != "format-version"}
+    corrupt = data.draw(st.sampled_from([
+        "missing_arg", "zero_arg", "time_arity", "unknown_source",
+        "trailing", "v2_default", "unbalanced",
+    ]))
+    ident = f"fz.bad_{uuid.uuid4().hex[:10]}"
+    base_cols = [(c, t) for c, t in cols]
+    bad_transforms, bad_defaults, tail = list(transforms), {}, ""
+    if corrupt == "missing_arg":
+        bad_transforms.append("bucket(id)")
+    elif corrupt == "zero_arg":
+        bad_transforms.append(data.draw(
+            st.sampled_from(["bucket(0, id)", "truncate(0, s)"])
+        ))
+    elif corrupt == "time_arity":
+        bad_transforms.append("years(4, ts)")
+    elif corrupt == "unknown_source":
+        bad_transforms.append("bucket(4, nope)")
+    elif corrupt == "trailing":
+        tail = " BANANA"
+    elif corrupt == "v2_default":
+        bad_defaults = {"n": 7}  # no format-version=3 in props
+    stmt = _render_create(
+        data.draw, f"local.{ident}", base_cols, bad_transforms, props,
+        bad_defaults if corrupt == "v2_default" else {},
+    ) + tail
+    if corrupt == "unbalanced":
+        stmt = stmt.replace("(", "", 1)
+    with pytest.raises((UnsupportedSQLError, ValueError)):
+        fz.sql(stmt)
+    assert not fz.catalog.table_exists(ident), (corrupt, stmt)

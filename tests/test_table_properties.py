@@ -21,9 +21,12 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from iceberg_matrix_spark.tables.catalog import IceLiteCatalog
 from iceberg_matrix_spark.session import local_df
 
+from tests.hypcfg import DERANDOMIZE, n_examples
+
 SETTINGS = dict(
     deadline=None,
-    max_examples=8,
+    max_examples=n_examples(5, 10),
+    derandomize=DERANDOMIZE,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
         HealthCheck.too_slow,
@@ -126,13 +129,14 @@ def _run_history(spark, cat, ops, mode: str):
 
 @settings(**SETTINGS)
 @given(ops=operations())
-def test_dml_history_matches_model_cow(spark, cat, ops):
-    got, want = _run_history(spark, cat, ops, "cow")
-    assert got == want, ops
-
-
-@settings(**SETTINGS)
-@given(ops=operations())
-def test_dml_history_matches_model_mor(spark, cat, ops):
-    got, want = _run_history(spark, cat, ops, "mor")
-    assert got == want, ops
+def test_dml_history_matches_model_cow_and_mor(spark, cat, ops):
+    """One drawn history drives BOTH write modes (r9 suite-budget fix:
+    formerly two tests drawing disjoint histories — same table-build
+    count bought half the cross-mode coverage). CoW and MoR must each
+    match the model AND therefore each other on the identical history —
+    the differential the separate tests never actually asserted."""
+    got_cow, want = _run_history(spark, cat, ops, "cow")
+    assert got_cow == want, ("cow", ops)
+    got_mor, want_mor = _run_history(spark, cat, ops, "mor")
+    assert got_mor == want_mor, ("mor", ops)
+    assert got_cow == got_mor, ops
