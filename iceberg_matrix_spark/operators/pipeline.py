@@ -1023,3 +1023,141 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, mean length, exact-dup share, quality-gate pass count."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus_report(docs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus report (round 9, VERDICT r8 #8) — fold an ingest
+# batch into persisted state without re-reading the corpus
+# ---------------------------------------------------------------------------
+
+
+def corpus_report_state(docs: DataFrame) -> DataFrame:
+    """The MERGEABLE state behind :func:`corpus_report`: per
+    (fingerprint, lang, source) doc/token/quality-pass counters. Every
+    report column is recoverable from it — counts and token sums by
+    addition, the corpus-wide dup share from fingerprint totals — and
+    two states merge by summing counters (the HLL/CMS mergeable-state
+    pattern, operators/scale.py). State rows ∝ distinct fingerprints:
+    the same cost class as the incremental exact-dedup family's
+    persisted fingerprint index, which a production ingest keeps
+    anyway."""
+    from iceberg_matrix_spark.functions.text import (  # noqa: PLC0415
+        md5_fingerprint,
+        token_count,
+    )
+
+    return (
+        gopher_rules(docs)
+        .select(
+            "lang",
+            "source",
+            F.col("keep").alias("__q"),
+            token_count("text").alias("__nt"),
+            md5_fingerprint("text").alias("__fp"),
+        )
+        .groupBy("__fp", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__nt").cast("bigint").alias("nt"),
+            F.sum(F.col("__q").cast("int")).cast("bigint").alias("nq"),
+        )
+    )
+
+
+def fold_report_state(state: DataFrame, batch_state: DataFrame) -> DataFrame:
+    """state ⊎ batch: one union + sum-by-key — the ingest-time fold.
+    Shuffle ∝ batch + touched state keys, never the corpus text."""
+    return (
+        state.unionByName(batch_state)
+        .groupBy("__fp", "lang", "source")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("nt").cast("bigint").alias("nt"),
+            F.sum("nq").cast("bigint").alias("nq"),
+        )
+    )
+
+
+def corpus_report_from_state(state: DataFrame) -> DataFrame:
+    """Render the :func:`corpus_report` columns from counters alone:
+    a doc is a dup iff its fingerprint's CORPUS-WIDE total (across all
+    (lang, source) groups — the fp window) exceeds 1."""
+    w = Window.partitionBy("__fp")
+    tot = state.withColumn("__tot", F.sum("n").over(w))
+    return tot.groupBy("lang", "source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        (F.sum("nt").cast("double") / F.sum("n")).alias("avg_tokens"),
+        F.sum(F.when(F.col("__tot") > 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum("nq").cast("bigint").alias("n_quality_pass"),
+    )
+
+
+# persisted report states per corpus (parquet, like the IVF-PQ index:
+# persist-and-rescan is the production shape AND keeps the fold's plan
+# free of the corpus scan)
+_REPORT_STATE_CACHE: dict[str, DataFrame] = {}
+
+
+def corpus_report_state_cached(corpus: DataFrame, corpus_key: str) -> DataFrame:
+    if corpus_key not in _REPORT_STATE_CACHE:
+        import tempfile  # noqa: PLC0415
+
+        path = tempfile.mkdtemp(prefix="report-state-") + "/state.parquet"
+        corpus_report_state(corpus).write.parquet(path)
+        _REPORT_STATE_CACHE[corpus_key] = (
+            corpus.sparkSession.read.parquet(path)
+        )
+    return _REPORT_STATE_CACHE[corpus_key]
+
+
+@register(
+    "q_corpus_report_incremental",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang, source,
+             {_DECON_TOKS} AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS no_ws,
+             len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS symbol_hits
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, ({_GOPHER_KEEP_SQL}) AS keep FROM feat
+    ),
+    sig2 AS (
+      SELECT d.lang, d.source,
+             len({_DECON_TOKS}) AS nt,
+             md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
+             q.keep
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ),
+    dup AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY fp) > 1 AS is_dup FROM sig2
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+    FROM dup GROUP BY lang, source
+    """,
+)
+def q_corpus_report_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of q_corpus_report: the corpus slice
+    (doc_id % 10 != 0) is summarized ONCE into persisted per-(fp, lang,
+    source) counter state; the ingest batch (doc_id % 10 == 0) folds in
+    by pure counter addition; the report renders from the folded state.
+    The oracle is the FROM-SCRATCH report over the whole table, so the
+    hash match proves fold ≡ recompute — including the corpus-wide dup
+    share, the one column that isn't group-local (recovered from
+    fingerprint totals). tests/test_pipeline.py additionally pins that
+    the fold's plan reads the state parquet, not the corpus text."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    state = corpus_report_state_cached(corpus, sf_dir)
+    folded = fold_report_state(state, corpus_report_state(batch))
+    return corpus_report_from_state(folded)
