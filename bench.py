@@ -194,13 +194,12 @@ def _calibration_from(samples: list[tuple[list[float], list[float]]],
                       sf: float | None) -> dict:
     cpu_s = min(t for cpus, _ in samples for t in cpus)
     scan_s = min(t for _, scans in samples for t in scans)
-    ratios = [cpu_s / _CALIB_REF_CPU_S]
-    # the scan reference is sf0.1-specific; at any other SF the probe
-    # still runs (warm cache) but its ratio would compare apples to
-    # oranges, so the factor falls back to the CPU probe alone
-    if sf == 0.1:
-        ratios.append(scan_s / _CALIB_REF_SCAN_S)
-    factor = sum(ratios) / len(ratios)
+    # the factor uses the CPU probe ONLY: the scan probe's min halves
+    # between a fresh session and a post-bench one (page cache + JIT
+    # state — measured 0.26 cold-pin vs 0.131 post-loop), so folding it
+    # in made the factor depend on session history, not the host. It
+    # stays in the output as an IO diagnostic.
+    factor = cpu_s / _CALIB_REF_CPU_S
     return {
         "cpu_s": round(cpu_s, 3),
         "scan_s": round(scan_s, 3),
