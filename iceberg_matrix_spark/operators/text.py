@@ -812,6 +812,20 @@ CHUNK_DD_THRESHOLD = 0.6
 CHUNK_DD_MAX_DOC_FREQ = 64
 
 
+def chunks_with_ckey(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """:func:`doc_chunks` plus the single-BIGINT chunk key the dedup
+    operators carry: ckey = doc_id · 2^20 + chunk_id."""
+    return doc_chunks(docs, id_col=id_col, text_col=text_col).select(
+        id_col,
+        "chunk_id",
+        "n_chunk_toks",
+        "chunk_text",
+        (F.col(id_col) * F.lit(_CKEY_SHIFT) + F.col("chunk_id")).alias("ckey"),
+    )
+
+
 def chunk_dedup_summary(
     docs: DataFrame,
     threshold: float = CHUNK_DD_THRESHOLD,
@@ -846,14 +860,8 @@ def chunk_dedup_summary(
         ngram_jaccard_pairs,
     )
 
-    chunks = doc_chunks(docs, id_col=id_col, text_col=text_col)
-    ck = chunks.select(
-        id_col,
-        "chunk_id",
-        "n_chunk_toks",
-        "chunk_text",
-        (F.col(id_col) * F.lit(_CKEY_SHIFT) + F.col("chunk_id")).alias("ckey"),
-    )
+    ck = chunks_with_ckey(docs, id_col=id_col, text_col=text_col)
+    chunks = ck
     with_fp = ck.withColumn("__fp", md5_fingerprint("chunk_text"))
     keep_min = with_fp.select("__fp", "ckey").groupBy("__fp").agg(
         F.min("ckey").alias("__keep")
@@ -988,3 +996,91 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting. See :func:`chunk_dedup_summary`."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_dedup_summary(docs)
+
+
+# persisted chunk-fingerprint indexes per corpus (parquet — the
+# 16-byte-row table an ingest pipeline maintains across batches)
+_CHUNK_INDEX_CACHE: dict[str, DataFrame] = {}
+
+
+def chunk_fingerprint_index_cached(
+    corpus_docs: DataFrame, corpus_key: str
+) -> DataFrame:
+    if corpus_key not in _CHUNK_INDEX_CACHE:
+        import tempfile  # noqa: PLC0415
+
+        path = tempfile.mkdtemp(prefix="chunk-fp-index-") + "/index.parquet"
+        (
+            chunks_with_ckey(corpus_docs)
+            .select(md5_fingerprint("chunk_text").alias("fingerprint"))
+            .distinct()
+            .write.parquet(path)
+        )
+        _CHUNK_INDEX_CACHE[corpus_key] = (
+            corpus_docs.sparkSession.read.parquet(path)
+        )
+    return _CHUNK_INDEX_CACHE[corpus_key]
+
+
+@register(
+    "q_chunk_dedup_incremental",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS_SQL} AS t, len({TOKS_SQL}) AS n FROM documents
+    ),
+    k AS (
+      SELECT doc_id, t,
+             CASE WHEN n > {CHUNK_SIZE}
+                  THEN CAST(floor((n - {CHUNK_SIZE} + {_CHUNK_STEP - 1})
+                                  / {float(_CHUNK_STEP)}) AS INT)
+                  ELSE 0 END AS kmax
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+             doc_id * {_CKEY_SHIFT} + g.i AS ckey,
+             array_to_string(
+               t[g.i * {_CHUNK_STEP} + 1 : g.i * {_CHUNK_STEP} + {CHUNK_SIZE}],
+               ' ') AS ctext
+      FROM k, unnest(generate_series(0, kmax)) AS g(i)
+    ),
+    fp AS (
+      SELECT doc_id, ckey,
+             md5(lower(trim(regexp_replace(ctext, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM ch
+    ),
+    batch AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+    idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0),
+    firsts AS (SELECT fingerprint, MIN(ckey) AS first_id FROM batch GROUP BY 1)
+    SELECT b.ckey, b.fingerprint,
+           CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.ckey <> f.first_id THEN 'dup_in_batch'
+                ELSE 'kept' END AS verdict
+    FROM batch b
+    LEFT JOIN idx i ON i.fingerprint = b.fingerprint
+    JOIN firsts f ON f.fingerprint = b.fingerprint
+    """,
+)
+def q_chunk_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CHUNK-level ingest dedup: the batch (doc_id % 10 ==
+    0) is chunked and each chunk checked against the persisted chunk-
+    fingerprint index of the already-ingested corpus — per-chunk
+    verdicts kept / dup_of_corpus / dup_in_batch, the exact shape a
+    RAG/pretraining ingest runs per batch (q_dedup_incremental's
+    contract at chunk granularity, composed from chunks_with_ckey +
+    incremental_dedup_exact). Batch-side shuffle ∝ batch chunks; the
+    corpus contributes only its 16-byte fingerprint rows, read from
+    parquet, never re-chunked."""
+    from iceberg_matrix_spark.operators.dedup import (  # noqa: PLC0415
+        incremental_dedup_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = chunks_with_ckey(docs.filter(F.col("doc_id") % 10 == 0))
+    index = chunk_fingerprint_index_cached(
+        docs.filter(F.col("doc_id") % 10 != 0), sf_dir
+    )
+    out = incremental_dedup_exact(batch, index, "ckey", "chunk_text")
+    return out.select(
+        F.col("doc_id").alias("ckey"), "fingerprint", "verdict"
+    )
