@@ -10,6 +10,7 @@ from __future__ import annotations
 from iceberg_matrix_spark.plans import (
     broadcast_join_count,
     data_shuffle_count,
+    explain_formatted,
     pushed_filters,
     scan_columns,
     shuffle_count,
@@ -375,3 +376,28 @@ def test_media_neardup_join_is_banded_equi_not_cartesian(spark, sf_dir):
     df = QUERIES["q_multimodal_neardup"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_chunk_dedup_prunes_columns_and_avoids_cartesian(spark, sf_dir):
+    """The chunk-dedup composition must scan documents with only
+    (doc_id, text) (everything else is derived), keep every join
+    equi-keyed (fingerprint / ckey / shingle — a nested-loop anywhere
+    would be the all-pairs scale-killer), and stay off Python workers."""
+    df = QUERIES["q_chunk_dedup"](spark, sf_dir)
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}, cols
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    fplan = explain_formatted(df)
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+
+
+def test_ivfpq_rerank_fetch_is_broadcast_and_bounded(spark, sf_dir):
+    """The rerank stage must fetch full vectors via BROADCAST joins of
+    the fixed-size shortlist back against the corpus scan — if either
+    the shortlist or the query frame ever arrives by shuffle, the
+    rerank would exchange the corpus instead of |queries|·R rows."""
+    df = QUERIES["q_ann_ivfpq_rerank"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 2  # shortlist fetch + query vecs
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
