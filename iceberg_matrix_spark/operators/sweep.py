@@ -508,6 +508,32 @@ def family_runners() -> dict:
 
         return chunk_dedup_summary(docs)
 
+    def chunk_dedup_inc(spark, docs, emb, ev, factor):
+        # per-ingest shape: a FIXED batch (replica 0's doc_id % 10 == 0
+        # slice) chunk-checked against the growing corpus's fingerprint
+        # index — batch-side work fixed, index side ships 16-byte rows,
+        # so wall should track the index build scan, shuffle ∝ corpus
+        # fingerprints
+        from iceberg_matrix_spark.operators.dedup import (  # noqa: PLC0415
+            incremental_dedup_exact,
+        )
+        from iceberg_matrix_spark.functions.text import (  # noqa: PLC0415
+            md5_fingerprint,
+        )
+        from iceberg_matrix_spark.operators.text import (  # noqa: PLC0415
+            chunks_with_ckey,
+        )
+
+        batch = chunks_with_ckey(
+            docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10_000_000))
+        )
+        index = (
+            chunks_with_ckey(docs.filter(F.col("doc_id") % 10 != 0))
+            .select(md5_fingerprint("chunk_text").alias("fingerprint"))
+            .distinct()
+        )
+        return incremental_dedup_exact(batch, index, "ckey", "chunk_text")
+
     def media_neardup(spark, docs, emb, ev, factor):
         # banded-exact feature blocking: amplified ids produce disjoint
         # payload populations, so true pairs (each original × its
@@ -631,6 +657,7 @@ def family_runners() -> dict:
         "pq_train_sampled": pq_train_sampled,
         "ivfpq_rerank": ivfpq_rerank,
         "chunk_dedup": chunk_dedup,
+        "chunk_dedup_inc": chunk_dedup_inc,
     }
 
 
