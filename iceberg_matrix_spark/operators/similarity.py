@@ -2721,6 +2721,121 @@ def q_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_recall_audit_oracle() -> str:
+    """The rerank chain + the exact brute-force chain + the audit join,
+    all in one WITH chain — the oracle replays the full index-quality
+    measurement."""
+    return f"""{_trained_ivfpq_with_chain()},
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) rk
+        FROM adc
+      ) WHERE rk <= {_RERANK_SHORTLIST}
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS score
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) rank
+        FROM rr
+      ) WHERE rank <= 10
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.qv AS DOUBLE[])) DESC,
+                          e.vec_id) rk
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ) WHERE rk <= 10
+    ),
+    hits AS (
+      SELECT a.query_id, a.rank
+      FROM approx a JOIN exact x
+        ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n, 0) AS DOUBLE) / 10 AS recall_at_10,
+           COALESCE(1.0 / h.first_rank, 0.0) AS mrr
+    FROM q
+    LEFT JOIN (
+      SELECT query_id, COUNT(*) AS n, MIN(rank) AS first_rank
+      FROM hits GROUP BY query_id
+    ) h ON h.query_id = q.query_id
+    """
+
+
+def ann_recall_audit(
+    approx: DataFrame,
+    exact: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, n_hits, recall_at_k, mrr) — the index-quality audit a
+    deployment runs after every index build: ``approx`` and ``exact``
+    are (query_id, neighbor_id, rank) top-k frames; recall is overlap/k,
+    MRR is 1/rank of the first approx result that is exact-relevant
+    (0 when none). All frames here are |queries|·k rows — driver-free,
+    broadcast-size, exact on both engines (small-integer division)."""
+    hits = approx.join(
+        exact.select(query_id_col, "neighbor_id"),
+        [query_id_col, "neighbor_id"],
+    )
+    per_q = hits.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("rank").alias("__first"),
+    )
+    return (
+        queries.select(query_id_col)
+        .join(per_q, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("__n", F.lit(0)).cast("double") / k).alias(
+                "recall_at_10"
+            ),
+            F.coalesce(
+                F.lit(1.0) / F.col("__first"), F.lit(0.0)
+            ).alias("mrr"),
+        )
+    )
+
+
+@register("q_ann_recall_audit", oracle=_ivfpq_recall_audit_oracle())
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit of the production retrieval composition:
+    recall@10 and MRR of the trained IVF-PQ shortlist+rerank pipeline
+    against exact brute force, per query — the measurement a deployment
+    gates every index rebuild on. Both the approximate chain (trained
+    quantizers → persisted index → ADC top-50 → exact rerank) and the
+    exact baseline are deterministic, so the AUDIT itself carries an
+    exact oracle — the recall numbers pytest pins are now also
+    hash-certified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    cents = ivf_trained_centroids_cached(emb, sf_dir)
+    books = pq_trained_codebooks_cached(emb, sf_dir)
+    idx = ivfpq_index_cached(emb, sf_dir, cents, books, tag="trained")
+    approx = ann_ivfpq_rerank(
+        emb, q, cents, books, k=10, shortlist=_RERANK_SHORTLIST,
+        nprobe=_IVFPQ_NPROBE, corpus_index=idx,
+    )
+    exact = brute_force_topk(emb, q, k=10)
+    return ann_recall_audit(approx, exact, q, k=10)
+
+
 @register("q_ann_ivfpq_rerank", oracle=_ivfpq_rerank_oracle())
 def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF-PQ shortlist (ADC top-50) → exact-cosine rerank →
