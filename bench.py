@@ -209,12 +209,21 @@ def _calibration_from(samples: list[tuple[list[float], list[float]]],
     }
 
 
+def _history_path() -> str:
+    """Repo-root BENCH_HISTORY.jsonl, overridable for tests/ops via
+    SPARK_GRAFT_BENCH_HISTORY."""
+    return os.environ.get(
+        "SPARK_GRAFT_BENCH_HISTORY",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_HISTORY.jsonl"),
+    )
+
+
 def _append_history(record: dict) -> None:
     """Per-query normalized history (BENCH_HISTORY.jsonl, repo root):
     lets any round assert 'normalized delta < X%' against prior runs
     instead of eyeballing raw seconds across host moods."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_HISTORY.jsonl")
+    path = _history_path()
     try:
         with open(path, "a") as f:
             f.write(json.dumps(record) + "\n")
@@ -411,9 +420,7 @@ def check_drift(threshold_pct: float = 10.0) -> None:
     normalized total moved more than ``threshold_pct`` — the assertion
     VERDICT r8 #1 wanted ('normalized delta < X%'), runnable without a
     Spark session: ``python bench.py --check-drift [pct]``."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_HISTORY.jsonl")
-    entries = [json.loads(line) for line in open(path) if line.strip()]
+    entries = [json.loads(line) for line in open(_history_path()) if line.strip()]
     by_sf: dict[float, list[dict]] = {}
     for e in entries:
         by_sf.setdefault(e.get("sf"), []).append(e)
