@@ -3263,3 +3263,70 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score (median/MAD order statistics — see embedding_outliers)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_outliers(emb)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space benchmark decontamination (round 9)
+# ---------------------------------------------------------------------------
+
+_SEMDECON_MOD = 20      # vec_id % 20 == 0 plays the benchmark/eval set
+_SEMDECON_TAU = 0.4     # flag threshold (matches the SemDeDup family)
+
+
+@register(
+    "q_decontaminate_semantic",
+    oracle=f"""
+    WITH bench AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {_SEMDECON_MOD} = 0
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {_SEMDECON_MOD} <> 0
+    ),
+    sims AS (
+      SELECT c.vec_id, MAX(list_cosine_similarity(c.v, b.v)) AS max_sim
+      FROM corpus c CROSS JOIN bench b
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, max_sim, max_sim >= {_SEMDECON_TAU} AS contaminated
+    FROM sims
+    """,
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination — the semantic twin of
+    the n-gram q_decontaminate: every training vector's max cosine to
+    the (broadcast) eval/benchmark set, flagged at τ=0.4. Catches
+    paraphrased eval leakage the token-overlap screens can't see; the
+    exact-cosine form here is the certified baseline (dot / norms — the
+    brute-force spelling, hash-identical to list_cosine_similarity),
+    and at 100 TB the scale path is the banded-LSH / cluster-scoped
+    candidate machinery already certified for SemDeDup
+    (q_dedup_semantic_incremental with the eval set as the batch) — the
+    eval side is tiny either way, so the join is one map-side stage
+    over the corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0).select(
+        F.col("vec_id").alias("__bid"),
+        F.col("embedding").alias("__bv"),
+        l2_norm("embedding").alias("__bn"),
+    )
+    corpus = emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("__cn")
+    )
+    sims = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            (
+                dot("embedding", "__bv") / (F.col("__cn") * F.col("__bn"))
+            ).alias("__sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("__sim").alias("max_sim"))
+    )
+    return sims.select(
+        "vec_id",
+        "max_sim",
+        (F.col("max_sim") >= F.lit(_SEMDECON_TAU)).alias("contaminated"),
+    )
