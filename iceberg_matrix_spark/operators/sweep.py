@@ -597,6 +597,38 @@ def family_runners() -> dict:
             emb, _fixed_queries(emb, factor), cents, books, k=10
         )
 
+    def semdecon(spark, docs, emb, ev, factor):
+        # embedding decontamination: the BENCH side is fixed (replica
+        # 0's vec_id % 20 slice — eval sets don't grow with the
+        # corpus), broadcast against the growing corpus scan — one
+        # map-side stage, wall ∝ corpus, shuffle ≈ per-vector max rows
+        from iceberg_matrix_spark.functions.vectors import (  # noqa: PLC0415
+            dot,
+            l2_norm,
+        )
+
+        # amplified ids are id·factor + r (dense), so a plain % 20 slice
+        # GROWS with the corpus and turns the sweep quadratic (first cut
+        # timed out at 100x); % (20·factor) == 0 selects exactly the
+        # replica-0 copies of the original % 20 bench — fixed size
+        bench = emb.filter(F.col("vec_id") % (20 * factor) == 0).select(
+            F.col("vec_id").alias("__bid"),
+            F.col("embedding").alias("__bv"),
+            l2_norm("embedding").alias("__bn"),
+        )
+        corpus = emb.filter(F.col("vec_id") % 20 != 0).select(
+            "vec_id", "embedding", l2_norm("embedding").alias("__cn")
+        )
+        return (
+            corpus.crossJoin(F.broadcast(bench))
+            .select(
+                "vec_id",
+                (dot("embedding", "__bv") / (F.col("__cn") * F.col("__bn"))).alias("__s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("__s").alias("max_sim"))
+        )
+
     def pq_train_sampled(spark, docs, emb, ev, factor):
         # the DEPLOYMENT build: same 2 Lloyd iterations but over the
         # fixed-hash ~1/3 slice — wall should grow ∝ corpus/3 (the seed
@@ -658,6 +690,7 @@ def family_runners() -> dict:
         "ivfpq_rerank": ivfpq_rerank,
         "chunk_dedup": chunk_dedup,
         "chunk_dedup_inc": chunk_dedup_inc,
+        "semdecon": semdecon,
     }
 
 
