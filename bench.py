@@ -144,7 +144,7 @@ HEADLINE = [
 # Round 8's common-50 wall drifted 1.38x with ZERO code change — pure host
 # degradation — so raw seconds are no longer a trustworthy round-over-round
 # signal. Two fixed probes measure the host itself each run:
-#   * cpu: 4B-row pure-codegen range scan+agg (CPU/scheduler throughput)
+#   * cpu: 8B-row pure-codegen range scan+agg (CPU/scheduler throughput)
 #   * scan: 3-column lineitem sum at sf0.1 (parquet decode + IO)
 # Every query is reported raw AND normalized (raw / host_factor, where
 # host_factor = mean of the probe ratios vs the pinned reference values).

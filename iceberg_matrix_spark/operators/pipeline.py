@@ -1098,19 +1098,25 @@ def corpus_report_from_state(state: DataFrame) -> DataFrame:
 # persisted report states per corpus (parquet, like the IVF-PQ index:
 # persist-and-rescan is the production shape AND keeps the fold's plan
 # free of the corpus scan)
-_REPORT_STATE_CACHE: dict[str, DataFrame] = {}
+_REPORT_STATE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def corpus_report_state_cached(corpus: DataFrame, corpus_key: str) -> DataFrame:
-    if corpus_key not in _REPORT_STATE_CACHE:
+    from iceberg_matrix_spark.operators.scale import df_content_key  # noqa: PLC0415
+
+    # key carries a content signature of the corpus frame (ADVICE r9):
+    # a reused corpus_key with different data misses instead of serving
+    # state built from the old corpus
+    key = (corpus_key, df_content_key(corpus))
+    if key not in _REPORT_STATE_CACHE:
         import tempfile  # noqa: PLC0415
 
         path = tempfile.mkdtemp(prefix="report-state-") + "/state.parquet"
         corpus_report_state(corpus).write.parquet(path)
-        _REPORT_STATE_CACHE[corpus_key] = (
+        _REPORT_STATE_CACHE[key] = (
             corpus.sparkSession.read.parquet(path)
         )
-    return _REPORT_STATE_CACHE[corpus_key]
+    return _REPORT_STATE_CACHE[key]
 
 
 @register(

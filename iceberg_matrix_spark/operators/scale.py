@@ -101,6 +101,29 @@ def ensure_compute_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def df_content_key(df: DataFrame) -> str:
+    """Cheap content signature of a DataFrame for persisted-index cache
+    keys (ADVICE r9): a caller-supplied corpus_key alone can be reused
+    with DIFFERENT data and silently serve stale state — the quantizer
+    caches fixed this with a codebook digest (_books_digest); file-backed
+    corpora get the same guarantee from (sorted input files) + the
+    analyzed plan with exprIds stripped (two loads of the same
+    files/filters normalize identically, so legitimate reuse still
+    hits). No Spark job — inputFiles() is a driver-side listing."""
+    import hashlib  # noqa: PLC0415
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    plan = re.sub(r"#\d+", "", df._jdf.queryExecution().analyzed().toString())
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+    h.update(plan.encode())
+    return h.hexdigest()[:16]
+
+
 def _parse_bytes(conf_val: str) -> int:
     """Spark size-conf string → bytes ('134217728b', '128m', '1g')."""
     m = re.match(r"(\d+)\s*([a-zA-Z]*)", conf_val.strip())

@@ -2444,7 +2444,7 @@ def pq_sampled_codebooks_cached(
 
 def _pq_sampled_setup(spark: SparkSession, sf_dir: str):
     """Bench split: SAMPLED codebook training — the deployment build
-    path, iters scans of corpus/4 instead of the full corpus. Fresh
+    path, iters scans of ~corpus/3 instead of the full corpus. Fresh
     each run (no cache) so the headline shows the real build cost
     next to q_ann_pq_trained's full-train setup."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2783,12 +2783,14 @@ def ann_recall_audit(
     k: int = 10,
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """(query_id, n_hits, recall_at_k, mrr) — the index-quality audit a
-    deployment runs after every index build: ``approx`` and ``exact``
+    """(query_id, n_hits, recall_at_<k>, mrr) — the index-quality audit
+    a deployment runs after every index build: ``approx`` and ``exact``
     are (query_id, neighbor_id, rank) top-k frames; recall is overlap/k,
     MRR is 1/rank of the first approx result that is exact-relevant
-    (0 when none). All frames here are |queries|·k rows — driver-free,
-    broadcast-size, exact on both engines (small-integer division)."""
+    (0 when none). The recall column is named after the actual ``k``
+    (ADVICE r9 — a k≠10 caller used to get a mislabeled recall_at_10).
+    All frames here are |queries|·k rows — driver-free, broadcast-size,
+    exact on both engines (small-integer division)."""
     hits = approx.join(
         exact.select(query_id_col, "neighbor_id"),
         [query_id_col, "neighbor_id"],
@@ -2804,7 +2806,7 @@ def ann_recall_audit(
             query_id_col,
             F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_hits"),
             (F.coalesce("__n", F.lit(0)).cast("double") / k).alias(
-                "recall_at_10"
+                f"recall_at_{k}"
             ),
             F.coalesce(
                 F.lit(1.0) / F.col("__first"), F.lit(0.0)

@@ -509,11 +509,14 @@ def family_runners() -> dict:
         return chunk_dedup_summary(docs)
 
     def chunk_dedup_inc(spark, docs, emb, ev, factor):
-        # per-ingest shape: a FIXED batch (replica 0's doc_id % 10 == 0
-        # slice) chunk-checked against the growing corpus's fingerprint
-        # index — batch-side work fixed, index side ships 16-byte rows,
-        # so wall should track the index build scan, shuffle ∝ corpus
-        # fingerprints
+        # per-ingest shape: a FIXED batch chunk-checked against the
+        # growing corpus's fingerprint index — batch-side work fixed,
+        # index side ships 16-byte rows, so wall should track the index
+        # build scan, shuffle ∝ corpus fingerprints. Amplified ids are
+        # id·factor + r (dense), so a plain % 10 slice would GROW with
+        # the factor (ADVICE r9); % (10·factor) == 0 selects exactly the
+        # replica-0 copies of the original % 10 slice — fixed size, the
+        # semdecon spelling
         from iceberg_matrix_spark.operators.dedup import (  # noqa: PLC0415
             incremental_dedup_exact,
         )
@@ -525,7 +528,7 @@ def family_runners() -> dict:
         )
 
         batch = chunks_with_ckey(
-            docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10_000_000))
+            docs.filter(F.col("doc_id") % (10 * factor) == 0)
         )
         index = (
             chunks_with_ckey(docs.filter(F.col("doc_id") % 10 != 0))

@@ -1000,13 +1000,19 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # persisted chunk-fingerprint indexes per corpus (parquet — the
 # 16-byte-row table an ingest pipeline maintains across batches)
-_CHUNK_INDEX_CACHE: dict[str, DataFrame] = {}
+_CHUNK_INDEX_CACHE: dict[tuple, DataFrame] = {}
 
 
 def chunk_fingerprint_index_cached(
     corpus_docs: DataFrame, corpus_key: str
 ) -> DataFrame:
-    if corpus_key not in _CHUNK_INDEX_CACHE:
+    from iceberg_matrix_spark.operators.scale import df_content_key  # noqa: PLC0415
+
+    # key carries a content signature of the corpus frame (ADVICE r9):
+    # a reused corpus_key with different data misses instead of serving
+    # the old corpus's fingerprint index
+    key = (corpus_key, df_content_key(corpus_docs))
+    if key not in _CHUNK_INDEX_CACHE:
         import tempfile  # noqa: PLC0415
 
         path = tempfile.mkdtemp(prefix="chunk-fp-index-") + "/index.parquet"
@@ -1016,10 +1022,10 @@ def chunk_fingerprint_index_cached(
             .distinct()
             .write.parquet(path)
         )
-        _CHUNK_INDEX_CACHE[corpus_key] = (
+        _CHUNK_INDEX_CACHE[key] = (
             corpus_docs.sparkSession.read.parquet(path)
         )
-    return _CHUNK_INDEX_CACHE[corpus_key]
+    return _CHUNK_INDEX_CACHE[key]
 
 
 @register(
