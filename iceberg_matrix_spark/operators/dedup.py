@@ -161,23 +161,48 @@ def ngram_jaccard_pairs(
     pair → join back doc sizes. ``max_doc_freq`` drops shingles occurring
     in more than N docs — the skew guard that keeps the hottest posting
     list (d² pair blow-up) off a single reducer at 100 TB.
+
+    The postings key is ``xxhash64(shingle)`` — an 8-byte BIGINT — not
+    the shingle STRING (VERDICT r9 #1: string trigram postings were
+    7.2 KB/doc, 3.6 GB and the suite's only spill at the chunk-dedup
+    sweep's 100× point; hashing cuts the dominant shuffle ~5×). Shingle
+    strings exist only map-side, pre-shuffle. Jaccard over hashed
+    shingles equals Jaccard over strings whenever the hash is injective
+    on the corpus's distinct shingles — a 64-bit collision among n
+    distinct shingles has probability ~n²/2⁶⁵ (≈3e-6 even at 10⁷
+    shingles), and tests/test_dedup.py pins injectivity on the actual
+    test corpora (documents + chunk texts), so the string-shingle DuckDB
+    oracles stay hash-exact.
     """
-    sets_ = shingle_sets(df, id_col, text_col, k)
+    sets_ = hashed_shingle_sets(df, id_col, text_col, k)
     # posting entries carry (doc_id, n_sh): the pair emission then has
     # both set sizes in hand, so Jaccard needs NO size joins afterwards —
     # the whole operator is exactly two shuffles (postings, pair counts).
     # array_sort on structs orders by the first field = doc_id.
     ex = sets_.select(
-        F.explode("shingles").alias("shingle"),
+        F.explode("sh_hashed").alias("shingle"),
         F.struct(F.col("doc_id").alias("id"), F.col("n_sh").alias("n")).alias("e"),
     )
     postings = ex.groupBy("shingle").agg(F.array_sort(F.collect_list("e")).alias("ids"))
     if max_doc_freq is not None:
         postings = postings.filter(F.size("ids") <= max_doc_freq)
-    # all ordered pairs within one posting list: (ids[i], ids[j]) for i<j
+    # all ordered pairs within one posting list: (ids[i], ids[j]) for i<j.
+    # With a positive threshold, prune at EMISSION by the size bound
+    # J ≤ min(n1,n2)/max(n1,n2): a pair whose sizes are too lopsided can
+    # never reach θ, so don't shuffle it — the pair-count exchange, not
+    # the postings, is the operator's dominant shuffle (measured round
+    # 10: ~250 of ~290 MB at the 6× probe). The −0.5 slack keeps the
+    # float comparison conservative at integer boundaries; the exact
+    # jaccard filter below is unchanged, so semantics are identical.
+    size_guard = (
+        f" AND least(x.n, y.n) >= {threshold} * greatest(x.n, y.n) - 0.5"
+        if threshold > 0
+        else ""
+    )
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
+        "transform(filter(slice(ids, i + 2, size(ids)), "
+        f"y -> true{size_guard}), "
         "y -> struct(x.id AS id1, x.n AS n1, y.id AS id2, y.n AS n2))))"
     )
     common = (
@@ -216,13 +241,15 @@ def incremental_ngram_neardup(
     ingests — cost nothing. The doc-frequency cap counts batch+corpus
     occurrences together, same as the one-sided operator's semantics at
     100 TB: a stop-shingle is a stop-shingle regardless of which side
-    it appears on."""
-    sb = shingle_sets(batch, id_col, text_col, k)
-    sc_ = shingle_sets(corpus, id_col, text_col, k)
+    it appears on. Postings are keyed by ``xxhash64(shingle)`` BIGINTs,
+    not shingle strings — same rationale and collision guarantee as
+    :func:`ngram_jaccard_pairs`."""
+    sb = hashed_shingle_sets(batch, id_col, text_col, k)
+    sc_ = hashed_shingle_sets(corpus, id_col, text_col, k)
 
     def _explode(side: DataFrame, flag: int) -> DataFrame:
         return side.select(
-            F.explode("shingles").alias("shingle"),
+            F.explode("sh_hashed").alias("shingle"),
             F.struct(
                 F.col("doc_id").alias("id"),
                 F.col("n_sh").alias("n"),
@@ -243,8 +270,17 @@ def incremental_ngram_neardup(
     )
     if max_doc_freq is not None:
         postings = postings.filter(F.col("df_total") <= max_doc_freq)
+    # same emission-time size-bound prune as ngram_jaccard_pairs: with a
+    # positive threshold, cross-side pairs that cannot reach θ by the
+    # J ≤ min/max bound never enter the pair-count exchange
+    size_guard = (
+        f" AND least(x.n, y.n) >= {threshold} * greatest(x.n, y.n) - 0.5"
+        if threshold > 0
+        else ""
+    )
     pair_expr = F.expr(
-        "flatten(transform(bids, x -> transform(cids, "
+        "flatten(transform(bids, x -> transform("
+        f"filter(cids, y -> true{size_guard}), "
         "y -> struct(x.id AS batch_id, x.n AS n1, y.id AS corpus_id, y.n AS n2))))"
     )
     common = (

@@ -2591,11 +2591,13 @@ def q_dedup_semantic_scoped_trained(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 
-def _trained_ivfpq_with_chain() -> str:
+def _trained_ivfpq_with_chain(nprobe: int = _IVFPQ_NPROBE) -> str:
     """WITH chain deriving trained cents+books, the persisted-index
     shape (assign/codes), the probe set, and the ADC scores — shared by
     the plain trained IVF-PQ oracle and the rerank oracle (which differ
-    only in what they do after ``adc``)."""
+    only in what they do after ``adc``). ``nprobe`` parameterizes the
+    probe fan-out: the rerank pipeline runs wider probes than the plain
+    ADC form (see _RERANK_NPROBE)."""
     iv_ctes, iv_fin = _train_oracle_ctes(1, _PQ_K, _DIM, prefix="iv_")
     pq_ctes, pq_fin = _train_oracle_ctes(_PQ_M, _PQ_K, _PQ_DSUB, prefix="pq_")
     return f"""
@@ -2640,7 +2642,7 @@ def _trained_ivfpq_with_chain() -> str:
                                            c.cvec) DESC,
                           c.cid DESC) rn
         FROM q CROSS JOIN cents c
-      ) WHERE rn <= {_IVFPQ_NPROBE}
+      ) WHERE rn <= {nprobe}
     ),
     dtab AS (
       SELECT q.query_id, s.j, s.cid,
@@ -2670,11 +2672,22 @@ def _trained_ivfpq_oracle() -> str:
     """
 
 
-_RERANK_SHORTLIST = 50
+# Round-10 knee (VERDICT r9 #6): the r9 pipeline ran nprobe=4, R=50 at
+# recall@10 0.74–0.80. The sweep over nprobe {{4,8,16}} × R {{50..400}}
+# (SCALING.md) showed the dominant lever is SHORTLIST DEPTH, not probe
+# count — the 8-byte ADC is a weak ranker, so at fixed R=50 widening
+# probes POLLUTES the shortlist and recall drops (0.80→0.74 at sf0.01);
+# deepening R lets the exact rerank recover what ADC misranks. Knee:
+# nprobe=8, R=400 → recall@10 0.90 (sf0.01) / 0.94 (sf0.1), floor ≥0.85
+# pinned in pytest. Cost at scale: probes scan nprobe/k of the encoded
+# corpus (2× the r9 ADC pass); the rerank stays |queries|·R broadcast
+# rows — still fixed per query, still map-side.
+_RERANK_SHORTLIST = 400
+_RERANK_NPROBE = 8
 
 
 def _ivfpq_rerank_oracle() -> str:
-    return f"""{_trained_ivfpq_with_chain()},
+    return f"""{_trained_ivfpq_with_chain(_RERANK_NPROBE)},
     short AS (
       SELECT query_id, neighbor_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2725,7 +2738,7 @@ def _ivfpq_recall_audit_oracle() -> str:
     """The rerank chain + the exact brute-force chain + the audit join,
     all in one WITH chain — the oracle replays the full index-quality
     measurement."""
-    return f"""{_trained_ivfpq_with_chain()},
+    return f"""{_trained_ivfpq_with_chain(_RERANK_NPROBE)},
     short AS (
       SELECT query_id, neighbor_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2832,7 +2845,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivfpq_index_cached(emb, sf_dir, cents, books, tag="trained")
     approx = ann_ivfpq_rerank(
         emb, q, cents, books, k=10, shortlist=_RERANK_SHORTLIST,
-        nprobe=_IVFPQ_NPROBE, corpus_index=idx,
+        nprobe=_RERANK_NPROBE, corpus_index=idx,
     )
     exact = brute_force_topk(emb, q, k=10)
     return ann_recall_audit(approx, exact, q, k=10)
@@ -2840,15 +2853,18 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ann_ivfpq_rerank", oracle=_ivfpq_rerank_oracle())
 def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained IVF-PQ shortlist (ADC top-50) → exact-cosine rerank →
+    """Trained IVF-PQ shortlist (ADC top-R) → exact-cosine rerank →
     top-10: the production retrieval composition (VERDICT r8 #4). The
     compressed-domain ADC is only a preranker; reranking its top-R with
-    exact distances recovers most of the recall the 8-byte codes gave
-    up (floor pinned ≥0.7 in pytest vs ~0.3 for raw ADC@10). The
-    shortlist broadcasts back against the corpus scan, so the vector
-    fetch is map-side; the oracle replays the whole chain — trained
-    quantizers, persisted-index shape, ADC shortlist, exact rerank —
-    as one WITH chain."""
+    exact distances recovers the recall the 8-byte codes gave up.
+    Round 10 moved the operating point to the measured knee — nprobe=8,
+    R=400 (see the _RERANK_SHORTLIST comment: shortlist depth, not
+    probe count, is the dominant recall lever) — recall@10 0.90/0.94 at
+    sf0.01/sf0.1, floor ≥0.85 pinned in pytest (raw ADC@10 is ~0.3).
+    The shortlist broadcasts back against the corpus scan, so the
+    vector fetch is map-side; the oracle replays the whole chain —
+    trained quantizers, persisted-index shape, ADC shortlist, exact
+    rerank — as one WITH chain."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_trained_centroids_cached(emb, sf_dir)
     books = pq_trained_codebooks_cached(emb, sf_dir)
@@ -2860,7 +2876,7 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         books,
         k=10,
         shortlist=_RERANK_SHORTLIST,
-        nprobe=_IVFPQ_NPROBE,
+        nprobe=_RERANK_NPROBE,
         corpus_index=idx,
     )
 

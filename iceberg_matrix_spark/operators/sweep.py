@@ -245,6 +245,13 @@ class StageMetrics:
             "wall_s": round(wall, 3),
             "shuffle_write_bytes": sum(s["shuffleWriteBytes"] for s in new),
             "shuffle_read_bytes": sum(s["shuffleReadBytes"] for s in new),
+            # spill is the sweep's red flag: a linear-shuffle family that
+            # spills at the top factor is under-partitioned or carrying
+            # too-wide rows for executor memory at that scale
+            "spill_memory_bytes": sum(
+                s.get("memoryBytesSpilled", 0) for s in new
+            ),
+            "spill_disk_bytes": sum(s.get("diskBytesSpilled", 0) for s in new),
             "peak_stage_tasks": max(
                 (s["numCompleteTasks"] for s in new), default=0
             ),

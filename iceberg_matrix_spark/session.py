@@ -52,6 +52,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true" if adaptive else "false")
+        # AQE sessions start shuffles WIDE and let runtime coalescing
+        # shrink small stages back to target size — the production
+        # sizing pattern ("partitions fit in executor memory"): with a
+        # fixed 32, the heavy inverted-index aggregations spilled ~30 GB
+        # at the scale sweep's 100× point (round 10, chunk_dedup family)
+        # because each task's agg state outgrew its memory share; wide
+        # initial partitions bound per-task state while AQE keeps tiny
+        # stages from fragmenting. No effect on adaptive=False
+        # correctness sessions (their plans stay deterministic).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "256" if adaptive else str(shuffle_partitions),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The driver's events table carries INT64 TIMESTAMP(NANOS) parquet
         # timestamps, which Spark rejects by default; read them as raw

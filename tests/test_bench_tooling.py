@@ -75,3 +75,72 @@ def test_check_drift_compares_common_queries_only(tmp_path):
                     {"q1": 10.1, "q_new": 99.0}, 1.0)
     rc, rep = _run_drift(tmp_path, [a, b])
     assert rc == 0 and rep["ok"] and rep["n_common"] == 1
+
+
+def _history_runs(series_by_query, factors=None):
+    """Build chronological history entries from per-query time series:
+    series_by_query = {"q1": [t0, t1, ...], ...}; factors optionally
+    gives each run's host_factor (default 1.0)."""
+    n = len(next(iter(series_by_query.values())))
+    factors = factors or [1.0] * n
+    return [
+        _hist_entry(
+            f"2026-08-16T{10 + i:02d}:00:00+00:00",
+            {q: s[i] for q, s in series_by_query.items()},
+            factors[i],
+        )
+        for i in range(n)
+    ]
+
+
+def test_per_query_gate_trips_on_persistent_single_query_regression(tmp_path):
+    """VERDICT r9 #3's target shape: ONE query doubles while the total
+    stays flat (another query shrinks to mask it) — the total-level
+    compound gate alone would pass; the per-query gate must trip."""
+    runs = _history_runs({
+        "q_slow": [2.0, 2.1, 1.9, 2.0, 5.0, 5.2],   # >2x its median, twice
+        "q_big":  [20.0, 19.8, 20.2, 20.0, 17.0, 16.8],  # masks the total
+    })
+    rc, rep = _run_drift(tmp_path, runs)
+    assert rc == 1 and not rep["ok"]
+    assert "q_slow" in rep["per_query_flags"]
+    assert "q_big" not in rep["per_query_flags"]
+    assert rep["normalized_delta_pct"] < 10  # total gate alone was green
+
+
+def test_per_query_gate_ignores_one_run_noise_spike(tmp_path):
+    """The documented same-code noise shape (per-query spread up to
+    2.6x in a single run): a spike that does NOT persist across two
+    consecutive runs must not trip the gate."""
+    runs = _history_runs({
+        "q_noisy": [2.0, 2.1, 1.9, 2.0, 5.2, 2.0],  # spike, then back
+        "q_big":   [20.0, 19.8, 20.2, 20.0, 20.1, 19.9],
+    })
+    rc, rep = _run_drift(tmp_path, runs)
+    assert rc == 0 and rep["ok"] and rep["per_query_flags"] == {}
+
+
+def test_per_query_gate_ignores_probe_overshoot_profile(tmp_path):
+    """Replayed host-noise profile: the host speeds up (factor 1.0 →
+    0.45) and the probe over-responds, so NORMALIZED times double while
+    raw seconds are flat — normalized-only excursions must not trip
+    (both views are required, same as the total gate)."""
+    runs = _history_runs(
+        {
+            "q1": [2.0, 2.1, 1.9, 2.0, 4.4, 4.5],  # normalized doubles...
+            "q2": [5.0, 5.1, 4.9, 5.0, 11.0, 11.1],
+        },
+        factors=[1.0, 1.0, 1.0, 1.0, 0.45, 0.45],  # ...but raw is flat
+    )
+    rc, rep = _run_drift(tmp_path, runs)
+    assert rep["per_query_flags"] == {}
+
+
+def test_per_query_gate_inactive_on_short_history(tmp_path):
+    """With fewer than 4 same-SF runs there is no trailing median to
+    trust — the per-query gate stays silent and the total-level
+    compound gate is the only arbiter (backward compatible with the
+    existing two-entry histories)."""
+    runs = _history_runs({"q1": [2.0, 2.1], "q2": [5.0, 5.1]})
+    rc, rep = _run_drift(tmp_path, runs)
+    assert rc == 0 and rep["ok"] and rep["per_query_flags"] == {}

@@ -213,3 +213,34 @@ def test_chunk_dedup_drops_exact_and_near_chunks_and_deoverlaps(spark):
     assert got[2] == (2, 0, 0)     # exact pass drops everything
     assert got[3] == (2, 0, 0)     # near-dup chunk 0, exact-dup chunk 1
     assert got[4] == (1, 1, CHUNK_SIZE)
+
+
+def test_shingle_hash_is_injective_on_test_corpora(spark):
+    """The n-gram postings key is xxhash64(shingle) (VERDICT r9 #1 —
+    8-byte BIGINT shuffle rows instead of ~KB shingle strings). Jaccard
+    over hashed shingles equals Jaccard over strings iff the hash is
+    injective on the corpus's distinct shingles; this pins that at BOTH
+    parity scales (sf0.001 test + sf0.01 oracle gate), over documents
+    AND the chunk texts q_chunk_dedup shingles, so the string-shingle
+    DuckDB oracles remain hash-exact."""
+    from iceberg_matrix_spark.operators.dedup import shingle_sets
+    from iceberg_matrix_spark.operators.text import chunks_with_ckey
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf, "documents")
+        frames = [
+            shingle_sets(docs, "doc_id", "text", 3),
+            shingle_sets(
+                chunks_with_ckey(docs), "ckey", "chunk_text", 3
+            ),
+        ]
+        for sets_ in frames:
+            row = (
+                sets_.select(F.explode("shingles").alias("s"))
+                .agg(
+                    F.countDistinct("s").alias("n_str"),
+                    F.countDistinct(F.xxhash64("s")).alias("n_hash"),
+                )
+                .collect()[0]
+            )
+            assert row["n_str"] == row["n_hash"] > 0, (sf, row)

@@ -468,12 +468,13 @@ def test_trained_codebooks_beat_seed_codebooks(spark, sf_dir):
 
 
 def test_ivfpq_rerank_recall_floor(spark, sf_dir):
-    """VERDICT r8 #4: ADC shortlist (R=50) + exact-cosine rerank must
-    recover most of the recall the 8-byte codes give up — floor ≥0.7
-    at k=10 vs exact brute force (measured 0.78 sf0.001 / 0.80 sf0.01 /
-    0.74 sf0.1; raw trained ADC@10 sits at ~0.3). The remaining gap is
-    IVF probe coverage (nprobe=4 of 16 cells), not the rerank. Also
-    sanity-pins that rerank strictly beats the unreranked form."""
+    """VERDICT r9 #6: the rerank pipeline at its measured knee
+    (nprobe=8, R=400 — shortlist depth is the dominant recall lever,
+    see the _RERANK_SHORTLIST comment in similarity.py) must clear a
+    ≥0.85 recall@10 floor vs exact brute force (measured 0.90 sf0.01 /
+    0.94 sf0.1; the r9 nprobe=4/R=50 point sat at 0.74–0.80; raw
+    trained ADC@10 is ~0.3). Also sanity-pins that rerank strictly
+    beats the unreranked form."""
     from iceberg_matrix_spark.queries import QUERIES
 
     exact: dict[int, set] = {}
@@ -490,7 +491,7 @@ def test_ivfpq_rerank_recall_floor(spark, sf_dir):
 
     r_rerank = recall("q_ann_ivfpq_rerank")
     r_adc = recall("q_ann_ivfpq_trained")
-    assert r_rerank >= 0.7, r_rerank
+    assert r_rerank >= 0.85, r_rerank
     assert r_rerank > r_adc, (r_rerank, r_adc)
 
 
