@@ -396,14 +396,19 @@ def scale_sweep() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": "4057",
-            # production memory/core ratio: the default 8g local JVM
-            # gives 32 concurrent tasks ~150 MB execution memory each —
-            # ~16x below a typical 1000-executor cluster's per-task
-            # share — so the sweep's top factor measured harness memory
-            # starvation (30 GB of agg spill), not operator structure.
-            # The box has 128 GiB; 48g ≈ 1.5 GB/task matches production.
+            # Measured round 10 (chunk_dedup @100×): heap 8g → 92 s wall
+            # with 3.5 GB disk spill; 16g → 147 s / 3.0 GB; 24g → 192 s /
+            # 0.1 GB; 48g → 248 s spill-free. The "spill" is the
+            # sort-aggregation's working set rotating through disk
+            # (collect_list falls back to sort-based past 128 keys —
+            # spark.sql.objectHashAggregate.sortBased.fallbackThreshold),
+            # and forcing it resident just trades cheap sequential disk
+            # for GC pressure: the spilly default is 2.5× FASTER. So the
+            # sweep keeps the default heap and REPORTS spill per row
+            # instead of hiding it; override to reproduce the trade.
             "spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_SWEEP_MEM", "48g"
+                "SPARK_GRAFT_SWEEP_MEM",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
             ),
         },
     )

@@ -3348,3 +3348,141 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_sim",
         (F.col("max_sim") >= F.lit(_SEMDECON_TAU)).alias("contaminated"),
     )
+
+
+def decontaminate_semantic_scoped(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = _SEMDECON_TAU,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB decontamination path (VERDICT r9 #2): instead of
+    dense cosines against every eval vector, each corpus vector is
+    scored only against eval vectors sharing a probed coarse-quantizer
+    cluster — the SemDeDup scoping machinery with the eval set as the
+    probe side.
+
+    Plan shape: corpus side carries its ONE nearest cluster id (the
+    persisted-index projection — at ingest this is a stored column, the
+    same contract as ivfpq_index_cached); the eval side explodes its
+    ``nprobe`` nearest clusters and BROADCASTS (eval sets are small by
+    definition); candidates join map-side on cid; MAX cosine per corpus
+    vector is idempotent, so a pair sharing several probed clusters
+    needs no distinct. Corpus-side cost is the assignment scan, not
+    |corpus|·|eval| cosines; shuffle is the per-vector max rows.
+
+    Output: EVERY corpus vector — (vec_id, max_sim, contaminated), with
+    NULL max_sim / false for vectors no eval probe reaches. Scoped
+    max_sim ≤ the brute-force max (candidates are a subset), so flagged
+    rows are a subset of q_decontaminate_semantic's; the recall of that
+    subset is pinned in tests/test_similarity.py."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(vec_col).alias("__cn"),
+        F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias(
+            "__cid"
+        ),
+    )
+    probes = evalset.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        l2_norm(vec_col).alias("__bn"),
+        F.explode(_nearest_clusters(vec_col, centroids, nprobe)).alias(
+            "__cid"
+        ),
+    )
+    sims = (
+        c.join(F.broadcast(probes), "__cid")
+        .select(
+            F.col(id_col),
+            (dot(vec_col, "__bv") / (F.col("__cn") * F.col("__bn"))).alias(
+                "__sim"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__sim").alias("max_sim"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(sims, id_col, "left")
+        .select(
+            id_col,
+            "max_sim",
+            F.coalesce(
+                F.col("max_sim") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
+def _semdecon_scoped_oracle() -> str:
+    ctes, fin = _train_oracle_ctes(1, _PQ_K, _DIM)
+    return f"""
+    WITH {ctes},
+    cents AS (
+      SELECT c AS cid, list(w ORDER BY d) AS cvec FROM {fin} GROUP BY c
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {_SEMDECON_MOD} <> 0
+    ),
+    bench AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {_SEMDECON_MOD} = 0
+    ),
+    cassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid DESC) rn
+        FROM corpus e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    bprobes AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_dot_product(b.v, c.cvec) DESC, c.cid DESC) rn
+        FROM bench b CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    sims AS (
+      SELECT c.vec_id, MAX(list_cosine_similarity(c.v, b.v)) AS max_sim
+      FROM corpus c
+      JOIN cassign a ON a.vec_id = c.vec_id
+      JOIN bprobes p ON p.cid = a.cid
+      JOIN bench b ON b.vec_id = p.vec_id
+      GROUP BY c.vec_id
+    )
+    SELECT c.vec_id, s.max_sim,
+           COALESCE(s.max_sim >= {_SEMDECON_TAU}, FALSE) AS contaminated
+    FROM corpus c LEFT JOIN sims s ON s.vec_id = c.vec_id
+    """
+
+
+@register("q_decontaminate_semantic_scoped", oracle=_semdecon_scoped_oracle())
+def q_decontaminate_semantic_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding decontamination through the TRAINED coarse quantizer's
+    scoped candidates (VERDICT r9 #2 — the deployment form whose
+    corpus-side cost is the index/assignment scan, not dense cosines
+    against the eval set): eval vectors probe their 2 nearest trained
+    clusters and broadcast; corpus vectors are scored only against
+    probes landing in their own cluster. Same (vec_id, max_sim,
+    contaminated) contract as q_decontaminate_semantic with NULL/false
+    where no probe reaches; flagged rows are a provable subset of the
+    brute-force flags, recall pinned in pytest. The oracle re-derives
+    the trained centroids (loop-unrolled Lloyd CTEs) and replays
+    assignment, probes, and scoped max-cosine exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_trained_centroids_cached(emb, sf_dir)
+    return decontaminate_semantic_scoped(
+        emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0),
+        emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0),
+        cents,
+    )

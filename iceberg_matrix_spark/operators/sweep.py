@@ -639,6 +639,23 @@ def family_runners() -> dict:
             .agg(F.max("__s").alias("max_sim"))
         )
 
+    def semdecon_scoped(spark, docs, emb, ev, factor):
+        # the deployment decontamination path (VERDICT r9 #2): corpus
+        # vectors carry ONE cluster id (at ingest this is a stored
+        # column), the FIXED bench set probes 2 clusters and broadcasts
+        # — corpus-side cost must track the assignment scan (∝ corpus),
+        # shuffle ≈ per-vector max rows, like the unscoped family but
+        # with candidate volume cut to the shared-cluster pairs
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            decontaminate_semantic_scoped,
+            ivf_seed_centroids,
+        )
+
+        cents = ivf_seed_centroids(emb, k=16)
+        bench = emb.filter(F.col("vec_id") % (20 * factor) == 0)
+        corpus = emb.filter(F.col("vec_id") % 20 != 0)
+        return decontaminate_semantic_scoped(corpus, bench, cents)
+
     def pq_train_sampled(spark, docs, emb, ev, factor):
         # the DEPLOYMENT build: same 2 Lloyd iterations but over the
         # fixed-hash ~1/3 slice — wall should grow ∝ corpus/3 (the seed
@@ -701,6 +718,7 @@ def family_runners() -> dict:
         "chunk_dedup": chunk_dedup,
         "chunk_dedup_inc": chunk_dedup_inc,
         "semdecon": semdecon,
+        "semdecon_scoped": semdecon_scoped,
     }
 
 

@@ -566,3 +566,98 @@ def q_stream_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = corpus_report_state(stream)
     sink = _run_to_memory(state, "stream_report", "complete")
     return corpus_report_from_state(spark.table(sink))
+
+
+def stream_report_fold(
+    spark: SparkSession, docs: DataFrame, n_ingest_files: int = 3
+):
+    """The PRODUCTION sink for the streaming corpus report (VERDICT r9
+    #5): a ``foreachBatch`` writer that folds each micro-batch's counter
+    state into the persisted parquet state — no complete-mode memory
+    sink, no driver-resident state, no streaming state store at all
+    (the stream carries RAW document rows; all aggregation happens
+    batch-side inside foreachBatch, and the cross-batch state is the
+    same parquet table the incremental batch report certifies).
+
+    Mechanics: ``docs`` is staged as ``n_ingest_files`` parquet files in
+    a temp ingest dir (disjoint doc_id % n slices — the arriving-files
+    shape); the file source reads them with maxFilesPerTrigger=1 under
+    availableNow, so the fold runs once per file. Each fold writes
+    state generation v{i+1} from v{i} (parquet is immutable — reading
+    and overwriting one path in a single plan is illegal); the fold is
+    pure counter addition, so the final state is batch-order-invariant.
+
+    Returns (final_state DataFrame, fold_plans, n_batches): the plans
+    let tests pin that every fold's corpus-side input is the state
+    parquet, never previously-ingested document text."""
+    import os
+
+    from iceberg_matrix_spark.operators.pipeline import (  # noqa: PLC0415
+        corpus_report_state,
+        fold_report_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream-fold-")
+    ingest = os.path.join(work, "ingest")
+    for i in range(n_ingest_files):
+        docs.filter(F.col("doc_id") % n_ingest_files == i).coalesce(
+            1
+        ).write.mode("append").parquet(ingest)
+
+    state_path = os.path.join(work, "state_v0")
+    corpus_report_state(docs.limit(0)).write.parquet(state_path)
+
+    current = {"path": state_path, "gen": 0, "plans": [], "batches": 0}
+
+    def fold(batch_df, batch_id):
+        state = spark.read.parquet(current["path"])
+        folded = fold_report_state(state, corpus_report_state(batch_df))
+        current["plans"].append(
+            folded._jdf.queryExecution().executedPlan().toString()
+        )
+        nxt = os.path.join(work, f"state_v{current['gen'] + 1}")
+        folded.write.parquet(nxt)
+        current["path"], current["gen"] = nxt, current["gen"] + 1
+        current["batches"] += 1
+
+    schema = spark.read.parquet(ingest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ingest)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-fold-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("foreachBatch fold stream did not finish in 120s")
+    return (
+        spark.read.parquet(current["path"]),
+        current["plans"],
+        current["batches"],
+    )
+
+
+@register("q_stream_corpus_report_fold", oracle=_stream_report_oracle())
+def q_stream_corpus_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus report through the PRODUCTION sink: documents
+    arrive as files, a foreachBatch writer folds each micro-batch's
+    per-(fingerprint, lang, source) counters into the persisted parquet
+    state (pure addition — the certified batch fold), and the report
+    renders from the final state generation. Complements
+    q_stream_corpus_report, whose complete-mode memory sink certifies
+    the state SHAPE but keeps it driver-resident; here state lives only
+    in parquet and the stream holds nothing (VERDICT r9 #5). Oracle:
+    the from-scratch batch report — the hash match proves
+    3-file streaming ingest ≡ one-shot recompute."""
+    from iceberg_matrix_spark.operators.pipeline import (  # noqa: PLC0415
+        corpus_report_from_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    final_state, _plans, _n = stream_report_fold(spark, docs)
+    return corpus_report_from_state(final_state)

@@ -193,3 +193,33 @@ def test_incremental_report_folds_without_rescanning_corpus(spark, sf_dir):
         "fold re-read the corpus text:\n" + plan
     )
     assert "report-state-" in plan  # the persisted state scan
+
+
+def test_stream_fold_reads_state_parquet_per_batch(spark, sf_dir):
+    """VERDICT r9 #5: the foreachBatch production sink must (a) run one
+    fold per arriving file (3 micro-batches), (b) take the cross-batch
+    corpus contribution from the persisted STATE parquet generation —
+    every fold plan scans state_v{i} and exactly one ingest file slice,
+    never the original corpus file — and (c) land at a final state whose
+    rendered report equals the from-scratch batch report."""
+    from iceberg_matrix_spark.operators.pipeline import (
+        corpus_report,
+        corpus_report_from_state,
+    )
+    from iceberg_matrix_spark.queries.streaming_q import stream_report_fold
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    final_state, plans, n_batches = stream_report_fold(spark, docs)
+    assert n_batches == 3
+    assert len(plans) == 3
+    for plan in plans:
+        assert "state_v" in plan, plan  # the persisted-state scan
+        assert "documents.parquet" not in plan, plan  # never the corpus file
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(corpus_report_from_state(final_state)) == rows(
+        corpus_report(docs)
+    )
