@@ -656,6 +656,28 @@ def family_runners() -> dict:
         corpus = emb.filter(F.col("vec_id") % 20 != 0)
         return decontaminate_semantic_scoped(corpus, bench, cents)
 
+    def ann_index_inc(spark, docs, emb, ev, factor):
+        # incremental index maintenance: a FIXED batch (replica-0's
+        # % 10 slice) encoded under the frozen seed quantizer and
+        # appended to the corpus index — corpus-side work is one narrow
+        # codegen encode + parquet write (∝ corpus, no shuffle), the
+        # per-ingest batch tail is flat; the returned combined index is
+        # a plain file scan. Seed quantizers keep the quantizer build
+        # out of the row (Lloyd training is the pq_train family).
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            ivf_seed_centroids,
+            ivfpq_index_with_ingest,
+            pq_seed_codebooks,
+        )
+
+        cents = ivf_seed_centroids(emb, k=16)
+        books = pq_seed_codebooks(emb)
+        corpus = emb.filter(F.col("vec_id") % (10 * factor) != 0)
+        batch = emb.filter(F.col("vec_id") % (10 * factor) == 0)
+        return ivfpq_index_with_ingest(
+            corpus, batch, f"sweep-inc-{factor}", cents, books
+        )
+
     def pq_train_sampled(spark, docs, emb, ev, factor):
         # the DEPLOYMENT build: same 2 Lloyd iterations but over the
         # fixed-hash ~1/3 slice — wall should grow ∝ corpus/3 (the seed
@@ -719,6 +741,7 @@ def family_runners() -> dict:
         "chunk_dedup_inc": chunk_dedup_inc,
         "semdecon": semdecon,
         "semdecon_scoped": semdecon_scoped,
+        "ann_index_inc": ann_index_inc,
     }
 
 

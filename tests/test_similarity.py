@@ -636,3 +636,38 @@ def test_scoped_decontamination_flags_subset_and_recall(spark):
     assert len(scoped_rows) == corpus_n  # every corpus vector verdicted
     assert scoped <= brute, scoped - brute
     assert brute and len(scoped & brute) / len(brute) >= 0.7, (scoped, brute)
+
+
+def test_incremental_index_append_equals_rebuild(spark, sf_dir):
+    """VERDICT r9 #7: encoding only the arriving batch under the FROZEN
+    quantizer and appending to the persisted index parquet must land on
+    exactly the rows a from-scratch rebuild of the full corpus produces
+    (the index row is a pure per-vector projection, so append ≡ rebuild
+    under a fixed quantizer generation — row-level pin on top of the
+    oracle hash)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.similarity import (
+        ivf_trained_centroids_cached,
+        ivfpq_encode,
+        ivfpq_index_with_ingest,
+        pq_trained_codebooks_cached,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    key = sf_dir + "::inc-corpus"
+    cents = ivf_trained_centroids_cached(corpus, key)
+    books = pq_trained_codebooks_cached(corpus, key)
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["cid"], tuple(r["codes"])) for r in df.collect()
+        )
+
+    appended = ivfpq_index_with_ingest(corpus, batch, key, cents, books)
+    rebuilt = ivfpq_encode(emb, cents, books)
+    assert rows(appended) == rows(rebuilt)
+    assert appended.count() == emb.count()
