@@ -558,11 +558,79 @@ def check_drift(threshold_pct: float = 10.0) -> None:
     sys.exit(0 if ok else 1)
 
 
+def check_test_drift(ratio: float = 2.0) -> None:
+    """Flag pytest FILES whose duration is ballooning (VERDICT r9 #8).
+
+    Reads TEST_DURATIONS.jsonl (written per full-suite run by
+    tests/conftest.py). A file flags only when, in the latest run, BOTH
+    its absolute seconds AND its seconds RELATIVE TO THE REST OF THE
+    SUITE (secs / (total − secs) — unbounded, unlike a share of total)
+    exceed ``ratio``× their trailing medians over the prior runs. The
+    relative signal is host-invariant — a slow host inflates every file
+    equally, leaving the ratio untouched, while a genuinely ballooning
+    family shifts it — the same two-signal structure as the bench gate.
+    Needs ≥3 runs; silently OK below that. ``python bench.py
+    --check-test-drift [ratio]``."""
+    import statistics  # noqa: PLC0415
+
+    path = os.environ.get(
+        "SPARK_GRAFT_TEST_DURATIONS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "TEST_DURATIONS.jsonl"),
+    )
+    try:
+        runs = [json.loads(line) for line in open(path) if line.strip()]
+    except OSError:
+        print(json.dumps({"metric": "test_drift", "error": "no history"}))
+        sys.exit(2)
+    if len(runs) < 3:
+        print(json.dumps({"metric": "test_drift", "ok": True,
+                          "n_runs": len(runs), "note": "need 3 runs"}))
+        sys.exit(0)
+    cur, prior = runs[-1], runs[:-1]
+
+    def rel(run: dict, f: str):
+        rest = run.get("total_s", 0) - run["files"][f]
+        return run["files"][f] / rest if rest > 0 else None
+
+    flags = {}
+    for f, secs in cur["files"].items():
+        hist = [r["files"][f] for r in prior if f in r.get("files", {})]
+        hist_rel = [
+            v
+            for r in prior
+            if f in r.get("files", {}) and (v := rel(r, f)) is not None
+        ]
+        cur_rel = rel(cur, f)
+        if len(hist) < 2 or len(hist_rel) < 2 or cur_rel is None:
+            continue
+        med, med_rel = statistics.median(hist), statistics.median(hist_rel)
+        if med > 0 and med_rel > 0 and secs > ratio * med and \
+                cur_rel > ratio * med_rel:
+            flags[f] = {
+                "seconds": secs,
+                "x_median": round(secs / med, 2),
+                "rel_x_median": round(cur_rel / med_rel, 2),
+            }
+    print(json.dumps({
+        "metric": "test_drift",
+        "n_runs": len(runs),
+        "total_s": cur.get("total_s"),
+        "ratio": ratio,
+        "ok": not flags,
+        "flags": flags,
+    }))
+    sys.exit(0 if not flags else 1)
+
+
 if __name__ == "__main__":
     if "--scale-sweep" in sys.argv[1:]:
         scale_sweep()
     elif "--check-drift" in sys.argv[1:]:
         args = [a for a in sys.argv[1:] if a != "--check-drift"]
         check_drift(float(args[0]) if args else 10.0)
+    elif "--check-test-drift" in sys.argv[1:]:
+        args = [a for a in sys.argv[1:] if a != "--check-test-drift"]
+        check_test_drift(float(args[0]) if args else 2.0)
     else:
         main()

@@ -102,3 +102,55 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
         )
     else:
         terminalreporter.write_sep("-", line)
+
+
+# ------------------------------------------------- per-file duration history
+# VERDICT r9 #8: the suite wall swung 25m → 17m41s across rounds on
+# identical code purely with host health, so absolute suite time can't
+# distinguish a genuinely ballooning test family from a slow day. Record
+# per-FILE durations per run into TEST_DURATIONS.jsonl (repo root,
+# override via SPARK_GRAFT_TEST_DURATIONS); `python bench.py
+# --check-test-drift` flags a file whose duration AND suite share both
+# exceed 2× their trailing medians — the share signal is host-invariant
+# (a slow host scales every file; a ballooning family changes its share),
+# the same two-signal idea as the bench's raw+normalized gate. Recording
+# triggers only on full-suite-sized runs (≥20 files) so targeted
+# developer invocations don't pollute the history.
+_file_durations: dict[str, float] = {}
+
+
+def pytest_runtest_logreport(report):
+    if report.when in ("setup", "call", "teardown"):
+        path = report.nodeid.split("::", 1)[0]
+        _file_durations[path] = _file_durations.get(path, 0.0) + (
+            report.duration or 0.0
+        )
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import datetime
+    import json
+
+    if len(_file_durations) < 20 and not os.environ.get(
+        "SPARK_GRAFT_TEST_DURATIONS_FORCE"
+    ):
+        return
+    path = os.environ.get(
+        "SPARK_GRAFT_TEST_DURATIONS",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "TEST_DURATIONS.jsonl",
+        ),
+    )
+    record = {
+        "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "total_s": round(sum(_file_durations.values()), 2),
+        "files": {f: round(s, 2) for f, s in sorted(_file_durations.items())},
+    }
+    try:
+        with open(path, "a") as fh:
+            fh.write(json.dumps(record) + "\n")
+    except OSError:
+        pass  # history is best-effort; the suite result is the contract

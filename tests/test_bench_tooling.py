@@ -144,3 +144,62 @@ def test_per_query_gate_inactive_on_short_history(tmp_path):
     runs = _history_runs({"q1": [2.0, 2.1], "q2": [5.0, 5.1]})
     rc, rep = _run_drift(tmp_path, runs)
     assert rc == 0 and rep["ok"] and rep["per_query_flags"] == {}
+
+
+def _run_test_drift(tmp_path, runs, ratio=None):
+    import os
+
+    hist = tmp_path / "TEST_DURATIONS.jsonl"
+    hist.write_text("".join(json.dumps(r) + "\n" for r in runs))
+    cmd = [sys.executable, "bench.py", "--check-test-drift"]
+    if ratio:
+        cmd.append(str(ratio))
+    out = subprocess.run(
+        cmd, capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_TEST_DURATIONS": str(hist)},
+    )
+    return out.returncode, json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _test_run(files):
+    return {"utc": "2026-08-16T10:00:00+00:00",
+            "total_s": round(sum(files.values()), 2), "files": files}
+
+
+def test_test_drift_flags_ballooning_file(tmp_path):
+    """A file that doubles while the rest of the suite holds must flag:
+    both its seconds and its suite share exceed 2x their medians."""
+    runs = [
+        _test_run({"tests/test_a.py": 100.0, "tests/test_b.py": 50.0}),
+        _test_run({"tests/test_a.py": 105.0, "tests/test_b.py": 48.0}),
+        _test_run({"tests/test_a.py": 98.0, "tests/test_b.py": 52.0}),
+        _test_run({"tests/test_a.py": 101.0, "tests/test_b.py": 160.0}),
+    ]
+    rc, rep = _run_test_drift(tmp_path, runs)
+    assert rc == 1 and not rep["ok"]
+    assert "tests/test_b.py" in rep["flags"]
+    assert "tests/test_a.py" not in rep["flags"]
+
+
+def test_test_drift_ignores_uniform_host_slowdown(tmp_path):
+    """The round 8->9 shape (25m -> 17m41s on identical code): every
+    file scaling together is host health, not a ballooning family — the
+    share signal stays flat, so nothing flags even when absolute
+    seconds exceed 2x."""
+    runs = [
+        _test_run({"tests/test_a.py": 100.0, "tests/test_b.py": 50.0}),
+        _test_run({"tests/test_a.py": 102.0, "tests/test_b.py": 49.0}),
+        _test_run({"tests/test_a.py": 98.0, "tests/test_b.py": 51.0}),
+        _test_run({"tests/test_a.py": 250.0, "tests/test_b.py": 125.0}),
+    ]
+    rc, rep = _run_test_drift(tmp_path, runs)
+    assert rc == 0 and rep["ok"] and rep["flags"] == {}
+
+
+def test_test_drift_silent_on_short_history(tmp_path):
+    runs = [
+        _test_run({"tests/test_a.py": 100.0}),
+        _test_run({"tests/test_a.py": 300.0}),
+    ]
+    rc, rep = _run_test_drift(tmp_path, runs)
+    assert rc == 0 and rep["ok"]
