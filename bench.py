@@ -137,6 +137,12 @@ HEADLINE = [
     # exact rerank (quantizers/index warm via the query's caches, so
     # this measures the per-query search+rerank path)
     "q_ann_ivfpq_rerank",
+    # round 10: the scoped decontamination path (assignment scan +
+    # broadcast eval probes — the 100 TB form next to the dense
+    # q_decontaminate_semantic baseline, which stays out of the
+    # headline; trained quantizer warm via the cache, so this measures
+    # the per-screen scoped join)
+    "q_decontaminate_semantic_scoped",
 ]
 
 
