@@ -3519,6 +3519,8 @@ def ivfpq_index_with_ingest(
     corpus_key: str,
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
+    n_ingests: int = 1,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Incremental index maintenance (VERDICT r9 #7): the corpus index
     is encoded and persisted ONCE; an arriving batch is encoded under
@@ -3529,17 +3531,34 @@ def ivfpq_index_with_ingest(
     fixed quantizer: encode(corpus ∪ batch) ≡ encode(corpus) ∪
     encode(batch), which q_ann_index_incremental's oracle certifies by
     rebuilding from scratch. Cache key carries the quantizer digest —
-    a new generation misses and re-ingests (the _books_digest rule)."""
-    key = ("ivfpq-ingest", corpus_key, _books_digest(centroids, codebooks))
+    a new generation misses and re-ingests (the _books_digest rule).
+    ``n_ingests`` splits the batch into that many sequential appends
+    (disjoint id slices) — the multi-ingest file history the compaction
+    maintenance pass (ivfpq_index_compact) exists to clean up."""
+    key = (
+        "ivfpq-ingest",
+        corpus_key,
+        n_ingests,
+        _books_digest(centroids, codebooks),
+    )
     if key not in _INC_INDEX_CACHE:
         import tempfile  # noqa: PLC0415
 
         path = tempfile.mkdtemp(prefix="ivfpq-inc-index-") + "/index.parquet"
         ivfpq_encode(corpus, centroids, codebooks).write.parquet(path)
-        # the per-ingest step: batch-only encode, parquet append
-        ivfpq_encode(batch, centroids, codebooks).write.mode(
-            "append"
-        ).parquet(path)
+        # the per-ingest step: batch-only encode, parquet append —
+        # one append per arriving slice
+        for i in range(n_ingests):
+            slice_i = (
+                batch.filter(
+                    F.col(id_col) % F.lit(10 * n_ingests) == 10 * i
+                )
+                if n_ingests > 1
+                else batch
+            )
+            ivfpq_encode(slice_i, centroids, codebooks).write.mode(
+                "append"
+            ).parquet(path)
         _INC_INDEX_CACHE[key] = corpus.sparkSession.read.parquet(path)
     return _INC_INDEX_CACHE[key]
 
@@ -3610,6 +3629,74 @@ def q_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_trained_codebooks_cached(corpus, key)
     idx = ivfpq_index_with_ingest(corpus, batch, key, cents, books)
     return idx.select(
+        "vec_id",
+        "cid",
+        F.expr("aggregate(reverse(codes), 0L, (acc, c) -> acc * 16 + c)")
+        .cast("bigint")
+        .alias("code_key"),
+    )
+
+
+def ivfpq_index_compact(
+    index: DataFrame, n_files: int = 4
+) -> tuple[DataFrame, str]:
+    """Index MAINTENANCE for the append-based ingest path: after many
+    batch appends the index parquet accumulates one small file per
+    ingest; compaction rewrites it as ``n_files`` files RANGE-CLUSTERED
+    on cid (each file covers a contiguous cid range, parquet min/max
+    footer stats disjoint), so a probe-scoped read — ``cid IN
+    (probed...)`` — skips whole files instead of scanning every ingest
+    generation. The rewrite is a pure physical reorganization:
+    repartitionByRange(cid) + sortWithinPartitions(cid, vec_id), same
+    rows in, same rows out (q_ann_index_compact's oracle is the same
+    from-scratch rebuild as the incremental query's — content is
+    invariant under compaction). The sort-rewrite twin of
+    tables/maintenance.py's z-order rewrite, specialized to the ANN
+    index's one-dimensional cluster key.
+
+    Returns (compacted index DataFrame reading the new generation, its
+    path)."""
+    import tempfile  # noqa: PLC0415
+
+    path = tempfile.mkdtemp(prefix="ivfpq-compact-") + "/index.parquet"
+    (
+        index.repartitionByRange(n_files, F.col("cid"))
+        .sortWithinPartitions("cid", "vec_id")
+        .write.parquet(path)
+    )
+    spark = index.sparkSession
+    return spark.read.parquet(path), path
+
+
+_COMPACT_CACHE: dict[tuple, DataFrame] = {}
+
+
+@register("q_ann_index_compact", oracle=_index_incremental_oracle())
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance pass over the incrementally-built ANN index:
+    compact the corpus-build + batch-append parquet generations into
+    cid-range-clustered files (see ivfpq_index_compact) and read the
+    index back from the compacted generation. The oracle is the SAME
+    from-scratch rebuild that certifies q_ann_index_incremental —
+    compaction must be content-invariant, so a dropped/duplicated row
+    or a corrupted code hash-mismatches; the physical claims (fewer
+    files, disjoint per-file cid ranges, probe-scoped file skipping)
+    are pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    key = sf_dir + "::inc-corpus"
+    cents = ivf_trained_centroids_cached(corpus, key)
+    books = pq_trained_codebooks_cached(corpus, key)
+    # a 3-ingest history (1 corpus body + 3 appended generations) is
+    # what the compaction pass exists to clean up
+    appended = ivfpq_index_with_ingest(
+        corpus, batch, key, cents, books, n_ingests=3
+    )
+    ckey = ("compact", key, _books_digest(cents, books))
+    if ckey not in _COMPACT_CACHE:
+        _COMPACT_CACHE[ckey] = ivfpq_index_compact(appended, n_files=2)[0]
+    return _COMPACT_CACHE[ckey].select(
         "vec_id",
         "cid",
         F.expr("aggregate(reverse(codes), 0L, (acc, c) -> acc * 16 + c)")

@@ -671,3 +671,57 @@ def test_incremental_index_append_equals_rebuild(spark, sf_dir):
     rebuilt = ivfpq_encode(emb, cents, books)
     assert rows(appended) == rows(rebuilt)
     assert appended.count() == emb.count()
+
+
+def test_index_compaction_clusters_by_cid_and_preserves_content(spark, sf_dir):
+    """Compaction of the append-built index must (a) preserve content
+    exactly, (b) reduce the file count (corpus build + batch append
+    write ≥ 2 generations of files; compaction targets 4), and (c)
+    produce DISJOINT per-file cid ranges — the property that lets a
+    probe-scoped read (cid IN probes) skip whole files via parquet
+    min/max stats."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.similarity import (
+        ivf_trained_centroids_cached,
+        ivfpq_index_compact,
+        ivfpq_index_with_ingest,
+        pq_trained_codebooks_cached,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    key = sf_dir + "::inc-corpus"
+    cents = ivf_trained_centroids_cached(corpus, key)
+    books = pq_trained_codebooks_cached(corpus, key)
+    appended = ivfpq_index_with_ingest(
+        corpus, batch, key, cents, books, n_ingests=3
+    )
+    assert len(appended.inputFiles()) >= 4  # corpus body + 3 ingests
+    compacted, path = ivfpq_index_compact(appended, n_files=2)
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["cid"], tuple(r["codes"])) for r in df.collect()
+        )
+
+    assert rows(compacted) == rows(appended)  # content-invariant
+    files = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    assert 0 < len(files) <= 2
+    assert len(files) < len(appended.inputFiles())  # actually compacted
+    # disjoint per-file cid ranges (footer-stat file skipping works)
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(os.path.join(path, f)).agg(
+            F.min("cid"), F.max("cid")
+        ).collect()[0]
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
