@@ -661,3 +661,110 @@ def q_stream_corpus_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     final_state, _plans, _n = stream_report_fold(spark, docs)
     return corpus_report_from_state(final_state)
+
+
+def _stream_decon_oracle() -> str:
+    from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+        _SEMDECON_MOD,
+        _SEMDECON_TAU,
+    )
+
+    return f"""
+    WITH bench AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {_SEMDECON_MOD} = 0
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {_SEMDECON_MOD} <> 0
+    ),
+    sims AS (
+      SELECT c.vec_id, MAX(list_cosine_similarity(c.v, b.v)) AS max_sim
+      FROM corpus c CROSS JOIN bench b
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, max_sim, max_sim >= {_SEMDECON_TAU} AS contaminated
+    FROM sims
+    """
+
+
+@register("q_stream_decontaminate", oracle=_stream_decon_oracle())
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination AT INGEST — the screen-at-the-door production
+    shape: training vectors arrive as files (3 micro-batches,
+    maxFilesPerTrigger=1, availableNow) and a foreachBatch writer scores
+    each batch's max cosine against the BROADCAST eval set, appending
+    per-vector verdicts to a results parquet before the batch joins the
+    corpus. No streaming state at all — each vector is screened once,
+    in its own batch, against the fixed eval set, so the union of
+    per-batch screens is EXACTLY the retroactive full-corpus sweep:
+    the oracle is q_decontaminate_semantic's dense-baseline SQL, and
+    the hash match proves ingest-time screening ≡ after-the-fact
+    decontamination. (Per-batch the dense broadcast form IS the scale
+    path — an ingest batch is small by definition; the scoped/trained
+    form, q_decontaminate_semantic_scoped, is the retroactive-sweep
+    shape.)"""
+    import os
+
+    from iceberg_matrix_spark.functions.vectors import dot, l2_norm  # noqa: PLC0415
+    from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+        _SEMDECON_MOD,
+        _SEMDECON_TAU,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0).select(
+        F.col("vec_id").alias("__bid"),
+        F.col("embedding").alias("__bv"),
+        l2_norm("embedding").alias("__bn"),
+    )
+    corpus = emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+
+    work = tempfile.mkdtemp(prefix="stream-decon-")
+    ingest = os.path.join(work, "ingest")
+    for i in range(3):
+        corpus.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(ingest)
+    out_path = os.path.join(work, "verdicts")
+
+    def screen(batch_df, batch_id):
+        scored = (
+            batch_df.select(
+                "vec_id", "embedding", l2_norm("embedding").alias("__cn")
+            )
+            .crossJoin(F.broadcast(bench))
+            .select(
+                "vec_id",
+                (
+                    dot("embedding", "__bv") / (F.col("__cn") * F.col("__bn"))
+                ).alias("__sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("__sim").alias("max_sim"))
+            .select(
+                "vec_id",
+                "max_sim",
+                (F.col("max_sim") >= F.lit(_SEMDECON_TAU)).alias(
+                    "contaminated"
+                ),
+            )
+        )
+        scored.write.mode("append").parquet(out_path)
+
+    schema = spark.read.parquet(ingest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ingest)
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-decon-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("ingest-screen stream did not finish in 120s")
+    return spark.read.parquet(out_path)
