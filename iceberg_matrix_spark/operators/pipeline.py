@@ -1167,3 +1167,72 @@ def q_corpus_report_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = corpus_report_state_cached(corpus, sf_dir)
     folded = fold_report_state(state, corpus_report_state(batch))
     return corpus_report_from_state(folded)
+
+
+def retract_report_state(state: DataFrame, deleted_state: DataFrame) -> DataFrame:
+    """state ⊖ deleted: fold the DELETED docs' counters in NEGATED and
+    drop keys that reach zero — the GDPR-delete / domain-takedown path
+    the additive counter state gets for free (integer counters, so
+    subtraction is exact; a fingerprint whose last copy is deleted
+    leaves the state entirely, which is what lets the dup-share column
+    stay correct after the retraction)."""
+    neg = deleted_state.select(
+        "__fp",
+        "lang",
+        "source",
+        (-F.col("n")).alias("n"),
+        (-F.col("nt")).cast("bigint").alias("nt"),
+        (-F.col("nq")).cast("bigint").alias("nq"),
+    )
+    return fold_report_state(state, neg).filter(F.col("n") > 0)
+
+
+@register(
+    "q_corpus_report_retract",
+    oracle=f"""
+    WITH kept AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    feat AS (
+      SELECT doc_id, lang, source,
+             {_DECON_TOKS} AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS no_ws,
+             len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS symbol_hits
+      FROM kept
+    ),
+    q AS (
+      SELECT doc_id, ({_GOPHER_KEEP_SQL}) AS keep FROM feat
+    ),
+    sig2 AS (
+      SELECT d.lang, d.source,
+             len({_DECON_TOKS}) AS nt,
+             md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
+             q.keep
+      FROM kept d JOIN q ON q.doc_id = d.doc_id
+    ),
+    dup AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY fp) > 1 AS is_dup FROM sig2
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+    FROM dup GROUP BY lang, source
+    """,
+)
+def q_corpus_report_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report AFTER A DELETE, without re-reading the surviving corpus:
+    the full-corpus counter state (persisted parquet) absorbs the
+    deleted slice (doc_id % 10 == 0) as a NEGATIVE fold — only the
+    deleted docs are re-summarized; zeroed keys drop out — and the
+    report renders from the retracted state. The oracle recomputes the
+    report from scratch over the survivors, so the hash match proves
+    retract ≡ recompute, including the corpus-wide dup share when a
+    fingerprint's last copy leaves. Completes the report-state
+    lifecycle: build (q_corpus_report), fold-in (…_incremental,
+    …_fold streaming), fold-out (this)."""
+    docs = load_table(spark, sf_dir, "documents")
+    state = corpus_report_state_cached(docs, sf_dir + "::full")
+    deleted = docs.filter(F.col("doc_id") % 10 == 0)
+    retracted = retract_report_state(state, corpus_report_state(deleted))
+    return corpus_report_from_state(retracted)
