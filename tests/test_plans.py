@@ -401,3 +401,17 @@ def test_ivfpq_rerank_fetch_is_broadcast_and_bounded(spark, sf_dir):
     assert broadcast_join_count(df) >= 2  # shortlist fetch + query vecs
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_scoped_decontamination_join_is_broadcast_equi(spark, sf_dir):
+    """The scoped decontamination candidate join must reach the engine
+    as a BROADCAST equi-join on the cluster id (the eval probe side is
+    tiny by definition) — a nested-loop/cartesian would be the dense
+    |corpus|x|eval| shape the scoping exists to avoid — and the corpus
+    scan must carry only (vec_id, embedding)."""
+    df = QUERIES["q_decontaminate_semantic_scoped"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert broadcast_join_count(df) >= 1
+    for cols in scan_columns(df):
+        assert cols <= {"vec_id", "embedding"}, cols
