@@ -1990,6 +1990,28 @@ def run_conformance(
     try:
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             results = list(ex.map(run_one, tasks))
+        # Shared-JVM OptionalDataException heal (round 10): the pooled
+        # probes are exactly the concurrency that can corrupt a Python
+        # data source wrapper's shared env-vars map mid-serialization
+        # (session.py:reregister_data_sources) — and once corrupted the
+        # probe fails on EVERY rerun against the same wrapper. Heal by
+        # re-registering, then re-run just the flaked probes SERIALLY
+        # (no pool — no concurrent serialization window). Any other
+        # error verdict is left untouched.
+        flaked = [
+            i
+            for i, r in enumerate(results)
+            if r.verdict == "error"
+            and "OptionalDataException" in (r.detail or "")
+        ]
+        if flaked:
+            from iceberg_matrix_spark.session import (  # noqa: PLC0415
+                reregister_data_sources,
+            )
+
+            reregister_data_sources(spark)
+            for i in flaked:
+                results[i] = run_one(tasks[i])
     finally:
         if _geo_prior is None:
             spark.conf.unset(_geo_conf)

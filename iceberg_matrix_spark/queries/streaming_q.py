@@ -34,13 +34,16 @@ def _run_to_memory(df, prefix: str, mode: str):
     a red driver row, not a silent partial result).
 
     One retry, for exactly one failure shape: a long-lived local JVM can
-    very rarely throw ``java.io.OptionalDataException`` inside task
-    deserialization when a streaming trigger races main-thread job
-    submission (observed once ~9 000 stages into a shared session,
-    COVERAGE.md "Known flake"; green on every fresh run). availableNow →
-    fresh memory sink + fresh checkpoint is side-effect-free, so one
-    re-run of the identical plan is sound; ANY other failure — wrong
-    results, real exceptions, timeouts — still raises immediately."""
+    throw ``java.io.OptionalDataException`` inside task deserialization
+    — round-10 diagnosis: a Python data source wrapper's SHARED env-vars
+    HashMap mutated by a task launch concurrent with taskBinary
+    serialization, which can leave the wrapper PERMANENTLY broken (see
+    session.py:reregister_data_sources). The retry therefore first
+    HEALS — re-registering the Python data sources replaces the broken
+    wrapper — then re-runs; availableNow → fresh memory sink + fresh
+    checkpoint is side-effect-free, so the re-run is sound. ANY other
+    failure — wrong results, real exceptions, timeouts — still raises
+    immediately."""
     last_exc: Exception | None = None
     for attempt in range(2):
         sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
@@ -61,6 +64,11 @@ def _run_to_memory(df, prefix: str, mode: str):
             return sink
         except Exception as e:  # noqa: BLE001 — filtered to the one flake shape
             if attempt == 0 and "OptionalDataException" in str(e):
+                from iceberg_matrix_spark.session import (  # noqa: PLC0415
+                    reregister_data_sources,
+                )
+
+                reregister_data_sources(df.sparkSession)
                 last_exc = e
                 continue
             raise

@@ -102,12 +102,39 @@ def local_df(spark: SparkSession, rows, schema: str):
 #   registration (first read would fail DATA_SOURCE_NOT_FOUND).
 _DS_LOCK = threading.Lock()
 _DS_REGISTERED: dict[str, object] = {}
+_DS_CLASSES: dict[str, type] = {}
 
 
 def register_data_source_once(spark: SparkSession, cls, name: str) -> None:
     with _DS_LOCK:
+        _DS_CLASSES[name] = cls
         seen = _DS_REGISTERED.setdefault(name, weakref.WeakSet())
         if spark in seen:
             return
         spark.dataSource.register(cls)
         seen.add(spark)
+
+
+def reregister_data_sources(spark: SparkSession) -> list[str]:
+    """Heal path for the shared-JVM ``java.io.OptionalDataException``
+    artifact (round 10 diagnosis): a Python data source's JVM wrapper
+    carries a SHARED mutable env-vars HashMap that each task launch
+    mutates; if a mutation races a concurrent taskBinary serialization
+    of the SAME wrapper (thread-pooled conformance probes; a streaming
+    trigger next to driver-thread job submission), the map — and with
+    it every LATER serialization — can be left permanently inconsistent,
+    which is why the artifact was observed turning near-deterministic
+    for the rest of a long session (4 task-deserialization failures in
+    one round-10 suite run, all on the icelite_stream source, retries
+    included). Re-registering under the same name replaces the JVM
+    wrapper, giving the next query a fresh map. Returns the names
+    re-registered; callers invoke this before retrying on exactly that
+    exception signature."""
+    with _DS_LOCK:
+        healed = []
+        for name, cls in _DS_CLASSES.items():
+            seen = _DS_REGISTERED.get(name)
+            if seen is not None and spark in seen:
+                spark.dataSource.register(cls)
+                healed.append(name)
+        return healed

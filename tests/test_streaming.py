@@ -445,3 +445,36 @@ def test_stream_tail_survives_schema_evolution(spark, warehouse):
         for r in spark.sql("SELECT * FROM evolve_tail").collect()
     }
     assert rows == {(1, "a", None), (2, "b", 9)}
+
+
+def test_datasource_reregistration_heals_cleanly(spark, warehouse):
+    """The OptionalDataException heal path (round 10): re-registering
+    the Python data sources under their existing names must replace the
+    JVM wrappers without disturbing semantics — a tail read works
+    before AND after, and the heal reports the sources it replaced."""
+    from iceberg_matrix_spark.session import reregister_data_sources
+    from iceberg_matrix_spark.streaming.source import SOURCE_NAME, read_stream
+
+    t = warehouse.create_table("ns.heal_t", "id bigint")
+    t.append(spark.range(3))
+
+    def tail_count():
+        import tempfile
+        import uuid
+
+        sink = f"heal_{uuid.uuid4().hex[:8]}"
+        q = (
+            read_stream(spark, t.location)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(60)
+        return spark.table(sink).count()
+
+    assert tail_count() == 3
+    healed = reregister_data_sources(spark)
+    assert SOURCE_NAME in healed
+    assert tail_count() == 3
