@@ -163,9 +163,10 @@ def ngram_jaccard_pairs(
     list (d² pair blow-up) off a single reducer at 100 TB.
 
     The postings key is ``xxhash64(shingle)`` — an 8-byte BIGINT — not
-    the shingle STRING (VERDICT r9 #1: string trigram postings were
-    7.2 KB/doc, 3.6 GB and the suite's only spill at the chunk-dedup
-    sweep's 100× point; hashing cuts the dominant shuffle ~5×). Shingle
+    the shingle STRING (VERDICT r9 #1; measured effect: ~25% lower wire
+    bytes — LZ4 already compressed the strings well — and much cheaper
+    postings sorts/compares; the DOMINANT shuffle is the pair-count
+    exchange, see SCALING.md Round-10 for the decomposition). Shingle
     strings exist only map-side, pre-shuffle. Jaccard over hashed
     shingles equals Jaccard over strings whenever the hash is injective
     on the corpus's distinct shingles — a 64-bit collision among n
@@ -786,3 +787,152 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes, band candidacy, Hamming filter — so the check is exact."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered thresholded Jaccard (round 10) — the candidate-volume
+# cut for the operator family's DOMINANT shuffle
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exactly :func:`ngram_jaccard_pairs` output (pairs with Jaccard ≥
+    ``threshold``; requires threshold > 0) via PREFIX FILTERING — the
+    classic set-similarity-join optimization (Chaudhuri et al. 2006;
+    Xiao et al. 2008 PPJoin): the round-10 stage decomposition showed
+    the PAIR-COUNT exchange carries ~85% of the baseline's shuffle, and
+    prefix filtering replaces it with a far smaller candidate join.
+
+    Derivation of the prefix bound under THIS operator's semantics
+    (common counts doc-frequency-CAPPED shingles, Jaccard divides by
+    FULL set sizes): J(a,b) ≥ θ forces common ≥ θ/(1+θ)·(n1+n2), and
+    the size bound J ≤ min/max forces n2 ≥ θ·n1, so common ≥ θ·n1 (and
+    symmetrically ≥ θ·n2). Order each doc's capped shingle set
+    canonically (ascending 64-bit hash); with α_a = max(1, ⌊θ·n1⌋) ≤
+    guaranteed-overlap, the SMALLEST common element must sit inside
+    both docs' (|set| − α + 1)-prefixes (if it sat among a's last
+    α_a − 1 elements, so would every larger common element, capping the
+    overlap below α_a). floor, not ceil: a float boundary error then
+    only LENGTHENS a prefix — never drops a qualifying candidate.
+
+    Plan shape: postings (one entries shuffle, the df-cap applied) →
+    regroup to per-doc capped sorted arrays (second entries shuffle) →
+    explode PREFIXES only (~(1−θ) of entries) → candidate pairs with
+    the size guard, deduped → verify by joining the two arrays back and
+    intersecting (shuffle ∝ candidates + two array-frame exchanges).
+    Every stage is ∝ corpus entries or ∝ candidate pairs — the
+    baseline's pair-occurrence exchange (one row per shared shingle per
+    pair) never happens.
+
+    MEASURED VERDICT (round 10 — the honest one, after sweeping both):
+    the baseline wins this benchmark family AT SCALE, and by a lot.
+    At a 6× amplification of sf0.1 documents prefix led 74 MB / 9.7 s
+    vs 265 MB / 14.1 s (θ=0.5, cap 64) — but at the sweep's 100× point
+    the baseline holds 2.2 GB / 55 s while prefix explodes to 22 GB /
+    383 s, and the chunk-granularity form is similar (17.6 vs 2.8 GB).
+    Root cause: the VERIFY join ships each candidate's full shingle
+    ARRAY (KBs/doc) through two exchanges, so its cost is
+    |candidates| × |set|, and candidate pairs (any shared capped prefix
+    shingle + size-compatible) grow ∝ corpus on natural-language
+    shingle distributions even when true near-dups are rare — while the
+    baseline's pair-occurrence exchange is 32-byte rows with map-side
+    combine. The prefix form remains correct and certified
+    (q_dedup_ngram_prefix, equality-pinned across thresholds/caps) and
+    is the right shape only when candidates — not merely matches — are
+    sparse (very high θ on diverse corpora, or with a stronger
+    secondary filter before the verify join); every production
+    composition in this repo stays on the baseline.
+    """
+    if threshold <= 0:
+        raise ValueError("prefix filtering requires a positive threshold")
+    sets_ = hashed_shingle_sets(df, id_col, text_col, k)
+    ex = sets_.select(
+        F.explode("sh_hashed").alias("sh"),
+        F.struct(F.col("doc_id").alias("id"), F.col("n_sh").alias("n")).alias(
+            "e"
+        ),
+    )
+    posts = ex.groupBy("sh").agg(F.collect_list("e").alias("es"))
+    if max_doc_freq is not None:
+        posts = posts.filter(F.size("es") <= max_doc_freq)
+    # per-doc CAPPED shingle arrays in canonical (hash-ascending) order
+    capped = (
+        posts.select(F.col("sh"), F.explode("es").alias("e"))
+        .groupBy(F.col("e.id").alias("doc_id"), F.col("e.n").alias("n_sh"))
+        .agg(F.array_sort(F.collect_list("sh")).alias("arr"))
+        .withColumn("n_c", F.size("arr"))
+    )
+    alpha = F.greatest(
+        F.lit(1), F.floor(F.lit(threshold) * F.col("n_sh")).cast("int")
+    )
+    plen = F.greatest(F.lit(0), F.col("n_c") - alpha + F.lit(1))
+    pref = capped.select(
+        F.explode(F.slice("arr", F.lit(1), plen)).alias("sh"),
+        F.struct(F.col("doc_id").alias("id"), F.col("n_sh").alias("n")).alias(
+            "e"
+        ),
+    )
+    ppost = pref.groupBy("sh").agg(
+        F.array_sort(F.collect_list("e")).alias("ids")
+    )
+    size_guard = (
+        f" AND least(x.n, y.n) >= {threshold} * greatest(x.n, y.n) - 0.5"
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(filter(slice(ids, i + 2, size(ids)), "
+        f"y -> true{size_guard}), "
+        "y -> struct(x.id AS id1, x.n AS n1, y.id AS id2, y.n AS n2))))"
+    )
+    cand = (
+        ppost.select(F.explode(pair_expr).alias("p"))
+        .select("p.id1", "p.n1", "p.id2", "p.n2")
+        .distinct()
+    )
+    a1 = capped.select(
+        F.col("doc_id").alias("id1"), F.col("arr").alias("__a1")
+    )
+    a2 = capped.select(
+        F.col("doc_id").alias("id2"), F.col("arr").alias("__a2")
+    )
+    verified = (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn(
+            "common", F.size(F.array_intersect("__a1", "__a2")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id1", "id2", "common", "jaccard")
+
+
+@register(
+    "q_dedup_ngram_prefix",
+    oracle=f"""
+    WITH {_DOC_SHINGLES_CAPPED_SQL}
+    SELECT id1, id2, common, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded near-dup pairs (3-shingle Jaccard ≥ 0.5, doc-freq cap
+    ON) through the PREFIX-FILTERED plan — the sparse-corpus production
+    path (see ngram_jaccard_pairs_prefix's measured regime guidance).
+    Output-identical to the baseline operator, so the oracle is the same
+    capped exact-Jaccard SQL; the certification here is that the prefix
+    candidate generation (canonical-order prefix lemma + size guard +
+    capped-common verify) misses nothing and invents nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=MAX_DOC_FREQ
+    )

@@ -708,6 +708,13 @@ def family_runners() -> dict:
         "ngram": lambda spark, docs, emb, ev, factor: ngram_jaccard_pairs(
             docs, threshold=0.5, max_doc_freq=64
         ),
+        # ngram_jaccard_pairs_prefix was swept here once (round 10:
+        # 22/259/22 165 MB at 1×/10×/100× vs the baseline's
+        # 24/223/2 185) and REMOVED from the default family list on the
+        # result — the verify join's per-candidate array shipping loses
+        # to the baseline's combining pair-count exchange at scale; the
+        # measured decomposition lives in the operator's docstring and
+        # SCALING.md Round-10.
         "knn": knn,
         "prototype": prototype,
         "fuzzy": fuzzy,

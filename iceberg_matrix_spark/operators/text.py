@@ -872,6 +872,14 @@ def chunk_dedup_summary(
         & (F.col("ckey") == F.col("__keep")),
         "left_semi",
     ).drop("__fp")
+    # The baseline pair-count operator, DELIBERATELY: chunk corpora are
+    # the DENSE near-dup regime (overlapping windows + doc variants give
+    # ~every chunk a high-Jaccard partner), where candidates ∝ chunks
+    # and the prefix-filtered alternative's verify join drags shingle
+    # arrays through shuffles (measured round 10: 17.6 GB vs 2.8 GB at
+    # the 100× sweep point). ngram_jaccard_pairs_prefix is the right
+    # choice for SPARSE corpora — see its docstring for the measured
+    # crossover.
     pairs = ngram_jaccard_pairs(
         keep1,
         "ckey",

@@ -244,3 +244,34 @@ def test_shingle_hash_is_injective_on_test_corpora(spark):
                 .collect()[0]
             )
             assert row["n_str"] == row["n_hash"] > 0, (sf, row)
+
+
+def test_prefix_filtered_pairs_equal_baseline(spark, sf_dir):
+    """ngram_jaccard_pairs_prefix must produce EXACTLY the baseline
+    operator's thresholded output — same pairs, same common counts, same
+    jaccard — across thresholds, cap settings, and an injected-near-dup
+    corpus (the prefix bound, the capped-common semantics, and the
+    canonical-order candidate lemma all have off-by-one failure modes
+    this diff would catch)."""
+    from iceberg_matrix_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = _with_dups(spark, sf_dir)
+    for threshold, cap in [(0.5, 64), (0.2, 64), (0.6, None), (0.9, 16)]:
+        base = {
+            (r.id1, r.id2): (r.common, round(r.jaccard, 12))
+            for r in ngram_jaccard_pairs(
+                docs, threshold=threshold, max_doc_freq=cap
+            ).collect()
+        }
+        pref = {
+            (r.id1, r.id2): (r.common, round(r.jaccard, 12))
+            for r in ngram_jaccard_pairs_prefix(
+                docs, threshold=threshold, max_doc_freq=cap
+            ).collect()
+        }
+        assert pref == base, (threshold, cap,
+                              set(base) ^ set(pref) or "value mismatch")
+        if threshold == 0.5:
+            assert base, "fixture produced no near-dup pairs to compare"
