@@ -3546,12 +3546,15 @@ def ivfpq_index_with_ingest(
 
         path = tempfile.mkdtemp(prefix="ivfpq-inc-index-") + "/index.parquet"
         ivfpq_encode(corpus, centroids, codebooks).write.parquet(path)
-        # the per-ingest step: batch-only encode, parquet append —
-        # one append per arriving slice
+        # the per-ingest step: batch-only encode, parquet append — one
+        # append per arriving slice. Hash-mod slicing (not id % k) so
+        # the slices PARTITION any batch id distribution — an id-range
+        # assumption here would silently drop rows from the index.
         for i in range(n_ingests):
             slice_i = (
                 batch.filter(
-                    F.col(id_col) % F.lit(10 * n_ingests) == 10 * i
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_ingests))
+                    == F.lit(i)
                 )
                 if n_ingests > 1
                 else batch
