@@ -1236,3 +1236,118 @@ def q_corpus_report_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = docs.filter(F.col("doc_id") % 10 == 0)
     retracted = retract_report_state(state, corpus_report_state(deleted))
     return corpus_report_from_state(retracted)
+
+
+def decontamination_report(
+    corpus_docs: DataFrame,
+    bench_docs: DataFrame,
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    tau: float = 0.4,
+    k: int = DECON_NGRAM,
+) -> DataFrame:
+    """ONE per-document contamination verdict from BOTH screens — the
+    report an eval-honest corpus build actually files: the token screen
+    (any shared k-gram with the eval set — catches verbatim leakage)
+    and the embedding screen (max cosine ≥ τ — catches paraphrases the
+    token screen can't see), joined on the shared document id. Output:
+    (doc_id, n_overlap_ngrams, max_sim, token_flag, semantic_flag,
+    contaminated) for EVERY corpus document. Both sides broadcast the
+    eval set, so the corpus pays one narrow text scan + one embedding
+    scan; the join of the two screens is on the per-doc results
+    (∝ corpus rows, not content)."""
+    from iceberg_matrix_spark.functions.vectors import dot, l2_norm  # noqa: PLC0415
+
+    tok = decontaminate(corpus_docs, bench_docs, k=k)
+    bench_v = bench_emb.select(
+        F.col("embedding").alias("__bv"), l2_norm("embedding").alias("__bn")
+    )
+    sims = (
+        corpus_emb.select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            l2_norm("embedding").alias("__cn"),
+        )
+        .crossJoin(F.broadcast(bench_v))
+        .select(
+            "doc_id",
+            (dot("embedding", "__bv") / (F.col("__cn") * F.col("__bn"))).alias(
+                "__sim"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("__sim").alias("max_sim"))
+    )
+    return (
+        sims.join(tok, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap_ngrams"),
+            "max_sim",
+            (F.coalesce("n_overlap_ngrams", F.lit(0)) > 0).alias(
+                "token_flag"
+            ),
+            (F.col("max_sim") >= F.lit(tau)).alias("semantic_flag"),
+            (
+                (F.coalesce("n_overlap_ngrams", F.lit(0)) > 0)
+                | (F.col("max_sim") >= F.lit(tau))
+            ).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "q_decontaminate_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DECON_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, {_DECON_GRAMS} AS gs FROM toks WHERE len(t) >= {DECON_NGRAM}
+    ),
+    bench_g AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0
+    ),
+    corpus_g AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0
+    ),
+    tok AS (
+      SELECT c.doc_id, COUNT(*) AS n FROM corpus_g c JOIN bench_g b ON c.g = b.g
+      GROUP BY c.doc_id
+    ),
+    bench_v AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    sims AS (
+      SELECT e.vec_id AS doc_id,
+             MAX(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.v)) AS max_sim
+      FROM embeddings e CROSS JOIN bench_v b
+      WHERE e.vec_id % 20 <> 0
+      GROUP BY e.vec_id
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_overlap_ngrams,
+           s.max_sim,
+           COALESCE(t.n, 0) > 0 AS token_flag,
+           s.max_sim >= 0.4 AS semantic_flag,
+           (COALESCE(t.n, 0) > 0 OR s.max_sim >= 0.4) AS contaminated
+    FROM sims s LEFT JOIN tok t ON t.doc_id = s.doc_id
+    """,
+)
+def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined contamination report: token-overlap AND embedding
+    screens over ONE eval set (id % 20 == 0, text + vector sides keyed
+    by the shared document id), per-corpus-doc verdict with both
+    signals and the reason columns — what a curation run publishes
+    alongside the cleaned corpus. Oracle replays both screens and the
+    join exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decontamination_report(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+    )
