@@ -618,10 +618,11 @@ def test_scoped_decontamination_flags_subset_and_recall(spark):
     only vectors the brute-force baseline also flags — scoped max_sim
     is a max over a candidate SUBSET, so this is a structural guarantee
     worth pinning against regressions in the scoping join — and (b)
-    keep useful recall of the brute-force flags at the oracle scale
-    (deterministic data: measured 5/7 = 0.714 at sf0.01 with nprobe=2
-    of 16 trained clusters; the misses are pairs straddling >2 cluster
-    boundaries, the documented scoping trade)."""
+    keep high recall of the brute-force flags at the oracle scale. At
+    the round-10 (2 corpus × 8 eval) probe knee the deterministic
+    measurements are 1.0 / 1.0 / 0.95 at sf0.001/0.01/0.1 (the 1×2
+    first cut sat at 0.71/0.40 — low-τ pairs straddle clusters; see
+    decontaminate_semantic_scoped's measured fan-out curve)."""
     from iceberg_matrix_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.01"
@@ -635,7 +636,7 @@ def test_scoped_decontamination_flags_subset_and_recall(spark):
     corpus_n = QUERIES["q_decontaminate_semantic"](spark, sf).count()
     assert len(scoped_rows) == corpus_n  # every corpus vector verdicted
     assert scoped <= brute, scoped - brute
-    assert brute and len(scoped & brute) / len(brute) >= 0.7, (scoped, brute)
+    assert brute and len(scoped & brute) / len(brute) >= 0.9, (scoped, brute)
 
 
 def test_incremental_index_append_equals_rebuild(spark, sf_dir):
