@@ -3564,9 +3564,20 @@ def ivfpq_index_with_ingest(
     ``n_ingests`` splits the batch into that many sequential appends
     (disjoint id slices) — the multi-ingest file history the compaction
     maintenance pass (ivfpq_index_compact) exists to clean up."""
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        df_content_key,
+    )
+
+    # key carries content signatures of BOTH frames (ADVICE r10): a
+    # changed batch under a reused corpus_key with unchanged quantizers
+    # must miss, not serve the stale appended index — the same
+    # df_content_key hardening the report-state and chunk-fingerprint
+    # caches got in round 10.
     key = (
         "ivfpq-ingest",
         corpus_key,
+        df_content_key(corpus),
+        df_content_key(batch),
         n_ingests,
         _books_digest(centroids, codebooks),
     )

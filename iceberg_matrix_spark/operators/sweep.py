@@ -641,8 +641,11 @@ def family_runners() -> dict:
 
     def semdecon_scoped(spark, docs, emb, ev, factor):
         # the deployment decontamination path (VERDICT r9 #2): corpus
-        # vectors carry ONE cluster id (at ingest this is a stored
-        # column), the FIXED bench set probes 2 clusters and broadcasts
+        # vectors carry their 2 nearest cluster ids (at ingest these are
+        # stored columns), the FIXED bench set probes 8 clusters and
+        # broadcasts — the operator's measured (2 corpus × 8 eval) knee
+        # (ADVICE r10: this comment previously said 1×2, misdescribing
+        # the default plan shape)
         # — corpus-side cost must track the assignment scan (∝ corpus),
         # shuffle ≈ per-vector max rows, like the unscoped family but
         # with candidate volume cut to the shared-cluster pairs

@@ -196,12 +196,13 @@ def test_incremental_report_folds_without_rescanning_corpus(spark, sf_dir):
 
 
 def test_stream_fold_reads_state_parquet_per_batch(spark, sf_dir):
-    """VERDICT r9 #5: the foreachBatch production sink must (a) run one
-    fold per arriving file (3 micro-batches), (b) take the cross-batch
-    corpus contribution from the persisted STATE parquet generation —
-    every fold plan scans state_v{i} and exactly one ingest file slice,
-    never the original corpus file — and (c) land at a final state whose
-    rendered report equals the from-scratch batch report."""
+    """VERDICT r9 #5 + r10 #2: the foreachBatch production sink must
+    (a) run one fold per arriving file (3 micro-batches), (b) take the
+    cross-batch corpus contribution from persisted BUCKETED state
+    parquet — every fold plan scans state generation dirs and the
+    staged batch counters, never the original corpus file — and (c)
+    land at a final state whose rendered report equals the from-scratch
+    batch report."""
     from iceberg_matrix_spark.operators.pipeline import (
         corpus_report,
         corpus_report_from_state,
@@ -210,16 +211,88 @@ def test_stream_fold_reads_state_parquet_per_batch(spark, sf_dir):
     from iceberg_matrix_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    final_state, plans, n_batches = stream_report_fold(spark, docs)
+    final_state, plans, n_batches, store = stream_report_fold(spark, docs)
     assert n_batches == 3
     assert len(plans) == 3
-    for plan in plans:
-        assert "state_v" in plan, plan  # the persisted-state scan
+    for i, plan in enumerate(plans):
         assert "documents.parquet" not in plan, plan  # never the corpus file
+        if i > 0:  # fold 0 starts from empty state; later folds must
+            assert "state_v" in plan, plan  # scan persisted generations
+    # every fold's batch_id was recorded — the at-least-once guard
+    assert store.applied == {0, 1, 2}
 
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
     assert rows(corpus_report_from_state(final_state)) == rows(
         corpus_report(docs)
+    )
+
+
+def test_bucketed_fold_touches_only_batch_buckets(spark, sf_dir):
+    """VERDICT r10 #2 — the scale pin: folding a TINY batch into a
+    full-corpus state must read and rewrite only the buckets the batch
+    touches. Pins (a) the new generation dir contains exactly the
+    touched ``__bkt=`` partition dirs, (b) the fold plan partition-
+    prunes the prior state scan to those buckets, (c) the folded state
+    renders the from-scratch report, and (d) retraction gets the same
+    treatment, including a fingerprint's last copy leaving the state."""
+    import os
+    import tempfile
+
+    from iceberg_matrix_spark.operators.pipeline import (
+        BucketedReportState,
+        corpus_report,
+        corpus_report_from_state,
+        corpus_report_state,
+    )
+    from iceberg_matrix_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id").isin(10, 20))
+    root = tempfile.mkdtemp(prefix="bucketed-state-")
+    store = BucketedReportState(
+        spark, root, template=corpus_report_state(docs.limit(0)),
+        n_buckets=64,
+    )
+    assert store.fold(corpus_report_state(corpus), batch_id=0)
+
+    n_state_buckets = len(store.latest)
+    assert store.fold(corpus_report_state(batch), batch_id=1)
+    gen_dir = os.path.join(root, "state_v2")
+    written = {d for d in os.listdir(gen_dir) if d.startswith("__bkt=")}
+    assert 0 < len(written) <= 2  # ≤ one bucket per distinct fingerprint
+    # the fold plan prunes the v1 state scan to the touched buckets
+    assert "state_v1" in store.plans[1]
+    assert "__bkt" in store.plans[1]  # the partition filter survived
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    both = corpus.unionByName(batch)
+    assert rows(corpus_report_from_state(store.current())) == rows(
+        corpus_report(both)
+    )
+    # untouched buckets still resolve to the v1 generation
+    v1 = os.path.join(root, "state_v1")
+    assert sum(1 for p in store.latest.values() if p == v1) >= (
+        n_state_buckets - 2
+    )
+
+    # at-least-once replay: re-delivering batch_id=1 must be a no-op
+    assert not store.fold(corpus_report_state(batch), batch_id=1)
+    assert store.gen == 2
+    assert rows(corpus_report_from_state(store.current())) == rows(
+        corpus_report(both)
+    )
+
+    # retraction: delete the batch again — only its buckets rewrite,
+    # zeroed keys drop out, and the report equals the corpus-only one
+    assert store.retract(corpus_report_state(batch), batch_id=2)
+    gen3 = os.path.join(root, "state_v3")
+    w3 = {d for d in os.listdir(gen3) if d.startswith("__bkt=")}
+    assert len(w3) <= 2
+    assert rows(corpus_report_from_state(store.current())) == rows(
+        corpus_report(corpus)
     )
