@@ -3521,7 +3521,7 @@ def q_decontaminate_semantic_scoped(spark: SparkSession, sf_dir: str) -> DataFra
 # Incremental IVF-PQ index maintenance (round 10, VERDICT r9 #7)
 # ---------------------------------------------------------------------------
 
-_INC_INDEX_CACHE: dict[tuple, DataFrame] = {}
+_INC_INDEX_CACHE: dict[tuple, str] = {}  # cache key -> index parquet path
 
 
 def ivfpq_encode(
@@ -3563,16 +3563,33 @@ def ivfpq_index_with_ingest(
     a new generation misses and re-ingests (the _books_digest rule).
     ``n_ingests`` splits the batch into that many sequential appends
     (disjoint id slices) — the multi-ingest file history the compaction
-    maintenance pass (ivfpq_index_compact) exists to clean up."""
+    maintenance pass (ivfpq_index_compact) exists to clean up. The
+    cache key carries content signatures of BOTH frames (ADVICE r10): a
+    changed batch under a reused corpus_key with unchanged quantizers
+    must miss, not serve the stale appended index."""
+    return corpus.sparkSession.read.parquet(
+        ivfpq_index_ingest_path(
+            corpus, batch, corpus_key, centroids, codebooks, n_ingests, id_col
+        )
+    )
+
+
+def ivfpq_index_ingest_path(
+    corpus: DataFrame,
+    batch: DataFrame,
+    corpus_key: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_ingests: int = 1,
+    id_col: str = "vec_id",
+) -> str:
+    """Path-returning core of :func:`ivfpq_index_with_ingest` — the
+    retraction and rotation lifecycle passes need the index's physical
+    location, not just a frame over it."""
     from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
         df_content_key,
     )
 
-    # key carries content signatures of BOTH frames (ADVICE r10): a
-    # changed batch under a reused corpus_key with unchanged quantizers
-    # must miss, not serve the stale appended index — the same
-    # df_content_key hardening the report-state and chunk-fingerprint
-    # caches got in round 10.
     key = (
         "ivfpq-ingest",
         corpus_key,
@@ -3602,7 +3619,7 @@ def ivfpq_index_with_ingest(
             ivfpq_encode(slice_i, centroids, codebooks).write.mode(
                 "append"
             ).parquet(path)
-        _INC_INDEX_CACHE[key] = corpus.sparkSession.read.parquet(path)
+        _INC_INDEX_CACHE[key] = path
     return _INC_INDEX_CACHE[key]
 
 
@@ -3740,6 +3757,291 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ckey not in _COMPACT_CACHE:
         _COMPACT_CACHE[ckey] = ivfpq_index_compact(appended, n_files=2)[0]
     return _COMPACT_CACHE[ckey].select(
+        "vec_id",
+        "cid",
+        F.expr("aggregate(reverse(codes), 0L, (acc, c) -> acc * 16 + c)")
+        .cast("bigint")
+        .alias("code_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN index retraction + quantizer-generation rotation (round 11,
+# VERDICT r10 #4/#5 — the lifecycle halves the append-only index lacked:
+# deletes, and the eventual retrain the frozen-quantizer assumption defers)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index_retract(
+    spark: SparkSession,
+    index_path: str,
+    deleted_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Merge-on-read DELETE for the append-only ANN index: the deleted
+    ids are appended as a TOMBSTONE parquet next to the index body
+    (``<index>.deletes``) — an O(|deleted|) write that never touches
+    the index files (tests pin the body's file listing unchanged) — and
+    the live view anti-joins tombstones at read. Same MoR shape as the
+    table layer's position/equality deletes (tables/table.py),
+    specialized to the index's id key. Between compactions the
+    tombstone set is bounded by delete traffic, so AQE plans the
+    anti-join as a broadcast at realistic sizes; compaction
+    (:func:`ivfpq_index_compact` over the live view) applies tombstones
+    physically and resets the set. Without this, removed documents left
+    stale index rows serving stale ANN hits — the round-10 lifecycle
+    asymmetry."""
+    deleted_ids.select(id_col).write.mode("append").parquet(
+        index_path + ".deletes"
+    )
+    return ivfpq_index_live(spark, index_path, id_col)
+
+
+def ivfpq_index_live(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The index's LIVE view: body rows minus tombstoned ids. Reads the
+    tombstone parquet only if any retraction has happened."""
+    import os  # noqa: PLC0415
+
+    body = spark.read.parquet(index_path)
+    deletes_path = index_path + ".deletes"
+    if not os.path.isdir(deletes_path):
+        return body
+    dels = spark.read.parquet(deletes_path).distinct()
+    return body.join(dels, id_col, "left_anti")
+
+
+def _index_retract_oracle() -> str:
+    # rebuild-on-survivors: the incremental oracle (frozen quantizer
+    # trained on the corpus slice, every vector encoded from scratch)
+    # restricted to the ids the retraction left alive
+    return f"""
+    SELECT * FROM ({_index_incremental_oracle()}) t
+    WHERE t.vec_id % 5 <> 0
+    """
+
+
+@register("q_ann_index_retract", oracle=_index_retract_oracle())
+def q_ann_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE support for the incrementally-built ANN index (VERDICT
+    r10 #5): the corpus-build + batch-append index (same build as
+    q_ann_index_incremental, quantizers frozen) absorbs a delete of
+    every ``vec_id % 5 == 0`` vector as an appended tombstone set —
+    the index body is never rewritten (pinned) — and returns the LIVE
+    view. The oracle rebuilds the index from scratch ON THE SURVIVORS
+    under the same frozen quantizer derivation, so the hash match
+    proves append+retract ≡ rebuild; without retraction these rows
+    would keep serving stale ANN hits. Deletes are applied physically
+    at the next compaction (pinned in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    key = sf_dir + "::inc-corpus"
+    cents = ivf_trained_centroids_cached(corpus, key)
+    books = pq_trained_codebooks_cached(corpus, key)
+    # NOTE: a fresh corpus_key — the tombstone append mutates the index
+    # dir, so the retraction query must not share the cached body with
+    # q_ann_index_incremental/compact (their reads would see it too if
+    # they read the live view; they read the body, but isolation keeps
+    # the lifecycle stages independently certifiable)
+    path = ivfpq_index_ingest_path(
+        corpus, batch, key + "::retract", cents, books
+    )
+    deleted = emb.filter(F.col("vec_id") % 5 == 0)
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    # idempotent under re-run: the tombstone append is the operation
+    # under test, so reset any prior tombstone generation first
+    if os.path.isdir(path + ".deletes"):
+        shutil.rmtree(path + ".deletes")
+    live = ivfpq_index_retract(spark, path, deleted)
+    return live.select(
+        "vec_id",
+        "cid",
+        F.expr("aggregate(reverse(codes), 0L, (acc, c) -> acc * 16 + c)")
+        .cast("bigint")
+        .alias("code_key"),
+    )
+
+
+_ROTATE_CACHE: dict[tuple, tuple[str, list[list[str]]]] = {}
+
+
+def ivfpq_index_rotation(
+    corpus: DataFrame,
+    corpus_key: str,
+    old_centroids: list[list[float]],
+    old_codebooks: list[list[list[float]]],
+    new_centroids: list[list[float]],
+    new_codebooks: list[list[list[float]]],
+    n_slices: int = 3,
+    id_col: str = "vec_id",
+) -> tuple[str, list[list[str]]]:
+    """STAGED quantizer-generation rotation (VERDICT r10 #4): the
+    frozen-quantizer contract the append path relies on eventually
+    meets drift, and the retrain must not stop ingest or re-encode the
+    corpus in one shot. Layout: the index root holds ``gen=0`` (the
+    existing body under the old books) and ``gen=1`` (the new
+    generation); migration appends one hash-mod slice of the corpus at
+    a time, re-encoded under the NEW books, into ``gen=1`` — each
+    batch touches |corpus|/n_slices rows (pinned per-slice in tests;
+    no single batch re-encodes the full corpus). Mid-migration the
+    index stays fully queryable via :func:`ivfpq_rotation_view`, which
+    serves migrated ids from gen-1 and unmigrated ones from gen-0 BY
+    THE SLICE PREDICATE (``xxhash64(id) % n < done``) — no anti-join,
+    both generations queried side by side, each row's codes decoded
+    under its own generation's books. When the last slice lands, gen-0
+    is dropped and the new generation IS the index
+    (:func:`ivfpq_rotation_finish`).
+
+    Returns (root, per-slice file lists) — the file lists let tests
+    pin per-batch row counts."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        df_content_key,
+    )
+
+    key = (
+        "ivfpq-rotate",
+        corpus_key,
+        df_content_key(corpus),
+        n_slices,
+        _books_digest(old_centroids, old_codebooks),
+        _books_digest(new_centroids, new_codebooks),
+    )
+    if key not in _ROTATE_CACHE:
+        root = tempfile.mkdtemp(prefix="ivfpq-rotate-") + "/index"
+        gen0 = os.path.join(root, "gen=0")
+        ivfpq_encode(corpus, old_centroids, old_codebooks, id_col).write.parquet(
+            gen0
+        )
+        gen1 = os.path.join(root, "gen=1")
+        slices: list[list[str]] = []
+        for s in range(n_slices):
+            before = (
+                set(os.listdir(gen1)) if os.path.isdir(gen1) else set()
+            )
+            slice_s = corpus.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices)) == F.lit(s)
+            )
+            ivfpq_encode(
+                slice_s, new_centroids, new_codebooks, id_col
+            ).write.mode("append").parquet(gen1)
+            slices.append(
+                sorted(
+                    os.path.join(gen1, f)
+                    for f in set(os.listdir(gen1)) - before
+                    if f.endswith(".parquet")
+                )
+            )
+        _ROTATE_CACHE[key] = (root, slices)
+    return _ROTATE_CACHE[key]
+
+
+def ivfpq_rotation_view(
+    spark: SparkSession,
+    root: str,
+    n_slices: int,
+    done: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The mid-migration live view: after ``done`` of ``n_slices``
+    migration batches, ids in a migrated hash-mod slice read from
+    gen-1, the rest from gen-0 — a pure partition-pruned filter, no
+    join. ``done == n_slices`` serves everything from gen-1."""
+    idx = spark.read.parquet(root)
+    migrated = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices)) < F.lit(done)
+    return idx.filter(
+        ((F.col("gen") == 1) & migrated) | ((F.col("gen") == 0) & ~migrated)
+    )
+
+
+def ivfpq_rotation_finish(spark: SparkSession, root: str) -> DataFrame:
+    """Complete the rotation: drop the old generation's files; the new
+    generation is now the whole index."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    gen0 = os.path.join(root, "gen=0")
+    if os.path.isdir(gen0):
+        shutil.rmtree(gen0)
+    return spark.read.parquet(root).drop("gen")
+
+
+def _index_retrain_oracle() -> str:
+    # from-scratch rebuild of the CORPUS index under the NEW
+    # (Lloyd-trained) generation's books — what the staged migration
+    # must land at exactly
+    iv_ctes, iv_fin = _train_oracle_ctes(1, _PQ_K, _DIM, prefix="iv_", src="corp")
+    pq_ctes, pq_fin = _train_oracle_ctes(
+        _PQ_M, _PQ_K, _PQ_DSUB, prefix="pq_", src="corp"
+    )
+    return f"""
+    WITH corp AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+    {iv_ctes},
+    {pq_ctes},
+    cents AS (
+      SELECT c AS cid, list(w ORDER BY d) AS cvec FROM {iv_fin} GROUP BY c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) DESC,
+                          c.cid DESC) rn
+        FROM corp e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    subcw AS (
+      SELECT c AS cid, j, list(w ORDER BY d) AS w FROM {pq_fin} GROUP BY j, c
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT e.vec_id, s.j, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, s.j
+                 ORDER BY {_pq_dist2_sql("e.embedding", "s.w", "s.j")}, s.cid) rn
+        FROM corp e JOIN subcw s ON TRUE
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cid,
+           CAST(SUM(CAST(c.code AS BIGINT) << (4 * c.j)) AS BIGINT) AS code_key
+    FROM assign a JOIN codes c ON c.vec_id = a.vec_id
+    GROUP BY a.vec_id, a.cid
+    """
+
+
+@register("q_ann_index_retrain", oracle=_index_retrain_oracle())
+def q_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-generation ROTATION for the ANN index (VERDICT r10
+    #4): the corpus index built under the SEED quantizer generation is
+    migrated to the Lloyd-TRAINED generation in 3 staged hash-mod
+    batches — each re-encodes only its slice (no batch touches the
+    full corpus; per-slice row counts pinned), the index remains
+    queryable across both generations mid-migration
+    (ivfpq_rotation_view), and the old generation is dropped when the
+    last slice lands. Returns the migrated index; the oracle rebuilds
+    the corpus index from scratch under the trained books (loop-
+    unrolled Lloyd CTEs), so the hash match proves staged migration ≡
+    from-scratch retrain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    key = sf_dir + "::inc-corpus"
+    old_cents = ivf_seed_centroids(corpus, k=_PQ_K)
+    old_books = pq_seed_codebooks(corpus)
+    new_cents = ivf_trained_centroids_cached(corpus, key)
+    new_books = pq_trained_codebooks_cached(corpus, key)
+    root, _slices = ivfpq_index_rotation(
+        corpus, key, old_cents, old_books, new_cents, new_books
+    )
+    final = ivfpq_rotation_finish(spark, root)
+    return final.select(
         "vec_id",
         "cid",
         F.expr("aggregate(reverse(codes), 0L, (acc, c) -> acc * 16 + c)")

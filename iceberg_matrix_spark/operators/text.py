@@ -1098,3 +1098,128 @@ def q_chunk_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc_id").alias("ckey"), "fingerprint", "verdict"
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-fingerprint index retraction (round 11, VERDICT r10 #5)
+# ---------------------------------------------------------------------------
+
+
+def chunk_fingerprint_counts(docs: DataFrame) -> DataFrame:
+    """(fingerprint, n) REFERENCE-COUNTED chunk-fingerprint state — the
+    retraction-capable form of the distinct-fingerprint index
+    (:func:`chunk_fingerprint_index_cached`). A bare distinct index
+    cannot absorb deletes: a fingerprint shared by a deleted and a
+    surviving chunk must STAY, which only a refcount knows. Counts are
+    additive, so ingest folds add and deletes fold negated — the
+    BucketedCounterState contract."""
+    return (
+        chunks_with_ckey(docs)
+        .select(md5_fingerprint("chunk_text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_CHUNK_STORE_CACHE: dict[tuple, object] = {}
+
+
+def chunk_fingerprint_store_cached(
+    corpus_docs: DataFrame, corpus_key: str
+):
+    """Persisted refcounted chunk-fingerprint state for ``corpus_docs``,
+    held in a :class:`~iceberg_matrix_spark.operators.pipeline.
+    BucketedCounterState` (fingerprint-hash bucketed parquet) so later
+    ingest folds and retractions touch only their buckets — the same
+    O(batch) lifecycle the report state got this round. The corpus
+    summary is folded once as batch 0."""
+    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.operators.pipeline import (  # noqa: PLC0415
+        BucketedCounterState,
+    )
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        df_content_key,
+    )
+
+    key = (corpus_key, df_content_key(corpus_docs))
+    if key not in _CHUNK_STORE_CACHE:
+        counts = chunk_fingerprint_counts(corpus_docs)
+        store = BucketedCounterState(
+            corpus_docs.sparkSession,
+            tempfile.mkdtemp(prefix="chunk-fp-store-"),
+            template=counts.limit(0),
+            key_cols=["fingerprint"],
+            counter_cols=["n"],
+        )
+        store.fold(counts, batch_id=0)
+        _CHUNK_STORE_CACHE[key] = store
+    return _CHUNK_STORE_CACHE[key]
+
+
+@register(
+    "q_chunk_index_retract",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS_SQL} AS t, len({TOKS_SQL}) AS n FROM documents
+    ),
+    k AS (
+      SELECT doc_id, t,
+             CASE WHEN n > {CHUNK_SIZE}
+                  THEN CAST(floor((n - {CHUNK_SIZE} + {_CHUNK_STEP - 1})
+                                  / {float(_CHUNK_STEP)}) AS INT)
+                  ELSE 0 END AS kmax
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+             doc_id * {_CKEY_SHIFT} + g.i AS ckey,
+             array_to_string(
+               t[g.i * {_CHUNK_STEP} + 1 : g.i * {_CHUNK_STEP} + {CHUNK_SIZE}],
+               ' ') AS ctext
+      FROM k, unnest(generate_series(0, kmax)) AS g(i)
+    ),
+    fp AS (
+      SELECT doc_id, ckey,
+             md5(lower(trim(regexp_replace(ctext, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM ch
+    ),
+    batch AS (SELECT * FROM fp WHERE doc_id % 20 = 0),
+    idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0),
+    firsts AS (SELECT fingerprint, MIN(ckey) AS first_id FROM batch GROUP BY 1)
+    SELECT b.ckey, b.fingerprint,
+           CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.ckey <> f.first_id THEN 'dup_in_batch'
+                ELSE 'kept' END AS verdict
+    FROM batch b
+    LEFT JOIN idx i ON i.fingerprint = b.fingerprint
+    JOIN firsts f ON f.fingerprint = b.fingerprint
+    """,
+)
+def q_chunk_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE support for the chunk-fingerprint dedup index (VERDICT
+    r10 #5): the full corpus's REFCOUNTED fingerprint state absorbs a
+    delete of every ``doc_id % 10 == 0`` document as a negative
+    touched-bucket fold — only the deleted docs are re-chunked, zeroed
+    fingerprints leave the state, shared ones stay refcounted — and a
+    RE-INGEST of half the deleted docs (doc_id % 20 == 0) is then
+    verdicted against the retracted index. Without retraction those
+    chunks would all read 'dup_of_corpus' from their own stale rows
+    (the round-10 lifecycle asymmetry); the oracle computes verdicts
+    against a from-scratch index OF THE SURVIVORS, so the hash match
+    proves retract ≡ rebuild — including fingerprints whose last copy
+    left and ones a surviving doc still holds."""
+    from iceberg_matrix_spark.operators.dedup import (  # noqa: PLC0415
+        incremental_dedup_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = chunk_fingerprint_store_cached(docs, sf_dir + "::chunk-retract")
+    deleted = docs.filter(F.col("doc_id") % 10 == 0)
+    store.retract(chunk_fingerprint_counts(deleted), batch_id=1)
+    live = store.current().select("fingerprint")
+    batch = chunks_with_ckey(docs.filter(F.col("doc_id") % 20 == 0))
+    out = incremental_dedup_exact(batch, live, "ckey", "chunk_text")
+    return out.select(
+        F.col("doc_id").alias("ckey"), "fingerprint", "verdict"
+    )

@@ -203,3 +203,35 @@ def test_test_drift_silent_on_short_history(tmp_path):
     ]
     rc, rep = _run_test_drift(tmp_path, runs)
     assert rc == 0 and rep["ok"]
+
+
+def test_trailing_median_is_outlier_proof(tmp_path):
+    """VERDICT r10 #6: the official artifact must be a statistic one
+    slow host hour cannot define. Pin the math: per-query median over
+    the trailing window (history + current), sum as the headline; a
+    single 3x outlier run leaves the median untouched; a new query with
+    no history reports its current value; only the last `window` runs
+    count (an old regime ages out)."""
+    from bench import _trailing_medians
+
+    hist = [
+        _hist_entry("t0", {"q1": 10.0, "q2": 4.0}, 1.0),
+        _hist_entry("t1", {"q1": 10.2, "q2": 4.2}, 1.0),
+        _hist_entry("t2", {"q1": 9.8, "q2": 3.8}, 1.0),
+    ]
+    # current run is a broad 3x excursion -> medians hold at history
+    meds, total = _trailing_medians(hist, {"q1": 30.0, "q2": 12.0})
+    assert meds == {"q1": 10.1, "q2": 4.1}
+    assert total == 14.2
+    # a brand-new query reports its own value (median of one)
+    meds, _ = _trailing_medians(hist, {"q_new": 7.5})
+    assert meds == {"q_new": 7.5}
+    # windowing: with window=3, the two oldest runs age out ->
+    # median of (9.8, 30.0 current) on a 2-sample series
+    meds, _ = _trailing_medians(
+        hist, {"q1": 30.0}, window=2
+    )
+    assert meds == {"q1": 19.9}  # median of [9.8, 30.0]
+    # and the median NEVER invents a value below every observation
+    meds, _ = _trailing_medians([], {"q1": 2.5})
+    assert meds == {"q1": 2.5}

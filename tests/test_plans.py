@@ -61,8 +61,11 @@ def test_matrix_grid_joins_stay_broadcast(spark, sf_dir):
 
 
 def test_dedup_ngram_shuffle_budget(spark, sf_dir):
-    # exactly two shuffles: postings groupBy + pair-count groupBy (sizes
-    # ride inside the posting structs, so no size joins at all)
+    # exactly two DATA shuffles: postings groupBy + pair-count groupBy.
+    # The round-11 slim pair rows add two size joins AFTER counting,
+    # but they build from the persisted 16-byte sizes parquet and stay
+    # broadcast at this scale — a third data shuffle appearing here
+    # means the denominator join regressed to exchanging pairs
     df = QUERIES["q_dedup_ngram_threshold"](spark, sf_dir)
     assert data_shuffle_count(df) == 2
 
@@ -385,7 +388,10 @@ def test_chunk_dedup_prunes_columns_and_avoids_cartesian(spark, sf_dir):
     would be the all-pairs scale-killer), and stay off Python workers."""
     df = QUERIES["q_chunk_dedup"](spark, sf_dir)
     for cols in scan_columns(df):
-        assert cols <= {"doc_id", "text"}, cols
+        # documents scans stay (doc_id, text); the persisted sizes
+        # projection (round 11's slim pair exchange) scans (doc_id,
+        # n_sh) — 16-byte rows, the denominator join's build side
+        assert cols <= {"doc_id", "text"} or cols <= {"doc_id", "n_sh"}, cols
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     fplan = explain_formatted(df)
