@@ -72,3 +72,15 @@ def md5_fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (portable —
     DuckDB: ``md5(lower(trim(regexp_replace(text,'\\s+',' ','g'))))``)."""
     return F.md5(norm_text(col))
+
+
+def xx_fingerprint(col: Column | str) -> Column:
+    """8-BYTE document fingerprint: xxhash64 of the normalized text —
+    the INTERNAL exact-dedup key for pipelines whose output never
+    exposes the fingerprint (chunk_dedup_summary's exact pass): a
+    BIGINT groupBy key shuffles and compares at a fraction of the
+    32-char md5 string's cost. Same collision story as hashed shingles
+    (~n²/2⁶⁵; injectivity on the test corpora pinned in
+    tests/test_dedup.py). Anything that RETURNS a fingerprint keeps
+    md5 — that is the portable oracle-visible contract."""
+    return F.xxhash64(norm_text(col))

@@ -234,11 +234,20 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    import tempfile  # noqa: PLC0415
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        persisted_small_hint,
+    )
 
-    sizes_path = tempfile.mkdtemp(prefix="ngram-sizes-") + "/sizes.parquet"
-    sets_.select("doc_id", "n_sh").write.parquet(sizes_path)
-    sizes = df.sparkSession.read.parquet(sizes_path)
+    # join strategy decided off the MATERIALIZED size (see
+    # persisted_small_hint): the 10 MB session default is tuned for
+    # arbitrary wide rows, not a 16-byte (doc_id, n_sh) projection —
+    # at chunk granularity the frame sits just past it and silently
+    # flips to a sort-merge join that re-shuffles the distinct-pair
+    # frame twice. Past the cutoff (billions of docs) the planner's
+    # SMJ on distinct pairs is the right call and the hint stays off.
+    sizes = persisted_small_hint(
+        sets_.select("doc_id", "n_sh"), "ngram-sizes-"
+    )
     return (
         common.join(
             sizes.select(

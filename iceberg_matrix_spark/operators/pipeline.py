@@ -1119,9 +1119,10 @@ def corpus_report_state_cached(corpus: DataFrame, corpus_key: str) -> DataFrame:
     return _REPORT_STATE_CACHE[key]
 
 
-@register(
-    "q_corpus_report_incremental",
-    oracle=f"""
+# the from-scratch report oracle over the FULL documents table — shared
+# by the incremental fold query and the table-backed state's
+# pre-retraction time travel (both must land exactly here)
+_REPORT_ORACLE_FULL = f"""
     WITH feat AS (
       SELECT doc_id, lang, source,
              {_DECON_TOKS} AS toks,
@@ -1149,8 +1150,10 @@ def corpus_report_state_cached(corpus: DataFrame, corpus_key: str) -> DataFrame:
            CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
     FROM dup GROUP BY lang, source
-    """,
-)
+    """
+
+
+@register("q_corpus_report_incremental", oracle=_REPORT_ORACLE_FULL)
 def q_corpus_report_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production form of q_corpus_report: the corpus slice
     (doc_id % 10 != 0) is summarized ONCE into persisted per-(fp, lang,
@@ -1408,9 +1411,10 @@ class BucketedReportState(BucketedCounterState):
         )
 
 
-@register(
-    "q_corpus_report_retract",
-    oracle=f"""
+# the from-scratch report oracle over the SURVIVORS (doc_id % 10 <> 0) —
+# shared by the parquet-state retraction and the table-backed MERGE
+# retraction
+_REPORT_ORACLE_SURVIVORS = f"""
     WITH kept AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
     feat AS (
       SELECT doc_id, lang, source,
@@ -1439,8 +1443,10 @@ class BucketedReportState(BucketedCounterState):
            CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
     FROM dup GROUP BY lang, source
-    """,
-)
+    """
+
+
+@register("q_corpus_report_retract", oracle=_REPORT_ORACLE_SURVIVORS)
 def q_corpus_report_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Report AFTER A DELETE, without re-reading the surviving corpus:
     the full-corpus counter state (persisted parquet) absorbs the
@@ -1571,4 +1577,119 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 20 == 0),
         emb.filter(F.col("vec_id") % 20 != 0),
         emb.filter(F.col("vec_id") % 20 == 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table-backed report state (round 11, VERDICT r10 #8 stretch): the fold
+# state moves from hand-numbered parquet generations into the IceLite
+# table layer the repo already certifies — folds and retractions become
+# MERGE commits, generations become snapshots, and the state becomes
+# time-travelable for free.
+# ---------------------------------------------------------------------------
+
+_REPORT_TABLE_CACHE: dict[tuple, tuple] = {}
+
+_REPORT_MERGE_ON = (
+    "t.__fp = s.__fp AND t.lang = s.lang AND t.source = s.source"
+)
+
+
+def report_state_table_lifecycle(spark: SparkSession, sf_dir: str):
+    """Run the full report-state lifecycle through an IceLite table:
+
+    1. CREATE + append the corpus slice's counter state (snapshot 1);
+    2. fold the ingest batch in with MERGE — matched keys add counters,
+       new keys insert (snapshot 2 == the full-corpus state);
+    3. retract the same batch with MERGE — keys whose refcount reaches
+       zero DELETE, the rest subtract (snapshot 3 == the survivors).
+
+    Returns (table, pre_retraction_snapshot_id). Everything the raw
+    parquet state hand-rolled — generation numbering, the manifest,
+    at-least-once dedup — is what the table layer's snapshots, atomic
+    commits, and summaries already provide; retraction stops being a
+    bespoke negative-fold file dance and becomes one MERGE statement
+    (the VERDICT r10 stretch's exact point)."""
+    key = ("report-table", sf_dir)
+    if key not in _REPORT_TABLE_CACHE:
+        import tempfile  # noqa: PLC0415
+
+        from iceberg_matrix_spark.tables.catalog import (  # noqa: PLC0415
+            IceLiteCatalog,
+        )
+
+        cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="report-wh-"))
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        t = cat.create_table(
+            "analytics.report_state", corpus_report_state(docs.limit(0)).schema
+        )
+        t.append(corpus_report_state(corpus))
+        t = t.refresh()
+        t.merge(
+            corpus_report_state(batch),
+            on=_REPORT_MERGE_ON,
+            matched_update={
+                "n": "t.n + s.n",
+                "nt": "t.nt + s.nt",
+                "nq": "t.nq + s.nq",
+            },
+            insert_when_not_matched=True,
+        )
+        t = t.refresh()
+        pre_retract = t.current_snapshot().snapshot_id
+        t.merge(
+            corpus_report_state(batch),
+            on=_REPORT_MERGE_ON,
+            matched_clauses=[
+                ("t.n <= s.n", ("delete",)),
+                (
+                    None,
+                    (
+                        "update",
+                        {
+                            "n": "t.n - s.n",
+                            "nt": "t.nt - s.nt",
+                            "nq": "t.nq - s.nq",
+                        },
+                    ),
+                ),
+            ],
+            insert_when_not_matched=False,
+        )
+        _REPORT_TABLE_CACHE[key] = (t.refresh(), pre_retract)
+    return _REPORT_TABLE_CACHE[key]
+
+
+_STATE_COLS = ["__fp", "lang", "source", "n", "nt", "nq"]
+
+
+@register("q_report_state_table", oracle=_REPORT_ORACLE_SURVIVORS)
+def q_report_state_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report-state lifecycle UNIFIED with the table layer (VERDICT
+    r10 #8): counter state lives in an IceLite table; the ingest fold
+    and the retraction are MERGE commits (add-or-insert / subtract-or-
+    delete), and the report renders from the table's CURRENT snapshot —
+    after build + fold + retract, that is exactly the survivors' state,
+    which the oracle recomputes from scratch. Generations are
+    snapshots; see q_report_state_timetravel for reading the
+    pre-retraction one."""
+    t, _pre = report_state_table_lifecycle(spark, sf_dir)
+    return corpus_report_from_state(t.df().select(*_STATE_COLS))
+
+
+@register("q_report_state_timetravel", oracle=_REPORT_ORACLE_FULL)
+def q_report_state_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the table-backed report state: AFTER the
+    retraction MERGE has deleted the batch's counters, render the
+    report from the PRE-RETRACTION snapshot id — the audit question
+    'what did the corpus report say before the takedown?' answered by
+    the table layer's snapshot addressing instead of kept-around state
+    files. The oracle recomputes the full-corpus report from scratch,
+    so the hash match proves snapshot-addressed state ≡ the state that
+    existed then."""
+    t, pre = report_state_table_lifecycle(spark, sf_dir)
+    return corpus_report_from_state(
+        t.df(snapshot_id=pre).select(*_STATE_COLS)
     )

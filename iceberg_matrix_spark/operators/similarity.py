@@ -3384,21 +3384,35 @@ def decontaminate_semantic_scoped(
     (1×2)=0.40, (2×2)=0.54, (2×4)=0.73, (2×8)=0.95, (4×4)=0.93,
     (4×8)=1.00.
 
-    THE HONEST COST MODEL (measured round 10 — this operator is a
-    recall/cost DIAL, not a free win): candidate volume ≈ pair-coverage
-    ρ = 1 − (1 − corpus_nprobe/k)^nprobe of the dense |corpus|·|eval|
-    cosines. At the local k=16 with (2×8), ρ ≈ 0.65 — recall 0.95 but
-    only ~35% of the dense work avoided (a growing-eval probe measured
-    scoped ≈ dense × ρ + assignment overhead, both scaling with
-    |eval|). Low-τ screening is intrinsically hard to scope: weakly
-    similar vectors co-cluster weakly. At 100 TB the dial earns its
-    keep by growing k ∝ corpus (bounded cluster population — the
-    cluster_scoped_neardup contract): ρ = 1 − (1 − 2/k)^8 falls to
-    ~22% at k=64 and ~3% at k=512 at fixed fan-outs, with recall to be
-    re-measured per quantizer — pick (k, fan-outs) for the target
-    recall and pay ρ× the dense cost. For a SMALL eval set the dense
-    broadcast baseline is already cheap and simpler — that is what
-    q_stream_decontaminate ships per ingest batch.
+    THE HONEST COST MODEL (measured round 10, k-dial MEASURED round 11
+    — this operator is a recall/cost DIAL, not a free win): candidate
+    volume ≈ pair-coverage ρ = 1 − (1 − corpus_nprobe/k)^nprobe of the
+    dense |corpus|·|eval| cosines, and the measured candidate counts
+    track the formula (sf0.1, seed quantizers, measured ρ vs predicted:
+    0.76/0.66 at k=16 (2×8); 0.23/0.22, 0.43/0.40, 0.74/0.64 at k=64
+    (2×8)/(2×16)/(2×32) — slightly above prediction from non-uniform
+    cluster population).
+
+    ROUND-10's k∝corpus SCALING ARGUMENT, MEASURED AND REFUTED at this
+    scale (VERDICT r10 #3): the model promised ρ ≈ 0.22 at k=64 under
+    fixed (2×8) fan-outs — and candidates indeed fall to 0.23 — but
+    RECALL COLLAPSES WITH THEM (0.92 → 0.61 at sf0.1): at τ=0.4 recall
+    tracks pair COVERAGE ρ, not cluster granularity. Re-kneeing k=64
+    for recall (the measured sf0.1 dial: (2×16) ρ=0.43 recall 0.82;
+    (2×24) ρ≈0.59 recall ~0.95; (2×32) ρ=0.74 recall 0.99) lands the
+    equal-recall cost roughly back where k=16 sits (recall≈0.92 costs
+    ρ≈0.76 at k=16 and ρ≈0.55-0.6 at k=64; recall≈0.99 costs ρ≈0.96 at
+    k=16 (4×8) and ρ≈0.74 at k=64 (2×32)) — growing k 4× buys ~20-25%
+    at matched recall, NOT the 3× the naive formula promised. Low-τ
+    screening is intrinsically hard to scope: weakly similar vectors
+    co-cluster weakly, so the pair space must be covered almost
+    regardless of how finely it is partitioned. Whether tighter
+    clusters at truly large corpora bend this curve is explicitly
+    unmeasured beyond this scale. k=64 re-kneed floor (2×32, recall ≥
+    0.85 at the sf0.01 oracle gate) pinned in tests/test_similarity.py.
+    For a SMALL eval set the dense broadcast baseline is already cheap
+    and simpler — that is what q_stream_decontaminate ships per ingest
+    batch.
 
     Output: EVERY corpus vector — (vec_id, max_sim, contaminated), with
     NULL max_sim / false for vectors no eval probe reaches. Scoped

@@ -860,18 +860,33 @@ def chunk_dedup_summary(
         ngram_jaccard_pairs,
     )
 
+    from iceberg_matrix_spark.functions.text import xx_fingerprint  # noqa: PLC0415
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        persisted_small_hint,
+    )
+
     ck = chunks_with_ckey(docs, id_col=id_col, text_col=text_col)
     chunks = ck
-    with_fp = ck.withColumn("__fp", md5_fingerprint("chunk_text"))
-    keep_min = with_fp.select("__fp", "ckey").groupBy("__fp").agg(
-        F.min("ckey").alias("__keep")
+    # exact pass, round-11 shape: the keeper set is a MIN-ckey-per-
+    # fingerprint aggregate over 8-byte xxhash64 fingerprints (the
+    # md5-string keys cost 2× the wire — this key is internal, see
+    # xx_fingerprint), persisted and joined back by its TRUE size.
+    # The previous spelling semi-joined the full chunk frame on the
+    # fingerprint, which shuffled every chunk's TEXT through the
+    # exchange (measured round 11: ~211 MB of the 100× sweep point's
+    # 2.3 GB, plus a second text-free copy in the survivors branch);
+    # a keeper-ckey semi join against the broadcast key set keeps the
+    # text map-side. Past the cutoff the join degrades to SMJ on the
+    # 8-byte ckeys — text still never shuffles.
+    keep_min = (
+        ck.select(xx_fingerprint("chunk_text").alias("__fp"), "ckey")
+        .groupBy("__fp")
+        .agg(F.min("ckey").alias("ckey"))
     )
-    keep1 = with_fp.join(
-        keep_min,
-        (with_fp["__fp"] == keep_min["__fp"])
-        & (F.col("ckey") == F.col("__keep")),
-        "left_semi",
-    ).drop("__fp")
+    keepers = persisted_small_hint(
+        keep_min.select("ckey"), "chunk-keepers-"
+    )
+    keep1 = ck.join(keepers, "ckey", "left_semi")
     # The baseline pair-count operator, DELIBERATELY: chunk corpora are
     # the DENSE near-dup regime (overlapping windows + doc variants give
     # ~every chunk a high-Jaccard partner), where candidates ∝ chunks
@@ -888,7 +903,13 @@ def chunk_dedup_summary(
         threshold=threshold,
         max_doc_freq=max_doc_freq,
     )
-    dropped = pairs.select(F.col("id2").alias("ckey")).distinct()
+    # the drop set is ids-only and bounded by true near-dup pairs —
+    # persist + stat-broadcast it too, so the anti-join never
+    # re-shuffles the survivor frame
+    dropped = persisted_small_hint(
+        pairs.select(F.col("id2").alias("ckey")).distinct(),
+        "chunk-dropped-",
+    )
     keep2 = keep1.join(dropped, "ckey", "left_anti")
     w = Window.partitionBy(id_col).orderBy("chunk_id")
     seq = keep2.select(id_col, "chunk_id", "n_chunk_toks").withColumn(

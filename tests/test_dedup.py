@@ -305,3 +305,26 @@ def test_chunk_index_retract_equals_rebuild_on_survivors(spark, sf_dir):
     # at-least-once: replaying the retraction must not double-subtract
     assert not store.retract(chunk_fingerprint_counts(deleted), batch_id=1)
     assert rows(store.current()) == rows(chunk_fingerprint_counts(survivors))
+
+
+def test_normalized_text_xxhash_is_injective_on_test_corpora(spark):
+    """chunk_dedup_summary's exact pass now groups on xx_fingerprint
+    (8-byte xxhash64 of the normalized chunk text) instead of the
+    md5 string (round 11 — half the exact-pass wire bytes). The keep
+    set equals the md5-keyed one iff the hash is injective on the
+    corpus's distinct normalized texts; pin that at both parity scales
+    for documents AND chunk texts."""
+    from iceberg_matrix_spark.functions.text import md5_fingerprint, xx_fingerprint
+    from iceberg_matrix_spark.operators.text import chunks_with_ckey
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf, "documents")
+        for frame, col in (
+            (docs, "text"),
+            (chunks_with_ckey(docs), "chunk_text"),
+        ):
+            row = frame.agg(
+                F.countDistinct(md5_fingerprint(col)).alias("n_md5"),
+                F.countDistinct(xx_fingerprint(col)).alias("n_xx"),
+            ).collect()[0]
+            assert row["n_md5"] == row["n_xx"] > 0, (sf, col, row)

@@ -388,10 +388,15 @@ def test_chunk_dedup_prunes_columns_and_avoids_cartesian(spark, sf_dir):
     would be the all-pairs scale-killer), and stay off Python workers."""
     df = QUERIES["q_chunk_dedup"](spark, sf_dir)
     for cols in scan_columns(df):
-        # documents scans stay (doc_id, text); the persisted sizes
-        # projection (round 11's slim pair exchange) scans (doc_id,
-        # n_sh) — 16-byte rows, the denominator join's build side
-        assert cols <= {"doc_id", "text"} or cols <= {"doc_id", "n_sh"}, cols
+        # documents scans stay (doc_id, text); the round-11 persisted
+        # key projections — (doc_id, n_sh) Jaccard sizes, (ckey) exact
+        # keepers, (ckey) near-dup drop set — are ≤16-byte rows, the
+        # joins' stat-broadcast build sides
+        assert (
+            cols <= {"doc_id", "text"}
+            or cols <= {"doc_id", "n_sh"}
+            or cols <= {"ckey"}
+        ), cols
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     fplan = explain_formatted(df)
