@@ -30,6 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from iceberg_matrix_spark.functions.lits import const_long_array
 from iceberg_matrix_spark.operators.spans import _SPANS_SQL
 from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
 from iceberg_matrix_spark.sources.testdata import load_table
@@ -826,25 +827,34 @@ def decontaminate_bloom(
     """
     from iceberg_matrix_spark.functions.text import word_shingles
 
-    words_lit = F.array(
-        *[F.lit(w).cast("long") for w in bloom_words]
-    )
-    grams = corpus.select(
+    # one py4j call for the 256-word literal (functions/lits.py) instead
+    # of one per word — same Literal after constant folding
+    words_lit = const_long_array(bloom_words)
+    # md5 ONCE per gram in a projection, positions from substrings of the
+    # digest column (round 11): the k bit tests each referenced md5(g)
+    # twice, leaning on codegen subexpression elimination to dedup 6
+    # hashes back to 1 — hashing in the projection makes the single hash
+    # structural (interpreted/non-codegen paths included) and drops the
+    # gram string right after the hash. Same math, same oracle; measured
+    # 1.42 → 1.35 s at sf0.1 (CSE was already catching most of it).
+    hashed = corpus.select(
         "doc_id", F.explode(word_shingles(text_col, k)).alias("g")
+    ).select(
+        "doc_id", F.md5(F.col("g").cast("binary")).alias("__h")
     ).withColumn("__w", words_lit)
     # bit tests as one SQL expression (shiftright with a COLUMN amount is
     # SQL-only; the DSL binding takes a literal int)
     tests = []
     for i in range(_BLOOM_HASHES):
         pos = (
-            f"pmod(CAST(conv(substring(md5(g), {1 + 8 * i}, 8), 16, 10) AS BIGINT), {_BLOOM_BITS})"
+            f"pmod(CAST(conv(substring(__h, {1 + 8 * i}, 8), 16, 10) AS BIGINT), {_BLOOM_BITS})"
         )
         tests.append(
             f"((shiftright(element_at(__w, CAST({pos} DIV {_BLOOM_WORD_BITS} AS INT) + 1), "
             f"CAST({pos} % {_BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
         )
     return (
-        grams.filter(F.expr(" AND ".join(tests)))
+        hashed.filter(F.expr(" AND ".join(tests)))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
     )

@@ -23,6 +23,11 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from iceberg_matrix_spark.functions.lits import (
+    const_double_cube,
+    const_double_matrix,
+    double_matrix_sql,
+)
 from iceberg_matrix_spark.functions.vectors import cosine, dot, l2_norm
 from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_table
@@ -55,10 +60,17 @@ def brute_force_topk(
     ``queries`` is expected to be small (it is broadcast); ties broken by
     neighbor id for a total order.
     """
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
     # norms are per-row quantities: compute each side's ONCE and score
     # with dot/(n_c·n_q) — one fold per pair instead of three,
-    # bit-identical to cosine() (the _lsh_verified_pairs trick)
-    c = corpus.select(
+    # bit-identical to cosine() (the _lsh_verified_pairs trick).
+    # ensure_compute_parallelism: the |corpus|×|queries| scoring is the
+    # heavy projection and a single-file corpus otherwise runs it as ONE
+    # task up to the top-k exchange (round 11; no-op at scale)
+    c = ensure_compute_parallelism(corpus.select(id_col, vec_col)).select(
         F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__cn")
     )
     q = queries.select(
@@ -536,10 +548,17 @@ def _lsh_verified_pairs(
     )
 
 
+_PLANES_SQL = double_matrix_sql(_PLANES)  # rendered once; planes are fixed
+
+
 def _plane_array_expr() -> F.Column:
-    return F.array(
-        *[F.array(*[F.lit(x) for x in plane]) for plane in _PLANES]
-    )
+    # ONE py4j call (F.expr over the pre-rendered SQL literal) instead of
+    # ~2,100 (F.lit per element): the per-element form cost ~1.2 s of
+    # driver-side plan construction on EVERY query embedding the planes
+    # (round-11 phase profile: q_dedup_semantic build_s 1.74 of 3.9 wall).
+    # The parsed tree constant-folds to the identical Literal — results
+    # and plans are bit-identical (tests/test_plans.py pins equality).
+    return F.expr(_PLANES_SQL)
 
 
 def _fold_dot(v: F.Column, p: F.Column) -> F.Column:
@@ -670,7 +689,7 @@ def _centroid_scored(vec_col: str, centroids: list[list[float]]) -> F.Column:
     lesson: k separately-unrolled dot subtrees were pure per-call
     planning cost). Bit-identical to the unrolled form: same fold ops,
     same struct shape (d double, cid int)."""
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cents = const_double_matrix(centroids)  # one py4j call, not k×64
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return F.transform(
         cents,
@@ -811,9 +830,18 @@ def ann_ivf_topk(
     the candidate join shuffles |corpus|/k · nprobe · |queries| rows, not
     |corpus| · |queries|.
     """
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
     if centroids is None:
         centroids = ivf_build_centroids(corpus, k=n_clusters, id_col=id_col, vec_col=vec_col)
-    indexed = corpus.select(
+    # row-local assignment projection (k dots/row) — spread a single-file
+    # scan over cores (round 11; no-op at scale). NOTE: the centroid
+    # BUILD above is deliberately untouched — its float avg() is
+    # summation-order-sensitive, so repartitioning it could move the
+    # trained centroids by an ulp and change candidate sets.
+    indexed = ensure_compute_parallelism(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
         l2_norm(vec_col).alias("__cn"),
@@ -1137,7 +1165,7 @@ def product_cid(
     half = _DIM // 2
 
     def _argmax(v: F.Column, cents: list[list[float]]) -> F.Column:
-        lits = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        lits = const_double_matrix(cents)  # one py4j call, not k×32
         vd = F.transform(v, lambda x: x.cast("double"))
         scored = F.transform(
             lits,
@@ -1560,12 +1588,12 @@ def _pq_books_lit(codebooks: list[list[list[float]]]) -> F.Column:
     subtrees — the unrolled form cost ~9 s of pure Catalyst
     planning/codegen per call at ANY data size (measured 10.4 → 1.5 s
     at sf0.1 with identical output)."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in w]) for w in sub])
-            for sub in codebooks
-        ]
-    )
+    # ONE py4j call (SQL literal parsed JVM-side) instead of ~1,100
+    # (F.lit per element) — the round-11 twin of the unroll fix: the
+    # tree was already one literal array, but BUILDING it cost ~0.65 s
+    # of py4j round-trips per call (phase profile: q_ann_pq_topk
+    # build_s 2.55 of 4.1 wall, two books builds per query).
+    return const_double_cube(codebooks)
 
 
 def _pq_dist2(sub: F.Column, w: F.Column) -> F.Column:
@@ -1688,7 +1716,18 @@ def ann_pq_topk(
     per-query top-k window (WindowGroupLimit prunes to k rows per
     partition pre-exchange, the brute_force_topk shape) over rows of
     ~16 bytes instead of ~280."""
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    # encode + ADC are the compute-heavy projections; a single-file
+    # corpus otherwise runs them as ONE task up to the top-k exchange
+    # (round 11; no-op at scale — row-local ops, so parallelism cannot
+    # change the ranking, and the top-k tie-break is a total order)
+    codes = pq_encode(
+        ensure_compute_parallelism(corpus.select(id_col, vec_col)),
+        codebooks, id_col, vec_col,
+    )
     q = queries.select(
         F.col(query_id_col),
         _pq_dtab_expr(query_vec_col, codebooks).alias("__dtab"),
@@ -2170,9 +2209,20 @@ def train_codebooks_fp(
     bounded-collect contract. Codewords whose cell goes empty keep
     their previous value (the standard Lloyd empty-cluster rule, and
     the oracle's COALESCE)."""
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
     dsub = len(books[0][0])
+    # the assignment pass is the compute-heavy projection (m·k fixed-point
+    # subdistances per vector); a single-file corpus otherwise plans it as
+    # ONE task (round 11: the 2-iteration sf0.1 wall measured 4.1 → 1.8 s
+    # with the scan spread over cores). No-op at scale (≥cores splits);
+    # integer sums/counts are summation-order-free, so partitioning
+    # cannot change the trained books.
+    src = ensure_compute_parallelism(corpus.select(F.col(vec_col)))
     for _ in range(iters):
-        enc = corpus.select(
+        enc = src.select(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
             _codes_fp_expr(vec_col, books).alias("__codes"),
         )

@@ -426,3 +426,49 @@ def test_scoped_decontamination_join_is_broadcast_equi(spark, sf_dir):
     assert broadcast_join_count(df) >= 1
     for cols in scan_columns(df):
         assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_const_literal_sql_round_trip_is_bit_exact(spark):
+    """functions/lits.py renders constant matrices as SQL array literals
+    (one py4j call instead of one per element — round-11 build-phase
+    fix). The rendered literal must evaluate bit-identically to the
+    per-element F.lit form for every finite double, including the
+    awkward reprs (negative zero, subnormals, exponent forms, exact
+    integers, shortest-repr 17-digit survivors)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.functions.lits import (
+        const_double_matrix,
+        const_long_array,
+    )
+
+    tricky = [
+        0.0, -0.0, 1.0, -1.5, 0.1, 1 / 3, 2**53 - 1.0, 1e16, 1e-5,
+        6.1e-05, 1e-300, 5e-324, 1.7976931348623157e308,
+        0.30000000000000004, -2.2250738585072014e-308,
+    ]
+    mat = [tricky, list(reversed(tricky))]
+    df = spark.range(1)
+    [via_sql] = df.select(const_double_matrix(mat).alias("m")).collect()
+    [via_lit] = df.select(
+        F.array(*[F.array(*[F.lit(x) for x in row]) for row in mat]).alias("m")
+    ).collect()
+    import struct
+
+    bits = lambda v: struct.pack("<d", v)  # noqa: E731  -0.0 vs 0.0 differ
+    assert [[bits(x) for x in row] for row in via_sql["m"]] == [
+        [bits(x) for x in row] for row in via_lit["m"]
+    ]
+
+    longs = [0, 1, -1, 2**63 - 1, -(2**63), 42]
+    [via_sql_l] = df.select(const_long_array(longs).alias("a")).collect()
+    assert via_sql_l["a"] == longs
+
+    import math
+    import pytest
+
+    from iceberg_matrix_spark.functions.lits import double_vector_sql
+
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError):
+            double_vector_sql([bad])
