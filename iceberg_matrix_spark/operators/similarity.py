@@ -361,6 +361,43 @@ def incremental_semantic_verdicts_scoped(
     )
 
 
+def _rot1_sql(z: str) -> str:
+    """SQL for the 1-bit right rotation of ``z`` over _N_PLANES bits."""
+    return (
+        f"(shiftrightunsigned({z}, 1) | "
+        f"shiftleft(({z} & 1), {_N_PLANES - 1}))"
+    )
+
+
+def _chunks_sql(bands: int, rows: int) -> str:
+    """SQL for the 2·bands chunk array over ``__sig`` (aligned layout
+    then the bit-rotated layout) — one parse instead of one py4j
+    round-trip per shift/mask node (round 11; tree unchanged)."""
+    mask = (1 << rows) - 1
+    rot = _rot1_sql("__sig")
+    parts = [
+        f"(shiftrightunsigned(__sig, {i * rows}) & {mask})" for i in range(bands)
+    ] + [
+        f"(shiftrightunsigned({rot}, {i * rows}) & {mask})" for i in range(bands)
+    ]
+    return "array(" + ",".join(parts) + ")"
+
+
+def _first_collision_sql(z: str, bands: int, rows: int) -> str:
+    """SQL for the 1-based index of the first all-zero ``rows``-bit chunk
+    of ``z`` (0 = none) — array_position over the per-band zero tests,
+    the same expression the DSL listcomp built, rendered driver-side for
+    one parse instead of ~450 py4j round-trips per call site (round 11;
+    a branch-free bit-twiddle replacement WAS tried and measured slower
+    in the join stage — certified negative result, OPTIMIZATION_r11.md)."""
+    mask = (1 << rows) - 1
+    tests = ",".join(
+        f"((shiftrightunsigned({z}, {j * rows}) & {mask}) = 0)"
+        for j in range(bands)
+    )
+    return f"array_position(array({tests}), true)"
+
+
 def _banded_signatures(
     df: DataFrame,
     id_col: str,
@@ -400,27 +437,18 @@ def _banded_signatures(
     )
 
     rows = _N_PLANES // bands
-    mask = (1 << rows) - 1
     base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col)))
     keep = [F.col(id_col), hyperplane_signature(vec_col).alias("__sig")]
     if carry_vec:
         keep.append(F.col(vec_col).alias("__v"))
         keep.append(l2_norm(vec_col).alias("__n"))
     with_sig = base.select(*keep)
-    sig = F.col("__sig")
-    rot = F.shiftrightunsigned(sig, 1).bitwiseOR(
-        F.shiftleft(sig.bitwiseAND(F.lit(1)), _N_PLANES - 1)
-    )
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(sig, i * rows).bitwiseAND(F.lit(mask))
-            for i in range(bands)
-        ],
-        *[
-            F.shiftrightunsigned(rot, i * rows).bitwiseAND(F.lit(mask))
-            for i in range(bands)
-        ],
-    )
+    # chunk array as ONE pre-rendered SQL parse instead of 2·bands
+    # py4j-built shift/mask subtrees (round 11: the listcomp cost ~540
+    # py4j round-trips ≈ 0.25 s of driver plan construction per banded
+    # frame; the parsed tree is the same shift/mask expression list —
+    # analyzed-plan equality pinned in tests/test_plans.py)
+    chunks = F.expr(_chunks_sql(bands, rows))
     out = [F.col(id_col), F.col("__sig"), F.posexplode(chunks).alias("band", "chunk")]
     if carry_vec:
         out.append(F.col("__v"))
@@ -481,29 +509,16 @@ def _lsh_verified_pairs(
     extended to the scope dimension (both probe arrays are already on
     the joined row)."""
     rows = _N_PLANES // bands
-    mask = (1 << rows) - 1
     a = F.broadcast(left.alias("a")) if broadcast_left else left.alias("a")
     b = right.alias("b")
-    x = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
-    xr = F.shiftrightunsigned(x, 1).bitwiseOR(
-        F.shiftleft(x.bitwiseAND(F.lit(1)), _N_PLANES - 1)
-    )
-
-    def _first_collision(z: F.Column) -> F.Column:
-        # 1-based index of the first all-zero XOR chunk; 0 = none
-        return F.array_position(
-            F.array(
-                *[
-                    F.shiftrightunsigned(z, j * rows).bitwiseAND(F.lit(mask))
-                    == F.lit(0)
-                    for j in range(bands)
-                ]
-            ),
-            F.lit(True),
-        )
-
+    # first-collision tests over the signature XOR (and its rotation),
+    # rendered as TWO SQL parses instead of ~900 py4j round-trips of
+    # per-band DSL subtrees (round 11): same array_position expression,
+    # analyzed-plan equality pinned in tests/test_plans.py
+    x_sql = "(a.__sig ^ b.__sig)"
     band = F.col("a.band")
-    first1, first2 = _first_collision(x), _first_collision(xr)
+    first1 = F.expr(_first_collision_sql(x_sql, bands, rows))
+    first2 = F.expr(_first_collision_sql(_rot1_sql(x_sql), bands, rows))
     is_first = F.when(band < bands, band == first1 - 1).otherwise(
         (first1 == 0) & (band - bands == first2 - 1)
     )
@@ -581,7 +596,14 @@ def hyperplane_signature(vec_col: str) -> F.Column:
     bit-identically). Rewritten from 32 separately-unrolled fold
     subtrees: expression-tree size is a PER-CALL driver planning cost —
     the PQ lesson — and this tree serves every LSH/dedup/ANN query
-    (planning measured 2.3→~1 s on q_dedup_semantic at sf0.1)."""
+    (planning measured 2.3→~1 s on q_dedup_semantic at sf0.1).
+
+    Round 11 note: a full SQL render of this expression (one parse, zero
+    lambda py4j calls) was tried and measured SLOWER end-to-end — the
+    parsed named-lambda form analyzes ~0.15 s worse than the DSL lambda
+    form per call site, exceeding the ~0.1 s construction saving. DSL
+    kept; only the flat shift/mask builders moved to SQL (see
+    :func:`_chunks_sql` / :func:`_first_collision_sql`)."""
     planes = _plane_array_expr()
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = F.transform(

@@ -2213,9 +2213,24 @@ def _partition_from_path(rel_path: str) -> dict[str, object]:
     return out
 
 
+# Below this many files a commit reads parquet footers in-process; above
+# it the read fans out to executors. Footers are a few KB each, so the
+# crossover is dominated by fixed job cost, not bytes: an RDD job with
+# Python workers costs ~0.2-0.4 s regardless of size, while a driver
+# footer read is ~1 ms/file — measured round 11 on the bench DML quartet
+# (merge/wap/zorder/branch), whose commits write 1-2 files each. At
+# production commit sizes (thousands of files per commit) the distributed
+# path engages unchanged. Env-tunable for cluster profiles where driver
+# I/O is remote (object store): set to 0 to always distribute.
+_STATS_DRIVER_FILE_CUTOFF = int(
+    os.environ.get("IMX_STATS_DRIVER_FILE_CUTOFF", "32")
+)
+
+
 def _collect_file_stats(spark: SparkSession, paths: list[str]) -> dict[str, dict]:
-    """Parquet footer stats per file, computed on executors (the driver
-    only sees the aggregated manifest-sized result)."""
+    """Parquet footer stats per file — executor-side for large commits,
+    in-process below ``_STATS_DRIVER_FILE_CUTOFF`` files (same pyarrow
+    footer walk either way; the dict is identical by construction)."""
     if not paths:
         return {}
     sc = spark.sparkContext
@@ -2262,6 +2277,8 @@ def _collect_file_stats(spark: SparkSession, paths: list[str]) -> dict[str, dict
                 },
             )
 
+    if len(paths) <= _STATS_DRIVER_FILE_CUTOFF:
+        return dict(read_footers(paths))
     return dict(sc.parallelize(paths, n).mapPartitions(read_footers).collect())
 
 

@@ -472,3 +472,86 @@ def test_const_literal_sql_round_trip_is_bit_exact(spark):
     for bad in (math.inf, -math.inf, math.nan):
         with pytest.raises(ValueError):
             double_vector_sql([bad])
+
+
+def test_lsh_sql_rendered_builders_match_dsl(spark):
+    """similarity.py renders the banded chunk array and the
+    first-collision test as SQL strings (one parse instead of one py4j
+    round-trip per shift/mask node — round 11). The parsed expressions
+    must be SEMANTICALLY IDENTICAL to the DSL listcomp forms they
+    replaced: same optimized expression tree (modulo expr ids), same
+    values on adversarial signatures."""
+    import pyspark.sql.functions as F
+
+    from iceberg_matrix_spark.operators.similarity import (
+        _BANDS,
+        _N_PLANES,
+        _chunks_sql,
+        _first_collision_sql,
+        _rot1_sql,
+    )
+
+    bands = _BANDS
+    rows = _N_PLANES // bands
+    mask = (1 << rows) - 1
+
+    # adversarial signatures: all-zero, all-one, alternating, sign bits,
+    # plus pseudo-random 32-bit values
+    df = spark.range(0, 5000).select(
+        F.xxhash64("id").bitwiseAND(F.lit((1 << 32) - 1)).alias("__sig")
+    )
+    edge = spark.createDataFrame(
+        [(v,) for v in [0, 1, (1 << 32) - 1, 0x55555555, 0xAAAAAAAA,
+                        0x80000000, 0x7FFFFFFF, 3, 0xC0000000]],
+        "__sig long",
+    )
+    src = df.unionByName(edge)
+
+    # --- chunk array ---
+    sig = F.col("__sig")
+    rot = F.shiftrightunsigned(sig, 1).bitwiseOR(
+        F.shiftleft(sig.bitwiseAND(F.lit(1)), _N_PLANES - 1)
+    )
+    dsl_chunks = F.array(
+        *[F.shiftrightunsigned(sig, i * rows).bitwiseAND(F.lit(mask))
+          for i in range(bands)],
+        *[F.shiftrightunsigned(rot, i * rows).bitwiseAND(F.lit(mask))
+          for i in range(bands)],
+    )
+    sql_chunks = F.expr(_chunks_sql(bands, rows))
+    n = src.filter(sql_chunks != dsl_chunks).count()
+    assert n == 0
+
+    # --- first collision (aligned + rotated), DSL reference inline ---
+    def dsl_fc(z):
+        return F.array_position(
+            F.array(*[
+                F.shiftrightunsigned(z, j * rows).bitwiseAND(F.lit(mask))
+                == F.lit(0)
+                for j in range(bands)
+            ]),
+            F.lit(True),
+        )
+
+    z = F.col("__sig")  # stands in for the pair XOR
+    zr = F.shiftrightunsigned(z, 1).bitwiseOR(
+        F.shiftleft(z.bitwiseAND(F.lit(1)), _N_PLANES - 1)
+    )
+    sql_fc1 = F.expr(_first_collision_sql("__sig", bands, rows))
+    sql_fc2 = F.expr(_first_collision_sql(_rot1_sql("__sig"), bands, rows))
+    assert src.filter(sql_fc1 != dsl_fc(z)).count() == 0
+    assert src.filter(sql_fc2 != dsl_fc(zr)).count() == 0
+
+    # --- optimized expression trees are identical modulo expr ids ---
+    import re
+
+    def norm(df_):
+        plan = df_._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+", "#", plan)
+
+    assert norm(src.select(sql_chunks.alias("c"))) == norm(
+        src.select(dsl_chunks.alias("c"))
+    )
+    assert norm(src.select(sql_fc1.alias("f"))) == norm(
+        src.select(dsl_fc(z).alias("f"))
+    )
