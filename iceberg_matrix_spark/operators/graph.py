@@ -60,6 +60,8 @@ def connected_components(
     ``nodes`` needs column ``node`` and must cover every vertex
     (isolated nodes become singleton components).
     """
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     e = edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -68,17 +70,34 @@ def connected_components(
 
     labels = nodes.select("node", F.col("node").alias("component"))
     prev_sum = None
-    for _ in range(max_iter):
-        nbr = sym.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "component")
+    for rnd in range(max_iter):
+        if rnd == 0:
+            # round 1 under identity labels: label(src) == src, so the
+            # labels-onto-edges join is an identity mapping — emit the
+            # neighbor contributions straight off the edge list (one
+            # stage fewer; the min-aggregate below is unchanged, so the
+            # round's output labels are identical by construction)
+            nbr = sym.select(
+                F.col("dst").alias("node"), F.col("src").alias("component")
+            )
+        else:
+            nbr = sym.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "component")
+        # convergence metric rides the checkpoint's own materialization
+        # job (labels only ever decrease ⇒ sum(component) is strictly
+        # monotone until fixpoint): one action per round instead of two
+        # — Observation metrics fire when the eager localCheckpoint
+        # executes, so the separate 1-row aggregate job is gone
+        obs = Observation()
         labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .observe(obs, F.sum("component").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
