@@ -86,7 +86,17 @@ def fuzzy_title_pairs(
     Integer edit distances under identical DP definitions on both
     engines make the whole operator exactly SQL-oracle-able.
     """
-    t = docs.select(
+    # the per-pair thresholded Levenshtein DP is the operator's CPU and
+    # a single-file corpus plans the probe side as ONE task (round 11:
+    # 5 single-task stages measured); round-robin the slim projection —
+    # no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    t = ensure_compute_parallelism(
+        docs.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col))
+    ).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.substring(norm_text(text_col), 1, _TITLE_LEN).alias("__title"),

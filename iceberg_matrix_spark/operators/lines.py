@@ -69,9 +69,18 @@ def doc_lines(
     ``line_tokens``-token windows (1-based line_no; the last line may be
     short). With newline-delimited corpora, substitute a split on
     ``\\n`` — everything downstream only sees (doc_id, line_no, line)."""
-    toks_df = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    # tokenize + fixed-window segmentation is the family's map-side CPU
+    # and a single-file corpus plans it as ONE task (round 11:
+    # q_line_dedup_clean measured 13 single-task stages); round-robin on
+    # the slim (doc_id, text) projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
     )
+
+    slim = ensure_compute_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    )
+    toks_df = slim.select("doc_id", tokens("__t").alias("toks"))
     n_lines = F.ceil(F.size("toks") / F.lit(float(line_tokens)))
     lines_arr = F.transform(
         F.sequence(F.lit(1).cast("long"), n_lines),

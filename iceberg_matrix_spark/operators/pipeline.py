@@ -388,9 +388,16 @@ def decontaminate(
     bench_grams = (
         benchmark.select(F.explode(word_shingles(text_col, k)).alias("g")).distinct()
     )
-    corpus_grams = corpus.select(
-        "doc_id", F.explode(word_shingles(text_col, k)).alias("g")
+    # the corpus-side tokenize + shingle explode is the map-side CPU and
+    # a single-file corpus plans it as ONE task (round 11: 5 single-task
+    # stages measured); round-robin the slim projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
     )
+
+    corpus_grams = ensure_compute_parallelism(
+        corpus.select("doc_id", text_col)
+    ).select("doc_id", F.explode(word_shingles(text_col, k)).alias("g"))
     return (
         corpus_grams.join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
@@ -837,7 +844,16 @@ def decontaminate_bloom(
     # structural (interpreted/non-codegen paths included) and drops the
     # gram string right after the hash. Same math, same oracle; measured
     # 1.42 → 1.35 s at sf0.1 (CSE was already catching most of it).
-    hashed = corpus.select(
+    # tokenize + shingle + md5-per-gram is the map-side CPU and a
+    # single-file corpus plans it as ONE task (round 11: 6 single-task
+    # stages measured); round-robin the slim projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    hashed = ensure_compute_parallelism(
+        corpus.select("doc_id", text_col)
+    ).select(
         "doc_id", F.explode(word_shingles(text_col, k)).alias("g")
     ).select(
         "doc_id", F.md5(F.col("g").cast("binary")).alias("__h")

@@ -57,9 +57,20 @@ def bm25_topk(
     single-element), and the score mixes the terms in the tuple's order
     via left-associated addition — bit-reproducible by the SQL oracle.
     """
-    # corpus stats: one 1-row aggregate (n_docs, total token length)
-    with_dl = docs.select(
-        F.col(id_col), tokens(text_col).alias("__toks"), token_count(text_col).alias("__dl")
+    # corpus stats: one 1-row aggregate (n_docs, total token length).
+    # The tokenize pass (feeding BOTH stats and postings) is the
+    # operator's map-side CPU and a single-file corpus plans it as ONE
+    # task (round 11: 9 single-task stages measured); round-robin on the
+    # slim projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    slim = ensure_compute_parallelism(
+        docs.select(F.col(id_col), F.col(text_col).alias("__t"))
+    )
+    with_dl = slim.select(
+        F.col(id_col), tokens("__t").alias("__toks"), token_count("__t").alias("__dl")
     )
     stats = with_dl.agg(
         F.count(F.lit(1)).alias("__n_docs"), F.sum("__dl").alias("__sum_dl")

@@ -1098,7 +1098,16 @@ def prototype_prune(
     top = F.element_at(
         F.reverse(F.array_sort(_centroid_scored(vec_col, centroids))), 1
     )
-    assigned = df.select(
+    # the k-centroid assignment scan is the operator's CPU and a
+    # single-file corpus plans it as ONE task (round 11: 3 single-task
+    # stages measured); round-robin the slim projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    assigned = ensure_compute_parallelism(
+        df.select(F.col(id_col), F.col(vec_col))
+    ).select(
         F.col(id_col),
         top["cid"].alias("cid"),
         top["d"].alias("proto_score"),
@@ -2035,7 +2044,18 @@ def ivfpq_index_cached(
         import tempfile  # noqa: PLC0415
 
         path = tempfile.mkdtemp(prefix="ivfpq-index-") + "/index.parquet"
-        corpus.select(
+        # parallelize the encode AND the index layout: a single-file
+        # corpus otherwise encodes on ONE task and writes ONE parquet
+        # file, so every later ADC scan of the index is also single-task
+        # (round 11: q_ann_ivfpq_rerank measured 10 single-task stages);
+        # round-robin no-op at scale, per-row projection unaffected
+        from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+            ensure_compute_parallelism,
+        )
+
+        ensure_compute_parallelism(
+            corpus.select(F.col(id_col), F.col(vec_col))
+        ).select(
             F.col(id_col),
             F.element_at(_nearest_clusters(vec_col, centroids, 1), 1).alias(
                 "cid"
@@ -3100,7 +3120,16 @@ def ann_hamming_topk(
     their vectors so the exact rerank never re-joins the corpus — the
     round-6 inline-verify lesson (similarity.py:_lsh_verified_pairs).
     """
-    c = corpus.select(
+    # signature + per-candidate Hamming/cosine is the corpus-side CPU;
+    # a single-file corpus plans it as ONE task (round 11: 5 single-task
+    # stages measured) — round-robin the slim projection, no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    c = ensure_compute_parallelism(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         sign_signature(vec_col).alias("__sig"),
@@ -3247,7 +3276,17 @@ def embedding_outliers(
     the quantize_embeddings shape; the per-dim (median, MAD) frame is
     64 rows, broadcast back.
     """
-    ex = emb.select(
+    # the exploded-cell projection feeds FOUR plan branches (median,
+    # dev, MAD, MeanAD) and each recompute ran on the single scan split
+    # (round 11: 9 single-task stages measured); round-robin the slim
+    # (id, vec) projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    ex = ensure_compute_parallelism(
+        emb.select(F.col(id_col), F.col(vec_col))
+    ).select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
     n_w = Window.partitionBy("pos")
@@ -3395,15 +3434,24 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_dedup_semantic_incremental with the eval set as the batch) — the
     eval side is tiny either way, so the join is one map-side stage
     over the corpus scan."""
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0).select(
         F.col("vec_id").alias("__bid"),
         F.col("embedding").alias("__bv"),
         l2_norm("embedding").alias("__bn"),
     )
-    corpus = emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0).select(
-        "vec_id", "embedding", l2_norm("embedding").alias("__cn")
-    )
+    # |corpus|·|bench| cosines against the broadcast eval set ran as ONE
+    # task off the single-file scan (round 11); round-robin no-op at
+    # scale, MAX per vec_id order-independent
+    corpus = ensure_compute_parallelism(
+        emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0).select(
+            "vec_id", "embedding"
+        )
+    ).select("vec_id", "embedding", l2_norm("embedding").alias("__cn"))
     sims = (
         corpus.crossJoin(F.broadcast(bench))
         .select(
@@ -3491,7 +3539,18 @@ def decontaminate_semantic_scoped(
     max_sim ≤ the brute-force max (candidates are a subset), so flagged
     rows are a subset of q_decontaminate_semantic's; the recall of that
     subset is pinned in tests/test_similarity.py."""
-    c = corpus.select(
+    # the per-vector assignment (k centroid dots) + per-candidate cosine
+    # verify is the corpus-side CPU, and a single-file corpus plans it as
+    # ONE task (round 11: 7 single-task stages, 2.1 s exec); round-robin
+    # on the slim (id, vec) projection — no-op at scale, and MAX cosine
+    # per vec_id is order-independent so results are unchanged
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    c = ensure_compute_parallelism(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         l2_norm(vec_col).alias("__cn"),

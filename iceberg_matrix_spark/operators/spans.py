@@ -42,9 +42,19 @@ SPAN_MAX_DOC_FREQ = 100
 
 
 def _token_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    # the tokenize + per-gram hash work downstream is the family's
+    # dominant CPU and a single-file corpus plans it as ONE task
+    # (round 11: q_substring_dup_spans measured 8 stages / 11 tasks,
+    # 2.2 s exec — near-serial); the round-robin exchange moves only
+    # (doc_id, text) and is a no-op at scale (≥ cores scan splits)
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
     )
+
+    slim = ensure_compute_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    )
+    return slim.select("doc_id", tokens("__t").alias("toks"))
 
 
 def _gram_starts(

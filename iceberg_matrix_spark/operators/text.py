@@ -360,7 +360,16 @@ def lm_rare_trigram_verdicts(
             lambda ab, c: F.concat_ws(" ", ab, c),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    big = docs.select(F.col(id_col), F.explode(trigrams).alias("bg"))
+    # the tokenize + trigram-assembly explode is the map-side CPU and a
+    # single-file corpus plans it as ONE task (round 11: 5 single-task
+    # stages measured); round-robin the slim projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    big = ensure_compute_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), F.explode(trigrams).alias("bg"))
     lm = big.groupBy("bg").agg(
         F.count(F.lit(1)).alias("c"), F.min(id_col).alias("__d0")
     )

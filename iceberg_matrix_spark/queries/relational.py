@@ -79,9 +79,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partial aggregation (map-side combine) runs before the shuffle;
     the shuffle carries only |returnflag × linestatus| ≈ 6 groups per
     partition. The shipdate filter is pushed to the parquet scan.
+    ensure_compute_parallelism: the sf-scale lineitem is ONE parquet file
+    → one scan split → the whole decimal-heavy partial aggregate ran on a
+    single core (round 11, measured 1.45 s exec / 5 tasks); the
+    round-robin exchange carries only the 6 projected columns and is a
+    no-op at scale where the scan already has ≥ cores splits. Decimal
+    sums and counts are order-independent, so results are unchanged.
     """
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    li = ensure_compute_parallelism(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
     )
     qty, price, disc, tax = (
         _dec("l_quantity"),
@@ -211,6 +227,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
     )
+    # single-file scan → one split → the broadcast joins + partial agg
+    # all ran on one core (round 11); round-robin no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    li = ensure_compute_parallelism(
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+    )
     price, disc = _dec("l_extendedprice"), _rate("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -259,6 +284,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_dim(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # single-file scan → one split → the whole star-join + partial agg
+    # ran on one core (round 11); round-robin no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    li = ensure_compute_parallelism(
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    )
     price, disc = _dec("l_extendedprice"), _rate("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

@@ -635,7 +635,16 @@ def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen."""
     from iceberg_matrix_spark.functions.geo import bbox_contains, wkb_point, wkb_x, wkb_y
 
-    cust = load_table(spark, sf_dir, "customer").select(
+    # the WKB encode→decode codec is per-row-heavy (reflect-based bit
+    # twiddling) and a single-file scan plans it as ONE task (round 11:
+    # 2 single-task stages measured); round-robin no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    cust = ensure_compute_parallelism(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ).select(
         "c_custkey",
         (F.col("c_custkey") % 360 - 180).alias("__ix"),
         ((F.col("c_nationkey").cast("long") * 7) % 180 - 90).alias("__iy"),

@@ -219,9 +219,17 @@ def q_variant_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a VariantType column, typed variant_get extraction, aggregate.
     Unlike q_json_extract (string regex), this exercises the binary
     variant encoding end to end."""
+    # per-row variant parse is the query's CPU and a single-file scan
+    # plans it as ONE task (round 11); round-robin the 1-column
+    # projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select(F.parse_json("props").alias("v"))
+        ensure_compute_parallelism(ev.select("props"))
+        .select(F.parse_json("props").alias("v"))
         .select(F.variant_get("v", "$.k", "bigint").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_events"))

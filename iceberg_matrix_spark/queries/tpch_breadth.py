@@ -375,6 +375,15 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
+    # single-file scan → the semi-join + partial agg ran on one core
+    # (round 11); round-robin the slim projection — no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    li = ensure_compute_parallelism(
+        li.select("l_partkey", "l_suppkey", "l_quantity")
+    )
     small_parts = load_dim(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")
     ).select("p_partkey")

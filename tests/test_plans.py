@@ -36,8 +36,10 @@ def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
 
 def test_q1_aggregation_is_single_shuffle(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
-    # partial hash agg map-side, one exchange on the group keys, final agg
-    assert shuffle_count(df) == 1
+    # partial hash agg map-side, one DATA exchange on the group keys,
+    # final agg (round 11: a round-robin compute-parallelism exchange —
+    # absent at scale — sits under the agg and is excluded by design)
+    assert data_shuffle_count(df) == 1
     [cols] = scan_columns(df)
     assert "l_comment" not in cols  # wide columns never leave the scan
 
@@ -46,7 +48,9 @@ def test_star_join_broadcasts_dimensions(spark, sf_dir):
     df = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
     assert broadcast_join_count(df) >= 4  # nation/region/customer/supplier
     assert sort_merge_join_count(df) == 0
-    assert shuffle_count(df) <= 1  # only the final aggregation exchange
+    # only the final aggregation DATA exchange (round-robin excluded,
+    # same rationale as q1 above)
+    assert data_shuffle_count(df) <= 1
 
 
 def test_point_lookup_pushes_equality(spark, sf_dir):
