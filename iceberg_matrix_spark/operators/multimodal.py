@@ -45,6 +45,15 @@ def attach_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     payload = repeat(md5(doc_id), copies) as binary — deterministic,
     size-varying, and reproducible in SQL (length checks only).
     """
+    # payload synthesis (md5 + repeat per row) and every downstream
+    # decode/fingerprint stage inherit the scan's split count; a
+    # single-file corpus plans ONE task (round 11) — round-robin the
+    # id projection, no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    docs = ensure_compute_parallelism(docs.select(F.col(id_col)))
     did = F.col(id_col)
     media_type = F.element_at(
         F.array(*[F.lit(t) for t in MEDIA_TYPES]), (did % 3 + 1).cast("int")

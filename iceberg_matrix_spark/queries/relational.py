@@ -625,6 +625,15 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the app's computeComparison (/root/reference/src/utils/comparison.ts:16-26)
     re-expressed as sum(when(...)) over a join."""
     orders = load_table(spark, sf_dir, "orders")
+    # single-file scan → broadcast joins + partial agg on one core
+    # (round 11); round-robin the 2-column projection, no-op at scale
+    from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
+        ensure_compute_parallelism,
+    )
+
+    orders = ensure_compute_parallelism(
+        orders.select("o_custkey", "o_orderstatus")
+    )
     cust = load_dim(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
