@@ -432,6 +432,8 @@ def _merge_sql_setup(spark: SparkSession, sf_dir: str):
     from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     wh = tempfile.mkdtemp(prefix="icelite_sql_merge_")
     sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
     sql.sql("CREATE NAMESPACE IF NOT EXISTS local.dml")
@@ -439,14 +441,23 @@ def _merge_sql_setup(spark: SparkSession, sf_dir: str):
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
     )
-    sql.catalog.create_table_as_select("dml.customer_t", target)
     source = target.filter(F.col("c_acctbal") > 5000)
-    sql.catalog.create_table_as_select(
-        "dml.customer_src",
-        source.unionAll(
-            source.withColumn("c_custkey", F.col("c_custkey") + F.lit(10000000))
-        ),
-    )
+    # two independent CTAS builds on disjoint locations — overlap them
+    # (guide §2.6); final table state identical either way
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ft = pool.submit(
+            sql.catalog.create_table_as_select, "dml.customer_t", target
+        )
+        fs = pool.submit(
+            sql.catalog.create_table_as_select,
+            "dml.customer_src",
+            source.unionAll(
+                source.withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(10000000)
+                )
+            ),
+        )
+        ft.result(), fs.result()
     return sql
 
 
@@ -1049,16 +1060,25 @@ def _wap_publish_setup(spark: SparkSession, sf_dir: str):
     from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     wh = tempfile.mkdtemp(prefix="icelite_wap_")
     sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
     sql.sql("CREATE NAMESPACE IF NOT EXISTS local.wap")
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    sql.catalog.create_table_as_select(
-        "wap.t", base.filter(F.col("c_custkey") % 2 == 0)
-    )
-    sql.catalog.create_table_as_select(
-        "wap.odd", base.filter(F.col("c_custkey") % 2 == 1)
-    )
+    # the two CTAS builds are independent jobs on disjoint table
+    # locations; overlap them (guide §2.6) so the second's tasks
+    # back-fill the first's tail — same final table state either way
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fe = pool.submit(
+            sql.catalog.create_table_as_select,
+            "wap.t", base.filter(F.col("c_custkey") % 2 == 0),
+        )
+        fo = pool.submit(
+            sql.catalog.create_table_as_select,
+            "wap.odd", base.filter(F.col("c_custkey") % 2 == 1),
+        )
+        fe.result(), fo.result()
     return (sql, base)
 
 
