@@ -1475,6 +1475,8 @@ class IceLiteTable:
         src = source.withColumn("__s_present", F.lit(1))
 
         def mutate(meta: TableMetadata) -> TableMetadata:
+            import dataclasses as _dc  # noqa: PLC0415
+
             parent = _head(meta, branch)
             live = self._read_snapshot(parent, with_meta=True)
             meta.last_sequence_number += 1
@@ -1482,14 +1484,15 @@ class IceLiteTable:
             schema_cols = meta.current_schema.names()
 
             t, s = live.alias("t"), src.alias("s")
-            joined = t.join(s, F.expr(on), "full_outer")
             t_present = F.col(f"t.{_META_FILE}").isNotNull()
             s_marker = F.col("s.__s_present").isNotNull()
 
-            # Spark/Iceberg MERGE raises on cardinality violation: a target
-            # row matched by >1 source row would otherwise be silently
-            # duplicated by the join. Detect via match-count per target row
-            # identity (file, pos) in the same pass that captures victims.
+            # Pass 1 (narrow): match-count per target row identity
+            # (file, pos). Feeds BOTH the cardinality gate and victim-file
+            # capture. Catalyst prunes the join inputs to the `on` keys +
+            # meta columns, so at scale this pass shuffles a few bytes per
+            # row, never the payload.
+            joined = t.join(s, F.expr(on), "full_outer")
             match_stats = (
                 joined.filter(t_present & s_marker)
                 .groupBy(
@@ -1519,19 +1522,50 @@ class IceLiteTable:
                 f for f in (parent.data_files if parent else []) if _file_uri(f.path) not in affected
             ]
 
-            out_parts = []
-            if affected:
-                scoped = joined.filter(
-                    t_present & F.col(f"t.{_META_FILE}").isin(list(affected))
-                )
+            new_entries = []
+            if affected or insert_when_not_matched:
+                # Pass 2 (the only full-width join): victim files ⋈ source.
+                # Every source row that matches ANY target row matches one
+                # in an affected file (that is the definition of affected),
+                # so unmatched-source detection against the SCOPED target is
+                # exact — the rewrite never rescans unaffected files, and
+                # the old second+third executions of the target×source join
+                # (separate scoped/insert branches unioned) collapse into
+                # one join consumed by a single filter + per-column CASE.
+                if parent is not None and len(affected) < len(parent.data_files):
+                    scoped_snap = _dc.replace(
+                        parent,
+                        data_files=[
+                            f
+                            for f in parent.data_files
+                            if _file_uri(f.path) in affected
+                        ],
+                    )
+                    t_scoped = self._read_snapshot(scoped_snap, with_meta=True)
+                else:
+                    t_scoped = live
+                j2 = t_scoped.alias("t").join(src.alias("s"), F.expr(on), "full_outer")
+
+                insert_rows = (~t_present) & s_marker
+                if insert_condition:
+                    insert_rows = insert_rows & F.expr(insert_condition).eqNullSafe(
+                        F.lit(True)
+                    )
+                if not insert_when_not_matched:
+                    insert_rows = F.lit(False)
+                out = j2.filter(t_present | insert_rows)
+
                 # Ordered first-match-wins clause resolution: one WHEN
                 # chain assigns each row its clause index (matched and
                 # not-matched-by-source rows are disjoint by marker, so a
-                # single chain keeps each family's own ordering).
+                # single chain keeps each family's own ordering). Insert
+                # rows (t side null) never satisfy a clause marker.
                 all_clauses = [
-                    (s_marker, cond, action) for cond, action in matched_clauses
+                    (t_present & s_marker, cond, action)
+                    for cond, action in matched_clauses
                 ] + [
-                    (~s_marker, cond, action) for cond, action in nmbs_clauses
+                    (t_present & ~s_marker, cond, action)
+                    for cond, action in nmbs_clauses
                 ]
                 act = None
                 for i, (mk, cond, _action) in enumerate(all_clauses):
@@ -1542,14 +1576,14 @@ class IceLiteTable:
                         else act.when(full, F.lit(i))
                     )
                 act = act.otherwise(F.lit(-1)) if act is not None else F.lit(-1)
-                scoped = scoped.withColumn("__act", act)
+                out = out.withColumn("__act", act)
                 del_ids = [
                     i
                     for i, (_m, _c, a) in enumerate(all_clauses)
                     if a[0] == "delete"
                 ]
                 if del_ids:
-                    scoped = scoped.filter(~F.col("__act").isin(del_ids))
+                    out = out.filter(~F.col("__act").isin(del_ids))
 
                 def _col_out(c: str) -> F.Column:
                     expr = None
@@ -1563,27 +1597,16 @@ class IceLiteTable:
                             else expr.when(F.col("__act") == i, e)
                         )
                     base = F.col(f"t.{c}")
-                    return (expr.otherwise(base) if expr is not None else base).alias(c)
+                    t_val = expr.otherwise(base) if expr is not None else base
+                    s_val = (
+                        F.col(f"s.{c}") if c in source.columns else F.lit(None)
+                    )
+                    return F.when(~t_present, s_val).otherwise(t_val).alias(c)
 
-                out_parts.append(scoped.select(*[_col_out(c) for c in schema_cols]))
-            if insert_when_not_matched:
-                inserts = joined.filter(~t_present & s_marker)
-                if insert_condition:
-                    inserts = inserts.filter(F.expr(insert_condition))
-                inserts = inserts.select(
-                    *[
-                        F.col(f"s.{c}").alias(c) if c in source.columns else F.lit(None).alias(c)
-                        for c in schema_cols
-                    ]
+                out = out.select(*[_col_out(c) for c in schema_cols])
+                new_entries = self._write_data_files(
+                    out, meta.current_schema_id, seq, meta=meta
                 )
-                out_parts.append(inserts)
-
-            new_entries = []
-            if out_parts:
-                out = out_parts[0]
-                for p in out_parts[1:]:
-                    out = out.unionByName(p)
-                new_entries = self._write_data_files(out, meta.current_schema_id, seq, meta=meta)
             return self._snapshot(
                 meta,
                 "merge",
