@@ -50,6 +50,34 @@ from iceberg_matrix_spark.queries.registry import TOKS_SQL, register
 from iceberg_matrix_spark.sources.testdata import load_table
 
 
+def _observed_sum(obs, labels: DataFrame, timeout_s: float = 60.0):
+    """Fetch the Observation's ``s`` metric with a BOUNDED wait.
+
+    ``Observation.get`` blocks with no timeout; if a Spark version change
+    (or a failed/cancelled checkpoint job) ever stops the metrics from
+    firing, an unbounded wait would hang the CC loop. The eager
+    localCheckpoint has already executed by the time this is called, so
+    the metric is normally available immediately; on timeout we degrade
+    to the old explicit 1-row aggregate over the checkpointed labels
+    (slower by one job, never wrong)."""
+    import threading  # noqa: PLC0415
+
+    box: dict[str, object] = {}
+
+    def _fetch() -> None:
+        try:
+            box["m"] = obs.get["s"]
+        except Exception as ex:  # noqa: BLE001 — surfaced via fallback
+            box["err"] = ex
+
+    th = threading.Thread(target=_fetch, daemon=True)
+    th.start()
+    th.join(timeout=timeout_s)
+    if "m" in box:
+        return box["m"]
+    return labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -66,6 +94,16 @@ def connected_components(
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # enforce the documented precondition (edge endpoints ⊆ nodes) once,
+    # up front: the round-0 shortcut below emits (dst, src) straight off
+    # the edge list, so without this screen a src outside ``nodes`` could
+    # become (and propagate as) a component label on precondition-
+    # violating input. One semi-join before the loop — strictly cheaper
+    # than the per-round labels join that used to provide the filter
+    # implicitly.
+    sym = sym.join(
+        nodes.select(F.col("node").alias("src")), "src", "left_semi"
+    )
     sym = sym.localCheckpoint(eager=True)
 
     labels = nodes.select("node", F.col("node").alias("component"))
@@ -84,20 +122,40 @@ def connected_components(
             nbr = sym.join(
                 labels.withColumnRenamed("node", "src"), "src"
             ).select(F.col("dst").alias("node"), "component")
+        mins = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        if rnd > 0:
+            # pointer doubling: jump each new label through the PREVIOUS
+            # round's (checkpointed) labels — component ← L_prev(component).
+            # L_prev(y) ≤ y always, so the jump only ever lowers labels and
+            # coverage roughly doubles per round: O(log diameter) rounds
+            # instead of O(diameter) on chain-shaped graphs. Joining the
+            # previous labels (not the current mins) keeps the min-step
+            # computed ONCE per round and the round at one action. At any
+            # fixpoint the jump is an identity, so the fixpoint is exactly
+            # the min-propagation fixpoint (= connected components).
+            # Left join + coalesce: a label value with no row in labels
+            # (impossible under the precondition) simply doesn't jump.
+            jump = labels.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("__c2"),
+            )
+            mins = mins.join(jump, "component", "left").select(
+                "node", F.coalesce("__c2", "component").alias("component")
+            )
         # convergence metric rides the checkpoint's own materialization
         # job (labels only ever decrease ⇒ sum(component) is strictly
         # monotone until fixpoint): one action per round instead of two
         # — Observation metrics fire when the eager localCheckpoint
         # executes, so the separate 1-row aggregate job is gone
         obs = Observation()
-        labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .observe(obs, F.sum("component").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = obs.get["s"]
+        labels = mins.observe(
+            obs, F.sum("component").alias("s")
+        ).localCheckpoint(eager=True)
+        cur_sum = _observed_sum(obs, labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

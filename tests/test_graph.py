@@ -38,6 +38,36 @@ def test_long_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
+def test_deep_chain_converges_in_log_rounds(spark):
+    """Pointer doubling pin (round 12): a 64-node path has diameter 63,
+    so plain min-label propagation needs 63 rounds — with the per-round
+    jump through the previous labels, coverage doubles per round and a
+    max_iter of 12 (≫ log2(63)+slack, ≪ 63) must suffice. Plain
+    propagation would raise the non-convergence RuntimeError here."""
+    e = local_df(
+        spark, [(i, i + 1) for i in range(63)], "id1 bigint, id2 bigint"
+    )
+    n = local_df(spark, [(x,) for x in range(64)], "node bigint")
+    rows = connected_components(e, n, max_iter=12).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 64
+
+
+def test_cc_drops_edges_outside_nodes(spark):
+    """Precondition screen (ADVICE r11): an edge endpoint outside
+    ``nodes`` must never become a component label — the round-0 shortcut
+    emits labels straight off the edge list, so the src side is
+    semi-joined against nodes up front."""
+    # src 1 sorts BELOW every real node, so an unscreened round-0
+    # shortcut would adopt it as the winning min-label
+    got = _cc(spark, [(1, 2), (2, 3)], [2, 3])
+    # 1 must never appear as a component label (the dst side may still
+    # surface as an extra output row — the documented precondition is
+    # that ``nodes`` covers every vertex)
+    assert 1 not in set(got.values())
+    assert got[2] == 2 and got[3] == 2
+
+
 def test_neardup_components_cover_all_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     comp = neardup_components(docs)
