@@ -345,11 +345,12 @@ def incremental_ngram_neardup(
     # the same parquet frames either way.
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
+    from iceberg_matrix_spark.operators.scale import gather_futures  # noqa: PLC0415
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         fb = pool.submit(persisted_shingle_sets, batch, id_col, text_col, k)
         fc = pool.submit(persisted_shingle_sets, corpus, id_col, text_col, k)
-        sb, _ = fb.result()
-        sc_, _ = fc.result()
+        (sb, _), (sc_, _) = gather_futures(fb, fc)
 
     def _explode(side: DataFrame, flag: int) -> DataFrame:
         return side.select(

@@ -101,6 +101,28 @@ def ensure_compute_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def gather_futures(*futures):
+    """Resolve a set of overlapped-job futures, losing no failure.
+
+    ``f1.result(), f2.result()`` propagates only the FIRST future's
+    exception — if the second job also failed, its error is silently
+    dropped (ADVICE r11). Wait for every future, then re-raise the first
+    failure with the others attached as context. Returns the results in
+    submission order when all succeed."""
+    results, errors = [], []
+    for f in futures:
+        try:
+            results.append(f.result())
+        except Exception as ex:  # noqa: BLE001 — re-raised below
+            errors.append(ex)
+    if errors:
+        first = errors[0]
+        for extra in errors[1:]:
+            first.add_note(f"concurrent job also failed: {extra!r}")
+        raise first
+    return results
+
+
 def df_content_key(df: DataFrame) -> str:
     """Cheap content signature of a DataFrame for persisted-index cache
     keys (ADVICE r9): a caller-supplied corpus_key alone can be reused

@@ -5,6 +5,7 @@ from iceberg_matrix_spark.plans.inspect import (
     codegen_stage_count,
     explain_formatted,
     pushed_filters,
+    round_robin_shuffle_count,
     read_schemas,
     scan_columns,
     data_shuffle_count,
@@ -17,6 +18,7 @@ __all__ = [
     "codegen_stage_count",
     "explain_formatted",
     "pushed_filters",
+    "round_robin_shuffle_count",
     "read_schemas",
     "scan_columns",
     "data_shuffle_count",

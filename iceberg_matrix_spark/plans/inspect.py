@@ -99,6 +99,17 @@ def data_shuffle_count(df: DataFrame) -> int:
     return total - rr  # one planning pass, not a second via shuffle_count
 
 
+def round_robin_shuffle_count(df: DataFrame) -> int:
+    """Round-robin repartition exchanges only (the ones
+    data_shuffle_count excludes). Budget tests pair the two: a plan is
+    allowed its data shuffles plus AT MOST the compute-parallelism
+    round-robin — an unrelated repartition(n) someone adds later must
+    not hide inside the exclusion (ADVICE r11)."""
+    return len(
+        re.findall(r"Arguments: RoundRobinPartitioning", explain_formatted(df))
+    )
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     return len(
         re.findall(r"^\(\d+\) BroadcastHashJoin", explain_formatted(df), re.MULTILINE)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from iceberg_matrix_spark.operators.scale import gather_futures
 from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_dim, load_table
 
@@ -457,7 +458,7 @@ def _merge_sql_setup(spark: SparkSession, sf_dir: str):
                 )
             ),
         )
-        ft.result(), fs.result()
+        gather_futures(ft, fs)
     return sql
 
 
@@ -1078,7 +1079,7 @@ def _wap_publish_setup(spark: SparkSession, sf_dir: str):
             sql.catalog.create_table_as_select,
             "wap.odd", base.filter(F.col("c_custkey") % 2 == 1),
         )
-        fe.result(), fo.result()
+        gather_futures(fe, fo)
     return (sql, base)
 
 

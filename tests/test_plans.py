@@ -10,6 +10,7 @@ from __future__ import annotations
 from iceberg_matrix_spark.plans import (
     broadcast_join_count,
     data_shuffle_count,
+    round_robin_shuffle_count,
     explain_formatted,
     pushed_filters,
     scan_columns,
@@ -40,6 +41,9 @@ def test_q1_aggregation_is_single_shuffle(spark, sf_dir):
     # final agg (round 11: a round-robin compute-parallelism exchange —
     # absent at scale — sits under the agg and is excluded by design)
     assert data_shuffle_count(df) == 1
+    # the exclusion must cover ONLY the scale helper's exchange: a later
+    # unrelated repartition(n) may not hide inside it (ADVICE r11)
+    assert round_robin_shuffle_count(df) <= 1
     [cols] = scan_columns(df)
     assert "l_comment" not in cols  # wide columns never leave the scan
 
@@ -51,6 +55,7 @@ def test_star_join_broadcasts_dimensions(spark, sf_dir):
     # only the final aggregation DATA exchange (round-robin excluded,
     # same rationale as q1 above)
     assert data_shuffle_count(df) <= 1
+    assert round_robin_shuffle_count(df) <= 1
 
 
 def test_point_lookup_pushes_equality(spark, sf_dir):
@@ -72,6 +77,7 @@ def test_dedup_ngram_shuffle_budget(spark, sf_dir):
     # means the denominator join regressed to exchanging pairs
     df = QUERIES["q_dedup_ngram_threshold"](spark, sf_dir)
     assert data_shuffle_count(df) == 2
+    assert round_robin_shuffle_count(df) <= 1
 
 
 def test_curation_ops_stay_narrow(spark, sf_dir):
@@ -115,6 +121,7 @@ def test_text_ops_are_shuffle_free(spark, sf_dir):
         # ensure_compute_parallelism on small local inputs — zero DATA
         # shuffles is the invariant that holds at 100 TB
         assert data_shuffle_count(df) == 0, name
+        assert round_robin_shuffle_count(df) <= 1, name
         [cols] = scan_columns(df)
         assert cols <= {"doc_id", "text"}, name
 
