@@ -170,10 +170,11 @@ def persisted_shingle_sets(
     frames derived from the re-scan without a second materialization.
     """
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
+
+    from iceberg_matrix_spark.storage import scratch_dir  # noqa: PLC0415
 
     sets_ = hashed_shingle_sets(df, id_col, text_col, k)
-    path = tempfile.mkdtemp(prefix="shingle-sets-") + "/sets.parquet"
+    path = scratch_dir("shingle-sets-") + "/sets.parquet"
     sets_.write.parquet(path)
     out = df.sparkSession.read.parquet(path)
     size = sum(

@@ -1135,9 +1135,9 @@ def corpus_report_state_cached(corpus: DataFrame, corpus_key: str) -> DataFrame:
     # state built from the old corpus
     key = (corpus_key, df_content_key(corpus))
     if key not in _REPORT_STATE_CACHE:
-        import tempfile  # noqa: PLC0415
+        from iceberg_matrix_spark.storage import state_dir  # noqa: PLC0415
 
-        path = tempfile.mkdtemp(prefix="report-state-") + "/state.parquet"
+        path = state_dir("report-state-") + "/state.parquet"
         corpus_report_state(corpus).write.parquet(path)
         _REPORT_STATE_CACHE[key] = (
             corpus.sparkSession.read.parquet(path)
@@ -1638,13 +1638,12 @@ def report_state_table_lifecycle(spark: SparkSession, sf_dir: str):
     (the VERDICT r10 stretch's exact point)."""
     key = ("report-table", sf_dir)
     if key not in _REPORT_TABLE_CACHE:
-        import tempfile  # noqa: PLC0415
-
+        from iceberg_matrix_spark.storage import state_dir  # noqa: PLC0415
         from iceberg_matrix_spark.tables.catalog import (  # noqa: PLC0415
             IceLiteCatalog,
         )
 
-        cat = IceLiteCatalog(spark, tempfile.mkdtemp(prefix="report-wh-"))
+        cat = IceLiteCatalog(spark, state_dir("report-wh-"))
         docs = load_table(spark, sf_dir, "documents")
         corpus = docs.filter(F.col("doc_id") % 10 != 0)
         batch = docs.filter(F.col("doc_id") % 10 == 0)

@@ -184,9 +184,10 @@ def persisted_small_hint(
     default and the cutoff. At corpus scale the frame exceeds the
     cutoff and the planner's shuffle join is the right call."""
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
-    path = tempfile.mkdtemp(prefix=prefix) + "/frame.parquet"
+    from iceberg_matrix_spark.storage import scratch_dir  # noqa: PLC0415
+
+    path = scratch_dir(prefix) + "/frame.parquet"
     df.write.parquet(path)
     out = df.sparkSession.read.parquet(path)
     size = sum(

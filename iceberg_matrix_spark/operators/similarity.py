@@ -2041,9 +2041,9 @@ def ivfpq_index_cached(
 ) -> DataFrame:
     key = ("ivfpq", corpus_key, tag, _books_digest(centroids, codebooks))
     if key not in _IVFPQ_INDEX_CACHE:
-        import tempfile  # noqa: PLC0415
+        from iceberg_matrix_spark.storage import state_dir  # noqa: PLC0415
 
-        path = tempfile.mkdtemp(prefix="ivfpq-index-") + "/index.parquet"
+        path = state_dir("ivfpq-index-") + "/index.parquet"
         # parallelize the encode AND the index layout: a single-file
         # corpus otherwise encodes on ONE task and writes ONE parquet
         # file, so every later ADC scan of the index is also single-task
@@ -3744,9 +3744,9 @@ def ivfpq_index_ingest_path(
         _books_digest(centroids, codebooks),
     )
     if key not in _INC_INDEX_CACHE:
-        import tempfile  # noqa: PLC0415
+        from iceberg_matrix_spark.storage import state_dir  # noqa: PLC0415
 
-        path = tempfile.mkdtemp(prefix="ivfpq-inc-index-") + "/index.parquet"
+        path = state_dir("ivfpq-inc-index-") + "/index.parquet"
         ivfpq_encode(corpus, centroids, codebooks).write.parquet(path)
         # the per-ingest step: batch-only encode, parquet append — one
         # append per arriving slice. Hash-mod slicing (not id % k) so
@@ -3861,9 +3861,9 @@ def ivfpq_index_compact(
 
     Returns (compacted index DataFrame reading the new generation, its
     path)."""
-    import tempfile  # noqa: PLC0415
+    from iceberg_matrix_spark.storage import scratch_dir  # noqa: PLC0415
 
-    path = tempfile.mkdtemp(prefix="ivfpq-compact-") + "/index.parquet"
+    path = scratch_dir("ivfpq-compact-") + "/index.parquet"
     (
         index.repartitionByRange(n_files, F.col("cid"))
         .sortWithinPartitions("cid", "vec_id")
@@ -4044,7 +4044,6 @@ def ivfpq_index_rotation(
     Returns (root, per-slice file lists) — the file lists let tests
     pin per-batch row counts."""
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
     from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
         df_content_key,
@@ -4059,7 +4058,9 @@ def ivfpq_index_rotation(
         _books_digest(new_centroids, new_codebooks),
     )
     if key not in _ROTATE_CACHE:
-        root = tempfile.mkdtemp(prefix="ivfpq-rotate-") + "/index"
+        from iceberg_matrix_spark.storage import state_dir  # noqa: PLC0415
+
+        root = state_dir("ivfpq-rotate-") + "/index"
         gen0 = os.path.join(root, "gen=0")
         ivfpq_encode(corpus, old_centroids, old_codebooks, id_col).write.parquet(
             gen0

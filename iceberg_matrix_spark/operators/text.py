@@ -1051,9 +1051,9 @@ def chunk_fingerprint_index_cached(
     # the old corpus's fingerprint index
     key = (corpus_key, df_content_key(corpus_docs))
     if key not in _CHUNK_INDEX_CACHE:
-        import tempfile  # noqa: PLC0415
+        from iceberg_matrix_spark.storage import state_dir  # noqa: PLC0415
 
-        path = tempfile.mkdtemp(prefix="chunk-fp-index-") + "/index.parquet"
+        path = state_dir("chunk-fp-index-") + "/index.parquet"
         (
             chunks_with_ckey(corpus_docs)
             .select(md5_fingerprint("chunk_text").alias("fingerprint"))
@@ -1163,21 +1163,20 @@ def chunk_fingerprint_store_cached(
     ingest folds and retractions touch only their buckets — the same
     O(batch) lifecycle the report state got this round. The corpus
     summary is folded once as batch 0."""
-    import tempfile  # noqa: PLC0415
-
     from iceberg_matrix_spark.operators.pipeline import (  # noqa: PLC0415
         BucketedCounterState,
     )
     from iceberg_matrix_spark.operators.scale import (  # noqa: PLC0415
         df_content_key,
     )
+    from iceberg_matrix_spark.storage import state_dir  # noqa: PLC0415
 
     key = (corpus_key, df_content_key(corpus_docs))
     if key not in _CHUNK_STORE_CACHE:
         counts = chunk_fingerprint_counts(corpus_docs)
         store = BucketedCounterState(
             corpus_docs.sparkSession,
-            tempfile.mkdtemp(prefix="chunk-fp-store-"),
+            state_dir("chunk-fp-store-"),
             template=counts.limit(0),
             key_cols=["fingerprint"],
             counter_cols=["n"],

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from iceberg_matrix_spark.operators.scale import gather_futures
+from iceberg_matrix_spark.storage import scratch_dir
 from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_dim, load_table
 
@@ -428,14 +429,13 @@ def _merge_sql_setup(spark: SparkSession, sf_dir: str):
     """The CTAS phase of q_merge_sql (two table builds) — split out so
     bench.py can time setup and MERGE separately; a MERGE regression must
     not hide inside CTAS noise."""
-    import tempfile  # noqa: PLC0415
 
     from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    wh = tempfile.mkdtemp(prefix="icelite_sql_merge_")
+    wh = scratch_dir("icelite-sql-merge-wh-")
     sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
     sql.sql("CREATE NAMESPACE IF NOT EXISTS local.dml")
     target = (
@@ -487,11 +487,10 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     and read_incremental over (snap1, snap2] must return EXACTLY the
     second batch — not the first, not the third
     (tables/table.py:read_incremental; flink start/end-tag hints)."""
-    import tempfile  # noqa: PLC0415
 
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
-    wh = tempfile.mkdtemp(prefix="icelite_incr_")
+    wh = scratch_dir("icelite-incr-wh-")
     cat = IceLiteCatalog(spark, wh)
     cat.create_namespace("incr")
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
@@ -526,12 +525,11 @@ def q_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     third's true MIN/MAX key (tables/metadata_tables.py:21,40 — the
     bounds come from executor-collected parquet footer stats, so this
     also oracles the stats collector end to end)."""
-    import tempfile  # noqa: PLC0415
 
     from iceberg_matrix_spark.tables import metadata_tables as mt  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
-    wh = tempfile.mkdtemp(prefix="icelite_meta_")
+    wh = scratch_dir("icelite-meta-wh-")
     cat = IceLiteCatalog(spark, wh)
     cat.create_namespace("meta")
     base = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -594,11 +592,10 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the state diff relationally over the raw parquet (rows
     are unique per (custkey, acctbal), so the set-join diff equals the
     multiset exceptAll diff)."""
-    import tempfile  # noqa: PLC0415
 
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
-    wh = tempfile.mkdtemp(prefix="icelite_cdc_")
+    wh = scratch_dir("icelite-cdc-wh-")
     cat = IceLiteCatalog(spark, wh)
     cat.create_namespace("cdc")
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
@@ -1017,12 +1014,11 @@ def q_branch_read_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _branch_sql_setup(spark: SparkSession, sf_dir: str):
     """The CTAS phase of q_branch_read_sql — split out so bench.py can
     report setup and the DML-under-test separately."""
-    import tempfile  # noqa: PLC0415
 
     from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
-    wh = tempfile.mkdtemp(prefix="icelite_branch_sql_")
+    wh = scratch_dir("icelite-branch-sql-wh-")
     sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
     sql.sql("CREATE NAMESPACE IF NOT EXISTS local.brt")
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
@@ -1056,14 +1052,13 @@ def _wap_publish_setup(spark: SparkSession, sf_dir: str):
     r9 What's-wrong #3) so bench.py reports the table builds as setup
     and the WAP protocol (branch + insert + audit + fast_forward +
     reads) as the measured query, the q_merge_sql pattern."""
-    import tempfile  # noqa: PLC0415
 
     from iceberg_matrix_spark.sql import IceLiteSQL  # noqa: PLC0415
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    wh = tempfile.mkdtemp(prefix="icelite_wap_")
+    wh = scratch_dir("icelite-wap-wh-")
     sql = IceLiteSQL(spark, IceLiteCatalog(spark, wh))
     sql.sql("CREATE NAMESPACE IF NOT EXISTS local.wap")
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
@@ -1169,11 +1164,10 @@ def q_zorder_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_effect_setup(spark: SparkSession, sf_dir: str):
     """The table-build phase of q_zorder_effect — split out so bench.py
     reports setup and the rewrite-under-test separately."""
-    import tempfile  # noqa: PLC0415
 
     from iceberg_matrix_spark.tables.catalog import IceLiteCatalog  # noqa: PLC0415
 
-    wh = tempfile.mkdtemp(prefix="icelite_zeff_")
+    wh = scratch_dir("icelite-zeff-wh-")
     cat = IceLiteCatalog(spark, wh)
     cat.create_namespace("zeff")
     t = cat.create_table("zeff.orders_t", "o_orderkey bigint, o_totalprice double")

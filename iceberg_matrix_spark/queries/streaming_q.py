@@ -12,12 +12,12 @@ in batch), oracle-checked against the lag/running-sum sessionization SQL.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_matrix_spark.storage import scratch_dir
 from iceberg_matrix_spark.queries.registry import register
 from iceberg_matrix_spark.sources.testdata import load_table, normalize_events_ts
 from iceberg_matrix_spark.streaming.windows import (
@@ -51,7 +51,7 @@ def _run_to_memory(df, prefix: str, mode: str):
             df.writeStream.format("memory")
             .queryName(sink)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+            .option("checkpointLocation", scratch_dir("ckpt-"))
             .trigger(availableNow=True)
             .start()
         )
@@ -625,7 +625,7 @@ def stream_report_fold(
         corpus_report_state,
     )
 
-    work = tempfile.mkdtemp(prefix="stream-fold-")
+    work = scratch_dir("stream-fold-")
     ingest = os.path.join(work, "ingest")
     for i in range(n_ingest_files):
         docs.filter(F.col("doc_id") % n_ingest_files == i).coalesce(
@@ -649,7 +649,7 @@ def stream_report_fold(
     )
     q = (
         stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-fold-"))
+        .option("checkpointLocation", scratch_dir("ckpt-fold-"))
         .trigger(availableNow=True)
         .start()
     )
@@ -737,7 +737,7 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
 
-    work = tempfile.mkdtemp(prefix="stream-decon-")
+    work = scratch_dir("stream-decon-")
     ingest = os.path.join(work, "ingest")
     for i in range(3):
         corpus.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
@@ -783,7 +783,7 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(screen)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-decon-"))
+        .option("checkpointLocation", scratch_dir("ckpt-decon-"))
         .trigger(availableNow=True)
         .start()
     )

@@ -272,3 +272,62 @@ def test_cms_absent_probe_with_empty_cell_estimates_zero(spark):
     assert rows["aaa"].cms_est >= rows["aaa"].exact_n == 1
     assert rows["zz_absent_zz"].cms_est == 0
     assert rows["zz_absent_zz"].exact_n == 0
+
+
+# ---------------------------------------------------------------------------
+# Injectable storage root + scratch reaping (VERDICT r11 #2, round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_storage_root_is_injectable_and_operator_still_correct(spark, tmp_path):
+    """A persist-backed operator must write its intermediates under a
+    NON-default root when one is injected (the multi-node contract: a
+    driver-local tempfile path is unreadable by remote executors) and
+    produce identical results there."""
+    from iceberg_matrix_spark import storage
+    from iceberg_matrix_spark.operators.dedup import persisted_shingle_sets
+
+    docs = local_df(
+        spark,
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps")],
+        "doc_id bigint, text string",
+    )
+    baseline = sorted(
+        (r["doc_id"], sorted(r["sh_hashed"]))
+        for r in persisted_shingle_sets(docs, k=2)[0].collect()
+    )
+    storage.set_storage_root(str(tmp_path))
+    try:
+        out, size = persisted_shingle_sets(docs, k=2)
+        rows = sorted(
+            (r["doc_id"], sorted(r["sh_hashed"])) for r in out.collect()
+        )
+        assert rows == baseline and size > 0
+        session_dirs = [p for p in tmp_path.iterdir() if p.name.startswith("imx-session-")]
+        assert len(session_dirs) == 1
+        assert any(
+            d.name.startswith("shingle-sets-") for d in session_dirs[0].iterdir()
+        )
+    finally:
+        storage.set_storage_root(None)
+
+
+def test_scratch_dirs_are_reaped_to_a_bounded_generation_count(spark, tmp_path):
+    """N calls to a scratch-backed operator must leave a BOUNDED number
+    of scratch dirs (keep=2), not N — the r11 unbounded-tmp-growth fix."""
+    import os
+
+    from iceberg_matrix_spark import storage
+    from iceberg_matrix_spark.operators.scale import persisted_small_hint
+
+    docs = local_df(spark, [(i, i * 10) for i in range(20)], "k bigint, v bigint")
+    storage.set_storage_root(str(tmp_path))
+    try:
+        for i in range(5):
+            hinted = persisted_small_hint(docs, "reap-probe-")
+            assert hinted.count() == 20  # newest generation always readable
+        [session] = [p for p in tmp_path.iterdir() if p.name.startswith("imx-session-")]
+        probes = [d for d in session.iterdir() if d.name.startswith("reap-probe-")]
+        assert len(probes) == 2, sorted(p.name for p in probes)
+    finally:
+        storage.set_storage_root(None)
