@@ -319,14 +319,42 @@ def replay_all(
     ×{v2,v3} matrix). A function whose own matrix doesn't intersect the
     restriction still replays its LAST (newest) version, so every
     statement is always exercised at least once."""
+    import os  # noqa: PLC0415
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     ext = extract_ops(path)
-    outcomes: list[Outcome] = []
+    tasks = []
     for func, ops in ext.groups.items():
         vs = _versions_for(ops)
         if versions is not None:
             vs = [v for v in vs if v in versions] or vs[-1:]
-        for version in vs:
-            outcomes.extend(replay_function(spark, catalog, func, ops, version))
+        tasks.extend((func, ops, version) for version in vs)
+
+    # Replay functions concurrently (round 12 suite-budget fix, same
+    # design as conformance.run_conformance's probe pool): every
+    # function is self-contained (uuid namespace, own tables) and the
+    # per-statement work is driver-latency-dominated. Each task gets its
+    # OWN catalog under a subdirectory of the caller's warehouse so no
+    # catalog-object state is shared across threads; statement ORDER
+    # within a function is unchanged (the part the goldens pin).
+    type_cat = type(catalog)
+
+    def _one(task: tuple) -> list[Outcome]:
+        func, ops, version = task
+        cat = type_cat(
+            spark, os.path.join(catalog.warehouse, f"{func}_v{version}")
+        )
+        return replay_function(spark, cat, func, ops, version)
+
+    workers = int(os.environ.get("SPARK_GRAFT_REPLAY_WORKERS", "8"))
+    outcomes: list[Outcome] = []
+    if workers <= 1:
+        for t in tasks:
+            outcomes.extend(_one(t))
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for res in pool.map(_one, tasks):
+                outcomes.extend(res)
     unexpected = [
         o for o in outcomes if o.status != EXPECTED_OUTCOMES.get(o.key(), "ok")
     ]

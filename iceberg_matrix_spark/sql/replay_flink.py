@@ -399,13 +399,33 @@ def replay_all(spark: SparkSession, catalog: IceLiteCatalog) -> dict:
     unaccounted = [
         f for f in groups if f not in GOLDEN and f not in EXCLUDED
     ]
+    import os  # noqa: PLC0415
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    tasks = []
     for func, spec in GOLDEN.items():
         if func not in groups:
             mismatches.append((func, None, None, "not found in reference"))
             continue
         versions = [2, 3] if spec["versions"] == "both" else [3]
-        for version in versions:
-            outs = replay_function(spark, catalog, func, groups[func], version)
+        tasks.extend((func, version) for version in versions)
+
+    # concurrent function replays (round 12 suite-budget fix — same pool
+    # design as sql/replay.py and conformance): every function is
+    # namespace-isolated (uuid) and gets its OWN catalog subdirectory,
+    # so threads share no catalog object; in-function batch order is
+    # unchanged (what the marker goldens pin)
+    def _one(task: tuple) -> tuple:
+        func, version = task
+        cat = type(catalog)(
+            spark, os.path.join(catalog.warehouse, f"{func}_v{version}")
+        )
+        outs = replay_function(spark, cat, func, groups[func], version)
+        return func, outs
+
+    workers = int(os.environ.get("SPARK_GRAFT_REPLAY_WORKERS", "8"))
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        for func, outs in pool.map(_one, tasks):
             replayed += len(outs)
             mismatches.extend(check_function(func, outs))
     return {
